@@ -1,0 +1,302 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design notes (the whole point of these shapes):
+
+- **exact**: one hash-groupBy on a fingerprint — shuffle is O(|docs|)
+  with tiny rows, the canonical first pass at 100 TB.
+- **MinHash+LSH**: per-doc signature in ONE linear pass (element-wise
+  min over shingle hash arrays — no |shingles|×|hashes| row blow-up),
+  then banding so the candidate-pair join is bucket-local.  All-pairs
+  O(n²) never happens; the only quadratic term is within-bucket, which
+  banding keeps tiny.
+- **SimHash**: 64-bit signature via per-bit majority vote, again one
+  linear pass + one groupBy; near-dup candidates via band equality.
+- **n-gram Jaccard**: exact verification on candidate pairs only.
+
+Everything is built-in F.* higher-order functions — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Group identical texts: fingerprint → (n_copies, keep_id, dup_ids).
+
+    ``keep_id`` = min id (deterministic canonical survivor).
+    """
+    fp = F.md5(F.col(text_col).cast("binary"))
+    return (
+        df.select(F.col(id_col), fp.alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
+
+
+def drop_exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep exactly one row (min id) per distinct text — the scalable
+    survivor-selection pattern: min-id per fingerprint then semi join,
+    never a full-row shuffle of the payload."""
+    keep = exact_duplicates(df, id_col, text_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# shingles + MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def shingles(col: Column | str, k: int = 3, sep: str = " ") -> Column:
+    """Token k-shingles as an array<string> (distinct).  For k=1 this is
+    the token set."""
+    toks = F.split(col, sep)
+    if k == 1:
+        return F.array_distinct(toks)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.array_distinct(
+        F.when(
+            n >= k,
+            F.transform(idx, lambda i: F.concat_ws(sep, F.slice(toks, i + 1, k))),
+        ).otherwise(F.array(F.concat_ws(sep, toks)))
+    )
+
+
+def minhash_signature(
+    col: Column, num_hashes: int = 64
+) -> Column:
+    """MinHash signature (array<bigint> of length ``num_hashes``) over a
+    string-array column, in one expression:
+
+    each shingle s → [xxhash64(s, 0), …, xxhash64(s, H-1)], then an
+    element-wise min across shingles via ``aggregate`` + ``zip_with``.
+    Linear in |shingles|, zero extra rows, zero Python.
+    """
+    per_shingle = lambda s: F.transform(  # noqa: E731
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.xxhash64(s, i),
+    )
+    max_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.lit(9223372036854775807).cast("bigint"),
+    )
+    return F.aggregate(
+        col,
+        max_arr,
+        lambda acc, s: F.zip_with(acc, per_shingle(s), lambda a, b: F.least(a, b)),
+    )
+
+
+def minhash_bands(sig: Column, num_bands: int = 16, rows_per_band: int = 4) -> Column:
+    """Split a signature into LSH bands; each band → one 64-bit bucket
+    hash.  Returns array<struct<band:int, bucket:bigint>>."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band"),
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(sig, b * rows_per_band + 1, rows_per_band),
+                        lambda v: v.cast("string"),
+                    ),
+                )
+            ).alias("bucket"),
+        ),
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
+
+    Plan shape: linear signature pass → explode bands (|docs|×bands
+    rows, small) → bucket self-join (shuffle on bucket) → distinct
+    candidate pairs → exact Jaccard on the two shingle sets → filter.
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    rows_per_band = num_hashes // num_bands
+    sh = shingles(F.col(text_col), k=shingle_k)
+    sig = minhash_signature(sh, num_hashes=num_hashes)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        sh.alias("sh"),
+        minhash_bands(sig, num_bands, rows_per_band).alias("bands"),
+    )
+    banded = base.select(
+        "id", "sh", F.explode("bands").alias("bb")
+    ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=(F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = inter / F.greatest(union, F.lit(1))
+    return (
+        cand.select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_signature(col: Column, bits: int = 64) -> Column:
+    """SimHash over a string-array column: per-bit majority vote of
+    xxhash64(token) bit patterns, packed into one bigint.
+
+    One ``aggregate`` over tokens accumulating a ±1 vector per bit
+    (array<int> of length ``bits``), then bit-packed by folding
+    ``acc*2 + bit`` from the MSB down (no shift-by-column needed) — a
+    pure expression tree, still whole-stage codegen."""
+    zero = F.array(*[F.lit(0).cast("int") for _ in range(bits)])
+
+    def contrib(tok: Column) -> Column:
+        h = F.xxhash64(tok)
+        return F.array(
+            *[
+                F.when(F.shiftright(h, i).bitwiseAND(1) == 1, 1).otherwise(-1)
+                for i in range(bits)
+            ]
+        )
+
+    votes = F.aggregate(
+        col, zero, lambda acc, tok: F.zip_with(acc, contrib(tok), lambda a, c: a + c)
+    )
+    bit_vals = F.transform(
+        votes, lambda v: F.when(v > 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+    )
+    # reverse → MSB first; overflow at bit 63 wraps (non-ANSI), deterministic
+    return F.aggregate(
+        F.reverse(bit_vals),
+        F.lit(0).cast("bigint"),
+        lambda acc, b: acc * 2 + b,
+    )
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    num_bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 64-bit signature into
+    ``num_bands`` 16-bit chunks (pigeonhole: hamming ≤ bands-1 ⇒ some
+    band equal), bucket-join, verify hamming distance exactly.
+    Returns (id_a, id_b, hamming)."""
+    band_width = 64 // num_bands
+    sig = simhash_signature(F.split(F.col(text_col), " "))
+    base = df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    banded = base.select(
+        "id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("sig"), b * band_width).bitwiseAND(
+                        (1 << band_width) - 1
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("band", "chunk"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=(F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, for candidate verification or small sets)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str | None = None,
+    n: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Exact n-gram Jaccard over pairs within a blocking key.
+
+    ``block_col`` bounds the quadratic term (all-pairs only within a
+    block — at scale, pass a coarse cluster/bucket id, e.g. an LSH
+    band or language+length bucket).  With block_col=None a single
+    global block is used (only sane for small/test inputs).
+    """
+    sh = shingles(F.col(text_col), k=n)
+    blk = F.col(block_col) if block_col else F.lit(0)
+    base = df.select(F.col(id_col).alias("id"), blk.alias("blk"), sh.alias("sh"))
+    a = base.alias("a")
+    b = base.alias("b")
+    pairs = a.join(
+        b, on=(F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id"))
+    )
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    jac = inter / F.greatest(union, F.lit(1))
+    return (
+        pairs.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,194 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``brute_force_topk``: exact cosine top-k — broadcast the query
+  vector(s), one linear scan, TakeOrderedAndProject bounds the sort.
+  The correctness baseline at any scale.
+- ``lsh_bucket_topk``: random-hyperplane LSH — signature per row, then
+  search only the query's bucket (± multiprobe).  The 100 TB path: scan
+  narrows to |bucket| rows; signatures are precomputable/persistable.
+
+Dot products use F.aggregate/F.zip_with (JVM higher-order functions).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ via zip_with + aggregate — left-to-right double fold,
+    deterministic."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a,
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Exact cosine top-k of ``query`` (1 row, column ``qvec``) against
+    the corpus.  Broadcast-crossJoin keeps the corpus partition-local;
+    orderBy+limit plans as TakeOrderedAndProject (no global sort)."""
+    q = F.broadcast(query.select(F.col("qvec")))
+    scored = embeddings.crossJoin(q).select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("qvec")), round_to).alias("sim"),
+    )
+    return scored.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
+
+
+def query_by_id(
+    embeddings: DataFrame, vec_id: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """1-row query frame (column ``qvec``) for brute_force_topk."""
+    return embeddings.filter(F.col(id_col) == vec_id).select(
+        F.col(vec_col).alias("qvec")
+    )
+
+
+# ---------------------------------------------------------------------------
+# random-hyperplane LSH
+# ---------------------------------------------------------------------------
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (pure-python LCG so
+    the planes are reproducible without numpy state pickling)."""
+    state = seed & 0x7FFFFFFF
+    planes: list[list[float]] = []
+    for _ in range(n_planes):
+        vec = []
+        for _ in range(dim):
+            # Park–Miller minimal standard LCG
+            state = (state * 48271) % 2147483647
+            u1 = state / 2147483647
+            state = (state * 48271) % 2147483647
+            u2 = state / 2147483647
+            # Box–Muller → gaussian component
+            vec.append(
+                math.sqrt(-2.0 * math.log(max(u1, 1e-12)))
+                * math.cos(2.0 * math.pi * u2)
+            )
+        planes.append(vec)
+    return planes
+
+
+def signature_col(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Bit-pack sign(v·p) over the hyperplanes into a bigint bucket id."""
+    bits = [
+        F.when(
+            dot(vec_col, F.array(*[F.lit(x) for x in plane])) >= 0,
+            F.shiftleft(F.lit(1).cast("bigint"), i),
+        ).otherwise(F.lit(0).cast("bigint"))
+        for i, plane in enumerate(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def with_lsh_signature(
+    embeddings: DataFrame,
+    dim: int,
+    n_planes: int = 12,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attach the LSH bucket id.  At scale: persist/bucket the output by
+    ``lsh_bucket`` so queries touch one bucket's files only."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    return embeddings.withColumn("lsh_bucket", signature_col(F.col(vec_col), planes))
+
+
+def lsh_bucket_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe_bits: int = 1,
+) -> DataFrame:
+    """Approximate top-k: hash the query, search its bucket plus all
+    buckets within ``multiprobe_bits`` bit-flips (multiprobe recovers
+    recall lost to quantization).  Candidate set is |bucket|·(1+planes)
+    rows instead of the full corpus."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    corpus = with_lsh_signature(embeddings, dim, n_planes, seed, vec_col)
+    q = query.select(
+        F.col("qvec"), signature_col(F.col("qvec"), planes).alias("qbucket")
+    )
+    probes = [F.col("qbucket")]
+    if multiprobe_bits >= 1:
+        probes += [
+            F.col("qbucket").bitwiseXOR(F.shiftleft(F.lit(1).cast("bigint"), i))
+            for i in range(n_planes)
+        ]
+    qprobes = F.broadcast(
+        q.select("qvec", F.explode(F.array(*probes)).alias("lsh_bucket"))
+    )
+    cand = corpus.join(qprobes, on="lsh_bucket")
+    scored = cand.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("qvec")), 4).alias("sim"),
+    ).dropDuplicates([id_col])
+    return scored.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via LSH blocking: pairs share a
+    bucket (high-cosine pairs almost surely do at small n_planes), then
+    exact cosine verification.  Returns (id_a, id_b, sim)."""
+    corpus = with_lsh_signature(embeddings, dim, n_planes, seed, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), "lsh_bucket"
+    )
+    a = corpus.alias("a")
+    b = corpus.alias("b")
+    pairs = a.join(
+        b,
+        on=(F.col("a.lsh_bucket") == F.col("b.lsh_bucket"))
+        & (F.col("a.id") < F.col("b.id")),
+    )
+    sim = cosine(F.col("a.vec"), F.col("b.vec"))
+    return (
+        pairs.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(sim, 4).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )

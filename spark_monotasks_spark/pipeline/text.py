@@ -1,0 +1,115 @@
+"""Text analysis operators: tokenization, quality, language-ID, fingerprints.
+
+All pure `pyspark.sql.functions` — JVM-side, codegen'd, no Python UDFs —
+so a 100 TB documents table is one linear scan per metric.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tiny per-language stopword lists for the n-gram/stopword language
+#: heuristic.  Deliberately small — the point is the Spark-side shape
+#: (broadcast map + array intersection), not lexicography.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "una", "los", "las"],
+    "fr": ["le", "la", "de", "et", "que", "en", "un", "une", "les", "des"],
+    "de": ["der", "die", "das", "und", "zu", "in", "ein", "eine", "ist", "nicht"],
+    "zh": ["的", "了", "是", "在", "我", "有", "和", "就", "不", "人"],
+}
+
+
+def tokens(col: Column | str, sep: str = " ") -> Column:
+    """Whitespace tokenization as an array column (split is JVM regex)."""
+    return F.split(col, sep)
+
+
+def token_count(col: Column | str, sep: str = " ") -> Column:
+    return F.size(tokens(col, sep))
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token/char statistics per document — one narrow projection."""
+    toks = tokens(text_col)
+    n_tokens = F.size(toks)
+    return df.select(
+        "*",
+        n_tokens.alias("n_tokens"),
+        F.length(text_col).alias("text_len"),
+        F.round(F.length(text_col) / n_tokens, 4).alias("chars_per_token"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality scoring (length / punctuation / stopword ratios).
+
+    Mirrors the standard pretraining-corpus filters (C4/Gopher-style
+    rules) with pure built-ins: every signal is a Column expression, so
+    the whole scorer is one whole-stage-codegen'd pass.
+    """
+    toks = tokens(text_col)
+    n_tokens = F.size(toks)
+    text_len = F.length(text_col)
+    stop_en = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.array_intersect(toks, stop_en))
+    n_punct = text_len - F.length(F.regexp_replace(text_col, r"[^\w\s]", ""))
+    avg_token_len = (text_len - n_tokens + 1) / n_tokens
+    score = (
+        F.when((n_tokens >= 5) & (n_tokens <= 100000), 0.25).otherwise(0.0)
+        + F.when((avg_token_len >= 2.0) & (avg_token_len <= 12.0), 0.25).otherwise(0.0)
+        + F.when(n_punct / F.greatest(text_len, F.lit(1)) <= 0.2, 0.25).otherwise(0.0)
+        + F.when(n_stop > 0, 0.25).otherwise(0.0)
+    )
+    return df.select(
+        "*",
+        n_tokens.alias("n_tokens"),
+        F.round(avg_token_len, 4).alias("avg_token_len"),
+        n_punct.alias("n_punct"),
+        n_stop.alias("n_stopwords"),
+        F.round(score, 2).alias("quality_score"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-overlap language ID (n-gram heuristic family).
+
+    Scores each language by |tokens ∩ stopwords(lang)| and takes the
+    argmax via a struct-array max (ties resolve to the lexicographically
+    greatest language code — deterministic).  No shuffle, no UDF.
+    """
+    toks = tokens(text_col)
+    scores = F.array(
+        *[
+            F.struct(
+                F.size(
+                    F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+                ).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, words in sorted(LANG_STOPWORDS.items())
+        ]
+    )
+    best = F.array_max(scores)
+    return df.select(
+        "*",
+        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")).alias(
+            "pred_lang"
+        ),
+        best["score"].alias("lang_score"),
+    )
+
+
+def fingerprint(col: Column | str, normalize: bool = True) -> Column:
+    """Deterministic 64-bit-ish document fingerprint: md5 of the
+    normalized text, truncated to 16 hex chars.  md5 (not xxhash64) so
+    external engines (the DuckDB oracle) reproduce it byte-for-byte."""
+    c = F.col(col) if isinstance(col, str) else col
+    if normalize:
+        c = F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+    return F.substring(F.md5(c.cast("binary")), 1, 16)
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.select("*", fingerprint(text_col).alias("fingerprint"))

@@ -1,0 +1,196 @@
+"""Catalog entries for the beyond-reference pipeline operators
+(dedup / similarity / text analysis) over documents + embeddings.
+
+Oracle-able ones (md5 fingerprints, token stats, cosine with rounding)
+carry DuckDB SQL; LSH/MinHash/SimHash entries are Spark-native (hash
+functions are engine-specific) → rows-only driver check, with exact
+invariants asserted in tests/test_pipeline.py instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_monotasks_spark.pipeline import dedup, similarity, text
+from spark_monotasks_spark.queries.registry import register
+from spark_monotasks_spark.tables import load_tables
+
+
+def _t(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return load_tables(spark, sf_dir)
+
+
+@register(
+    "dedup_exact_groups",
+    oracle="""
+    SELECT md5(text) AS fp, count(*) AS n_copies, min(doc_id) AS keep_id
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one hash-groupBy on the content fingerprint."""
+    t = _t(spark, sf_dir)
+    return dedup.exact_duplicates(t["documents"])
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           substring(md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), 1, 16)
+             AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized md5 document fingerprint (pipeline.text.fingerprint)."""
+    t = _t(spark, sf_dir)
+    return text.with_fingerprint(t["documents"]).select("doc_id", "fingerprint")
+
+
+@register(
+    "token_stats",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' '))                      AS n_tokens,
+           length(text)                                      AS text_len,
+           round(length(text) / len(string_split(text, ' ')), 4) AS chars_per_token
+    FROM documents
+    """,
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (pipeline.text.with_token_stats)."""
+    t = _t(spark, sf_dir)
+    return text.with_token_stats(t["documents"]).select(
+        "doc_id", "n_tokens", "text_len", "chars_per_token"
+    )
+
+
+@register(
+    "lang_profile",
+    oracle="""
+    SELECT lang, count(*) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus language profile (declared lang column)."""
+    t = _t(spark, sf_dir)
+    return t["documents"].groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register("language_id_pred")  # heuristic scorer — Spark-native, rows-only
+def language_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language ID (pipeline.text.language_id)."""
+    t = _t(spark, sf_dir)
+    return text.language_id(t["documents"]).select(
+        "doc_id", "lang", "pred_lang", "lang_score"
+    )
+
+
+@register("quality_scores")  # regex punct-count differs across engines → rows-only
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring (pipeline.text.quality_score)."""
+    t = _t(spark, sf_dir)
+    return text.quality_score(t["documents"]).select(
+        "doc_id", "n_tokens", "avg_token_len", "n_stopwords", "quality_score"
+    )
+
+
+@register(
+    "ann_cosine_topk",
+    oracle="""
+    SELECT e.vec_id,
+           round(
+             list_sum(list_transform(list_zip(e.embedding, q.qvec),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(e.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(q.qvec,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS sim
+    FROM embeddings e,
+         (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0) q
+    ORDER BY sim DESC, e.vec_id
+    LIMIT 20
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (similarity.brute_force_topk): broadcast
+    the query vector, linear scan, TakeOrderedAndProject."""
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    return similarity.brute_force_topk(
+        emb, similarity.query_by_id(emb, 0), k=20
+    )
+
+
+@register("ann_lsh_topk")  # LSH buckets use xxhash-free hyperplanes but
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:  # approximate → rows-only
+    """Approximate top-k via random-hyperplane LSH + multiprobe
+    (similarity.lsh_bucket_topk); recall vs brute force asserted in tests."""
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    return similarity.lsh_bucket_topk(
+        emb, similarity.query_by_id(emb, 0), dim=64, k=20
+    )
+
+
+@register("minhash_near_dups")  # xxhash64 signatures are Spark-specific → rows-only
+def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs (dedup.minhash_near_duplicates);
+    exact-Jaccard invariants tested in tests/test_pipeline.py."""
+    t = _t(spark, sf_dir)
+    return dedup.minhash_near_duplicates(
+        t["documents"], shingle_k=2, jaccard_threshold=0.4
+    )
+
+
+@register("simhash_near_dups")  # rows-only (same reason)
+def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs (dedup.simhash_near_duplicates)."""
+    t = _t(spark, sf_dir)
+    return dedup.simhash_near_duplicates(t["documents"], max_hamming=6)
+
+
+@register(
+    "ngram_jaccard_block",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, lang,
+             list_distinct(string_split(text, ' ')) AS toks
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.toks, b.toks)) * 1.0 /
+                 greatest(len(list_distinct(list_concat(a.toks, b.toks))), 1), 4)
+             AS jaccard
+    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE round(len(list_intersect(a.toks, b.toks)) * 1.0 /
+                greatest(len(list_distinct(list_concat(a.toks, b.toks))), 1), 4) >= 0.5
+    """,
+)
+def ngram_jaccard_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-gram Jaccard within language blocks
+    (dedup.ngram_jaccard_pairs with block_col='lang')."""
+    t = _t(spark, sf_dir)
+    return dedup.ngram_jaccard_pairs(
+        t["documents"], block_col="lang", n=1, threshold=0.5
+    )
+
+
+@register("embedding_near_dups")  # LSH-blocked → rows-only
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via LSH blocking
+    (similarity.embedding_near_duplicates)."""
+    t = _t(spark, sf_dir)
+    return similarity.embedding_near_duplicates(
+        t["embeddings"], dim=64, threshold=0.9, n_planes=8
+    )

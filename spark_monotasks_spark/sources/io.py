@@ -1,0 +1,169 @@
+"""Sources & sinks (SURVEY §2.1) with reference SaveMode semantics.
+
+Reference surface: parquet scan w/ pushdown + partition discovery
+(parquet/newParquet.scala:863), JSON w/ sampled schema inference
+(json/JsonRDD.scala:44 inferSchema, :156 compatibleType), JDBC
+partitioned scan w/ WHERE pushdown (jdbc/JDBCRDD.scala:244,:256), text
+(SparkContext.textFile), Hive-style partitioned writes, SaveMode
+ErrorIfExists/Append/Overwrite/Ignore (DataFrame.scala:1013-1191,
+sources/ddl.scala), JDBC sink (DataFrame.scala:1260,:1288).
+
+All map 1:1 to modern DataFrameReader/Writer; the value added here is
+(a) the parity surface, (b) scale defaults: partitioned parquet writes
+with explicit partition columns give partition *pruning* on read, the
+single most important 100 TB lever.
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import Any, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SaveMode(str, enum.Enum):
+    """sources/ddl.scala SaveMode — identical names to the reference."""
+
+    ERROR_IF_EXISTS = "errorifexists"
+    APPEND = "append"
+    OVERWRITE = "overwrite"
+    IGNORE = "ignore"
+
+
+# --- reads -----------------------------------------------------------------
+
+def read_parquet(spark: SparkSession, *paths: str, merge_schema: bool = False) -> DataFrame:
+    """Parquet scan — column pruning + predicate pushdown + hive-style
+    `k=v` partition discovery are native (ref parquet/newParquet.scala)."""
+    return spark.read.option("mergeSchema", merge_schema).parquet(*paths)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: Any | None = None,
+    sampling_ratio: float | None = None,
+    multiline: bool = False,
+) -> DataFrame:
+    """Line-delimited JSON with sampled schema inference — ref
+    JsonRDD.scala:44 (`inferSchema`), samplingRatio SQLContext.scala:557."""
+    reader = spark.read.option("multiLine", multiline)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif sampling_ratio is not None:
+        reader = reader.option("samplingRatio", sampling_ratio)
+    return reader.json(path)
+
+
+def read_text(spark: SparkSession, path: str, whole_text: bool = False) -> DataFrame:
+    """sc.textFile / wholeTextFiles equivalent (value column: `value`)."""
+    return spark.read.option("wholetext", whole_text).text(path)
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: Any | None = None, header: bool = True, **options: Any
+) -> DataFrame:
+    reader = spark.read.option("header", header)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.options(**options).csv(path)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+    predicates: Sequence[str] | None = None,
+    properties: dict[str, str] | None = None,
+) -> DataFrame:
+    """JDBC partitioned scan (jdbc/JDBCRDD.scala): either stride-partitioned
+    on a numeric column or one partition per WHERE predicate; Catalyst
+    pushes filters into the remote WHERE clause (compileFilter :244)."""
+    props = properties or {}
+    if predicates is not None:
+        return spark.read.jdbc(url, table, predicates=list(predicates), properties=props)
+    if partition_column is not None:
+        return spark.read.jdbc(
+            url,
+            table,
+            column=partition_column,
+            lowerBound=lower_bound,
+            upperBound=upper_bound,
+            numPartitions=num_partitions or 8,
+            properties=props,
+        )
+    return spark.read.jdbc(url, table, properties=props)
+
+
+# --- writes ----------------------------------------------------------------
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: SaveMode | str = SaveMode.ERROR_IF_EXISTS,
+    partition_by: Sequence[str] | None = None,
+    compression: str = "snappy",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Parquet sink (ref DataFrame.scala:992 saveAsParquetFile).
+
+    ``partition_by`` writes hive-style `k=v` dirs → readers get partition
+    pruning.  ``max_records_per_file`` bounds file size at scale so a
+    1000-executor read gets balanced splits."""
+    writer = df.write.mode(str(SaveMode(mode).value)).option("compression", compression)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_json(df: DataFrame, path: str, mode: SaveMode | str = SaveMode.ERROR_IF_EXISTS) -> None:
+    df.write.mode(str(SaveMode(mode).value)).json(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: SaveMode | str = SaveMode.ERROR_IF_EXISTS, header: bool = True) -> None:
+    df.write.mode(str(SaveMode(mode).value)).option("header", header).csv(path)
+
+
+def write_text(df: DataFrame, path: str, mode: SaveMode | str = SaveMode.ERROR_IF_EXISTS) -> None:
+    """saveAsTextFile parity (PairRDDFunctions.scala:881) — single string col."""
+    df.write.mode(str(SaveMode(mode).value)).text(path)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: SaveMode | str = SaveMode.ERROR_IF_EXISTS,
+    properties: dict[str, str] | None = None,
+) -> None:
+    """JDBC sink — ref createJDBCTable/insertIntoJDBC (DataFrame.scala:1260)."""
+    df.write.mode(str(SaveMode(mode).value)).jdbc(url, table, properties=properties or {})
+
+
+def save_as_table(
+    df: DataFrame,
+    name: str,
+    mode: SaveMode | str = SaveMode.ERROR_IF_EXISTS,
+    format: str = "parquet",
+    partition_by: Sequence[str] | None = None,
+    bucket_by: tuple[int, Sequence[str]] | None = None,
+) -> None:
+    """saveAsTable (DataFrame.scala:1013-1191).  ``bucket_by=(n, cols)``
+    writes bucketed output: repeated equi-joins/aggs on those cols skip
+    the shuffle entirely — the co-located-join lever at 100 TB."""
+    writer = df.write.mode(str(SaveMode(mode).value)).format(format)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if bucket_by:
+        n, cols = bucket_by
+        writer = writer.bucketBy(n, *cols).sortBy(*cols)
+    writer.saveAsTable(name)
