@@ -1,0 +1,77 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is forced end-to-end through the `noop` sink (full compute,
+no driver collect) — the honest measure of plan cost.  Run with
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 while iterating; the driver
+runs sf0.1 per-round.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+#: the headline suite — one per operator family that dominates runtime
+#: at scale (scan+agg, join+agg+topk, multiway join, window, dedup,
+#: similarity, set op, time window).
+HEADLINE = [
+    "tpch_q1_pricing",
+    "tpch_q3_shipping",
+    "tpch_q5_region_revenue",
+    "join_broadcast_dims",
+    "join_left_outer",
+    "window_topn_per_group",
+    "union_all_op",
+    "dedup_exact_groups",
+    "token_stats",
+    "minhash_near_dups",
+    "ann_cosine_topk",
+    "events_hourly_window",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from spark_monotasks_spark.queries import QUERY_REGISTRY
+    from spark_monotasks_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+
+    # warm the JVM/session so the first measured query isn't paying init
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERY_REGISTRY[name]
+        start = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -76,29 +76,39 @@ def shingles(col: Column | str, k: int = 3, sep: str = " ") -> Column:
     )
 
 
-def minhash_signature(
-    col: Column, num_hashes: int = 64
-) -> Column:
-    """MinHash signature (array<bigint> of length ``num_hashes``) over a
-    string-array column, in one expression:
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 64,
+    keep_shingles: bool = False,
+) -> DataFrame:
+    """Per-doc MinHash signature as (id, sig array<bigint>[, sh]).
 
-    each shingle s → [xxhash64(s, 0), …, xxhash64(s, H-1)], then an
-    element-wise min across shingles via ``aggregate`` + ``zip_with``.
-    Linear in |shingles|, zero extra rows, zero Python.
+    Shape chosen for scale: explode shingles to rows, then ONE
+    hash-aggregate with ``num_hashes`` `min(xxhash64(shingle, i))`
+    columns.  Partial (map-side) aggregation means the shuffle carries
+    |docs|×num_hashes longs, and the work parallelizes across all
+    cores/executors — unlike an array-fold expression, which serializes
+    per input partition and churns a 64-wide array per shingle.
     """
-    per_shingle = lambda s: F.transform(  # noqa: E731
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.xxhash64(s, i),
-    )
-    max_arr = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.lit(9223372036854775807).cast("bigint"),
-    )
-    return F.aggregate(
-        col,
-        max_arr,
-        lambda acc, s: F.zip_with(acc, per_shingle(s), lambda a, b: F.least(a, b)),
-    )
+    sh = shingles(F.col(text_col), k=shingle_k)
+    ex = df.select(F.col(id_col).alias("id"), F.explode(sh).alias("s"))
+    aggs = [
+        F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    if keep_shingles:
+        aggs.append(F.collect_set("s").alias("sh"))
+    grouped = ex.groupBy("id").agg(*aggs)
+    cols = [
+        "id",
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
+    ]
+    if keep_shingles:
+        cols.append(F.col("sh"))
+    return grouped.select(*cols)
 
 
 def minhash_bands(sig: Column, num_bands: int = 16, rows_per_band: int = 4) -> Column:
@@ -138,12 +148,12 @@ def minhash_near_duplicates(
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
     rows_per_band = num_hashes // num_bands
-    sh = shingles(F.col(text_col), k=shingle_k)
-    sig = minhash_signature(sh, num_hashes=num_hashes)
-    base = df.select(
-        F.col(id_col).alias("id"),
-        sh.alias("sh"),
-        minhash_bands(sig, num_bands, rows_per_band).alias("bands"),
+    base = minhash_signatures(
+        df, id_col, text_col, shingle_k, num_hashes, keep_shingles=True
+    ).select(
+        "id",
+        "sh",
+        minhash_bands(F.col("sig"), num_bands, rows_per_band).alias("bands"),
     )
     banded = base.select(
         "id", "sh", F.explode("bands").alias("bb")
@@ -178,37 +188,41 @@ def minhash_near_duplicates(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash_signature(col: Column, bits: int = 64) -> Column:
-    """SimHash over a string-array column: per-bit majority vote of
-    xxhash64(token) bit patterns, packed into one bigint.
+def simhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+) -> DataFrame:
+    """Per-doc 64-bit SimHash as (id, sig bigint): per-bit majority vote
+    of xxhash64(token) bit patterns (frequency-weighted — repeated
+    tokens vote repeatedly).
 
-    One ``aggregate`` over tokens accumulating a ±1 vector per bit
-    (array<int> of length ``bits``), then bit-packed by folding
-    ``acc*2 + bit`` from the MSB down (no shift-by-column needed) — a
-    pure expression tree, still whole-stage codegen."""
-    zero = F.array(*[F.lit(0).cast("int") for _ in range(bits)])
-
-    def contrib(tok: Column) -> Column:
-        h = F.xxhash64(tok)
-        return F.array(
-            *[
-                F.when(F.shiftright(h, i).bitwiseAND(1) == 1, 1).otherwise(-1)
-                for i in range(bits)
-            ]
+    Same scale shape as minhash_signatures: explode tokens → ONE
+    hash-aggregate with ``bits`` conditional-sum columns (map-side
+    partials; shuffle = |docs|×bits ints), then bit-pack 64 static
+    columns in a plain Python fold."""
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).select("id", F.xxhash64("tok").alias("h"))
+    votes = ex.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    packed = F.lit(0).cast("bigint")
+    for i in range(bits):
+        val = (1 << i) if i < 63 else -(1 << 63)  # bit 63 = sign bit
+        packed = packed.bitwiseOR(
+            F.when(F.col(f"b{i}") > 0, F.lit(val).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
         )
-
-    votes = F.aggregate(
-        col, zero, lambda acc, tok: F.zip_with(acc, contrib(tok), lambda a, c: a + c)
-    )
-    bit_vals = F.transform(
-        votes, lambda v: F.when(v > 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
-    )
-    # reverse → MSB first; overflow at bit 63 wraps (non-ANSI), deterministic
-    return F.aggregate(
-        F.reverse(bit_vals),
-        F.lit(0).cast("bigint"),
-        lambda acc, b: acc * 2 + b,
-    )
+    return votes.select("id", packed.alias("sig"))
 
 
 def simhash_near_duplicates(
@@ -223,8 +237,7 @@ def simhash_near_duplicates(
     band equal), bucket-join, verify hamming distance exactly.
     Returns (id_a, id_b, hamming)."""
     band_width = 64 // num_bands
-    sig = simhash_signature(F.split(F.col(text_col), " "))
-    base = df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    base = simhash_signatures(df, id_col, text_col)
     banded = base.select(
         "id",
         "sig",

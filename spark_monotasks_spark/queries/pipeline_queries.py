@@ -163,26 +163,31 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ngram_jaccard_block",
     oracle="""
-    WITH sh AS (
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
       SELECT doc_id, lang,
-             list_distinct(string_split(text, ' ')) AS toks
-      FROM documents
+             list_distinct(list_transform(range(1, len(t) - 1),
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS sh
+      FROM toks
+    ), p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                   greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 4)
+               AS jaccard
+      FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           round(len(list_intersect(a.toks, b.toks)) * 1.0 /
-                 greatest(len(list_distinct(list_concat(a.toks, b.toks))), 1), 4)
-             AS jaccard
-    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-    WHERE round(len(list_intersect(a.toks, b.toks)) * 1.0 /
-                greatest(len(list_distinct(list_concat(a.toks, b.toks))), 1), 4) >= 0.5
+    SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.2
     """,
 )
 def ngram_jaccard_block(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 1-gram Jaccard within language blocks
-    (dedup.ngram_jaccard_pairs with block_col='lang')."""
+    """Exact 3-gram Jaccard within language blocks
+    (dedup.ngram_jaccard_pairs with block_col='lang').  On this corpus
+    1-grams are useless (tiny shared vocab → all pairs similar); 3-gram
+    shingles isolate the planted near-duplicates."""
     t = _t(spark, sf_dir)
     return dedup.ngram_jaccard_pairs(
-        t["documents"], block_col="lang", n=1, threshold=0.5
+        t["documents"], block_col="lang", n=3, threshold=0.2
     )
 
 
