@@ -1,0 +1,240 @@
+"""DStream-capability surface on Structured Streaming (SURVEY §2.10).
+
+The reference's model (streaming/.../dstream/DStream.scala:74) is
+processing-time micro-batches: no event time, no watermarks, no
+late-data handling.  Structured Streaming is a strict superset; this
+module maps each DStream operator family onto it:
+
+| reference                                   | here                       |
+|---------------------------------------------|----------------------------|
+| map/flatMap/filter (DStream.scala:442-476)  | plain DataFrame ops        |
+| window(win, slide) (DStream.scala:640)      | ``windowed_agg``           |
+| reduceByKeyAndWindow (PairDStreamFunctions.scala:124-324) | ``reduce_by_key_and_window`` |
+| countByValueAndWindow (DStream.scala:665-726)| ``count_by_value_and_window`` |
+| updateStateByKey (PairDStreamFunctions.scala:350-424, StateDStream.scala:29) | ``update_state_by_key`` (applyInPandasWithState) |
+| transform/foreachRDD (DStream.scala:552,:613)| ``for_each_batch``        |
+| sources: file/socket (FileInputDStream, SocketInputDStream) | ``file_stream``/``socket_stream``/``rate_stream`` |
+| saveAs*Files sinks                          | ``start_file_sink``        |
+
+Event-time watermarking is exposed (beyond-reference, clearly optional
+arguments) because at scale unbounded state is the first thing that
+kills a streaming job.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Iterable, Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import DataStreamWriter
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+# --- sources ---------------------------------------------------------------
+
+def file_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    fmt: str = "parquet",
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """File source (FileInputDStream.scala): new files per micro-batch.
+    ``max_files_per_trigger=1`` reproduces the one-batch-per-file rhythm
+    the reference's tests rely on."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .format(fmt)
+        .load(path)
+    )
+
+
+def socket_stream(spark: SparkSession, host: str, port: int) -> DataFrame:
+    """Socket text source (SocketInputDStream.scala) — column ``value``."""
+    return (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+
+
+def rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+    """Synthetic source (reference queueStream/raw equivalents for tests)."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )
+
+
+# --- windowed aggregations -------------------------------------------------
+
+def windowed_agg(
+    df: DataFrame,
+    ts_col: str,
+    window: str,
+    aggs: Sequence[Column],
+    keys: Sequence[str] = (),
+    slide: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """window(win, slide) + aggregation (DStream.scala:640-726).
+
+    tumbling = ``slide is None`` (win == slide in reference terms);
+    sliding = ``slide < window``.  The reference slices by *arrival*
+    batch; here windows are event-time over ``ts_col`` — a strict
+    improvement the reference could not express.  ``watermark`` bounds
+    state (required for append-mode sinks at scale)."""
+    if watermark is not None:
+        df = df.withWatermark(ts_col, watermark)
+    win = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    out = df.groupBy(win.alias("window"), *keys).agg(*aggs)
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *[c for c in out.columns if c != "window"],
+    )
+
+
+def reduce_by_key_and_window(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str],
+    value_col: str,
+    window: str,
+    slide: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """reduceByKeyAndWindow (PairDStreamFunctions.scala:124-324).  The
+    reference's incremental ``invReduceFunc`` variant is the state
+    store's job in Structured Streaming — same result, managed state."""
+    if watermark is not None:
+        df = df.withWatermark(ts_col, watermark)
+    win = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    return (
+        df.groupBy(win.alias("window"), *key_cols)
+        .agg(F.sum(value_col).alias(f"sum_{value_col}"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            *key_cols,
+            f"sum_{value_col}",
+        )
+    )
+
+
+def count_by_value_and_window(
+    df: DataFrame,
+    ts_col: str,
+    value_cols: Sequence[str],
+    window: str,
+    slide: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """countByValueAndWindow (DStream.scala:711)."""
+    if watermark is not None:
+        df = df.withWatermark(ts_col, watermark)
+    win = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    return (
+        df.groupBy(win.alias("window"), *value_cols)
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("window_start"), *value_cols, "n")
+    )
+
+
+# --- updateStateByKey ------------------------------------------------------
+
+def update_state_by_key(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    state_update: Callable[[list[float], float | None], float] | None = None,
+) -> DataFrame:
+    """updateStateByKey (PairDStreamFunctions.scala:350-424) — running
+    per-key state across micro-batches.
+
+    The reference cogroups *all* existing state with each batch
+    (StateDStream.scala:29 — full state scan, no timeouts); here state
+    lives in the state store keyed by group, updated only for keys
+    present in the batch — same observable semantics for the
+    sum-like updates the reference tests use, O(batch) not O(state).
+
+    ``state_update(values, prev) -> new`` folds a batch's values into
+    the previous state (default: running sum).  Output per batch:
+    (keys..., state) in update mode.
+    """
+    update = state_update or (lambda values, prev: (prev or 0.0) + sum(values))
+
+    out_fields = [df.schema[k] for k in key_cols] + [
+        T.StructField("state", T.DoubleType())
+    ]
+    out_schema = T.StructType(out_fields)
+    state_schema = T.StructType([T.StructField("acc", T.DoubleType())])
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        values: list[float] = []
+        for pdf in pdfs:
+            values.extend(float(v) for v in pdf[value_col])
+        prev = state.get[0] if state.exists else None
+        new = update(values, prev)
+        state.update((new,))
+        yield pd.DataFrame(
+            {**{k: [v] for k, v in zip(key_cols, key)}, "state": [new]}
+        )
+
+    return df.groupBy(*key_cols).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,  # reference has no timeouts
+    )
+
+
+# --- sinks -----------------------------------------------------------------
+
+def for_each_batch(
+    df: DataFrame, fn: Callable[[DataFrame, int], None]
+) -> DataStreamWriter:
+    """transform/foreachRDD (DStream.scala:552,:613) — arbitrary logic
+    per micro-batch."""
+    return df.writeStream.foreachBatch(fn)
+
+
+def start_memory_sink(
+    df: DataFrame, name: str, output_mode: str = "append", available_now: bool = True
+):
+    """In-memory table sink (test harness — mirrors the reference's
+    batch-by-batch output assertion pattern, TestSuiteBase.scala)."""
+    w = df.writeStream.format("memory").queryName(name).outputMode(output_mode)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def start_file_sink(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    fmt: str = "parquet",
+    output_mode: str = "append",
+    available_now: bool = True,
+):
+    """saveAs*Files (DStream.scala:613-800) → file sink + checkpoint."""
+    w = (
+        df.writeStream.format(fmt)
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -1,0 +1,254 @@
+"""Operator-level semantics tests, modeled on the reference's unit
+suites (SURVEY §5: TestData.scala fixtures + checkAnswer pattern).
+
+The fixtures reproduce FIXTURES.md §B verbatim where exercised; the
+assertions pin the reference's semantic deltas (SURVEY §7.4).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from spark_monotasks_spark.functions.registry import resolve_function
+from spark_monotasks_spark.operators import aggregates, joins, sample, setops, sort
+
+
+@pytest.fixture(scope="module")
+def test_data2(spark):
+    # TestData.scala:  (1,1),(1,2),(2,1),(2,2),(3,1),(3,2)
+    return spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2)], "a int, b int"
+    )
+
+
+@pytest.fixture(scope="module")
+def upper_lower(spark):
+    upper = spark.createDataFrame(
+        [(1, "A"), (2, "B"), (3, "C"), (4, "D"), (5, "E"), (6, "F")], "N int, L string"
+    )
+    lower = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "n int, l string"
+    )
+    return upper, lower
+
+
+@pytest.fixture(scope="module")
+def null_ints(spark):
+    return spark.createDataFrame([(1,), (2,), (3,), (None,)], "a int")
+
+
+# --- joins (§2.3) ----------------------------------------------------------
+
+def test_outer_join_asymmetry(spark, upper_lower):
+    upper, lower = upper_lower
+    cond = upper.N == lower.n
+    left = joins.join(upper, lower, cond, "left").collect()
+    assert len(left) == 6
+    assert sum(1 for r in left if r.l is None) == 2  # E,F unmatched
+    right = joins.join(lower, upper, lower.n == upper.N, "right").collect()
+    assert len(right) == 6
+    full = joins.join(upper, lower, cond, "full").collect()
+    assert len(full) == 6  # all lower keys exist in upper
+
+
+def test_semi_anti(spark, upper_lower):
+    upper, lower = upper_lower
+    semi = joins.semi_join(upper, lower, upper.N == lower.n)
+    assert sorted(r.N for r in semi.collect()) == [1, 2, 3, 4]
+    assert semi.columns == ["N", "L"]  # right columns dropped
+    anti = joins.anti_join(upper, lower, upper.N == lower.n)
+    assert sorted(r.N for r in anti.collect()) == [5, 6]
+
+
+def test_semi_join_no_duplication(spark):
+    left = spark.createDataFrame([(1,)], "k int")
+    right = spark.createDataFrame([(1, "x"), (1, "y")], "k int, v string")
+    # LeftSemiJoinHash dedups the right side (LeftSemiJoinHash.scala:32)
+    assert joins.semi_join(left, right, "k").count() == 1
+
+
+def test_cross_and_theta(spark, test_data2):
+    assert joins.cross_join(test_data2, test_data2).count() == 36
+    theta = joins.theta_join(
+        test_data2.alias("x"),
+        test_data2.alias("y"),
+        F.col("x.a") < F.col("y.a"),
+    )
+    # a-value pairs (1,2),(1,3),(2,3), 2 rows per a-value → 3 × 2×2 = 12
+    assert theta.count() == 12
+
+
+def test_salted_join_matches_plain(spark, test_data2):
+    other = spark.createDataFrame([(1, "x"), (2, "y"), (3, "z")], "a int, v string")
+    plain = sorted(
+        (r.a, r.b, r.v) for r in joins.join(test_data2, other, "a").collect()
+    )
+    salted = sorted(
+        (r.a, r.b, r.v)
+        for r in joins.salted_join(test_data2, other, "a", salt_buckets=4).collect()
+    )
+    assert plain == salted
+
+
+# --- set ops (§2.7 + §7.4.3/4) --------------------------------------------
+
+def test_union_bag_vs_distinct(spark, test_data2):
+    assert setops.union_all(test_data2, test_data2).count() == 12
+    assert setops.union_distinct(test_data2, test_data2).count() == 6
+
+
+def test_intersect_set_semantics(spark):
+    l = spark.createDataFrame([(1,), (1,), (2,)], "v int")
+    r = spark.createDataFrame([(1,), (3,)], "v int")
+    # RDD.intersection dedups (RDD.scala:744)
+    assert [r_.v for r_ in setops.intersect(l, r).collect()] == [1]
+
+
+def test_except_reference_hybrid(spark):
+    l = spark.createDataFrame([(1,), (1,), (2,), (3,)], "v int")
+    r = spark.createDataFrame([(2,), (2,)], "v int")
+    # SubtractedRDD.scala:143-145: drop ALL right-matches, keep dup survivors
+    assert sorted(x.v for x in setops.except_reference(l, r).collect()) == [1, 1, 3]
+    assert sorted(x.v for x in setops.except_distinct(l, r).collect()) == [1, 3]
+    assert sorted(x.v for x in setops.except_all(l, r).collect()) == [1, 1, 3]
+
+
+def test_subtract_by_key(spark):
+    l = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")], "k int, v string")
+    r = spark.createDataFrame([(1, "zzz")], "k int, v string")
+    assert [x.v for x in setops.subtract_by_key(l, r, "k").collect()] == ["c"]
+
+
+# --- aggregates (§2.4) -----------------------------------------------------
+
+def test_cube_rollup_shapes(spark, test_data2):
+    cube = aggregates.cube(test_data2, ["a", "b"], [F.count("*").alias("n")])
+    # 2^2 grouping sets: (a,b)=6 rows, (a)=3, (b)=2, ()=1 → 12
+    assert cube.count() == 12
+    gid = {r.grouping_id for r in cube.collect()}
+    assert gid == {0, 1, 2, 3}
+    rollup = aggregates.rollup(test_data2, ["a", "b"], [F.count("*").alias("n")])
+    assert rollup.count() == 10  # (a,b)+(a)+() = 6+3+1
+    total = [r for r in rollup.collect() if r.grouping_id == 3]
+    assert len(total) == 1 and total[0].n == 6
+
+
+def test_approx_count_distinct_tolerance(spark, tables):
+    li = tables["lineitem"]
+    exact = li.select(F.count_distinct("l_partkey")).first()[0]
+    approx = li.select(
+        aggregates.approx_count_distinct(F.col("l_partkey"), rsd=0.05)
+    ).first()[0]
+    assert abs(approx - exact) / exact < 0.15  # 3×rsd guard band
+
+
+def test_grouping_sets_sql_builder(spark, test_data2):
+    test_data2.createOrReplaceTempView("td2")
+    q = aggregates.grouping_sets_sql(
+        "td2", ["a", "b"], [["a"], ["b"]], "count(*) AS n"
+    )
+    assert spark.sql(q).count() == 5  # 3 a-groups + 2 b-groups
+
+
+def test_describe(spark, test_data2):
+    d = aggregates.describe(test_data2, "a")
+    stats = {r.summary: r.a for r in d.collect()}
+    assert stats["count"] == "6" and stats["min"] == "1" and stats["max"] == "3"
+
+
+# --- sort / limit (§2.6 + §7.4.5) -----------------------------------------
+
+def test_top_k(spark, test_data2):
+    top = sort.top_k(test_data2, 2, F.col("a").desc(), F.col("b").desc()).collect()
+    assert [(r.a, r.b) for r in top] == [(3, 2), (3, 1)]
+
+
+def test_null_ordering_nulls_first_asc(spark, null_ints):
+    # SortOrder.scala:32 — nulls first on ascending
+    got = [r.a for r in sort.order_by(null_ints, F.col("a").asc()).collect()]
+    assert got == [None, 1, 2, 3]
+
+
+def test_sort_within_partitions_preserves_rows(spark, test_data2):
+    got = sort.sort_within_partitions(
+        sort.repartition(test_data2, 2, F.col("a")), F.col("b")
+    )
+    assert got.count() == 6
+    assert sorted((r.a, r.b) for r in got.collect()) == sorted(
+        (r.a, r.b) for r in test_data2.collect()
+    )
+
+
+# --- sample / na (§2.9) ----------------------------------------------------
+
+def test_sample_cardinality(spark, tables):
+    li = tables["lineitem"]
+    n = li.count()
+    s = sample.sample(li, fraction=0.1, seed=42).count()
+    assert 0.05 * n < s < 0.15 * n
+
+
+def test_random_split_partition(spark, tables):
+    li = tables["lineitem"]
+    a, b = sample.random_split(li, [0.5, 0.5], seed=7)
+    assert a.count() + b.count() == li.count()
+
+
+def test_na_funcs(spark):
+    df = spark.createDataFrame(
+        [(1, None), (None, "x"), (3, "y")], "a int, s string"
+    )
+    assert sample.na_drop(df).count() == 1
+    assert sample.na_drop(df, subset=["a"]).count() == 2
+    filled = sample.na_fill(df, 0, subset=["a"]).collect()
+    assert sorted(r.a for r in filled) == [0, 1, 3]
+    rep = sample.na_replace(df, "x", "z", subset=["s"]).collect()
+    assert "z" in {r.s for r in rep}
+
+
+# --- reference semantic deltas (§7.4) --------------------------------------
+
+def test_int_division_coerces_to_double(spark):
+    # HiveTypeCoercion.scala:530 (ansi off pins this)
+    row = spark.sql("SELECT 1/2 AS d, 7%3 AS m").first()
+    assert row.d == 0.5 and row.m == 1
+
+
+def test_string_number_promotion(spark):
+    # PromoteStrings (HiveTypeCoercion.scala:230): '1' + 1 works
+    assert spark.sql("SELECT '1' + 1 AS v").first().v == 2.0
+
+
+def test_invalid_cast_yields_null_not_error(spark):
+    # Cast.scala lenient matrix (ANSI would throw)
+    assert spark.sql("SELECT CAST('abc' AS INT) AS v").first().v is None
+
+
+def test_eqnullsafe(spark):
+    df = spark.createDataFrame([(None,), (1,)], "a int")
+    got = df.select(F.col("a").eqNullSafe(F.lit(None)).alias("x")).collect()
+    assert [r.x for r in got] == [True, False]
+
+
+# --- function registry (§2.8) ----------------------------------------------
+
+def test_registry_resolves_hive_names(spark):
+    upper = resolve_function("UCASE")
+    df = spark.createDataFrame([("ab",)], "s string")
+    assert df.select(upper("s").alias("u")).first().u == "AB"
+    iff = resolve_function("if")
+    assert (
+        df.select(iff(F.lit(True), F.lit(1), F.lit(2)).alias("v")).first().v == 1
+    )
+    with pytest.raises(KeyError):
+        resolve_function("definitely_not_a_function")
+
+
+def test_registry_date_functions(spark):
+    df = spark.createDataFrame([Row(d="2024-03-15")]).select(
+        F.col("d").cast("date").alias("d")
+    )
+    year = resolve_function("year")
+    assert df.select(year("d").alias("y")).first().y == 2024

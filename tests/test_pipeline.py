@@ -1,0 +1,213 @@
+"""Pipeline operator invariants: dedup / similarity / text / multimodal.
+
+These cover what the DuckDB oracle can't: planted-duplicate recall,
+LSH-vs-brute-force agreement, stub plumbing shapes.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_monotasks_spark.pipeline import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    base = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (1, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 0
+        (2, "completely different content about spark query engines and shuffles"),
+        (3, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+        (4, "unrelated text mentioning embeddings vectors and cosine distance"),
+    ]
+    return spark.createDataFrame(base, "doc_id long, text string")
+
+
+# --- exact dedup -----------------------------------------------------------
+
+def test_exact_duplicates(spark, docs_with_dups):
+    groups = dedup.exact_duplicates(docs_with_dups).collect()
+    by_keep = {r.keep_id: r.n_copies for r in groups}
+    assert by_keep[0] == 2  # docs 0 and 3
+    assert len(groups) == 4
+
+
+def test_drop_exact_duplicates(spark, docs_with_dups):
+    kept = dedup.drop_exact_duplicates(docs_with_dups)
+    assert sorted(r.doc_id for r in kept.collect()) == [0, 1, 2, 4]
+
+
+# --- shingles / minhash ----------------------------------------------------
+
+def test_shingles_basic(spark):
+    df = spark.createDataFrame([("a b c d",)], "t string")
+    got = df.select(dedup.shingles(F.col("t"), k=2).alias("s")).first().s
+    assert sorted(got) == ["a b", "b c", "c d"]
+    short = spark.createDataFrame([("a b",)], "t string")
+    got2 = short.select(dedup.shingles(F.col("t"), k=3).alias("s")).first().s
+    assert got2 == ["a b"]  # below-k fallback: whole text
+
+
+def test_minhash_finds_planted_near_dup(spark, docs_with_dups):
+    pairs = dedup.minhash_near_duplicates(
+        docs_with_dups, shingle_k=2, jaccard_threshold=0.5
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 3) in found  # exact dup always collides
+    assert (0, 1) in found or (1, 3) in found  # near-dup
+    jac = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    assert jac[(0, 3)] == 1.0
+    for (a, b) in found:
+        assert {a, b} != {2, 4}  # unrelated docs never pair
+
+
+def test_minhash_signature_deterministic(spark, docs_with_dups):
+    s1 = dedup.minhash_signatures(docs_with_dups, num_hashes=16).collect()
+    s2 = dedup.minhash_signatures(docs_with_dups, num_hashes=16).collect()
+    assert {r.id: r.sig for r in s1} == {r.id: r.sig for r in s2}
+    sigs = {r.id: r.sig for r in s1}
+    assert sigs[0] == sigs[3]  # identical text → identical signature
+    overlap_near = sum(a == b for a, b in zip(sigs[0], sigs[1]))
+    overlap_far = sum(a == b for a, b in zip(sigs[0], sigs[2]))
+    assert overlap_near > overlap_far
+
+
+# --- simhash ---------------------------------------------------------------
+
+def test_simhash_identical_and_near(spark, docs_with_dups):
+    sigs = {r.id: r.sig for r in dedup.simhash_signatures(docs_with_dups).collect()}
+    assert sigs[0] == sigs[3]
+    ham = lambda x, y: bin((x ^ y) & 0xFFFFFFFFFFFFFFFF).count("1")  # noqa: E731
+    assert ham(sigs[0], sigs[1]) < ham(sigs[0], sigs[2])
+    pairs = dedup.simhash_near_duplicates(docs_with_dups, max_hamming=3)
+    found = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert found[(0, 3)] == 0
+
+
+# --- ngram jaccard ---------------------------------------------------------
+
+def test_ngram_jaccard_exact_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e"), (3, "x y z w")],
+        "doc_id long, text string",
+    )
+    pairs = dedup.ngram_jaccard_pairs(df, n=1, threshold=0.0).collect()
+    jac = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    assert jac[(1, 2)] == pytest.approx(3 / 5)  # {a,b,c} / {a,b,c,d,e}
+    assert jac[(1, 3)] == 0.0
+
+
+# --- similarity ------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def embeddings(spark, tables):
+    return tables["embeddings"]
+
+
+def test_brute_force_self_top1(spark, embeddings):
+    q = similarity.query_by_id(embeddings, 7)
+    top = similarity.brute_force_topk(embeddings, q, k=1).first()
+    assert top.vec_id == 7 and top.sim == 1.0
+
+
+def test_lsh_topk_finds_query_and_bounds(spark, embeddings):
+    # this corpus is near-uniform random (top-10 cosines cluster ~0.3-0.5,
+    # see BASELINE notes) so set-recall@10 is meaningless; assert the
+    # structural guarantees instead: self-retrieval, k rows, sims bounded
+    # by the exact maximum.
+    q = similarity.query_by_id(embeddings, 3)
+    exact_top = similarity.brute_force_topk(embeddings, q, k=1).first()
+    approx = similarity.lsh_bucket_topk(
+        embeddings, q, dim=64, k=10, n_planes=5, multiprobe_bits=1
+    ).collect()
+    ids = [r.vec_id for r in approx]
+    assert 3 in ids and len(ids) == 10
+    assert all(r.sim <= exact_top.sim for r in approx)
+
+
+def test_lsh_topk_planted_duplicate(spark):
+    rows = [(i, [float(i == j) for j in range(8)]) for i in range(8)]
+    rows.append((99, [0.999, 0.01, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]))  # ~= vec 0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = similarity.query_by_id(df, 0)
+    got = similarity.lsh_bucket_topk(df, q, dim=8, k=2, n_planes=6).collect()
+    assert [r.vec_id for r in got][:2] == [0, 99]  # self, then the planted dup
+
+
+def test_embedding_near_dups_planted(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.001, 0.0, 0.0]),  # planted near-dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = similarity.embedding_near_duplicates(
+        df, dim=4, threshold=0.99, n_planes=6
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(0, 1)}
+    assert pairs[0].sim >= 0.99
+
+
+# --- text ------------------------------------------------------------------
+
+def test_token_stats(spark):
+    df = spark.createDataFrame([(1, "a bb ccc")], "doc_id long, text string")
+    r = text.with_token_stats(df).first()
+    assert r.n_tokens == 3 and r.text_len == 8
+
+
+def test_quality_score_bounds(spark, tables):
+    scored = text.quality_score(tables["documents"])
+    rows = scored.select("quality_score").collect()
+    assert all(0.0 <= r.quality_score <= 1.0 for r in rows)
+
+
+def test_language_id_english(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat of the mat and it is a good day for the cat"),
+            (2, "el gato de la casa es un animal que vive en la ciudad"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.pred_lang for r in text.language_id(df).collect()}
+    assert got[1] == "en" and got[2] == "es"
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "other")],
+        "doc_id long, text string",
+    )
+    fps = {r.doc_id: r.fingerprint for r in text.with_fingerprint(df).collect()}
+    assert fps[1] == fps[2] != fps[3]
+    assert len(fps[1]) == 16
+
+
+# --- multimodal plumbing ---------------------------------------------------
+
+def test_media_feature_extraction_shape(spark):
+    media = multimodal.synthetic_media(spark, n=12)
+    feats = multimodal.extract_image_features(media, strict=False)
+    rows = feats.collect()
+    assert len(rows) == 12
+    assert feats.schema == multimodal.IMAGE_FEATURES_SCHEMA
+    assert all(len(r.features) == 8 for r in rows)
+
+
+def test_media_strict_mode_raises(spark):
+    media = multimodal.synthetic_media(spark, n=3)
+    with pytest.raises(Exception, match="NotImplementedError|image decode"):
+        multimodal.extract_image_features(media, strict=True).collect()
+
+
+def test_frame_sample_plan(spark):
+    media = multimodal.synthetic_media(spark, n=9)
+    plan = multimodal.frame_sample_plan(media, every_ms=1000)
+    rows = plan.collect()
+    # videos are every 3rd row, 5000ms duration → 5 frames each
+    n_videos = sum(1 for i in range(9) if i % 3 == 2)
+    assert len(rows) == n_videos * 5
+    assert {r.frame_ts_ms for r in rows} == {0, 1000, 2000, 3000, 4000}

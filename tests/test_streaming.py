@@ -1,0 +1,157 @@
+"""Streaming semantics tests (SURVEY §2.10 mapping).
+
+Pattern mirrors the reference's batch-by-batch assertion harness
+(streaming TestSuiteBase.scala): write the events table as N parquet
+chunks, stream them with maxFilesPerTrigger=1 (one chunk = one
+micro-batch), and assert the streaming result equals the equivalent
+batch computation.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_monotasks_spark.streaming import dstream
+
+
+@pytest.fixture(scope="module")
+def chunked_events(spark, tmp_path_factory):
+    from spark_monotasks_spark.tables import load_table
+
+    from tests.conftest import SF_TEST_DIR
+
+    base = tmp_path_factory.mktemp("events_chunks")
+    events = load_table(spark, SF_TEST_DIR, "events")
+    # 4 deterministic chunks by event_id range → stable micro-batches
+    n = events.count()
+    step = n // 4 + 1
+    for i in range(4):
+        (
+            events.filter(
+                (F.col("event_id") >= i * step) & (F.col("event_id") < (i + 1) * step)
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(str(base), f"chunk={i}"))
+        )
+    # flatten chunk dirs into one glob-able dir of files
+    flat = tmp_path_factory.mktemp("events_flat")
+    import glob
+    import shutil
+
+    for i, f in enumerate(
+        sorted(glob.glob(os.path.join(str(base), "chunk=*", "*.parquet")))
+    ):
+        shutil.copy(f, os.path.join(str(flat), f"part-{i}.parquet"))
+    return str(flat), events
+
+
+def _await(q):
+    q.awaitTermination(120)
+    q.stop()
+
+
+def test_windowed_count_matches_batch(spark, chunked_events):
+    path, events = chunked_events
+    stream = dstream.file_stream(spark, path, events.schema)
+    agg = dstream.count_by_value_and_window(
+        stream, "ts", ["event_type"], "1 hour"
+    )
+    q = dstream.start_memory_sink(agg, "win_counts", output_mode="complete")
+    _await(q)
+    got = {
+        (r.window_start, r.event_type): r.n
+        for r in spark.table("win_counts").collect()
+    }
+    expected = {
+        (r.window_start, r.event_type): r.n
+        for r in events.groupBy(
+            F.window("ts", "1 hour").start.alias("window_start"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == expected
+
+
+def test_sliding_window_sum_matches_batch(spark, chunked_events):
+    path, events = chunked_events
+    stream = dstream.file_stream(spark, path, events.schema)
+    agg = dstream.reduce_by_key_and_window(
+        stream, "ts", ["event_type"], "value", window="2 hours", slide="1 hour"
+    )
+    q = dstream.start_memory_sink(agg, "win_sums", output_mode="complete")
+    _await(q)
+    got = {
+        (r.window_start, r.event_type): round(r.sum_value, 6)
+        for r in spark.table("win_sums").collect()
+    }
+    expected = {
+        (r.ws, r.event_type): round(r.s, 6)
+        for r in events.groupBy(
+            F.window("ts", "2 hours", "1 hour").start.alias("ws"), "event_type"
+        )
+        .agg(F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == expected
+
+
+def test_update_state_by_key_running_sum(spark, chunked_events):
+    path, events = chunked_events
+    stream = dstream.file_stream(spark, path, events.schema)
+    stateful = dstream.update_state_by_key(
+        stream.select("user_id", "value"), ["user_id"], "value"
+    )
+    q = dstream.start_memory_sink(stateful, "running", output_mode="update")
+    _await(q)
+    # last update per key == full batch sum (updateStateByKey semantics:
+    # final state after all batches equals the total fold)
+    updates = spark.table("running").collect()
+    assert updates, "no state updates emitted"
+    final: dict = {}
+    for r in updates:  # memory sink appends update-mode rows in batch order
+        final[r.user_id] = r.state
+    expected = {
+        r.user_id: r.total
+        for r in events.groupBy("user_id")
+        .agg(F.sum("value").alias("total"))
+        .collect()
+    }
+    assert set(final) == set(expected)
+    for k, v in expected.items():
+        assert abs(final[k] - v) < 1e-6, f"user {k}: {final[k]} != {v}"
+
+
+def test_foreach_batch_collects_batches(spark, chunked_events, tmp_path):
+    path, events = chunked_events
+    stream = dstream.file_stream(spark, path, events.schema)
+    seen: list[tuple[int, int]] = []
+
+    def sink(batch_df, batch_id: int) -> None:
+        seen.append((batch_id, batch_df.count()))
+
+    q = dstream.for_each_batch(stream, sink).trigger(availableNow=True).option(
+        "checkpointLocation", str(tmp_path / "ckpt")
+    ).start()
+    _await(q)
+    assert len(seen) == 4, f"expected 4 micro-batches, got {seen}"
+    assert sum(n for _, n in seen) == events.count()
+
+
+def test_file_sink_roundtrip(spark, chunked_events, tmp_path):
+    path, events = chunked_events
+    stream = dstream.file_stream(spark, path, events.schema)
+    out = str(tmp_path / "out")
+    q = dstream.start_file_sink(
+        stream.filter(F.col("event_type") == "click").select("event_id", "value"),
+        out,
+        checkpoint=str(tmp_path / "ckpt2"),
+    )
+    _await(q)
+    got = spark.read.parquet(out).count()
+    expected = events.filter(F.col("event_type") == "click").count()
+    assert got == expected
