@@ -1,0 +1,6 @@
+from spark_monotasks_spark.graph.algorithms import (  # noqa: F401
+    aggregate_messages,
+    connected_components,
+    degrees,
+    pagerank,
+)

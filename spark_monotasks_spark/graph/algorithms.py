@@ -1,0 +1,160 @@
+"""GraphX-capability proof on DataFrames (SURVEY §2.12).
+
+Reference: graphx/.../Graph.scala (property graph over vertex + edge
+RDDs), Pregel.scala (iterate: aggregate messages along edges → join back
+into vertex state), lib/PageRank.scala, lib/ConnectedComponents.scala.
+
+Spark-first design: vertices and edges are plain DataFrames
+(``src``/``dst`` columns); one Pregel superstep = one join + one
+groupBy — both shuffle on the vertex id, so co-partitioning carries
+across iterations and AQE coalesces as frontiers shrink.  Each
+iteration's result is ``localCheckpoint()``-ed: that truncates the
+lineage (an N-iteration loop otherwise builds an N-deep plan that
+Catalyst re-analyzes quadratically) — the standard pattern for
+iterative DataFrame algorithms at scale.
+
+``aggregate_messages`` mirrors GraphOps.aggregateMessages as the
+building block; PageRank and CC are the two reference algorithms
+implemented as proof (SURVEY §2.12 scope).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """GraphOps.degrees — undirected degree per vertex."""
+    both = edges.select(F.col("src").alias("id")).unionAll(
+        edges.select(F.col("dst").alias("id"))
+    )
+    return both.groupBy("id").agg(F.count("*").alias("degree"))
+
+
+def aggregate_messages(
+    vertices: DataFrame,
+    edges: DataFrame,
+    msg_to_dst: Column,
+    agg: Column,
+    vertex_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """GraphOps.aggregateMessages: each edge sends ``msg_to_dst``
+    (may reference src vertex attrs joined as ``src_*``) to its dst;
+    messages are combined per-vertex with ``agg``.
+
+    Returns (id, msg).  One shuffle for the src join (broadcast when
+    vertices are small), one for the dst groupBy.
+    """
+    src_side = vertices.select(
+        F.col("id").alias("src"), *[F.col(c).alias(f"src_{c}") for c in vertex_cols]
+    )
+    msgs = edges.join(src_side, on="src").select(
+        F.col("dst").alias("id"), msg_to_dst.alias("msg")
+    )
+    return msgs.groupBy("id").agg(agg.alias("msg"))
+
+
+def pagerank(
+    edges: DataFrame,
+    num_iters: int = 10,
+    reset_prob: float = 0.15,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """lib/PageRank.scala (static, num-iterations variant):
+    rank = reset + (1-reset) * Σ incoming rank/out_degree.
+
+    Dangling vertices (no out-edges) keep receiving but stop
+    contributing — same as the reference's staticPageRank.
+    Returns (id, rank).
+    """
+    edges = edges.select("src", "dst")
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionAll(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    out_deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("out_degree")
+    )
+    # contribution edge list: src, dst, 1/out_degree — static across
+    # iterations, so compute once and cache (the reference caches the
+    # Graph for the same reason)
+    contrib_edges = (
+        edges.join(out_deg.withColumnRenamed("id", "src"), on="src")
+        .select("src", "dst", (F.lit(1.0) / F.col("out_degree")).alias("weight"))
+        .localCheckpoint()
+    )
+    ranks = verts.select("id", F.lit(1.0).alias("rank"))
+    for _ in range(num_iters):
+        msgs = (
+            contrib_edges.join(ranks.withColumnRenamed("id", "src"), on="src")
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("rank") * F.col("weight")).alias("msg"),
+            )
+            .groupBy("id")
+            .agg(F.sum("msg").alias("msg"))
+        )
+        ranks = (
+            verts.join(msgs, on="id", how="left")
+            .select(
+                "id",
+                (
+                    F.lit(reset_prob)
+                    + F.lit(1.0 - reset_prob) * F.coalesce(F.col("msg"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    if round_to is not None:
+        ranks = ranks.select("id", F.round("rank", round_to).alias("rank"))
+    return ranks
+
+
+def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
+    """lib/ConnectedComponents.scala: label every vertex with the
+    smallest vertex id reachable from it.
+
+    Small-label propagation to convergence: each round every vertex
+    takes min(own label, neighbors' labels); stop when no label
+    changed.  O(diameter) rounds — on power-law graphs that's small;
+    the large-star/small-star variant halves rounds but this matches
+    the reference algorithm.  Returns (id, component).
+    """
+    sym = edges.select("src", "dst").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    sym = sym.distinct().localCheckpoint()
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("component"))
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            sym.join(labels.withColumnRenamed("id", "src"), on="src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, on="id", how="left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -1,0 +1,85 @@
+"""SELECT TRANSFORM (script transformation) shim — SURVEY §2.11.
+
+Reference: hive/execution/ScriptTransformation.scala:67 feeds rows to an
+external process over stdin (tab-separated, one row per line — the
+default HiveScriptIOSchema :295) and parses stdout back into rows.  The
+AMPLab BDB query 4 (BigDataBenchmarkSuite.scala:105-121) uses it to run
+a python URL-extraction script over a crawl table.
+
+Spark-first design: ``mapInPandas`` launches ONE process per partition
+(not per row), streams the partition's rows through it Arrow-batch by
+Arrow-batch, and parses stdout with the same tab-separated contract.
+This is the distributed equivalent of the reference's per-task script —
+at 1000 executors each partition runs its own script instance, no
+driver involvement, no collect.
+
+``rdd.pipe`` would also work but loses Arrow batching and schema.
+"""
+
+from __future__ import annotations
+
+import subprocess
+from typing import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+
+def script_transform(
+    df: DataFrame,
+    command: Sequence[str],
+    output_schema: T.StructType | str,
+    input_cols: Sequence[str] | None = None,
+    field_sep: str = "\t",
+) -> DataFrame:
+    """TRANSFORM(cols) USING 'command' AS (schema).
+
+    The command receives ``field_sep``-joined input columns on stdin
+    (one row per line) and must emit ``field_sep``-joined output rows on
+    stdout.  Output fields are cast to ``output_schema`` types.  Row
+    count may differ from input (the script is a generator, like the
+    reference's UDTF-shaped TRANSFORM).
+    """
+    cols = list(input_cols or df.columns)
+    schema = (
+        T._parse_datatype_string(output_schema)
+        if isinstance(output_schema, str)
+        else output_schema
+    )
+    names = [f.name for f in schema.fields]
+    cmd = list(command)
+
+    def run_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        proc = subprocess.Popen(
+            cmd,
+            stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE,
+            text=True,
+        )
+        assert proc.stdin is not None and proc.stdout is not None
+        # Feed everything, then read: fine for partition-sized data where
+        # the OS pipe buffer would deadlock only on pathological output
+        # ratios; a reader thread would lift that limit.
+        chunks: list[str] = []
+        for pdf in batches:
+            for row in pdf[cols].itertuples(index=False):
+                chunks.append(field_sep.join("" if v is None else str(v) for v in row))
+        out, _ = proc.communicate("\n".join(chunks) + ("\n" if chunks else ""))
+        if proc.returncode != 0:
+            raise RuntimeError(f"script {cmd!r} exited {proc.returncode}")
+        records = [
+            line.split(field_sep) for line in out.splitlines() if line
+        ]
+        pdf_out = pd.DataFrame(records, columns=names)
+        yield pdf_out
+
+    out = df.mapInPandas(run_partition, schema=T.StructType(
+        [T.StructField(f.name, T.StringType()) for f in schema.fields]
+    ))
+    # cast the string contract to the declared schema (JVM-side casts)
+    from pyspark.sql import functions as F
+
+    return out.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+    )

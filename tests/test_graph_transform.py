@@ -1,0 +1,90 @@
+"""GraphX-proof algorithms + TRANSFORM script shim (SURVEY §2.11/§2.12)."""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_monotasks_spark.graph import connected_components, degrees, pagerank
+from spark_monotasks_spark.operators.transform import script_transform
+
+
+@pytest.fixture(scope="module")
+def chain_and_triangle(spark):
+    # components: {0,1,2} (chain), {10,11,12} (triangle), {20,21} (edge)
+    edges = [(0, 1), (1, 2), (10, 11), (11, 12), (12, 10), (20, 21)]
+    return spark.createDataFrame(edges, "src long, dst long")
+
+
+def test_connected_components(spark, chain_and_triangle):
+    got = {
+        r.id: r.component for r in connected_components(chain_and_triangle).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_degrees(spark, chain_and_triangle):
+    got = {r.id: r.degree for r in degrees(chain_and_triangle).collect()}
+    assert got[1] == 2 and got[0] == 1 and got[10] == 2 and got[20] == 1
+
+
+def test_pagerank_star(spark):
+    # star: 1,2,3 -> 0.  hub 0 collects rank; leaves hold the reset floor.
+    edges = spark.createDataFrame([(1, 0), (2, 0), (3, 0)], "src long, dst long")
+    ranks = {r.id: r.rank for r in pagerank(edges, num_iters=20).collect()}
+    assert ranks[1] == ranks[2] == ranks[3] == pytest.approx(0.15, abs=1e-6)
+    # hub: 0.15 + 0.85 * (3 * 0.15) = 0.5325 at fixpoint (0 has no out-edges,
+    # so leaf ranks converge to the reset floor)
+    assert ranks[0] == pytest.approx(0.15 + 0.85 * 3 * 0.15, abs=1e-4)
+
+
+def test_pagerank_cycle_uniform(spark):
+    # 3-cycle: perfectly symmetric → every rank = 1.0 at any iteration
+    edges = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], "src long, dst long")
+    ranks = [r.rank for r in pagerank(edges, num_iters=5).collect()]
+    assert all(r == pytest.approx(1.0, abs=1e-9) for r in ranks)
+
+
+# --- TRANSFORM script ------------------------------------------------------
+
+TOKENIZE = (
+    "import sys\n"
+    "for line in sys.stdin:\n"
+    "    doc_id, text = line.rstrip('\\n').split('\\t', 1)\n"
+    "    for tok in text.split():\n"
+    "        print(f'{doc_id}\\t{tok}')\n"
+)
+
+
+def test_script_transform_tokenize(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "x y")], "doc_id long, text string"
+    )
+    out = script_transform(
+        df,
+        [sys.executable, "-c", TOKENIZE],
+        "doc_id long, token string",
+        input_cols=["doc_id", "text"],
+    )
+    rows = {(r.doc_id, r.token) for r in out.collect()}
+    assert rows == {(1, "a"), (1, "b"), (1, "c"), (2, "x"), (2, "y")}
+    assert [f.name for f in out.schema.fields] == ["doc_id", "token"]
+    assert out.schema["doc_id"].dataType.typeName() == "long"
+
+
+def test_script_transform_bad_exit(spark):
+    df = spark.createDataFrame([(1,)], "x long")
+    bad = script_transform(
+        df, [sys.executable, "-c", "import sys; sys.exit(3)"], "y long"
+    )
+    with pytest.raises(Exception, match="exited 3"):
+        bad.collect()
+
+
+def test_script_transform_identity_cat(spark):
+    # the classic Hive smoke test: TRANSFORM ... USING 'cat'
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    out = script_transform(df, ["cat"], "k long, v string")
+    assert sorted((r.k, r.v) for r in out.collect()) == [(1, "a"), (2, "b")]
