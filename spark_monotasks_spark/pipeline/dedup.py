@@ -22,6 +22,24 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure CPU-heavy per-row pipelines use every core.
+
+    Hash-signature passes do O(hashes × shingles) work per row, so the
+    bottleneck is compute, not IO: a corpus read as a handful of parquet
+    splits (one split per small file locally; at scale, fewer splits
+    than cores after heavy predicate pruning) would pin the whole pass
+    to those tasks.  A round-robin repartition of the compact source
+    rows (id + text only) is one cheap shuffle that unlocks
+    cluster-wide parallelism for everything downstream of the explode.
+    No-op when the scan already has enough splits.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # exact
 # ---------------------------------------------------------------------------
@@ -93,6 +111,7 @@ def minhash_signatures(
     cores/executors — unlike an array-fold expression, which serializes
     per input partition and churns a 64-wide array per shingle.
     """
+    df = _spread(df)
     sh = shingles(F.col(text_col), k=shingle_k)
     ex = df.select(F.col(id_col).alias("id"), F.explode(sh).alias("s"))
     aggs = [
@@ -143,21 +162,22 @@ def minhash_near_duplicates(
     """MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
 
     Plan shape: linear signature pass → explode bands (|docs|×bands
-    rows, small) → bucket self-join (shuffle on bucket) → distinct
-    candidate pairs → exact Jaccard on the two shingle sets → filter.
+    rows, SMALL — ids + two longs only, never the shingle arrays) →
+    bucket self-join (shuffle on bucket) → distinct candidate id pairs →
+    join the shingle sets back in (two hash joins on id) → exact Jaccard
+    → filter.  Keeping the quadratic join payload to bare ids is the
+    scale lever: at 100 TB the banding shuffle is |docs|×bands×24 bytes
+    instead of carrying every document's shingle set bands× times.
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
     rows_per_band = num_hashes // num_bands
-    base = minhash_signatures(
-        df, id_col, text_col, shingle_k, num_hashes, keep_shingles=True
-    ).select(
+    base = minhash_signatures(df, id_col, text_col, shingle_k, num_hashes).select(
         "id",
-        "sh",
         minhash_bands(F.col("sig"), num_bands, rows_per_band).alias("bands"),
     )
-    banded = base.select(
-        "id", "sh", F.explode("bands").alias("bb")
-    ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = base.select("id", F.explode("bands").alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -167,19 +187,22 @@ def minhash_near_duplicates(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    # shingle sets come straight from the source — one narrow pass, no
+    # collect_set aggregation, fetched only for verification
+    shs = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), k=shingle_k).alias("sh")
+    )
+    pairs = cand.join(
+        shs.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), on="id_a"
+    ).join(shs.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), on="id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     jac = inter / F.greatest(union, F.lit(1))
     return (
-        cand.select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        pairs.select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= jaccard_threshold)
     )
 
@@ -202,6 +225,7 @@ def simhash_signatures(
     hash-aggregate with ``bits`` conditional-sum columns (map-side
     partials; shuffle = |docs|×bits ints), then bit-pack 64 static
     columns in a plain Python fold."""
+    df = _spread(df)
     ex = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
