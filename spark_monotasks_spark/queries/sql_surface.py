@@ -1,0 +1,157 @@
+"""SQL-dialect-path catalog entries (SURVEY §3.1 / §7.2.3).
+
+The reference's primary entry point is a SQL string —
+``sqlContext.sql(...)`` (SQLContext.scala:917) parsed by
+SqlParser.scala / HiveQl.scala.  The DSL entries in relational.py prove
+operator semantics; these prove the *parser-facing* constructs the
+golden corpus leans on: nested FROM subqueries, LATERAL VIEW explode,
+DISTRIBUTE BY / SORT BY, HAVING over aliases, UNION inside subqueries,
+and CACHE TABLE round-trips — all through the SQLContext facade so the
+reference's call pattern works verbatim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from spark_monotasks_spark.api import SQLContext
+from spark_monotasks_spark.queries.registry import register
+from spark_monotasks_spark.tables import load_tables
+
+
+def _ctx(spark: SparkSession, sf_dir: str) -> SQLContext:
+    load_tables(spark, sf_dir, register_views=True)
+    return SQLContext(spark)
+
+
+@register(
+    "sql_select_where",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem WHERE l_extendedprice > 95000.0
+    """,
+)
+def sql_select_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL twin of scan_filter_project (SURVEY §7.1 requires both
+    paths end-to-end): same Catalyst plan from the parser as from the
+    DSL."""
+    return _ctx(spark, sf_dir).sql(
+        """
+        SELECT l_orderkey, l_linenumber, l_extendedprice
+        FROM lineitem WHERE l_extendedprice > 95000.0
+        """
+    )
+
+
+@register(
+    "sql_from_subquery",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, round(sum(big_price), 2) AS sum_big
+    FROM (SELECT o_orderstatus, o_totalprice AS big_price
+          FROM orders WHERE o_totalprice > 200000.0)
+    GROUP BY o_orderstatus
+    """,
+)
+def sql_from_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested subquery in FROM (SqlParser relation grammar; golden
+    corpus staple)."""
+    return _ctx(spark, sf_dir).sql(
+        """
+        SELECT o_orderstatus, count(*) AS n, round(sum(big_price), 2) AS sum_big
+        FROM (SELECT o_orderstatus, o_totalprice AS big_price
+              FROM orders WHERE o_totalprice > 200000.0)
+        GROUP BY o_orderstatus
+        """
+    )
+
+
+@register(
+    "sql_lateral_view",
+    oracle="""
+    SELECT token, count(*) AS n
+    FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x != ''))
+            AS token FROM documents)
+    GROUP BY token HAVING count(*) >= 100
+    """,
+)
+def sql_lateral_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL VIEW explode (HiveQl.scala:799, Generate L :50) — the
+    HiveQL UDTF form of the tokenize query."""
+    return _ctx(spark, sf_dir).sql(
+        """
+        SELECT token, count(*) AS n
+        FROM documents
+        LATERAL VIEW explode(split(text, ' ')) t AS token
+        WHERE token != ''
+        GROUP BY token HAVING count(*) >= 100
+        """
+    )
+
+
+@register(
+    "sql_distribute_sort_by",
+    oracle="""
+    SELECT c_nationkey, c_custkey, c_acctbal
+    FROM customer WHERE c_acctbal >= 0
+    """,
+)
+def sql_distribute_sort_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTE BY + SORT BY (HiveQl.scala:611-613 → Repartition +
+    SortPartitions, SparkStrategies.scala:268,:298): hash-partition by
+    nation, partition-local sort.  The row *set* is deterministic (the
+    oracle compare is order-insensitive); the partition-local ordering
+    is the non-SQL-observable part."""
+    return _ctx(spark, sf_dir).sql(
+        """
+        SELECT c_nationkey, c_custkey, c_acctbal
+        FROM customer WHERE c_acctbal >= 0
+        DISTRIBUTE BY c_nationkey SORT BY c_acctbal DESC
+        """
+    )
+
+
+@register(
+    "sql_union_subquery",
+    oracle="""
+    SELECT status, count(*) AS n FROM (
+      SELECT o_orderstatus AS status FROM orders WHERE o_totalprice > 300000.0
+      UNION ALL
+      SELECT l_linestatus AS status FROM lineitem WHERE l_quantity >= 49
+    ) GROUP BY status
+    """,
+)
+def sql_union_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL inside a FROM subquery (SqlParser.scala:124 — bag
+    union feeding an aggregate)."""
+    return _ctx(spark, sf_dir).sql(
+        """
+        SELECT status, count(*) AS n FROM (
+          SELECT o_orderstatus AS status FROM orders WHERE o_totalprice > 300000.0
+          UNION ALL
+          SELECT l_linestatus AS status FROM lineitem WHERE l_quantity >= 49
+        ) GROUP BY status
+        """
+    )
+
+
+@register(
+    "sql_cached_table",
+    oracle="""
+    SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_name
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def sql_cached_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CACHE TABLE round-trip (SQLContext.cacheTable :215 →
+    InMemoryRelation; CacheManager.scala): the aggregate must read the
+    compressed columnar cache, and the result must be identical to the
+    uncached scan.  The query leaves the table cached; re-registration
+    in a later call is a no-op swap (withCachedData, SQLContext.scala:1069)."""
+    ctx = _ctx(spark, sf_dir)
+    ctx.cache_table("nation")
+    return ctx.sql(
+        """
+        SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_name
+        FROM nation GROUP BY n_regionkey
+        """
+    )
