@@ -1,0 +1,106 @@
+"""MLlib capability proof (SURVEY §2.12) — thin pyspark.ml wrappers.
+
+Reference: mllib/src/main/scala/org/apache/spark/mllib/ — RDD-based
+KMeans (clustering/KMeans.scala), LogisticRegressionWithSGD
+(classification/LogisticRegression.scala), LinearRegressionWithSGD
+(regression/LinearRegression.scala), StandardScaler
+(feature/StandardScaler.scala).  `pyspark.ml` is the DataFrame-native
+successor (same algorithms, Catalyst-planned featurization, distributed
+solvers); SURVEY scopes parity to thin wrappers over it, with the
+`array<float>` → ml-Vector bridge being the only real work.
+
+At scale: `array_to_vector` is a JVM expression (no Python round-trip);
+training is the iterative treeAggregate the reference also used.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.classification import LogisticRegression
+from pyspark.ml.clustering import KMeans
+from pyspark.ml.feature import StandardScaler
+from pyspark.ml.functions import array_to_vector, vector_to_array
+from pyspark.ml.regression import LinearRegression
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _vec(col: str | Column) -> Column:
+    """array<float|double> column → ml Vector (JVM-side, no UDF)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return array_to_vector(c.cast("array<double>"))
+
+
+def kmeans_fit_predict(
+    df: DataFrame,
+    features_col: str = "embedding",
+    k: int = 8,
+    seed: int = 42,
+    max_iter: int = 20,
+) -> DataFrame:
+    """mllib clustering/KMeans.scala parity: fit k-means, return the
+    input plus a ``cluster`` column."""
+    feat = df.withColumn("_features", _vec(features_col))
+    model = KMeans(k=k, seed=seed, maxIter=max_iter, featuresCol="_features").fit(feat)
+    return model.transform(feat).withColumnRenamed("prediction", "cluster").drop(
+        "_features"
+    )
+
+
+def logistic_regression_fit(
+    df: DataFrame,
+    label_col: str,
+    features_col: str = "embedding",
+    max_iter: int = 20,
+    reg_param: float = 0.0,
+) -> DataFrame:
+    """mllib classification/LogisticRegression.scala parity (modern
+    L-BFGS solver instead of SGD).  Returns predictions with
+    ``prediction`` and ``probability`` columns."""
+    feat = df.withColumn("_features", _vec(features_col))
+    model = LogisticRegression(
+        maxIter=max_iter,
+        regParam=reg_param,
+        featuresCol="_features",
+        labelCol=label_col,
+    ).fit(feat)
+    out = model.transform(feat)
+    return out.withColumn("probability", vector_to_array("probability")).drop(
+        "_features", "rawPrediction"
+    )
+
+
+def linear_regression_fit(
+    df: DataFrame,
+    label_col: str,
+    features_col: str = "embedding",
+    max_iter: int = 20,
+    reg_param: float = 0.0,
+):
+    """mllib regression/LinearRegression.scala parity.  Returns
+    (predictions DataFrame, coefficients list, intercept)."""
+    feat = df.withColumn("_features", _vec(features_col))
+    model = LinearRegression(
+        maxIter=max_iter,
+        regParam=reg_param,
+        featuresCol="_features",
+        labelCol=label_col,
+    ).fit(feat)
+    preds = model.transform(feat).drop("_features")
+    return preds, list(model.coefficients), float(model.intercept)
+
+
+def standardize(
+    df: DataFrame, features_col: str = "embedding", with_mean: bool = True
+) -> DataFrame:
+    """mllib feature/StandardScaler.scala parity: unit-variance (and
+    optionally zero-mean) scaling; output column ``scaled``
+    (array<double>)."""
+    feat = df.withColumn("_features", _vec(features_col))
+    model = StandardScaler(
+        inputCol="_features", outputCol="_scaled", withMean=with_mean, withStd=True
+    ).fit(feat)
+    return (
+        model.transform(feat)
+        .withColumn("scaled", vector_to_array("_scaled"))
+        .drop("_features", "_scaled")
+    )

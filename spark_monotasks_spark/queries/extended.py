@@ -119,6 +119,18 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:  # invariants
     return pagerank(edges, num_iters=5)
 
 
+@register("ml_kmeans_clusters")  # iterative float fixpoint — rows-only
+def ml_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib parity proof (SURVEY §2.12, mllib clustering/KMeans.scala):
+    k-means over the embeddings table; cluster sizes, not centroids, are
+    the stable observable."""
+    from spark_monotasks_spark.ml import kmeans_fit_predict
+
+    t = _t(spark, sf_dir)
+    clustered = kmeans_fit_predict(t["embeddings"], k=8, max_iter=10)
+    return clustered.groupBy("cluster").agg(F.count("*").alias("n_vecs"))
+
+
 # --- NA functions — SURVEY §2.9 -------------------------------------------
 
 @register(
