@@ -34,6 +34,9 @@ HEADLINE = [
     "minhash_near_dups",
     "ann_cosine_topk",
     "events_hourly_window",
+    "bdb_q4_transform",
+    "embedding_near_dups",
+    "sql_lateral_view",
 ]
 
 
@@ -47,8 +50,12 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
 
-    # warm the JVM/session so the first measured query isn't paying init
+    # warm the JVM/session so the first measured query isn't paying init;
+    # the mapInPandas no-op also starts the Python worker pool + Arrow
+    # channels (otherwise the first pandas-path query pays ~3 s of
+    # cluster-init, which is not query cost)
     spark.range(1000000).selectExpr("sum(id)").collect()
+    spark.range(1000).mapInPandas(lambda it: it, "id long").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -22,22 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Ensure CPU-heavy per-row pipelines use every core.
-
-    Hash-signature passes do O(hashes × shingles) work per row, so the
-    bottleneck is compute, not IO: a corpus read as a handful of parquet
-    splits (one split per small file locally; at scale, fewer splits
-    than cores after heavy predicate pruning) would pin the whole pass
-    to those tasks.  A round-robin repartition of the compact source
-    rows (id + text only) is one cheap shuffle that unlocks
-    cluster-wide parallelism for everything downstream of the explode.
-    No-op when the scan already has enough splits.
-    """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+from spark_monotasks_spark.partitioning import spread_to_cluster as _spread
 
 
 # ---------------------------------------------------------------------------

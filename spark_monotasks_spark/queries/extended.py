@@ -52,9 +52,11 @@ def bdb_q4_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     process per partition over mapInPandas), then aggregate the script's
     output.  The script is the distributed token generator; the groupBy
     is a plain shuffled count."""
+    from spark_monotasks_spark.partitioning import spread_to_cluster
+
     t = _t(spark, sf_dir)
     toks = script_transform(
-        t["documents"],
+        spread_to_cluster(t["documents"]),
         [sys.executable, "-c", _TOKENIZE_SCRIPT],
         "doc_id long, token string",
         input_cols=["doc_id", "text"],
@@ -242,6 +244,135 @@ def complex_types_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         built.st.l_extendedprice.alias("price_from_struct"),
         built.mp["disc"].alias("disc_from_map"),
         F.size("arr").alias("arr_size"),
+    )
+
+
+# --- cogroup — SURVEY §2.3 (RDD-level) ------------------------------------
+
+@register(
+    "cogroup_collect",
+    oracle="""
+    SELECT n.n_nationkey AS nationkey,
+           coalesce(c.names, []) AS left_values,
+           coalesce(s.names, []) AS right_values
+    FROM nation n
+    LEFT JOIN (SELECT c_nationkey, list_sort(list(c_name)) AS names
+               FROM customer GROUP BY c_nationkey) c
+      ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN (SELECT s_nationkey, list_sort(list(s_name)) AS names
+               FROM supplier GROUP BY s_nationkey) s
+      ON s.s_nationkey = n.n_nationkey
+    """,
+)
+def cogroup_collect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cogroup (PairRDDFunctions.scala:715, CoGroupedRDD.scala): key →
+    (left value list, right value list), here customers and suppliers
+    cogrouped by nation.  Nations with neither side still appear (the
+    full-outer grouping), seeded via a union of key sources."""
+    from spark_monotasks_spark.operators.cogroup import cogroup_collect
+
+    t = _t(spark, sf_dir)
+    cust = t["customer"].select(
+        F.col("c_nationkey").alias("nationkey"), F.col("c_name")
+    )
+    supp = t["supplier"].select(
+        F.col("s_nationkey").alias("nationkey"), F.col("s_name")
+    )
+    cg = cogroup_collect(cust, supp, on=["nationkey"], left_value="c_name", right_value="s_name")
+    # seed with ALL nation keys so empty-both-sides keys appear, like
+    # the oracle's nation-anchored join
+    nk = t["nation"].select(F.col("n_nationkey").cast("int").alias("nationkey"))
+    out = nk.join(cg, on="nationkey", how="left")
+    empty = F.array().cast("array<string>")
+    return out.select(
+        "nationkey",
+        F.coalesce("left_values", empty).alias("left_values"),
+        F.coalesce("right_values", empty).alias("right_values"),
+    )
+
+
+# --- decimal semantics — SURVEY §7.4.1 ------------------------------------
+
+@register(
+    "decimal_agg",
+    oracle="""
+    SELECT l_returnflag,
+           sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_price,
+           CAST(avg(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(16,6)) AS avg_qty,
+           max(CAST(l_discount AS DECIMAL(4,2))) AS max_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def decimal_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DecimalType aggregation (dataTypes.scala:672, Decimal.scala;
+    DecimalPrecision coercion HiveTypeCoercion.scala:318): exact decimal
+    sums — no fp rounding tolerance needed, the whole point of the
+    type.  Spark widens sum(DECIMAL(12,2)) to (22,2); DuckDB to (38,2);
+    values must agree exactly.  avg is pinned to DECIMAL(16,6) in both
+    dialects (Spark's avg-decimal result type; DuckDB's is DOUBLE)."""
+    t = _t(spark, sf_dir)
+    return t["lineitem"].groupBy("l_returnflag").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).alias("sum_price"),
+        F.avg(F.col("l_quantity").cast("decimal(12,2)"))
+        .cast("decimal(16,6)")
+        .alias("avg_qty"),
+        F.max(F.col("l_discount").cast("decimal(4,2)")).alias("max_disc"),
+    )
+
+
+@register(
+    "string_promotion",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey AS VARCHAR) || '!' AS key_str,
+           CAST(CAST(o_orderkey AS VARCHAR) AS DOUBLE) + 1 AS key_plus_one,
+           CAST(o_totalprice AS VARCHAR) >= '1' AS str_cmp
+    FROM orders WHERE o_orderkey <= 1000
+    """,
+)
+def string_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String↔number promotion ('1' + 1 — PromoteStrings,
+    HiveTypeCoercion.scala:230; StringToIntegralCasts :462): arithmetic
+    on a string column auto-coerces to double with ANSI off, string
+    comparison stays lexicographic.  DuckDB needs the casts spelled
+    out — same values."""
+    t = _t(spark, sf_dir)
+    o = t["orders"].filter(F.col("o_orderkey") <= 1000)
+    key_str = F.concat(F.col("o_orderkey").cast("string"), F.lit("!"))
+    return o.select(
+        "o_orderkey",
+        key_str.alias("key_str"),
+        (F.col("o_orderkey").cast("string") + 1).alias("key_plus_one"),
+        (F.col("o_totalprice").cast("string") >= "1").alias("str_cmp"),
+    )
+
+
+# --- pivot (beyond-reference bonus, clearly marked) -----------------------
+
+@register(
+    "pivot_segment_status",
+    oracle="""
+    SELECT c_mktsegment,
+           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS F,
+           round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2) AS O,
+           round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END), 2) AS P
+    FROM customer JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def pivot_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BEYOND-REFERENCE (Spark 1.6 feature, marked per SURVEY §2.5
+    convention): GroupedData.pivot — wide conditional aggregation.
+    Explicit pivot values skip the extra distinct-values job."""
+    t = _t(spark, sf_dir)
+    joined = t["customer"].join(
+        t["orders"], t["orders"].o_custkey == t["customer"].c_custkey
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+        .na.fill(0.0)
     )
 
 

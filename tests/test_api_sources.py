@@ -1,0 +1,129 @@
+"""SQLContext facade (api.py — reference SQLContext.scala surface) and
+sources/io (SaveMode semantics, JSON inference) round-trips."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_monotasks_spark.api import SQLContext
+from spark_monotasks_spark.sources import io as sio
+
+
+@pytest.fixture()
+def ctx(spark):
+    return SQLContext(spark)
+
+
+def test_register_and_sql(ctx, spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    ctx.register_data_frame_as_table(df, "t_api")
+    got = ctx.sql("SELECT v FROM t_api WHERE k = 2").collect()
+    assert [r.v for r in got] == ["b"]
+    assert "t_api" in ctx.table_names()
+    assert ctx.table("t_api").count() == 2
+    ctx.drop_temp_table("t_api")
+    assert "t_api" not in ctx.table_names()
+
+
+def test_cache_roundtrip(ctx, spark):
+    df = spark.range(100).withColumn("x", F.col("id") * 2)
+    ctx.register_data_frame_as_table(df, "t_cache")
+    ctx.cache_table("t_cache")
+    assert ctx.is_cached("t_cache")
+    assert ctx.sql("SELECT sum(x) AS s FROM t_cache").first().s == 9900
+    ctx.uncache_table("t_cache")
+    assert not ctx.is_cached("t_cache")
+    ctx.drop_temp_table("t_cache")
+
+
+def test_register_function_udf(ctx):
+    ctx.register_function("plus_one_api", lambda x: x + 1, "long")
+    assert ctx.sql("SELECT plus_one_api(41) AS v").first().v == 42
+
+
+def test_function_registry_resolves(ctx):
+    f = ctx.function("ucase")  # Hive-era alias
+    df = ctx.one_row_relation().select(f(F.lit("ab")).alias("u"))
+    assert df.first().u == "AB"
+    with pytest.raises(KeyError, match="not in the reference-parity registry"):
+        ctx.function("no_such_fn")
+
+
+def test_one_row_relation(ctx):
+    assert ctx.sql("SELECT 1 AS one").first().one == 1
+    assert ctx.one_row_relation().count() == 1
+
+
+def test_conf_set_get(ctx):
+    ctx.set_conf("spark.sql.cbo.enabled", "false")
+    assert ctx.get_conf("spark.sql.cbo.enabled") == "false"
+
+
+# --- sources / sinks -------------------------------------------------------
+
+def test_json_roundtrip_with_inference(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "k long, v string, x double"
+    )
+    path = str(tmp_path / "j")
+    sio.write_json(df, path)
+    back = sio.read_json(spark, path)  # schema inferred
+    assert {f.name: f.dataType.typeName() for f in back.schema.fields} == {
+        "k": "long", "v": "string", "x": "double",
+    }
+    assert back.count() == 2
+
+
+def test_save_modes(spark, tmp_path):
+    df = spark.range(5)
+    path = str(tmp_path / "p")
+    sio.write_parquet(df, path)
+    # ErrorIfExists (default) refuses a second write
+    with pytest.raises(Exception, match="already exists"):
+        sio.write_parquet(df, path)
+    # Ignore is a silent no-op
+    sio.write_parquet(spark.range(99), path, mode=sio.SaveMode.IGNORE)
+    assert spark.read.parquet(path).count() == 5
+    # Append doubles, Overwrite resets
+    sio.write_parquet(df, path, mode="append")
+    assert spark.read.parquet(path).count() == 10
+    sio.write_parquet(df, path, mode="overwrite")
+    assert spark.read.parquet(path).count() == 5
+
+
+def test_text_and_csv(spark, tmp_path):
+    tpath = str(tmp_path / "t")
+    sio.write_text(
+        spark.createDataFrame([("hello",), ("world",)], "value string"), tpath
+    )
+    assert sorted(r.value for r in sio.read_text(spark, tpath).collect()) == [
+        "hello", "world",
+    ]
+    cpath = str(tmp_path / "c")
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "k long, v string")
+    sio.write_csv(df, cpath)
+    back = sio.read_csv(spark, cpath)
+    assert sorted((r.k, r.v) for r in back.collect()) == [(1, "x"), (2, "y")]
+
+
+def test_bucketed_table_join_avoids_shuffle(spark, tmp_path):
+    """save_as_table(bucket_by=...): a self-join on the bucket key must
+    not re-shuffle either side (SortMergeJoin over bucketed scans) —
+    the co-located-join lever called out in SCALE.md."""
+    df = spark.range(1000).withColumn("v", F.col("id") % 7)
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        sio.save_as_table(df, "t_bucketed", mode="overwrite", bucket_by=(4, ["id"]))
+        # disable broadcast so the join must use the bucketed layout
+        # (broadcast would hide whether bucketing removed the shuffle)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        t = spark.table("t_bucketed")
+        joined = t.alias("a").join(t.alias("b"), on="id")
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "ShuffleExchange" not in plan and "shuffle" not in plan.lower(), plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS t_bucketed")

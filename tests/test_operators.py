@@ -252,3 +252,42 @@ def test_registry_date_functions(spark):
     )
     year = resolve_function("year")
     assert df.select(year("d").alias("y")).first().y == 2024
+
+
+# --- cogroup (SURVEY §2.3 RDD-level) --------------------------------------
+
+def test_cogroup_apply_per_key(spark):
+    import pandas as pd
+    from spark_monotasks_spark.operators.cogroup import cogroup_apply
+
+    left = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (2, 5.0)], "k long, v double"
+    )
+    right = spark.createDataFrame([(1, 100.0), (3, 7.0)], "k long, w double")
+
+    def fn(lg: pd.DataFrame, rg: pd.DataFrame) -> pd.DataFrame:
+        k = lg["k"].iloc[0] if len(lg) else rg["k"].iloc[0]
+        return pd.DataFrame(
+            {"k": [k], "sum_left": [float(lg["v"].sum())], "n_right": [len(rg)]}
+        )
+
+    got = {
+        r.k: (r.sum_left, r.n_right)
+        for r in cogroup_apply(
+            left, right, ["k"], fn, "k long, sum_left double, n_right long"
+        ).collect()
+    }
+    # key 1: both sides; key 2: left only; key 3: right only (empty left)
+    assert got == {1: (30.0, 1), 2: (5.0, 0), 3: (0.0, 1)}
+
+
+def test_cogroup_collect_values(spark):
+    from spark_monotasks_spark.operators.cogroup import cogroup_collect
+
+    left = spark.createDataFrame([(1, "b"), (1, "a")], "k long, v string")
+    right = spark.createDataFrame([(2, "z")], "k long, w string")
+    got = {
+        r.k: (r.left_values, r.right_values)
+        for r in cogroup_collect(left, right, ["k"], "v", "w").collect()
+    }
+    assert got == {1: (["a", "b"], []), 2: ([], ["z"])}
