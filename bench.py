@@ -37,6 +37,9 @@ HEADLINE = [
     "bdb_q4_transform",
     "embedding_near_dups",
     "sql_lateral_view",
+    "tpch_q6_forecast",
+    "tpch_q10_returns",
+    "events_sessionize",
 ]
 
 

@@ -99,6 +99,72 @@ def extract_image_features(
     return media.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_windows", T.IntegerType(), True),
+        T.StructField("mfcc", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def extract_audio_features(
+    media: DataFrame, strict: bool = False, window_ms: int = 25
+) -> DataFrame:
+    """Audio decode + MFCC-shaped features over Arrow batches.
+
+    STUB: a real implementation would call librosa/torchaudio per batch;
+    strict=True raises, otherwise a deterministic fake derived from the
+    blob keeps the plumbing testable.  Window count comes from the typed
+    metadata (no decode needed), so partition planning can filter/size
+    on it first."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "audio decode requires librosa/torchaudio, not available "
+                    "in this container"
+                )
+            n_windows = [
+                int(m["duration_ms"] // window_ms)
+                if m is not None and m.get("duration_ms") is not None
+                else None
+                for m in pdf["meta"]
+            ]
+            mfcc = [
+                [float(x) / 255.0 for x in (b[:13] if b else b"\x00" * 13)]
+                if b is not None
+                else None
+                for b in pdf["blob"]
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "n_windows": n_windows, "mfcc": mfcc}
+            )
+
+    audio = media.filter(F.col("meta.media_type") == "audio")
+    return audio.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+
+
+def resize_plan(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """Image resize *plan*: compute target dims from typed metadata (pure
+    SQL, no decode) so the stubbed decode/resize UDF only touches rows
+    whose dims actually change — metadata-first pruning, the multimodal
+    scale pattern."""
+    w, h = F.col("meta.width"), F.col("meta.height")
+    scale = F.least(
+        F.lit(1.0), F.lit(max_side) / F.greatest(w, h).cast("double")
+    )
+    return media.filter(F.col("meta.media_type") == "image").select(
+        "media_id",
+        w.alias("width"),
+        h.alias("height"),
+        F.round(w * scale).cast("int").alias("target_width"),
+        F.round(h * scale).cast("int").alias("target_height"),
+        (scale < 1.0).alias("needs_resize"),
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: expand each video row into frame
     timestamps (pure SQL — no decode), so the expensive decode joins

@@ -247,6 +247,211 @@ def complex_types_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- additional headline analytics ----------------------------------------
+
+@register(
+    "tpch_q6_forecast",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+      AND l_shipdate < TIMESTAMP '1995-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the pure scan benchmark — every predicate must
+    reach the parquet reader (PushedFilters), the aggregate is a single
+    partial+final sum with no groups."""
+    t = _t(spark, sf_dir)
+    l = t["lineitem"]
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= "1994-01-01")
+            & (F.col("l_shipdate") < "1995-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "tpch_q10_returns",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: fact-fact join + dim join + agg + top-k.  The
+    returnflag filter lands on the lineitem scan; the orders-lineitem
+    join shuffles on orderkey; the customer join rides the custkey
+    shuffle of the aggregate; top-k is TakeOrderedAndProject."""
+    t = _t(spark, sf_dir)
+    rev = (
+        t["lineitem"]
+        .filter(F.col("l_returnflag") == "R")
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    return rev.orderBy(F.col("revenue").desc(), F.col("c_custkey")).limit(20)
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sess AS (
+      SELECT user_id, event_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM sess GROUP BY user_id, session_no
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity closes a session) —
+    the canonical large-scale user-behavior op.  One shuffle on user_id
+    serves both window passes and the final aggregate (same partition
+    key); state never materializes beyond the window frame.
+    BEYOND-REFERENCE (window functions are post-1.3), marked per SURVEY
+    §2.5 convention."""
+    from pyspark.sql import Window
+
+    t = _t(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # NTZ → TIMESTAMP → epoch seconds (identity under the UTC session tz)
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    marked = t["events"].select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("new_session"),
+    )
+    sess = marked.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum("new_session")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("session_no"),
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+# --- UDAF / UDTF / percentile — SURVEY §2.11 ------------------------------
+
+@register(
+    "udaf_weighted_mean",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
+             AS wavg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def udaf_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom-UDAF surface (reference: Hive UDAF bridge,
+    hiveUdfs.scala:192): quantity-weighted mean price per flag via the
+    pandas grouped-agg UDF path (Arrow batches).  The F.* twin
+    (weighted_mean_builtin) is the scale-preferred form; this entry
+    proves the UDAF plumbing itself."""
+    from spark_monotasks_spark.functions.udaf import weighted_mean_udaf
+
+    t = _t(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(
+                weighted_mean_udaf(F.col("l_extendedprice"), F.col("l_quantity")), 4
+            ).alias("wavg_price")
+        )
+    )
+
+
+@register(
+    "udtf_posexplode_tokens",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    )
+    SELECT doc_id,
+           CAST(unnest(range(len(t))) AS INT) AS pos,
+           unnest(t) AS token
+    FROM toks
+    WHERE doc_id < 50
+    """,
+)
+def udtf_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UserDefinedGenerator parity (generators.scala:79): tokenizing
+    UDTF via posexplode — JVM-side generator, position preserved."""
+    from spark_monotasks_spark.functions.udaf import explode_words_udtf
+
+    t = _t(spark, sf_dir)
+    return explode_words_udtf(
+        t["documents"].filter(F.col("doc_id") < 50), "doc_id", "text"
+    )
+
+
+@register(
+    "percentile_ops",
+    oracle="""
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+           round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def percentile_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (reference reached these via Hive's
+    percentile UDAF): F.percentile is the holistic exact form;
+    percentile_approx is the scale path (constant-memory sketch,
+    excluded from the hash gate like approx_count_distinct)."""
+    t = _t(spark, sf_dir)
+    return t["orders"].groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("median_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 2).alias("p90_price"),
+    )
+
+
 # --- cogroup — SURVEY §2.3 (RDD-level) ------------------------------------
 
 @register(

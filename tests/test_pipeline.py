@@ -211,3 +211,33 @@ def test_frame_sample_plan(spark):
     n_videos = sum(1 for i in range(9) if i % 3 == 2)
     assert len(rows) == n_videos * 5
     assert {r.frame_ts_ms for r in rows} == {0, 1000, 2000, 3000, 4000}
+
+
+def test_audio_features_shape(spark):
+    media = multimodal.synthetic_media(spark, n=12)
+    feats = multimodal.extract_audio_features(media)
+    rows = feats.collect()
+    # audio rows are every 3rd (i % 3 == 1)
+    assert len(rows) == 4
+    assert all(r.n_windows == 5000 // 25 for r in rows)
+    assert all(len(r.mfcc) == 13 for r in rows)
+
+
+def test_audio_strict_raises(spark):
+    media = multimodal.synthetic_media(spark, n=3)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="NotImplementedError|audio decode"):
+        multimodal.extract_audio_features(media, strict=True).collect()
+
+
+def test_resize_plan_dims(spark):
+    media = multimodal.synthetic_media(spark, n=6)  # images are 640x480
+    plan = multimodal.resize_plan(media, max_side=256)
+    rows = plan.collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert (r.width, r.height) == (640, 480)
+        assert r.needs_resize
+        assert r.target_width == 256  # 640 * 256/640
+        assert r.target_height == 192  # 480 * 0.4
