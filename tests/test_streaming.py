@@ -155,3 +155,67 @@ def test_file_sink_roundtrip(spark, chunked_events, tmp_path):
     got = spark.read.parquet(out).count()
     expected = events.filter(F.col("event_type") == "click").count()
     assert got == expected
+
+
+def test_checkpoint_recovery_exactly_once(spark, chunked_events, tmp_path):
+    """CheckpointSuite parity: stop after the first batches, restart from
+    the same checkpoint, and the sink must hold every input row exactly
+    once (no loss, no reprocessing duplicates)."""
+    import glob
+    import shutil
+
+    path, events = chunked_events
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    staged = tmp_path / "staged"
+    staged.mkdir()
+    for f in files[:2]:
+        shutil.copy(f, staged / os.path.basename(f))
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = dstream.file_stream(spark, str(staged), events.schema)
+        q = dstream.start_file_sink(
+            stream.select("event_id", "value"), out, checkpoint=ckpt
+        )
+        _await(q)
+
+    run_once()  # phase 1: first two chunks
+    n_phase1 = spark.read.parquet(out).count()
+    assert 0 < n_phase1 < events.count()
+
+    for f in files[2:]:
+        shutil.copy(f, staged / os.path.basename(f))
+    run_once()  # phase 2: restart from checkpoint, only new files process
+
+    got = spark.read.parquet(out)
+    assert got.count() == events.count()  # no loss, no duplicates
+    assert got.select("event_id").distinct().count() == events.count()
+
+
+def test_stream_static_join_matches_batch(spark, chunked_events):
+    """Stream join (PairDStreamFunctions.scala:482): a stream joined to
+    a static dimension — each micro-batch joins against the dim, union
+    of outputs equals the batch join."""
+    path, events = chunked_events
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.1), ("purchase", 10.0)],
+        "event_type string, weight double",
+    )
+    stream = dstream.file_stream(spark, path, events.schema)
+    joined = stream.join(dim, on="event_type").select(
+        "event_id", (F.col("value") * F.col("weight")).alias("wv")
+    )
+    q = dstream.start_memory_sink(joined, "sj", output_mode="append")
+    _await(q)
+    got = spark.table("sj").agg(
+        F.count("*").alias("n"), F.round(F.sum("wv"), 4).alias("s")
+    ).first()
+    exp = (
+        events.join(dim, on="event_type")
+        .select((F.col("value") * F.col("weight")).alias("wv"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("wv"), 4).alias("s"))
+        .first()
+    )
+    assert (got.n, got.s) == (exp.n, exp.s)
