@@ -122,3 +122,14 @@ def test_partition_pruning_on_partitioned_write(spark, tmp_path):
     plan = formatted(df)
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "status" in m.group(1), plan
+
+
+def test_sessionize_single_shuffle(spark):
+    """events_sessionize's claim: one user_id exchange + one sort serve
+    both window passes AND the final aggregate (same partition key —
+    no re-shuffle between stages)."""
+    df = QUERY_REGISTRY["events_sessionize"](spark, SF)
+    df.collect()
+    final = plan_of(df).split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1, final
+    assert len(re.findall(r"\bSort \[", final)) == 1, final
