@@ -37,18 +37,31 @@ def intersect(left: DataFrame, right: DataFrame) -> DataFrame:
 def except_reference(left: DataFrame, right: DataFrame) -> DataFrame:
     """The reference's hybrid EXCEPT (basicOperators.scala:200 →
     RDD.subtract): drop every left row whose full-row value appears in
-    right; retain duplicates of the survivors.  left_anti on all columns
-    reproduces this exactly (null-safe on join keys is not needed because
-    subtract compares whole rows as keys — but anti join's equi-condition
-    treats NULL≠NULL, so rows with NULLs always survive; the reference's
-    hash-map keying treats NULLs as equal.  Use null-free columns or
-    ``except_distinct`` when NULL keys matter)."""
-    return left.join(right, on=list(left.columns), how="left_anti")
+    right; retain duplicates of the survivors.
+
+    A left_anti join over null-safe equality (``<=>``) on every column
+    reproduces this exactly — the reference keys a hash map on whole
+    rows, so NULLs compare equal there, and ``<=>`` matches that where a
+    plain equi-join would leak NULL-keyed rows through."""
+    from pyspark.sql import functions as F
+
+    l, r = left.alias("l"), right.alias("r")
+    cond = None
+    for c in left.columns:
+        eq = F.col(f"l.{c}").eqNullSafe(F.col(f"r.{c}"))
+        cond = eq if cond is None else (cond & eq)
+    return l.join(r, on=cond, how="left_anti").select(
+        *[F.col(f"l.{c}").alias(c) for c in left.columns]
+    )
 
 
 def except_distinct(left: DataFrame, right: DataFrame) -> DataFrame:
-    """ANSI SQL EXCEPT (distinct) — what the DuckDB oracle computes."""
-    return left.exceptAll(right.distinct()).distinct()
+    """ANSI SQL EXCEPT (distinct) — what the DuckDB oracle computes:
+    distinct(left) minus every row present in right.  (Not
+    ``exceptAll(...).distinct()``: that removes only one occurrence per
+    right row before deduping, so a duplicated left row that also
+    appears in right would wrongly survive.)"""
+    return left.distinct().exceptAll(right.distinct())
 
 
 def except_all(left: DataFrame, right: DataFrame) -> DataFrame:
