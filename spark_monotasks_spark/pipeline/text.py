@@ -101,6 +101,48 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: BPE-ish pre-tokenization pattern (GPT-2-style segmentation without a
+#: merges table): optional-space letter runs, digit runs, punctuation
+#: runs.  Counting these chunks approximates subword token counts far
+#: better than whitespace splitting on punctuation-heavy text.
+BPE_ISH_PATTERN = r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Token count under the BPE-ish segmentation — one JVM regex pass
+    (regexp_count), no Python."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_ISH_PATTERN))
+
+
+def with_bpe_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace vs BPE-ish token counts side by side — the pair a
+    training-data pipeline budgets against."""
+    ws = token_count(text_col)
+    bpe = bpe_ish_token_count(text_col)
+    return df.select(
+        "*",
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        F.round(bpe / F.greatest(ws, F.lit(1)), 4).alias("bpe_per_word"),
+    )
+
+
+def rolling_fingerprint(col: Column | str, sep: str = " ") -> Column:
+    """Order-sensitive polynomial rolling hash over the token stream:
+    h = fold(h * 31 + xxhash64(token)).  A content-defined fingerprint
+    that (unlike md5-of-text) can be computed incrementally per chunk
+    and composed — the shape used for shift-tolerant dedup.  JVM-side
+    higher-order fold; engine-specific (xxhash64) so rows-only in the
+    oracle contract."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.aggregate(
+        F.split(c, sep),
+        F.lit(0).cast("bigint"),
+        lambda acc, tok: acc * F.lit(31).cast("bigint") + F.xxhash64(tok),
+    )
+
+
 def fingerprint(col: Column | str, normalize: bool = True) -> Column:
     """Deterministic 64-bit-ish document fingerprint: md5 of the
     normalized text, truncated to 16 hex chars.  md5 (not xxhash64) so

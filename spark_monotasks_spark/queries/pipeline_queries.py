@@ -87,6 +87,36 @@ def lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bpe_token_counts",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+'))
+             AS bpe_tokens
+    FROM documents
+    """,
+)
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish subword-count (pipeline.text.bpe_ish_token_count) — the
+    oracle uses the ASCII-only equivalent pattern (this corpus is ASCII;
+    \\p classes differ between Java regex and RE2)."""
+    t = _t(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id", text.bpe_ish_token_count("text").alias("bpe_tokens")
+    )
+
+
+@register("rolling_fingerprints")  # xxhash64-based — rows-only
+def rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash fingerprint per document
+    (pipeline.text.rolling_fingerprint); permutation sensitivity and
+    determinism asserted in tests."""
+    t = _t(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id", text.rolling_fingerprint("text").alias("rhash")
+    )
+
+
 @register("language_id_pred")  # heuristic scorer — Spark-native, rows-only
 def language_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-overlap language ID (pipeline.text.language_id)."""

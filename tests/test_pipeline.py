@@ -241,3 +241,24 @@ def test_resize_plan_dims(spark):
         assert r.needs_resize
         assert r.target_width == 256  # 640 * 256/640
         assert r.target_height == 192  # 480 * 0.4
+
+
+def test_bpe_token_count_segments(spark):
+    df = spark.createDataFrame(
+        [(1, "hello, world! x42"), (2, "abc")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.bpe_tokens for r in text.with_bpe_token_stats(df).collect()}
+    # "hello" "," " world" "!" " x" "42" → 6 ; "abc" → 1
+    assert got == {1: 6, 2: 1}
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "c b a")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.h for r in df.select(
+        "doc_id", text.rolling_fingerprint("text").alias("h")
+    ).collect()}
+    assert got[1] == got[2]        # deterministic
+    assert got[1] != got[3]        # order-sensitive (md5 fp also differs,
+                                   # but rolling hash must catch REORDERING)
