@@ -3,4 +3,5 @@ from spark_monotasks_spark.graph.algorithms import (  # noqa: F401
     connected_components,
     degrees,
     pagerank,
+    triangle_count,
 )

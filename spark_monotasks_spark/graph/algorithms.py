@@ -112,6 +112,45 @@ def pagerank(
     return ranks
 
 
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """lib/TriangleCount.scala: triangles through each vertex.
+
+    Canonical-orientation edge join (src<dst ordering): wedges from the
+    two lower endpoints joined against the closing edge — each triangle
+    found exactly once, then credited to all three corners.  Two
+    shuffles on vertex ids; no vertex collects its whole neighborhood
+    into memory (the reference materializes per-vertex neighbor sets —
+    this stays relational and spills instead).  Returns (id, triangles).
+    """
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e1 = canon.alias("e1")
+    e2 = canon.alias("e2")
+    # wedge a<b<c from edges (a,b) and (a,c); closes iff (b,c) is an edge
+    wedges = e1.join(e2, on=(F.col("e1.a") == F.col("e2.a")) & (F.col("e1.b") < F.col("e2.b"))).select(
+        F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z")
+    )
+    tris = wedges.join(
+        canon.withColumnRenamed("a", "y").withColumnRenamed("b", "z"), on=["y", "z"]
+    )
+    per_vertex = (
+        tris.select(F.explode(F.array("x", "y", "z")).alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").alias("triangles"))
+    )
+    verts = edges.select(F.col("src").alias("id")).unionAll(
+        edges.select(F.col("dst").alias("id"))
+    ).distinct()
+    return verts.join(per_vertex, on="id", how="left").select(
+        "id", F.coalesce("triangles", F.lit(0)).alias("triangles")
+    )
+
+
 def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
     """lib/ConnectedComponents.scala: label every vertex with the
     smallest vertex id reachable from it.

@@ -161,6 +161,78 @@ def lsh_bucket_topk(
     return scored.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the centroid-partitioned scale path
+# ---------------------------------------------------------------------------
+
+def ivf_index(
+    embeddings: DataFrame,
+    n_lists: int = 16,
+    seed: int = 42,
+    max_iter: int = 10,
+    vec_col: str = "embedding",
+):
+    """Build an IVF index: k-means the corpus into ``n_lists`` cells.
+
+    Returns (assigned corpus with ``cell`` column, centroids as a list of
+    (cell_id, center vector)).  At scale: persist/bucket the assigned
+    corpus BY ``cell`` so a probe reads only its cells' files — same
+    pruning story as the LSH bucket column, but data-adaptive (cells
+    follow density, so recall at fixed probe count beats fixed random
+    hyperplanes on clustered corpora)."""
+    from spark_monotasks_spark.ml import kmeans_fit_predict
+
+    assigned = kmeans_fit_predict(
+        embeddings, features_col=vec_col, k=n_lists, seed=seed, max_iter=max_iter
+    ).withColumnRenamed("cluster", "cell")
+    # centroids: exact per-cell means (double precision, deterministic)
+    dim = len(assigned.select(vec_col).first()[0])
+    cents = (
+        assigned.groupBy("cell")
+        .agg(
+            *[
+                F.avg(F.col(vec_col)[i].cast("double")).alias(f"c{i}")
+                for i in range(dim)
+            ]
+        )
+        .collect()
+    )
+    centroids = [(r["cell"], [r[f"c{i}"] for i in range(dim)]) for r in cents]
+    return assigned, centroids
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: list,
+    query: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the ``n_probe`` nearest cells and exact-score only their
+    members: the scan shrinks from |corpus| to ~n_probe/n_lists of it.
+    Driver work is O(n_lists) centroid distances — negligible."""
+    qvec = query.select("qvec").first()[0]
+    qv = [float(x) for x in qvec]
+
+    def cos(c):
+        num = sum(a * b for a, b in zip(qv, c))
+        na = math.sqrt(sum(a * a for a in qv))
+        nb = math.sqrt(sum(b * b for b in c))
+        return num / (na * nb) if na and nb else 0.0
+
+    probe_cells = [
+        cell for cell, _ in sorted(centroids, key=lambda t: -cos(t[1]))[:n_probe]
+    ]
+    cand = assigned.filter(F.col("cell").isin(probe_cells))
+    scored = cand.crossJoin(F.broadcast(query.select("qvec"))).select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("qvec")), 4).alias("sim"),
+    )
+    return scored.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame,
     dim: int,

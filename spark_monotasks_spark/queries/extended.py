@@ -102,6 +102,28 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges)
 
 
+@register(
+    "graph_triangle_count",
+    oracle="""
+    WITH sz AS (SELECT n_regionkey, count(*) AS n FROM nation GROUP BY n_regionkey)
+    SELECT CAST(n_nationkey AS BIGINT) AS id,
+           CAST((sz.n - 1) * (sz.n - 2) / 2 AS BIGINT) AS triangles
+    FROM nation JOIN sz USING (n_regionkey)
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TriangleCount (graphx lib/TriangleCount.scala) on the co-region
+    clique graph: each vertex of an n-clique closes C(n-1,2) triangles —
+    exactly SQL-expressible, so the oracle is closed-form."""
+    t = _t(spark, sf_dir)
+    edges = _nation_coregion_edges(t).select(
+        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+    )
+    from spark_monotasks_spark.graph import triangle_count
+
+    return triangle_count(edges)
+
+
 @register("graph_pagerank")  # iterative float fixpoint — rows-only; exact
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:  # invariants in tests
     """Static PageRank (graphx lib/PageRank.scala) over the

@@ -173,6 +173,19 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:  # approximate 
     )
 
 
+@register("ann_ivf_topk")  # kmeans cells are float-iterative → rows-only
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (similarity.ivf_index/ivf_topk): k-means cells + n_probe
+    nearest-cell scan — the data-adaptive counterpart to the LSH path;
+    planted-duplicate recall asserted in tests."""
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    assigned, cents = similarity.ivf_index(emb, n_lists=8, max_iter=5)
+    return similarity.ivf_topk(
+        assigned, cents, similarity.query_by_id(emb, 0), k=20, n_probe=3
+    )
+
+
 @register("minhash_near_dups")  # xxhash64 signatures are Spark-specific → rows-only
 def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate pairs (dedup.minhash_near_duplicates);

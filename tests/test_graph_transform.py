@@ -88,3 +88,23 @@ def test_script_transform_identity_cat(spark):
     df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
     out = script_transform(df, ["cat"], "k long, v string")
     assert sorted((r.k, r.v) for r in out.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_triangle_count_known_graphs(spark, chain_and_triangle):
+    from spark_monotasks_spark.graph import triangle_count
+
+    got = {r.id: r.triangles for r in triangle_count(chain_and_triangle).collect()}
+    # chain 0-1-2: no triangles; triangle 10,11,12: one each; edge 20-21: none
+    assert got == {0: 0, 1: 0, 2: 0, 10: 1, 11: 1, 12: 1, 20: 0, 21: 0}
+
+
+def test_triangle_count_k4(spark):
+    from itertools import combinations
+
+    from spark_monotasks_spark.graph import triangle_count
+
+    edges = spark.createDataFrame(
+        list(combinations(range(4), 2)), "src long, dst long"
+    )
+    got = {r.id: r.triangles for r in triangle_count(edges).collect()}
+    assert got == {i: 3 for i in range(4)}  # K4: each vertex in C(3,2)=3

@@ -262,3 +262,34 @@ def test_rolling_fingerprint_order_sensitive(spark):
     assert got[1] == got[2]        # deterministic
     assert got[1] != got[3]        # order-sensitive (md5 fp also differs,
                                    # but rolling hash must catch REORDERING)
+
+
+def test_ivf_topk_planted_duplicate(spark):
+    # 3 tight clusters around axes + a planted near-dup of vec 0
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(60):
+        axis = i % 3
+        base = [0.0] * 6
+        base[axis] = 1.0
+        rows.append((i, [x + rng.uniform(-0.05, 0.05) for x in base]))
+    rows.append((999, rows[0][1][:]))  # exact dup of vec 0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assigned, cents = similarity.ivf_index(df, n_lists=3, max_iter=10)
+    q = similarity.query_by_id(df, 0)
+    got = similarity.ivf_topk(assigned, cents, q, k=2, n_probe=1).collect()
+    assert [r.vec_id for r in got] == [0, 999]
+    assert got[1].sim == 1.0
+
+
+def test_ivf_probe_bounds_scan(spark, tables):
+    emb = tables["embeddings"]
+    assigned, cents = similarity.ivf_index(emb, n_lists=8, max_iter=5)
+    q = similarity.query_by_id(emb, 0)
+    exact = similarity.brute_force_topk(emb, q, k=1).first()
+    got = similarity.ivf_topk(assigned, cents, q, k=10, n_probe=3).collect()
+    ids = [r.vec_id for r in got]
+    assert 0 in ids and len(ids) == 10
+    assert all(r.sim <= exact.sim for r in got)
