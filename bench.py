@@ -18,6 +18,8 @@ import re
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 #: the headline suite — one per operator family that dominates runtime
 #: at scale (scan+agg, join+agg+topk, multiway join, window, dedup,
 #: similarity, set op, time window).

@@ -133,3 +133,24 @@ def test_sessionize_single_shuffle(spark):
     final = plan_of(df).split("== Initial Plan ==")[0]
     assert final.count("Exchange hashpartitioning") == 1, final
     assert len(re.findall(r"\bSort \[", final)) == 1, final
+
+
+def test_parquet_aggregate_pushdown_v2(spark):
+    """min/max/count over plain parquet can come from footer statistics
+    (PushedAggregation) with the v2 reader — at 100 TB that's a
+    metadata-only query.  Scoped to this test: v2 path-reads lack v1
+    features (bucketed tables), so the session default stays v1."""
+    prev = spark.conf.get("spark.sql.sources.useV1SourceList")
+    try:
+        spark.conf.set("spark.sql.sources.useV1SourceList", "")
+        df = spark.read.parquet(f"{SF}/lineitem.parquet").agg(
+            F.min("l_quantity"), F.max("l_quantity"), F.count("*")
+        )
+        plan = formatted(df)
+        m = re.search(r"PushedAggregation: \[([^\]]*)\]", plan)
+        assert m and "MIN" in m.group(1).upper(), plan
+        # correctness unchanged under pushdown
+        r = df.first()
+        assert r[2] > 0 and r[0] <= r[1]
+    finally:
+        spark.conf.set("spark.sql.sources.useV1SourceList", prev)
