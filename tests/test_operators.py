@@ -291,3 +291,21 @@ def test_cogroup_collect_values(spark):
         for r in cogroup_collect(left, right, ["k"], "v", "w").collect()
     }
     assert got == {1: (["a", "b"], []), 2: ([], ["z"])}
+
+
+def test_salted_join_matches_plain_join(spark):
+    from spark_monotasks_spark.operators.joins import salted_join
+
+    # skewed left: one hot key (0) with many rows
+    left = spark.createDataFrame(
+        [(0, i) for i in range(500)] + [(k, k) for k in range(1, 5)],
+        "k long, v long",
+    )
+    right = spark.createDataFrame([(k, k * 10) for k in range(5)], "k long, w long")
+    got = salted_join(left, right, on="k", salt_buckets=8)
+    plain = left.join(right, on="k")
+    assert got.count() == plain.count() == 504
+    assert (
+        got.agg(F.sum(F.col("v") * F.col("w")).alias("s")).first().s
+        == plain.agg(F.sum(F.col("v") * F.col("w")).alias("s")).first().s
+    )
