@@ -89,30 +89,31 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc MinHash signature as (id, sig array<bigint>[, sh]).
 
-    Shape chosen for scale: explode shingles to rows, then ONE
-    hash-aggregate with ``num_hashes`` `min(xxhash64(shingle, i))`
-    columns.  Partial (map-side) aggregation means the shuffle carries
-    |docs|×num_hashes longs, and the work parallelizes across all
-    cores/executors — unlike an array-fold expression, which serializes
-    per input partition and churns a 64-wide array per shingle.
+    Shape chosen deliberately: explode (shingle, hash-index) pairs to
+    rows, take ``min(xxhash64(shingle, i))`` per (id, i), re-assemble
+    the index-ordered array.  Versus a wide 64-min-column aggregate this
+    trades ~2.5× the shuffled bytes (still only ~1.3 KB/doc — partial
+    map-side combine keeps both shuffles at |docs|×num_hashes rows of
+    20 B, noise next to scanning the corpus text) for a tiny expression
+    tree: the wide form pays seconds of Catalyst/Janino compilation for
+    its 64-buffer codegen and updates 64 aggregation buffers per row —
+    measured ~2× slower end-to-end, cold and warm.
     """
     df = _spread(df)
     sh = shingles(F.col(text_col), k=shingle_k)
     ex = df.select(F.col(id_col).alias("id"), F.explode(sh).alias("s"))
-    aggs = [
-        F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+    pairs = ex.select(
+        "id", F.posexplode(F.array_repeat("s", num_hashes)).alias("i", "si")
+    ).select("id", "i", F.xxhash64("si", F.col("i")).alias("h"))
+    mins = pairs.groupBy("id", "i").agg(F.min("h").alias("m"))
+    sig = F.transform(
+        F.array_sort(F.collect_list(F.struct("i", "m"))), lambda x: x["m"]
+    ).alias("sig")
+    grouped = mins.groupBy("id").agg(sig)
     if keep_shingles:
-        aggs.append(F.collect_set("s").alias("sh"))
-    grouped = ex.groupBy("id").agg(*aggs)
-    cols = [
-        "id",
-        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
-    ]
-    if keep_shingles:
-        cols.append(F.col("sh"))
-    return grouped.select(*cols)
+        shs = df.select(F.col(id_col).alias("id"), sh.alias("sh"))
+        return grouped.join(shs, on="id")
+    return grouped
 
 
 def minhash_bands(sig: Column, num_bands: int = 16, rows_per_band: int = 4) -> Column:
