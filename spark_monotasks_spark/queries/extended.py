@@ -398,6 +398,68 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- streaming through the batch contract — SURVEY §2.10 ------------------
+
+@register(
+    "stream_hourly_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING twin of events_hourly_window, run end-to-end through
+    Structured Streaming: file source over the same parquet (availableNow
+    = process everything then stop, the micro-batch analogue of the
+    DStream tests), windowed aggregate in complete mode, memory sink.
+    Deterministic — hash-matches the same oracle as the batch query,
+    which is exactly the reference's batch-vs-stream equivalence claim
+    (DStream ops are 'the same computation per micro-batch')."""
+    import os
+    import tempfile
+    import uuid
+
+    from spark_monotasks_spark.streaming import dstream
+
+    # the file source wants a *directory* of files; stage a symlink
+    stage = tempfile.mkdtemp(prefix="stream_events_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(stage, "events.parquet"),
+    )
+    stream = dstream.file_stream(
+        spark,
+        stage,
+        # stream the raw file: nanos bigint ts, converted after load
+        spark.read.parquet(f"{sf_dir}/events.parquet").schema,
+        max_files_per_trigger=1,
+    )
+    stream = stream.withColumn(
+        "ts", F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)")
+    )
+    agg = dstream.windowed_agg(
+        stream,
+        "ts",
+        "1 hour",
+        aggs=[
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        ],
+        keys=("event_type",),
+    )
+    name = f"stream_hourly_{uuid.uuid4().hex[:8]}"
+    q = dstream.start_memory_sink(agg, name, output_mode="complete")
+    q.awaitTermination(300)
+    q.stop()
+    return spark.table(name).select(
+        "window_start", "event_type", "n", "total_value"
+    )
+
+
 # --- UDAF / UDTF / percentile — SURVEY §2.11 ------------------------------
 
 @register(
