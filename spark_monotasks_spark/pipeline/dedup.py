@@ -207,32 +207,38 @@ def simhash_signatures(
     of xxhash64(token) bit patterns (frequency-weighted — repeated
     tokens vote repeatedly).
 
-    Same scale shape as minhash_signatures: explode tokens → ONE
-    hash-aggregate with ``bits`` conditional-sum columns (map-side
-    partials; shuffle = |docs|×bits ints), then bit-pack 64 static
-    columns in a plain Python fold."""
+    Same scale shape as minhash_signatures (see its docstring for the
+    pair-rows vs wide-columns tradeoff): explode (token-hash, bit-index)
+    pairs, sum the ±1 votes per (id, bit) with map-side combine, then
+    bit-pack the 64 majority votes back into one bigint per doc."""
     df = _spread(df)
     ex = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
     ).select("id", F.xxhash64("tok").alias("h"))
-    votes = ex.groupBy("id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1).otherwise(-1)
-            ).alias(f"b{i}")
-            for i in range(bits)
-        ]
+    pairs = ex.select(
+        "id", F.posexplode(F.array_repeat("h", bits)).alias("i", "hi")
+    ).select(
+        "id",
+        "i",
+        # pyspark's F.shiftright only takes literal shift amounts; the
+        # SQL function accepts a column
+        F.when(F.expr("shiftright(hi, i)").bitwiseAND(1) == 1, 1)
+        .otherwise(-1)
+        .alias("vote"),
     )
-    packed = F.lit(0).cast("bigint")
-    for i in range(bits):
-        val = (1 << i) if i < 63 else -(1 << 63)  # bit 63 = sign bit
-        packed = packed.bitwiseOR(
-            F.when(F.col(f"b{i}") > 0, F.lit(val).cast("bigint")).otherwise(
-                F.lit(0).cast("bigint")
-            )
-        )
-    return votes.select("id", packed.alias("sig"))
+    votes = pairs.groupBy("id", "i").agg(F.sum("vote").alias("v"))
+    # pack: bit i set iff majority positive.  The bit values are
+    # disjoint powers of two, so SUM == bitwise OR (no carries) — incl.
+    # bit 63, where shiftleft(1L, 63) is the bigint sign bit.
+    bitval = F.when(F.col("v") > 0, F.expr("shiftleft(1L, i)")).otherwise(
+        F.lit(0).cast("bigint")
+    )
+    return (
+        votes.select("id", bitval.alias("bitval"))
+        .groupBy("id")
+        .agg(F.sum("bitval").alias("sig"))
+    )
 
 
 def simhash_near_duplicates(

@@ -134,6 +134,19 @@ def sql_union_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("sql_tablesample")  # sampling is seed/engine-specific → rows-only
+def sql_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLESAMPLE (HiveQl.scala:847 percent / :863 bucket sampling) —
+    Spark SQL parses both; cardinality bounds are asserted in
+    tests/test_operators.py's sampling checks, values are engine-seeded."""
+    return _ctx(spark, sf_dir).sql(
+        """
+        SELECT l_orderkey, l_linenumber, l_extendedprice
+        FROM lineitem TABLESAMPLE (10 PERCENT) REPEATABLE (42)
+        """
+    )
+
+
 @register(
     "sql_cached_table",
     oracle="""
