@@ -159,7 +159,9 @@ def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
     takes min(own label, neighbors' labels); stop when no label
     changed.  O(diameter) rounds — on power-law graphs that's small;
     the large-star/small-star variant halves rounds but this matches
-    the reference algorithm.  Returns (id, component).
+    the reference algorithm.  Raises if ``max_iters`` rounds pass
+    without convergence (a high-diameter graph would otherwise get
+    silently wrong labels).  Returns (id, component).
     """
     sym = edges.select("src", "dst").unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -195,5 +197,9 @@ def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge within {max_iters} rounds "
+        "(graph diameter exceeds max_iters) — raise max_iters; returning "
+        "the intermediate labels would be silently wrong"
+    )

@@ -108,7 +108,17 @@ def salted_join(
     spreads over N shuffle partitions.  Beyond-reference scale tool — AQE
     skew-join handles moderate skew automatically; use this for a single
     pathological key at the 100 TB tier.
+
+    Only inner/left are valid: the exploded right copies are
+    indistinguishable from real rows to right/full outer semantics (the
+    salt copies a left row did NOT draw would null-extend as spurious
+    output rows), so those join types are rejected.
     """
+    if _JOIN_TYPES[how.lower()] not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports inner/left only, not {how!r}: exploded "
+            "salt copies would surface as spurious rows under right/full outer"
+        )
     salt = F.floor(F.rand(seed=42) * salt_buckets).cast("int")
     lsalted = left.withColumn("__salt", salt)
     rsalted = right.withColumn(

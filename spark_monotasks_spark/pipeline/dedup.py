@@ -156,6 +156,12 @@ def minhash_near_duplicates(
     instead of carrying every document's shingle set bands× times.
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
+    if num_bands < 1 or num_hashes % num_bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be a positive multiple of "
+            f"num_bands ({num_bands}); otherwise bands are empty or hashes "
+            "are silently discarded"
+        )
     rows_per_band = num_hashes // num_bands
     base = minhash_signatures(df, id_col, text_col, shingle_k, num_hashes).select(
         "id",
@@ -252,6 +258,12 @@ def simhash_near_duplicates(
     ``num_bands`` 16-bit chunks (pigeonhole: hamming ≤ bands-1 ⇒ some
     band equal), bucket-join, verify hamming distance exactly.
     Returns (id_a, id_b, hamming)."""
+    if max_hamming > num_bands - 1:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) > num_bands-1 ({num_bands - 1}) "
+            "breaks the pigeonhole guarantee: pairs whose differing bits "
+            "touch every band would be silently missed.  Raise num_bands."
+        )
     band_width = 64 // num_bands
     base = simhash_signatures(df, id_col, text_col)
     banded = base.select(

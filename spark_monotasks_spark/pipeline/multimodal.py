@@ -96,7 +96,10 @@ def extract_image_features(
                 }
             )
 
-    return media.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
+    # metadata-first pruning (module design note): only image rows reach
+    # the decode UDF — same filter as the audio/resize/frame siblings
+    images = media.filter(F.col("meta.media_type") == "image")
+    return images.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
 
 
 AUDIO_FEATURES_SCHEMA = T.StructType(

@@ -137,19 +137,24 @@ def lsh_bucket_topk(
 ) -> DataFrame:
     """Approximate top-k: hash the query, search its bucket plus all
     buckets within ``multiprobe_bits`` bit-flips (multiprobe recovers
-    recall lost to quantization).  Candidate set is |bucket|·(1+planes)
-    rows instead of the full corpus."""
+    recall lost to quantization).  Candidate set is |bucket| times the
+    probe count instead of the full corpus."""
+    import itertools
+
     planes = _hyperplanes(dim, n_planes, seed)
     corpus = with_lsh_signature(embeddings, dim, n_planes, seed, vec_col)
     q = query.select(
         F.col("qvec"), signature_col(F.col("qvec"), planes).alias("qbucket")
     )
     probes = [F.col("qbucket")]
-    if multiprobe_bits >= 1:
-        probes += [
-            F.col("qbucket").bitwiseXOR(F.shiftleft(F.lit(1).cast("bigint"), i))
-            for i in range(n_planes)
-        ]
+    for r in range(1, multiprobe_bits + 1):
+        for bits in itertools.combinations(range(n_planes), r):
+            mask = 0
+            for b in bits:
+                mask |= 1 << b
+            probes.append(
+                F.col("qbucket").bitwiseXOR(F.lit(mask).cast("bigint"))
+            )
     qprobes = F.broadcast(
         q.select("qvec", F.explode(F.array(*probes)).alias("lsh_bucket"))
     )

@@ -453,8 +453,13 @@ def stream_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"stream_hourly_{uuid.uuid4().hex[:8]}"
     q = dstream.start_memory_sink(agg, name, output_mode="complete")
-    q.awaitTermination(300)
+    finished = q.awaitTermination(300)
     q.stop()
+    if not finished:
+        raise TimeoutError(
+            "streaming query did not drain within 300s — refusing to return "
+            "a partial aggregate"
+        )
     return spark.table(name).select(
         "window_start", "event_type", "n", "total_value"
     )

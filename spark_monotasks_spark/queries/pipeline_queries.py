@@ -198,9 +198,13 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("simhash_near_dups")  # rows-only (same reason)
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-duplicate pairs (dedup.simhash_near_duplicates)."""
+    """SimHash near-duplicate pairs (dedup.simhash_near_duplicates).
+    8 bands of 8 bits: pigeonhole covers hamming ≤ 7, so the ≤ 6 cutoff
+    loses no pairs (4 bands would silently miss distances 4-6)."""
     t = _t(spark, sf_dir)
-    return dedup.simhash_near_duplicates(t["documents"], max_hamming=6)
+    return dedup.simhash_near_duplicates(
+        t["documents"], max_hamming=6, num_bands=8
+    )
 
 
 @register(

@@ -109,20 +109,27 @@ def reduce_by_key_and_window(
     window: str,
     slide: str | None = None,
     watermark: str | None = None,
+    reduce_fn: Callable[[str], Column] = F.sum,
+    out_col: str | None = None,
 ) -> DataFrame:
-    """reduceByKeyAndWindow (PairDStreamFunctions.scala:124-324).  The
-    reference's incremental ``invReduceFunc`` variant is the state
-    store's job in Structured Streaming — same result, managed state."""
+    """reduceByKeyAndWindow (PairDStreamFunctions.scala:124-324).
+
+    ``reduce_fn`` is any associative aggregate builder (F.sum default;
+    F.min/F.max/F.count match the reference's arbitrary reduceFunc
+    surface).  The reference's incremental ``invReduceFunc`` variant is
+    the state store's job in Structured Streaming — same result,
+    managed state."""
     if watermark is not None:
         df = df.withWatermark(ts_col, watermark)
+    name = out_col or f"{reduce_fn.__name__}_{value_col}"
     win = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
     return (
         df.groupBy(win.alias("window"), *key_cols)
-        .agg(F.sum(value_col).alias(f"sum_{value_col}"))
+        .agg(reduce_fn(value_col).alias(name))
         .select(
             F.col("window.start").alias("window_start"),
             *key_cols,
-            f"sum_{value_col}",
+            name,
         )
     )
 
@@ -182,7 +189,11 @@ def update_state_by_key(
     ) -> Iterable[pd.DataFrame]:
         values: list[float] = []
         for pdf in pdfs:
-            values.extend(float(v) for v in pdf[value_col])
+            # NULLs surface as NaN (float dtype) or None (object dtype);
+            # either would poison the running state — skip them, matching
+            # aggregate null semantics
+            col = pd.to_numeric(pdf[value_col], errors="coerce")
+            values.extend(float(v) for v in col.dropna())
         prev = state.get[0] if state.exists else None
         new = update(values, prev)
         state.update((new,))

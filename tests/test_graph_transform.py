@@ -108,3 +108,16 @@ def test_triangle_count_k4(spark):
     )
     got = {r.id: r.triangles for r in triangle_count(edges).collect()}
     assert got == {i: 3 for i in range(4)}  # K4: each vertex in C(3,2)=3
+
+
+def test_connected_components_raises_without_convergence(spark):
+    import pytest as _pytest
+    from spark_monotasks_spark.graph import connected_components
+
+    path_edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "src long, dst long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(path_edges, max_iters=3)
+    got = {r.id: r.component for r in connected_components(path_edges).collect()}
+    assert set(got.values()) == {0}

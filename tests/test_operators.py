@@ -309,3 +309,12 @@ def test_salted_join_matches_plain_join(spark):
         got.agg(F.sum(F.col("v") * F.col("w")).alias("s")).first().s
         == plain.agg(F.sum(F.col("v") * F.col("w")).alias("s")).first().s
     )
+
+
+def test_salted_join_rejects_outer(spark):
+    import pytest as _pytest
+    from spark_monotasks_spark.operators.joins import salted_join
+
+    df = spark.createDataFrame([(1, 1)], "k long, v long")
+    with _pytest.raises(ValueError, match="inner/left only"):
+        salted_join(df, df, on="k", how="full")

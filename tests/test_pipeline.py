@@ -192,7 +192,9 @@ def test_media_feature_extraction_shape(spark):
     media = multimodal.synthetic_media(spark, n=12)
     feats = multimodal.extract_image_features(media, strict=False)
     rows = feats.collect()
-    assert len(rows) == 12
+    # images only (every 3rd synthetic row) — audio/video never reach
+    # the decode UDF (metadata-first pruning)
+    assert len(rows) == 4
     assert feats.schema == multimodal.IMAGE_FEATURES_SCHEMA
     assert all(len(r.features) == 8 for r in rows)
 
@@ -293,3 +295,10 @@ def test_ivf_probe_bounds_scan(spark, tables):
     ids = [r.vec_id for r in got]
     assert 0 in ids and len(ids) == 10
     assert all(r.sim <= exact.sim for r in got)
+
+
+def test_dedup_param_guards(spark, docs_with_dups):
+    with pytest.raises(ValueError, match="positive multiple"):
+        dedup.minhash_near_duplicates(docs_with_dups, num_hashes=16, num_bands=32)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_near_duplicates(docs_with_dups, max_hamming=6, num_bands=4)

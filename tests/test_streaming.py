@@ -50,8 +50,9 @@ def chunked_events(spark, tmp_path_factory):
 
 
 def _await(q):
-    q.awaitTermination(120)
+    finished = q.awaitTermination(120)
     q.stop()
+    assert finished, "streaming query did not drain within 120s"
 
 
 def test_windowed_count_matches_batch(spark, chunked_events):
