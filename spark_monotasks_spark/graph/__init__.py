@@ -2,6 +2,8 @@ from spark_monotasks_spark.graph.algorithms import (  # noqa: F401
     aggregate_messages,
     connected_components,
     degrees,
+    label_propagation,
     pagerank,
+    shortest_paths,
     triangle_count,
 )

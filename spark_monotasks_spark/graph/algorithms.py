@@ -112,6 +112,92 @@ def pagerank(
     return ranks
 
 
+def shortest_paths(
+    edges: DataFrame, landmarks: list[int], max_iters: int = 50
+) -> DataFrame:
+    """lib/ShortestPaths.scala: unweighted hop distance from every
+    vertex to each landmark (undirected, like the reference's
+    Pregel formulation over canonical orientation).
+
+    Frontier BFS as iterative joins: distances start at the landmarks
+    and relax one hop per round; stops when a round changes nothing.
+    Returns (id, landmark, distance) — unreachable pairs are absent,
+    matching the reference's empty-map entries.
+    """
+    sym = edges.select("src", "dst").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint()
+    verts = sym.select(F.col("src").alias("id")).distinct()
+    dist = verts.join(
+        F.broadcast(
+            edges.sparkSession.createDataFrame(
+                [(lm,) for lm in landmarks], "landmark long"
+            )
+        ),
+        on=F.col("id") == F.col("landmark"),
+    ).select("id", "landmark", F.lit(0).cast("int").alias("distance"))
+    dist = dist.localCheckpoint()
+    for _ in range(max_iters):
+        relaxed = (
+            sym.join(dist.withColumnRenamed("id", "dst"), on="dst")
+            .select(
+                F.col("src").alias("id"),
+                "landmark",
+                (F.col("distance") + 1).alias("distance"),
+            )
+            .unionAll(dist)
+            .groupBy("id", "landmark")
+            .agg(F.min("distance").alias("distance"))
+            .localCheckpoint()
+        )
+        if relaxed.count() == dist.count():
+            # relaxation adds (vertex, landmark) pairs monotonically;
+            # equal count ⇒ no new pair and no shorter path (min is
+            # monotone) ⇒ fixpoint
+            changed = (
+                relaxed.alias("n")
+                .join(dist.alias("o"), on=["id", "landmark"])
+                .filter(F.col("n.distance") != F.col("o.distance"))
+                .limit(1)
+                .count()
+            )
+            if changed == 0:
+                return relaxed
+        dist = relaxed
+    raise RuntimeError(
+        f"shortest_paths did not converge within {max_iters} rounds — "
+        "raise max_iters"
+    )
+
+
+def label_propagation(edges: DataFrame, max_iters: int = 5) -> DataFrame:
+    """lib/LabelPropagation.scala: community detection — each round a
+    vertex adopts the most frequent label among its neighbors (ties →
+    smallest label, deterministic where the reference's hash-map
+    iteration order was not).  Runs a fixed ``max_iters`` rounds like
+    the reference (LPA need not converge; it can oscillate).
+    Returns (id, label)."""
+    sym = edges.select("src", "dst").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint()
+    labels = sym.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("label")
+    )
+    for _ in range(max_iters):
+        counts = (
+            sym.join(labels.withColumnRenamed("id", "src"), on="src")
+            .groupBy(F.col("dst").alias("id"), "label")
+            .agg(F.count("*").alias("n"))
+        )
+        # argmax by (n desc, label asc) via max_by on a sortable struct
+        labels = counts.groupBy("id").agg(
+            F.max_by(
+                "label", F.struct(F.col("n"), (-F.col("label")).alias("neg"))
+            ).alias("label")
+        ).localCheckpoint()
+    return labels
+
+
 def triangle_count(edges: DataFrame) -> DataFrame:
     """lib/TriangleCount.scala: triangles through each vertex.
 

@@ -124,6 +124,52 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges)
 
 
+@register(
+    "graph_shortest_paths",
+    oracle="""
+    WITH lm AS (SELECT n_regionkey FROM nation WHERE n_nationkey = 0)
+    SELECT CAST(n_nationkey AS BIGINT) AS id,
+           CAST(0 AS BIGINT) AS landmark,
+           CAST(CASE WHEN n_nationkey = 0 THEN 0 ELSE 1 END AS INT) AS distance
+    FROM nation JOIN lm USING (n_regionkey)
+    """,
+)
+def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ShortestPaths (graphx lib/ShortestPaths.scala) from nation 0 on
+    the co-region clique graph: its region's members are at distance 1,
+    other regions unreachable (absent) — closed-form oracle."""
+    t = _t(spark, sf_dir)
+    edges = _nation_coregion_edges(t).select(
+        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+    )
+    from spark_monotasks_spark.graph import shortest_paths
+
+    return shortest_paths(edges, landmarks=[0])
+
+
+@register(
+    "graph_label_propagation",
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS id,
+           CAST(min(n_nationkey) OVER (PARTITION BY n_regionkey) AS BIGINT)
+             AS label
+    FROM nation
+    """,
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LabelPropagation (graphx lib/LabelPropagation.scala) on the
+    co-region cliques: with smallest-label tie-breaking every clique
+    converges to its min vertex id within 3 rounds — closed-form
+    oracle."""
+    t = _t(spark, sf_dir)
+    edges = _nation_coregion_edges(t).select(
+        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+    )
+    from spark_monotasks_spark.graph import label_propagation
+
+    return label_propagation(edges, max_iters=4)
+
+
 @register("graph_pagerank")  # iterative float fixpoint — rows-only; exact
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:  # invariants in tests
     """Static PageRank (graphx lib/PageRank.scala) over the

@@ -121,3 +121,45 @@ def test_connected_components_raises_without_convergence(spark):
         connected_components(path_edges, max_iters=3)
     got = {r.id: r.component for r in connected_components(path_edges).collect()}
     assert set(got.values()) == {0}
+
+
+def test_shortest_paths_chain(spark):
+    from spark_monotasks_spark.graph import shortest_paths
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (10, 11)], "src long, dst long"
+    )
+    got = {
+        (r.id, r.landmark): r.distance
+        for r in shortest_paths(edges, landmarks=[0]).collect()
+    }
+    assert got == {(0, 0): 0, (1, 0): 1, (2, 0): 2, (3, 0): 3}
+    # 10, 11 unreachable from 0 → absent (reference: empty map entries)
+
+
+def test_shortest_paths_two_landmarks(spark):
+    from spark_monotasks_spark.graph import shortest_paths
+
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    got = {
+        (r.id, r.landmark): r.distance
+        for r in shortest_paths(edges, landmarks=[0, 2]).collect()
+    }
+    assert got[(1, 0)] == 1 and got[(1, 2)] == 1
+    assert got[(0, 2)] == 2 and got[(2, 0)] == 2
+
+
+def test_label_propagation_two_cliques(spark):
+    from itertools import combinations
+
+    from spark_monotasks_spark.graph import label_propagation
+
+    cliq1 = list(combinations([0, 1, 2, 3], 2))
+    cliq2 = list(combinations([10, 11, 12, 13], 2))
+    bridge = [(3, 10)]
+    edges = spark.createDataFrame(cliq1 + cliq2 + bridge, "src long, dst long")
+    got = {r.id: r.label for r in label_propagation(edges, max_iters=5).collect()}
+    # each clique converges to one internal label; cliques stay distinct
+    assert len({got[i] for i in [0, 1, 2]}) == 1
+    assert len({got[i] for i in [11, 12, 13]}) == 1
+    assert got[0] != got[11]
