@@ -25,5 +25,6 @@ from spark_monotasks_spark.queries import relational  # noqa: E402,F401
 from spark_monotasks_spark.queries import pipeline_queries  # noqa: E402,F401
 from spark_monotasks_spark.queries import extended  # noqa: E402,F401
 from spark_monotasks_spark.queries import sql_surface  # noqa: E402,F401
+from spark_monotasks_spark.queries import scalar_funcs  # noqa: E402,F401
 
 __all__ = ["QUERY_REGISTRY", "ORACLE_REGISTRY", "register"]

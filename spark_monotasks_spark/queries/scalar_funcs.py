@@ -1,0 +1,208 @@
+"""Scalar-function-surface catalog entries (SURVEY §2.8 tail).
+
+The reference's effective function surface was the Hive builtin registry
+(hiveUdfs.scala:60-69); functions/registry.py maps those names to
+pyspark.sql.functions.  These entries execute the breadth of that map —
+math, bitwise, string manipulation, array/map builtins — against DuckDB
+oracles, so the registry isn't just a name table but an executed,
+value-checked surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_monotasks_spark.queries.registry import register
+from spark_monotasks_spark.tables import load_tables
+
+
+def _t(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return load_tables(spark, sf_dir)
+
+
+@register(
+    "math_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           round(exp(o_totalprice / 500000.0), 6)   AS e_x,
+           round(ln(o_totalprice), 6)               AS ln_x,
+           round(log10(o_totalprice), 6)            AS log10_x,
+           round(pow(o_totalprice, 0.5), 6)         AS sqrt_x,
+           round(sin(o_orderkey % 7), 6)            AS sin_k,
+           round(atan(o_orderkey % 7), 6)           AS atan_k,
+           CAST(sign(o_totalprice - 150000.0) AS INT) AS sgn,
+           round(degrees(1.0), 6)                   AS deg1
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math builtins (Hive-registry reached; SURVEY §2.8 notes the fork
+    has no native trig/log — users got them via Hive)."""
+    t = _t(spark, sf_dir)
+    o = t["orders"].filter(F.col("o_orderkey") <= 2000)
+    return o.select(
+        "o_orderkey",
+        F.round(F.exp(F.col("o_totalprice") / 500000.0), 6).alias("e_x"),
+        F.round(F.log(F.col("o_totalprice")), 6).alias("ln_x"),
+        F.round(F.log10("o_totalprice"), 6).alias("log10_x"),
+        F.round(F.pow("o_totalprice", F.lit(0.5)), 6).alias("sqrt_x"),
+        F.round(F.sin(F.col("o_orderkey") % 7), 6).alias("sin_k"),
+        F.round(F.atan(F.col("o_orderkey") % 7), 6).alias("atan_k"),
+        F.signum(F.col("o_totalprice") - 150000.0).cast("int").alias("sgn"),
+        F.round(F.degrees(F.lit(1.0)), 6).alias("deg1"),
+    )
+
+
+@register(
+    "bitwise_ops",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_orderkey & 255                          AS band,
+           l_orderkey | 4096                         AS bor,
+           xor(l_orderkey, l_linenumber)             AS bxor,
+           ~l_orderkey                               AS bnot,
+           l_orderkey << 2                           AS shl,
+           l_orderkey >> 1                           AS shr
+    FROM lineitem WHERE l_orderkey <= 500
+    """,
+)
+def bitwise_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise expressions (arithmetic.scala: BitwiseAnd :234, BitwiseOr
+    :255, BitwiseXor :276, BitwiseNot :297) + shifts."""
+    t = _t(spark, sf_dir)
+    l = t["lineitem"].filter(F.col("l_orderkey") <= 500)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_orderkey").bitwiseAND(255).alias("band"),
+        F.col("l_orderkey").bitwiseOR(4096).alias("bor"),
+        F.col("l_orderkey").bitwiseXOR(F.col("l_linenumber").cast("long")).alias("bxor"),
+        F.bitwise_not(F.col("l_orderkey")).alias("bnot"),
+        F.shiftleft(F.col("l_orderkey"), 2).alias("shl"),
+        F.shiftright(F.col("l_orderkey"), 1).alias("shr"),
+    )
+
+
+@register(
+    "string_funcs2",
+    oracle="""
+    SELECT c_custkey,
+           lpad(c_name, 30, '*')                      AS padded,
+           rpad(c_mktsegment, 12, '.')                AS rpadded,
+           reverse(c_mktsegment)                      AS rev,
+           instr(c_name, '1')                         AS pos1,
+           repeat(substring(c_mktsegment, 1, 2), 3)   AS rep,
+           translate(c_mktsegment, 'AEIOU', 'aeiou')  AS xlat,
+           concat_ws('-', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS joined
+    FROM customer WHERE c_custkey <= 300
+    """,
+)
+def string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-builtin tail (Hive registry: lpad/rpad/reverse/instr/
+    repeat/translate/concat_ws — none native in the fork)."""
+    t = _t(spark, sf_dir)
+    c = t["customer"].filter(F.col("c_custkey") <= 300)
+    return c.select(
+        "c_custkey",
+        F.lpad("c_name", 30, "*").alias("padded"),
+        F.rpad("c_mktsegment", 12, ".").alias("rpadded"),
+        F.reverse("c_mktsegment").alias("rev"),
+        F.instr("c_name", "1").alias("pos1"),
+        F.repeat(F.substring("c_mktsegment", 1, 2), 3).alias("rep"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("xlat"),
+        F.concat_ws("-", "c_mktsegment", F.col("c_custkey").cast("string")).alias(
+            "joined"
+        ),
+    )
+
+
+@register(
+    "hash_funcs",
+    oracle="""
+    SELECT doc_id,
+           md5(text)                           AS h_md5,
+           sha256(text)                        AS h_sha256,
+           to_base64(encode(substring(text, 1, 12))) AS b64,
+           ascii(text)                         AS first_cp,
+           hex(doc_id)                         AS k_hex
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash/encoding builtins (Hive registry: md5/sha2/base64/ascii/hex).
+    DuckDB's hex(long) matches Spark's unpadded uppercase form."""
+    t = _t(spark, sf_dir)
+    d = t["documents"].filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("h_md5"),
+        F.sha2(F.col("text").cast("binary"), 256).alias("h_sha256"),
+        F.base64(F.substring("text", 1, 12).cast("binary")).alias("b64"),
+        F.ascii("text").alias("first_cp"),
+        F.hex(F.col("doc_id")).alias("k_hex"),
+    )
+
+
+@register(
+    "array_map_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           list_sort([l_quantity, l_discount, l_tax])       AS arr_sorted,
+           list_contains([l_returnflag, l_linestatus], 'N') AS has_n,
+           len([l_quantity, l_discount])                    AS arr_len,
+           [l_quantity, l_discount][2]                      AS second,
+           list_slice([l_quantity, l_discount, l_tax], 1, 2) AS sliced,
+           map_keys(map(['q'], [l_quantity]))[1]            AS mkey,
+           map_values(map(['q'], [l_quantity]))[1]          AS mval
+    FROM lineitem WHERE l_orderkey <= 200
+    """,
+)
+def array_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/map builtin tail (complexTypes.scala + Hive registry:
+    sort_array, array_contains, size, element_at, slice, map_keys,
+    map_values)."""
+    t = _t(spark, sf_dir)
+    l = t["lineitem"].filter(F.col("l_orderkey") <= 200)
+    arr3 = F.array("l_quantity", "l_discount", "l_tax")
+    arr2 = F.array("l_quantity", "l_discount")
+    mp = F.create_map(F.lit("q"), F.col("l_quantity"))
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sort_array(arr3).alias("arr_sorted"),
+        F.array_contains(F.array("l_returnflag", "l_linestatus"), "N").alias("has_n"),
+        F.size(arr2).alias("arr_len"),
+        F.element_at(arr2, 2).alias("second"),
+        F.slice(arr3, 1, 2).alias("sliced"),
+        F.element_at(F.map_keys(mp), 1).alias("mkey"),
+        F.element_at(F.map_values(mp), 1).alias("mval"),
+    )
+
+
+@register(
+    "conditional_funcs",
+    oracle="""
+    SELECT c_custkey,
+           greatest(c_acctbal, 0.0)                          AS bal_floor,
+           least(c_acctbal, 5000.0)                          AS bal_cap,
+           nullif(c_mktsegment, 'MACHINERY')                 AS seg_nz,
+           coalesce(nullif(c_mktsegment, 'MACHINERY'), 'M?') AS seg_nvl,
+           CASE WHEN c_acctbal >= 0 THEN 'ok' ELSE 'neg' END AS flag
+    FROM customer WHERE c_custkey <= 400
+    """,
+)
+def conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """greatest/least (MaxOf arithmetic.scala:327 family), nullif/nvl
+    (nullFunctions.scala), if/case (predicates.scala:322,:366)."""
+    t = _t(spark, sf_dir)
+    c = t["customer"].filter(F.col("c_custkey") <= 400)
+    seg_nz = F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY"))
+    return c.select(
+        "c_custkey",
+        F.greatest("c_acctbal", F.lit(0.0)).alias("bal_floor"),
+        F.least("c_acctbal", F.lit(5000.0)).alias("bal_cap"),
+        seg_nz.alias("seg_nz"),
+        F.coalesce(seg_nz, F.lit("M?")).alias("seg_nvl"),
+        F.when(F.col("c_acctbal") >= 0, "ok").otherwise("neg").alias("flag"),
+    )
