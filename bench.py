@@ -41,6 +41,7 @@ HEADLINE = [
     "sql_lateral_view",
     "tpch_q6_forecast",
     "tpch_q10_returns",
+    "tpch_q18_big_orders",
     "events_sessionize",
 ]
 
