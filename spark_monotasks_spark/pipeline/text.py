@@ -31,13 +31,15 @@ def token_count(col: Column | str, sep: str = " ") -> Column:
 
 
 def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Token/char statistics per document — one narrow projection."""
+    """Token/char statistics per document — one narrow projection.
+    Counts are long (DuckDB len/length return BIGINT — keeps the oracle
+    schema identical, not just the values)."""
     toks = tokens(text_col)
     n_tokens = F.size(toks)
     return df.select(
         "*",
-        n_tokens.alias("n_tokens"),
-        F.length(text_col).alias("text_len"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.length(text_col).cast("long").alias("text_len"),
         F.round(F.length(text_col) / n_tokens, 4).alias("chars_per_token"),
     )
 

@@ -759,7 +759,8 @@ def cogroup_collect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "decimal_agg",
     oracle="""
     SELECT l_returnflag,
-           sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(22,2))
+             AS sum_price,
            CAST(avg(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(16,6)) AS avg_qty,
            max(CAST(l_discount AS DECIMAL(4,2))) AS max_disc
     FROM lineitem GROUP BY l_returnflag

@@ -102,7 +102,7 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     \\p classes differ between Java regex and RE2)."""
     t = _t(spark, sf_dir)
     return t["documents"].select(
-        "doc_id", text.bpe_ish_token_count("text").alias("bpe_tokens")
+        "doc_id", text.bpe_ish_token_count("text").cast("long").alias("bpe_tokens")
     )
 
 

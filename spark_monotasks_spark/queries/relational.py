@@ -799,7 +799,7 @@ def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper("c_name").alias("uname"),
         F.lower("c_mktsegment").alias("lseg"),
         F.substring("c_name", 10, 5).alias("frag"),
-        F.length("c_name").alias("name_len"),
+        F.length("c_name").cast("long").alias("name_len"),
         F.concat(F.col("c_mktsegment"), F.lit("_"), F.col("c_name")).alias("tag"),
         F.when(F.col("c_name").contains("42"), 1).otherwise(0).alias("has42"),
     )
@@ -910,17 +910,19 @@ def datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     builtins (SURVEY §2.8 note); mapped to F.* (functions/registry.py)."""
     t = _t(spark, sf_dir)
     o = t["orders"].filter(F.col("o_orderkey") % 250 == 0)
+    # extracts cast to long: DuckDB's year()/datediff() return BIGINT,
+    # and the driver compares schemas, not just values
     return o.select(
         "o_orderkey",
-        F.year("o_orderdate").alias("yr"),
-        F.month("o_orderdate").alias("mo"),
-        F.dayofmonth("o_orderdate").alias("dom"),
-        F.quarter("o_orderdate").alias("qtr"),
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dom"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
         F.trunc(F.col("o_orderdate").cast("date"), "month").alias("month_start"),
         F.datediff(
             F.col("o_orderdate").cast("date"),
             F.lit("1995-01-01").cast("date"),
-        ).alias("days_since"),
+        ).cast("long").alias("days_since"),
     )
 
 
@@ -1019,7 +1021,7 @@ def window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey",
             "l_linenumber",
             "l_extendedprice",
-            F.row_number().over(w).alias("rn"),
+            F.row_number().over(w).cast("long").alias("rn"),
         )
         .filter(F.col("rn") <= 3)
     )

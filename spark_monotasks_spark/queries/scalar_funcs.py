@@ -108,7 +108,7 @@ def string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lpad("c_name", 30, "*").alias("padded"),
         F.rpad("c_mktsegment", 12, ".").alias("rpadded"),
         F.reverse("c_mktsegment").alias("rev"),
-        F.instr("c_name", "1").alias("pos1"),
+        F.instr("c_name", "1").cast("long").alias("pos1"),
         F.repeat(F.substring("c_mktsegment", 1, 2), 3).alias("rep"),
         F.translate("c_mktsegment", "AEIOU", "aeiou").alias("xlat"),
         F.concat_ws("-", "c_mktsegment", F.col("c_custkey").cast("string")).alias(
@@ -172,7 +172,7 @@ def array_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         F.sort_array(arr3).alias("arr_sorted"),
         F.array_contains(F.array("l_returnflag", "l_linestatus"), "N").alias("has_n"),
-        F.size(arr2).alias("arr_len"),
+        F.size(arr2).cast("long").alias("arr_len"),
         F.element_at(arr2, 2).alias("second"),
         F.slice(arr3, 1, 2).alias("sliced"),
         F.element_at(F.map_keys(mp), 1).alias("mkey"),
