@@ -241,8 +241,11 @@ def ngram_jaccard_block(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("embedding_near_dups")  # LSH-blocked → rows-only
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via LSH blocking
-    (similarity.embedding_near_duplicates)."""
+    (similarity.embedding_near_duplicates).  Threshold 0.35 because this
+    synthetic corpus is near-uniform random (max pairwise cosine ~0.4) —
+    0.9 would return zero rows and make the check vacuous; planted-dup
+    behavior at high thresholds is covered in tests/test_pipeline.py."""
     t = _t(spark, sf_dir)
     return similarity.embedding_near_duplicates(
-        t["embeddings"], dim=64, threshold=0.9, n_planes=8
+        t["embeddings"], dim=64, threshold=0.35, n_planes=8
     )
