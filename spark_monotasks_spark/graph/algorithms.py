@@ -172,21 +172,24 @@ def shortest_paths(
 
 def label_propagation(edges: DataFrame, max_iters: int = 5) -> DataFrame:
     """lib/LabelPropagation.scala: community detection — each round a
-    vertex adopts the most frequent label among its neighbors (ties →
-    smallest label, deterministic where the reference's hash-map
-    iteration order was not).  Runs a fixed ``max_iters`` rounds like
-    the reference (LPA need not converge; it can oscillate).
+    vertex adopts the most frequent label among its neighbors AND its
+    own (ties → smallest label, deterministic where the reference's
+    hash-map iteration order was not; the self-vote also prevents the
+    classic 2-clique label swap oscillating forever).  Runs a fixed
+    ``max_iters`` rounds like the reference (LPA need not converge).
     Returns (id, label)."""
     sym = edges.select("src", "dst").unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().localCheckpoint()
-    labels = sym.select(F.col("src").alias("id")).distinct().select(
-        "id", F.col("id").alias("label")
-    )
+    verts = sym.select(F.col("src").alias("id")).distinct()
+    labels = verts.select("id", F.col("id").alias("label"))
     for _ in range(max_iters):
+        incoming = sym.join(labels.withColumnRenamed("id", "src"), on="src").select(
+            F.col("dst").alias("id"), "label"
+        )
         counts = (
-            sym.join(labels.withColumnRenamed("id", "src"), on="src")
-            .groupBy(F.col("dst").alias("id"), "label")
+            incoming.unionAll(labels.select("id", "label"))  # self-vote
+            .groupBy("id", "label")
             .agg(F.count("*").alias("n"))
         )
         # argmax by (n desc, label asc) via max_by on a sortable struct

@@ -18,6 +18,8 @@ Everything is built-in F.* higher-order functions — no Python UDFs.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -34,7 +36,8 @@ def exact_duplicates(
 ) -> DataFrame:
     """Group identical texts: fingerprint → (n_copies, keep_id, dup_ids).
 
-    ``keep_id`` = min id (deterministic canonical survivor).
+    ``keep_id`` = min id (deterministic canonical survivor); ``dup_ids``
+    = every member id, sorted (ids only — the payload never shuffles).
     """
     fp = F.md5(F.col(text_col).cast("binary"))
     return (
@@ -43,6 +46,7 @@ def exact_duplicates(
         .agg(
             F.count("*").alias("n_copies"),
             F.min(id_col).alias("keep_id"),
+            F.sort_array(F.collect_list(id_col)).alias("dup_ids"),
         )
     )
 
@@ -65,8 +69,9 @@ def drop_exact_duplicates(
 
 def shingles(col: Column | str, k: int = 3, sep: str = " ") -> Column:
     """Token k-shingles as an array<string> (distinct).  For k=1 this is
-    the token set."""
-    toks = F.split(col, sep)
+    the token set.  ``sep`` is treated as a literal separator (escaped
+    before the regex-based split, so '.' or '|' work as given)."""
+    toks = F.split(col, re.escape(sep))
     if k == 1:
         return F.array_distinct(toks)
     n = F.size(toks)
@@ -263,6 +268,12 @@ def simhash_near_duplicates(
             f"max_hamming ({max_hamming}) > num_bands-1 ({num_bands - 1}) "
             "breaks the pigeonhole guarantee: pairs whose differing bits "
             "touch every band would be silently missed.  Raise num_bands."
+        )
+    if num_bands < 2 or 64 % num_bands != 0:
+        raise ValueError(
+            f"num_bands ({num_bands}) must divide 64 and be >= 2 (bands of "
+            "64/num_bands bits; num_bands=1 would need an unrepresentable "
+            "64-bit mask, non-divisors silently drop the top bits)"
         )
     band_width = 64 // num_bands
     base = simhash_signatures(df, id_col, text_col)

@@ -174,14 +174,16 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:  # invariants in tests
     """Static PageRank (graphx lib/PageRank.scala) over the
     supplier→customer shipment graph (edge = supplier shipped a
-    lineitem on a customer's order).  Supplier ids are offset by 10^7 so
-    the two key spaces can't collide in one vertex-id domain."""
+    lineitem on a customer's order).  Supplier ids are offset by 10^12
+    so the two key spaces can't collide in one vertex-id domain at any
+    reachable scale factor (TPC-H custkeys hit 10^7 around SF 67; 10^12
+    is beyond SF 10^6 while staying far from bigint overflow)."""
     t = _t(spark, sf_dir)
     edges = (
         t["lineitem"]
         .join(t["orders"], t["lineitem"].l_orderkey == t["orders"].o_orderkey)
         .select(
-            (F.col("l_suppkey") + 10_000_000).alias("src"),
+            (F.col("l_suppkey") + 1_000_000_000_000).alias("src"),
             F.col("o_custkey").alias("dst"),
         )
         .distinct()
@@ -594,9 +596,11 @@ def stream_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_monotasks_spark.streaming import dstream
 
     # the file source wants a *directory* of files; stage a symlink
+    # (abspath: a relative sf_dir would otherwise dangle when the link
+    # is resolved against the stage dir)
     stage = tempfile.mkdtemp(prefix="stream_events_")
     os.symlink(
-        os.path.join(sf_dir, "events.parquet"),
+        os.path.abspath(os.path.join(sf_dir, "events.parquet")),
         os.path.join(stage, "events.parquet"),
     )
     stream = dstream.file_stream(
@@ -621,8 +625,13 @@ def stream_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"stream_hourly_{uuid.uuid4().hex[:8]}"
     q = dstream.start_memory_sink(agg, name, output_mode="complete")
-    finished = q.awaitTermination(300)
-    q.stop()
+    try:
+        finished = q.awaitTermination(300)
+    finally:
+        q.stop()
+        import shutil
+
+        shutil.rmtree(stage, ignore_errors=True)  # memory sink holds the rows
     if not finished:
         raise TimeoutError(
             "streaming query did not drain within 300s — refusing to return "
@@ -669,12 +678,14 @@ def udaf_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH toks AS (
       SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), pe AS (
+      SELECT doc_id,
+             CAST(unnest(range(len(t))) AS INT) AS pos,
+             unnest(t) AS token
+      FROM toks
+      WHERE doc_id < 50
     )
-    SELECT doc_id,
-           CAST(unnest(range(len(t))) AS INT) AS pos,
-           unnest(t) AS token
-    FROM toks
-    WHERE doc_id < 50
+    SELECT doc_id, pos, token FROM pe WHERE token != ''
     """,
 )
 def udtf_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:

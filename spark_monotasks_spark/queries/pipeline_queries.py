@@ -24,7 +24,8 @@ def _t(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 @register(
     "dedup_exact_groups",
     oracle="""
-    SELECT md5(text) AS fp, count(*) AS n_copies, min(doc_id) AS keep_id
+    SELECT md5(text) AS fp, count(*) AS n_copies, min(doc_id) AS keep_id,
+           list_sort(list(doc_id)) AS dup_ids
     FROM documents GROUP BY md5(text)
     """,
 )
@@ -214,8 +215,10 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
     ), sh AS (
       SELECT doc_id, lang,
-             list_distinct(list_transform(range(1, len(t) - 1),
-               i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS sh
+             CASE WHEN len(t) >= 3 THEN
+               list_distinct(list_transform(range(1, len(t) - 1),
+                 i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+             ELSE [array_to_string(t, ' ')] END AS sh
       FROM toks
     ), p AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -163,3 +163,13 @@ def test_label_propagation_two_cliques(spark):
     assert len({got[i] for i in [0, 1, 2]}) == 1
     assert len({got[i] for i in [11, 12, 13]}) == 1
     assert got[0] != got[11]
+
+
+def test_label_propagation_two_vertex_clique_converges(spark):
+    # the classic LPA oscillation case: a-b swap labels forever without
+    # the self-vote; with it both converge to min(a, b)
+    from spark_monotasks_spark.graph import label_propagation
+
+    edges = spark.createDataFrame([(7, 3)], "src long, dst long")
+    got = {r.id: r.label for r in label_propagation(edges, max_iters=4).collect()}
+    assert got == {3: 3, 7: 3}
