@@ -154,3 +154,23 @@ def test_parquet_aggregate_pushdown_v2(spark):
         assert r[2] > 0 and r[0] <= r[1]
     finally:
         spark.conf.set("spark.sql.sources.useV1SourceList", prev)
+
+
+def test_q18_aggregates_before_join(spark):
+    """tpch_q18: the HAVING aggregate must run BELOW the joins (shrink
+    the fact first) — an agg-above-join plan would shuffle the full
+    3-way join output."""
+    df = QUERY_REGISTRY["tpch_q18_big_orders"](spark, SF)
+    plan = plan_of(df)
+    agg_pos = plan.find("HashAggregate")
+    join_pos = plan.find("Join")
+    assert agg_pos != -1 and join_pos != -1
+    # executed-plan string prints top-down: joins appear before (above)
+    # the aggregate that feeds them
+    assert join_pos < agg_pos, plan
+
+
+def test_q4_exists_plans_semi_join(spark):
+    """tpch_q4: EXISTS must stay a left-semi join, not inner+distinct."""
+    plan = plan_of(QUERY_REGISTRY["tpch_q4_priority"](spark, SF))
+    assert "LeftSemi" in plan, plan
