@@ -50,8 +50,18 @@ HIVE_BUILTIN_MAP: dict[str, Callable[..., Column]] = {
     "ucase": F.upper,
     "lower": F.lower,
     "lcase": F.lower,
-    "substr": F.substring,
-    "substring": F.substring,
+    # Hive substr supports the 2-arg to-end form the 3-arg pyspark
+    # builder doesn't
+    "substr": lambda col, pos, length=None: (
+        F.substring(col, pos, length)
+        if length is not None
+        else F.substring(col, pos, 2147483647)
+    ),
+    "substring": lambda col, pos, length=None: (
+        F.substring(col, pos, length)
+        if length is not None
+        else F.substring(col, pos, 2147483647)
+    ),
     "length": F.length,
     "concat": F.concat,
     "concat_ws": F.concat_ws,

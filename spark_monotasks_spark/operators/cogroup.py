@@ -53,21 +53,33 @@ def cogroup_collect(
     """The reference's literal cogroup shape: key → (list of left
     values, list of right values).  Pure DataFrame (no Python):
     aggregate each side, full-outer join on the key — two shuffles,
-    exactly CoGroupedRDD's cost, arrays sorted for determinism."""
+    exactly CoGroupedRDD's cost, arrays sorted for determinism.
+
+    Reference-parity details the naive form gets wrong: the key join is
+    null-safe (CoGroupedRDD hashes NULL keys into one group, while an
+    equi-join would split them), and NULL values survive into the lists
+    (collect_list drops bare NULLs, so values ride inside structs)."""
     from pyspark.sql import functions as F
 
     keys = list(on)
-    lg = left.groupBy(*keys).agg(
-        F.sort_array(F.collect_list(left_value)).alias("left_values")
-    )
-    rg = right.groupBy(*keys).agg(
-        F.sort_array(F.collect_list(right_value)).alias("right_values")
-    )
-    joined = lg.join(rg, on=keys, how="full_outer")
+
+    def collect_with_nulls(value_col: str, alias: str):
+        # struct-wrap: collect_list skips NULL elements but keeps
+        # non-null structs with a NULL field
+        wrapped = F.array_sort(F.collect_list(F.struct(F.col(value_col).alias("v"))))
+        return F.transform(wrapped, lambda x: x["v"]).alias(alias)
+
+    lg = left.groupBy(*keys).agg(collect_with_nulls(left_value, "left_values"))
+    rg = right.groupBy(*keys).agg(collect_with_nulls(right_value, "right_values"))
+    cond = None
+    for k in keys:
+        eq = lg[k].eqNullSafe(rg[k])
+        cond = eq if cond is None else (cond & eq)
+    joined = lg.join(rg, on=cond, how="full_outer")
     empty_l = F.array().cast(lg.schema["left_values"].dataType)
     empty_r = F.array().cast(rg.schema["right_values"].dataType)
     return joined.select(
-        *keys,
+        *[F.coalesce(lg[k], rg[k]).alias(k) for k in keys],
         F.coalesce(F.col("left_values"), empty_l).alias("left_values"),
         F.coalesce(F.col("right_values"), empty_r).alias("right_values"),
     )

@@ -57,11 +57,12 @@ def except_reference(left: DataFrame, right: DataFrame) -> DataFrame:
 
 def except_distinct(left: DataFrame, right: DataFrame) -> DataFrame:
     """ANSI SQL EXCEPT (distinct) — what the DuckDB oracle computes:
-    distinct(left) minus every row present in right.  (Not
-    ``exceptAll(...).distinct()``: that removes only one occurrence per
-    right row before deduping, so a duplicated left row that also
-    appears in right would wrongly survive.)"""
-    return left.distinct().exceptAll(right.distinct())
+    distinct(left) minus every row present in right.  ``df.subtract``
+    IS Spark's EXCEPT DISTINCT.  (Not ``exceptAll(...).distinct()``:
+    that removes only one occurrence per right row before deduping, so
+    a duplicated left row that also appears in right would wrongly
+    survive — caught by the property suite.)"""
+    return left.subtract(right)
 
 
 def except_all(left: DataFrame, right: DataFrame) -> DataFrame:

@@ -48,7 +48,16 @@ def script_transform(
         else output_schema
     )
     names = [f.name for f in schema.fields]
+    n_out = len(names)
     cmd = list(command)
+    #: integral input columns: Arrow→pandas widens int-with-nulls to
+    #: float64, which would serialize as '3.0'/'nan' — re-narrow first
+    int_cols = {
+        f.name
+        for f in df.schema.fields
+        if f.name in cols and f.dataType.simpleString() in
+        ("tinyint", "smallint", "int", "bigint")
+    }
 
     def run_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         proc = subprocess.Popen(
@@ -56,6 +65,7 @@ def script_transform(
             stdin=subprocess.PIPE,
             stdout=subprocess.PIPE,
             text=True,
+            encoding="utf-8",  # executor locale (often C) must not decide
         )
         assert proc.stdin is not None and proc.stdout is not None
         # Feed everything, then read: fine for partition-sized data where
@@ -63,13 +73,22 @@ def script_transform(
         # ratios; a reader thread would lift that limit.
         chunks: list[str] = []
         for pdf in batches:
-            for row in pdf[cols].itertuples(index=False):
-                chunks.append(field_sep.join("" if v is None else str(v) for v in row))
+            sub = pdf[cols].copy()
+            for c in int_cols:
+                sub[c] = sub[c].astype("Int64")  # nullable int, no .0 suffix
+            for row in sub.itertuples(index=False):
+                chunks.append(
+                    field_sep.join("" if pd.isna(v) else str(v) for v in row)
+                )
         out, _ = proc.communicate("\n".join(chunks) + ("\n" if chunks else ""))
         if proc.returncode != 0:
             raise RuntimeError(f"script {cmd!r} exited {proc.returncode}")
+        # Hive TRANSFORM row contract: missing trailing fields → NULL,
+        # extra fields ignored (HiveScriptIOSchema)
         records = [
-            line.split(field_sep) for line in out.splitlines() if line
+            (line.split(field_sep) + [None] * n_out)[:n_out]
+            for line in out.splitlines()
+            if line
         ]
         pdf_out = pd.DataFrame(records, columns=names)
         yield pdf_out

@@ -77,7 +77,9 @@ def query_by_id(
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random unit hyperplanes (pure-python LCG so
     the planes are reproducible without numpy state pickling)."""
-    state = seed & 0x7FFFFFFF
+    # Park–Miller state must live in [1, 2^31-2]: 0 is absorbing (every
+    # plane would collapse to one constant vector → a single LSH bucket)
+    state = (seed % 2147483646) + 1
     planes: list[list[float]] = []
     for _ in range(n_planes):
         vec = []
@@ -185,24 +187,23 @@ def ivf_index(
     pruning story as the LSH bucket column, but data-adaptive (cells
     follow density, so recall at fixed probe count beats fixed random
     hyperplanes on clustered corpora)."""
-    from spark_monotasks_spark.ml import kmeans_fit_predict
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
 
-    assigned = kmeans_fit_predict(
-        embeddings, features_col=vec_col, k=n_lists, seed=seed, max_iter=max_iter
-    ).withColumnRenamed("cluster", "cell")
-    # centroids: exact per-cell means (double precision, deterministic)
-    dim = len(assigned.select(vec_col).first()[0])
-    cents = (
-        assigned.groupBy("cell")
-        .agg(
-            *[
-                F.avg(F.col(vec_col)[i].cast("double")).alias(f"c{i}")
-                for i in range(dim)
-            ]
-        )
-        .collect()
+    feat = embeddings.withColumn(
+        "_features", array_to_vector(F.col(vec_col).cast("array<double>"))
     )
-    centroids = [(r["cell"], [r[f"c{i}"] for i in range(dim)]) for r in cents]
+    model = KMeans(
+        k=n_lists, seed=seed, maxIter=max_iter, featuresCol="_features"
+    ).fit(feat)
+    assigned = (
+        model.transform(feat)
+        .withColumnRenamed("prediction", "cell")
+        .drop("_features")
+    )
+    # the model's cluster centers ARE the cell centroids — driver-side,
+    # no extra aggregation job over the corpus
+    centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
     return assigned, centroids
 
 

@@ -166,11 +166,19 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("ann_lsh_topk")  # LSH buckets use xxhash-free hyperplanes but
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:  # approximate → rows-only
     """Approximate top-k via random-hyperplane LSH + multiprobe
-    (similarity.lsh_bucket_topk); recall vs brute force asserted in tests."""
+    (similarity.lsh_bucket_topk); recall vs brute force asserted in
+    tests.  8 planes + 2-bit multiprobe: 37 of 256 buckets probed, so
+    the candidate set (~15% of the corpus) reliably fills k=20 on the
+    sf0.01 corpus while still skipping the other 85%."""
     t = _t(spark, sf_dir)
     emb = t["embeddings"]
     return similarity.lsh_bucket_topk(
-        emb, similarity.query_by_id(emb, 0), dim=64, k=20
+        emb,
+        similarity.query_by_id(emb, 0),
+        dim=64,
+        k=20,
+        n_planes=8,
+        multiprobe_bits=2,
     )
 
 

@@ -23,12 +23,26 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 class SaveMode(str, enum.Enum):
-    """sources/ddl.scala SaveMode — identical names to the reference."""
+    """sources/ddl.scala SaveMode — identical names to the reference.
+
+    Lookup is case-insensitive and accepts Spark's aliases ('error',
+    'default') and the reference's CamelCase ('ErrorIfExists')."""
 
     ERROR_IF_EXISTS = "errorifexists"
     APPEND = "append"
     OVERWRITE = "overwrite"
     IGNORE = "ignore"
+
+    @classmethod
+    def _missing_(cls, value):
+        if isinstance(value, str):
+            norm = value.lower()
+            if norm in ("error", "default"):
+                return cls.ERROR_IF_EXISTS
+            for m in cls:
+                if m.value == norm:
+                    return m
+        return None
 
 
 # --- reads -----------------------------------------------------------------

@@ -127,3 +127,20 @@ def test_bucketed_table_join_avoids_shuffle(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         spark.sql("DROP TABLE IF EXISTS t_bucketed")
+
+
+def test_save_mode_aliases():
+    assert sio.SaveMode("error") is sio.SaveMode.ERROR_IF_EXISTS
+    assert sio.SaveMode("ErrorIfExists") is sio.SaveMode.ERROR_IF_EXISTS
+    assert sio.SaveMode("Overwrite") is sio.SaveMode.OVERWRITE
+    assert sio.SaveMode("default") is sio.SaveMode.ERROR_IF_EXISTS
+
+
+def test_substr_two_arg_form(spark, ctx):
+    f = ctx.function("substr")
+    df = spark.range(1).select(
+        f(F.lit("abcdef"), 3).alias("tail"),
+        f(F.lit("abcdef"), 2, 3).alias("mid"),
+    )
+    r = df.first()
+    assert r.tail == "cdef" and r.mid == "bcd"

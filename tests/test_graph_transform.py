@@ -173,3 +173,28 @@ def test_label_propagation_two_vertex_clique_converges(spark):
     edges = spark.createDataFrame([(7, 3)], "src long, dst long")
     got = {r.id: r.label for r in label_propagation(edges, max_iters=4).collect()}
     assert got == {3: 3, 7: 3}
+
+
+def test_script_transform_null_ints_and_ragged_output(spark):
+    import sys as _sys
+
+    df = spark.createDataFrame([(1, 10), (2, None), (3, 30)], "k long, v long")
+    # identity cat: ints must arrive as '10' (not '10.0'), nulls as ''
+    out = script_transform(df, ["cat"], "k long, v long")
+    got = {r.k: r.v for r in out.collect()}
+    assert got == {1: 10, 2: None, 3: 30}
+
+    # ragged stdout: missing trailing fields null-pad, extras ignored
+    ragged = (
+        "import sys\n"
+        "for line in sys.stdin:\n"
+        "    k = line.split('\\t')[0]\n"
+        "    if k == '1': print(f'{k}')\n"            # short row
+        "    elif k == '2': print(f'{k}\\ta\\tzzz')\n"  # extra field
+        "    else: print(f'{k}\\tb')\n"
+    )
+    out2 = script_transform(
+        df, [_sys.executable, "-c", ragged], "k long, s string"
+    )
+    got2 = {r.k: r.s for r in out2.collect()}
+    assert got2 == {1: None, 2: "a", 3: "b"}

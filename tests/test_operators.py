@@ -318,3 +318,20 @@ def test_salted_join_rejects_outer(spark):
     df = spark.createDataFrame([(1, 1)], "k long, v long")
     with _pytest.raises(ValueError, match="inner/left only"):
         salted_join(df, df, on="k", how="full")
+
+
+def test_cogroup_collect_null_keys_and_values(spark):
+    from spark_monotasks_spark.operators.cogroup import cogroup_collect
+
+    left = spark.createDataFrame(
+        [(None, "x"), (1, None), (1, "a")], "k int, v string"
+    )
+    right = spark.createDataFrame([(None, "y")], "k int, w string")
+    got = {
+        r.k: (r.left_values, r.right_values)
+        for r in cogroup_collect(left, right, ["k"], "v", "w").collect()
+    }
+    # NULL keys hash to ONE group (reference CoGroupedRDD), and NULL
+    # values survive in the lists
+    assert got[None] == (["x"], ["y"])
+    assert sorted(got[1][0], key=lambda x: (x is None, x)) == ["a", None]
