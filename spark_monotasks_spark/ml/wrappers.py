@@ -30,6 +30,18 @@ def _vec(col: str | Column) -> Column:
     return array_to_vector(c.cast("array<double>"))
 
 
+def _check_free(df: DataFrame, *names: str) -> None:
+    """The wrappers introduce fixed intermediate/output columns; an
+    input frame already carrying one would be silently clobbered or
+    produce ambiguous duplicates — fail loudly instead."""
+    clash = [n for n in names if n in df.columns]
+    if clash:
+        raise ValueError(
+            f"input DataFrame already has column(s) {clash}; rename them "
+            "before calling this wrapper (its outputs use those names)"
+        )
+
+
 def kmeans_fit_predict(
     df: DataFrame,
     features_col: str = "embedding",
@@ -39,6 +51,7 @@ def kmeans_fit_predict(
 ) -> DataFrame:
     """mllib clustering/KMeans.scala parity: fit k-means, return the
     input plus a ``cluster`` column."""
+    _check_free(df, "_features", "prediction", "cluster")
     feat = df.withColumn("_features", _vec(features_col))
     model = KMeans(k=k, seed=seed, maxIter=max_iter, featuresCol="_features").fit(feat)
     return model.transform(feat).withColumnRenamed("prediction", "cluster").drop(
@@ -56,6 +69,7 @@ def logistic_regression_fit(
     """mllib classification/LogisticRegression.scala parity (modern
     L-BFGS solver instead of SGD).  Returns predictions with
     ``prediction`` and ``probability`` columns."""
+    _check_free(df, "_features", "prediction", "probability", "rawPrediction")
     feat = df.withColumn("_features", _vec(features_col))
     model = LogisticRegression(
         maxIter=max_iter,
@@ -78,6 +92,7 @@ def linear_regression_fit(
 ):
     """mllib regression/LinearRegression.scala parity.  Returns
     (predictions DataFrame, coefficients list, intercept)."""
+    _check_free(df, "_features", "prediction")
     feat = df.withColumn("_features", _vec(features_col))
     model = LinearRegression(
         maxIter=max_iter,
@@ -95,6 +110,7 @@ def standardize(
     """mllib feature/StandardScaler.scala parity: unit-variance (and
     optionally zero-mean) scaling; output column ``scaled``
     (array<double>)."""
+    _check_free(df, "_features", "_scaled", "scaled")
     feat = df.withColumn("_features", _vec(features_col))
     model = StandardScaler(
         inputCol="_features", outputCol="_scaled", withMean=with_mean, withStd=True

@@ -75,14 +75,15 @@ def _decode_image_batch(blobs: pd.Series, strict: bool) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
-def extract_image_features(
-    media: DataFrame, strict: bool = False, batch_size_hint: int = 256
-) -> DataFrame:
+def extract_image_features(media: DataFrame, strict: bool = False) -> DataFrame:
     """Decode + feature-extract over Arrow batches via ``mapInPandas``.
 
     The iterator-of-batches signature means constant memory per task
-    regardless of partition row count — the shape that survives media
-    partitions of thousands of MB-sized rows."""
+    regardless of partition row count.  Batch row count is governed by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` (session-level);
+    for MB-sized blobs set it low BEFORE building the session — there is
+    no honest per-operator override, which is why no batch-size
+    parameter is offered here."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -173,12 +174,20 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     timestamps (pure SQL — no decode), so the expensive decode joins
     against an already-pruned frame list.  Decode itself is stubbed."""
     n_frames = (F.col("meta.duration_ms") / every_ms).cast("int")
-    return media.filter(F.col("meta.media_type") == "video").select(
+    videos = media.filter(
+        (F.col("meta.media_type") == "video")
+        # NULL duration means un-probed metadata: no frames, rather than
+        # a fabricated frame 0 (greatest() skips NULLs)
+        & F.col("meta.duration_ms").isNotNull()
+    )
+    return videos.select(
         "media_id",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0))),
-                lambda i: (i * every_ms).cast("bigint"),
+                # cast BEFORE multiplying: i*every_ms in int32 wraps for
+                # durations beyond ~2.1e9 ms
+                lambda i: i.cast("bigint") * every_ms,
             )
         ).alias("frame_ts_ms"),
     )

@@ -6,6 +6,8 @@ so a 100 TB documents table is one linear scan per metric.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -22,8 +24,9 @@ LANG_STOPWORDS: dict[str, list[str]] = {
 
 
 def tokens(col: Column | str, sep: str = " ") -> Column:
-    """Whitespace tokenization as an array column (split is JVM regex)."""
-    return F.split(col, sep)
+    """Tokenization on a LITERAL separator (escaped before the
+    regex-based split, so '.'/'|' work as given)."""
+    return F.split(col, re.escape(sep))
 
 
 def token_count(col: Column | str, sep: str = " ") -> Column:
@@ -56,7 +59,11 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     text_len = F.length(text_col)
     stop_en = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
     n_stop = F.size(F.array_intersect(toks, stop_en))
-    n_punct = text_len - F.length(F.regexp_replace(text_col, r"[^\w\s]", ""))
+    # Unicode classes: Java \w is ASCII-only and would count every
+    # accented/CJK letter as punctuation
+    n_punct = text_len - F.length(
+        F.regexp_replace(text_col, r"[^\p{L}\p{N}\s]", "")
+    )
     avg_token_len = (text_len - n_tokens + 1) / n_tokens
     score = (
         F.when((n_tokens >= 5) & (n_tokens <= 100000), 0.25).otherwise(0.0)
@@ -82,12 +89,23 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     greatest language code — deterministic).  No shuffle, no UDF.
     """
     toks = tokens(text_col)
+
+    def lang_score(lang: str, words: list[str]) -> Column:
+        if lang == "zh":
+            # Chinese has no whitespace tokens — count stopword
+            # CHARACTERS present in the raw text instead
+            return F.size(
+                F.filter(
+                    F.array(*[F.lit(w) for w in words]),
+                    lambda w: F.contains(F.col(text_col), w),
+                )
+            )
+        return F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+
     scores = F.array(
         *[
             F.struct(
-                F.size(
-                    F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
-                ).alias("score"),
+                lang_score(lang, words).alias("score"),
                 F.lit(lang).alias("lang"),
             )
             for lang, words in sorted(LANG_STOPWORDS.items())

@@ -43,6 +43,10 @@ def get_spark(
         .master(master or f"local[{cpus}]")
         # --- reference-parity semantics (SURVEY §7.4) ---
         .config("spark.sql.ansi.enabled", "false")
+        # with ANSI off, size(NULL) reverts to the Hive-era -1; NULL is
+        # the sane (and oracle-matching) answer — opt out of that one
+        # legacy quirk while keeping the rest of the lenient semantics
+        .config("spark.sql.legacy.sizeOfNull", "false")
         .config("spark.sql.session.timeZone", "UTC")
         # parquet TIMESTAMP(NANOS) (events table) reads as long nanos;
         # tables.load_table converts to TimestampType (lossless — the

@@ -118,20 +118,18 @@ def reduce_by_key_and_window(
     F.min/F.max/F.count match the reference's arbitrary reduceFunc
     surface).  The reference's incremental ``invReduceFunc`` variant is
     the state store's job in Structured Streaming — same result,
-    managed state."""
-    if watermark is not None:
-        df = df.withWatermark(ts_col, watermark)
+    managed state.  Window mechanics delegate to :func:`windowed_agg`
+    so watermark/flatten semantics live in exactly one place."""
     name = out_col or f"{reduce_fn.__name__}_{value_col}"
-    win = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
-    return (
-        df.groupBy(win.alias("window"), *key_cols)
-        .agg(reduce_fn(value_col).alias(name))
-        .select(
-            F.col("window.start").alias("window_start"),
-            *key_cols,
-            name,
-        )
-    )
+    return windowed_agg(
+        df,
+        ts_col,
+        window,
+        aggs=[reduce_fn(value_col).alias(name)],
+        keys=key_cols,
+        slide=slide,
+        watermark=watermark,
+    ).drop("window_end")
 
 
 def count_by_value_and_window(
@@ -142,15 +140,17 @@ def count_by_value_and_window(
     slide: str | None = None,
     watermark: str | None = None,
 ) -> DataFrame:
-    """countByValueAndWindow (DStream.scala:711)."""
-    if watermark is not None:
-        df = df.withWatermark(ts_col, watermark)
-    win = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
-    return (
-        df.groupBy(win.alias("window"), *value_cols)
-        .agg(F.count("*").alias("n"))
-        .select(F.col("window.start").alias("window_start"), *value_cols, "n")
-    )
+    """countByValueAndWindow (DStream.scala:711) — delegates to
+    :func:`windowed_agg` (the values ARE the grouping keys)."""
+    return windowed_agg(
+        df,
+        ts_col,
+        window,
+        aggs=[F.count("*").alias("n")],
+        keys=value_cols,
+        slide=slide,
+        watermark=watermark,
+    ).drop("window_end")
 
 
 # --- updateStateByKey ------------------------------------------------------
