@@ -64,6 +64,17 @@ def test_standardize_unit_variance(spark, two_blobs):
     assert statistics.stdev(col0) == pytest.approx(1.0, rel=1e-6)
 
 
+def test_wrapper_rejects_output_column_clash(spark, two_blobs):
+    # a pre-existing 'cluster'/'prediction' column would be silently
+    # clobbered — the wrappers must refuse instead
+    with pytest.raises(ValueError, match="cluster"):
+        kmeans_fit_predict(two_blobs.withColumn("cluster", two_blobs.id), k=2)
+    with pytest.raises(ValueError, match="prediction"):
+        logistic_regression_fit(
+            two_blobs.withColumn("prediction", two_blobs.label), label_col="label"
+        )
+
+
 def test_kmeans_on_real_embeddings(spark, tables):
     emb = tables["embeddings"]
     got = kmeans_fit_predict(emb, k=4, max_iter=5)

@@ -176,6 +176,42 @@ def test_language_id_english(spark):
     assert got[1] == "en" and got[2] == "es"
 
 
+def test_language_id_chinese(spark):
+    # zh has no whitespace tokens — detection must work on characters
+    df = spark.createDataFrame(
+        [(1, "我是在这里的人了就不和有")], "doc_id long, text string"
+    )
+    assert text.language_id(df).first().pred_lang == "zh"
+
+
+def test_quality_score_unicode_not_punct(spark):
+    # accented/CJK letters are letters, not punctuation (Java \w is
+    # ASCII-only; the scorer must use \p{L}\p{N})
+    df = spark.createDataFrame(
+        [(1, "café naïve übermensch señor garçon déjà"), (2, "!!!???;;;###$$$%%%")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n_punct for r in text.quality_score(df).collect()}
+    assert got[1] == 0
+    assert got[2] == 18
+
+
+def test_tokens_literal_separator(spark):
+    # '.' and '|' are regex metachars — must split literally
+    df = spark.createDataFrame([(1, "a.b.c"), (2, "x|y")], "doc_id long, text string")
+    got = {
+        r.doc_id: r.toks
+        for r in df.select(
+            "doc_id",
+            F.when(F.col("doc_id") == 1, text.tokens("text", "."))
+            .otherwise(text.tokens("text", "|"))
+            .alias("toks"),
+        ).collect()
+    }
+    assert got[1] == ["a", "b", "c"]
+    assert got[2] == ["x", "y"]
+
+
 def test_fingerprint_normalization(spark):
     df = spark.createDataFrame(
         [(1, "Hello   World"), (2, "hello world"), (3, "other")],
@@ -213,6 +249,22 @@ def test_frame_sample_plan(spark):
     n_videos = sum(1 for i in range(9) if i % 3 == 2)
     assert len(rows) == n_videos * 5
     assert {r.frame_ts_ms for r in rows} == {0, 1000, 2000, 3000, 4000}
+
+
+def test_frame_sample_null_and_huge_durations(spark):
+    rows = [
+        # NULL duration: un-probed metadata → contribute NO frames
+        (0, None, ("video", None, None, None, None, None)),
+        # ~69-day stream with coarse sampling: frame timestamps exceed
+        # int32 — must not wrap negative
+        (1, None, ("video", None, None, None, 6_000_000_000, None)),
+    ]
+    media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    got = multimodal.frame_sample_plan(media, every_ms=600_000_000).collect()
+    assert all(r.media_id == 1 for r in got)
+    ts = sorted(r.frame_ts_ms for r in got)
+    assert ts == [i * 600_000_000 for i in range(10)]
+    assert ts[-1] == 5_400_000_000  # would be negative under int32 math
 
 
 def test_audio_features_shape(spark):
