@@ -34,7 +34,10 @@ def _check_free(df: DataFrame, *names: str) -> None:
     """The wrappers introduce fixed intermediate/output columns; an
     input frame already carrying one would be silently clobbered or
     produce ambiguous duplicates — fail loudly instead."""
-    clash = [n for n in names if n in df.columns]
+    # Spark resolves column names case-insensitively by default, so a
+    # pre-existing 'Cluster' clashes with our 'cluster' just as hard
+    existing = {c.lower() for c in df.columns}
+    clash = [n for n in names if n.lower() in existing]
     if clash:
         raise ValueError(
             f"input DataFrame already has column(s) {clash}; rename them "

@@ -176,9 +176,9 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     n_frames = (F.col("meta.duration_ms") / every_ms).cast("int")
     videos = media.filter(
         (F.col("meta.media_type") == "video")
-        # NULL duration means un-probed metadata: no frames, rather than
-        # a fabricated frame 0 (greatest() skips NULLs)
-        & F.col("meta.duration_ms").isNotNull()
+        # NULL / zero / negative duration means un-probed or corrupt
+        # metadata: no frames, rather than a fabricated frame 0
+        & (F.col("meta.duration_ms") > 0)
     )
     return videos.select(
         "media_id",

@@ -22,6 +22,12 @@ LANG_STOPWORDS: dict[str, list[str]] = {
     "zh": ["的", "了", "是", "在", "我", "有", "和", "就", "不", "人"],
 }
 
+#: languages written without whitespace between words — stopword hits
+#: are counted as CHARACTER occurrences in the raw text, not token
+#: intersections (which would always be zero).  Extend this set when
+#: adding ja/th/... to LANG_STOPWORDS.
+UNSEGMENTED_LANGS: frozenset[str] = frozenset({"zh"})
+
 
 def tokens(col: Column | str, sep: str = " ") -> Column:
     """Tokenization on a LITERAL separator (escaped before the
@@ -60,9 +66,10 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     stop_en = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
     n_stop = F.size(F.array_intersect(toks, stop_en))
     # Unicode classes: Java \w is ASCII-only and would count every
-    # accented/CJK letter as punctuation
+    # accented/CJK letter as punctuation; \p{Z} likewise keeps NBSP /
+    # ideographic space (HTML- and CJK-corpus whitespace) out of n_punct
     n_punct = text_len - F.length(
-        F.regexp_replace(text_col, r"[^\p{L}\p{N}\s]", "")
+        F.regexp_replace(text_col, r"[^\p{L}\p{N}\s\p{Z}]", "")
     )
     avg_token_len = (text_len - n_tokens + 1) / n_tokens
     score = (
@@ -91,9 +98,7 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     toks = tokens(text_col)
 
     def lang_score(lang: str, words: list[str]) -> Column:
-        if lang == "zh":
-            # Chinese has no whitespace tokens — count stopword
-            # CHARACTERS present in the raw text instead
+        if lang in UNSEGMENTED_LANGS:
             return F.size(
                 F.filter(
                     F.array(*[F.lit(w) for w in words]),
@@ -155,9 +160,8 @@ def rolling_fingerprint(col: Column | str, sep: str = " ") -> Column:
     and composed — the shape used for shift-tolerant dedup.  JVM-side
     higher-order fold; engine-specific (xxhash64) so rows-only in the
     oracle contract."""
-    c = F.col(col) if isinstance(col, str) else col
     return F.aggregate(
-        F.split(c, sep),
+        tokens(col, sep),
         F.lit(0).cast("bigint"),
         lambda acc, tok: acc * F.lit(31).cast("bigint") + F.xxhash64(tok),
     )

@@ -69,6 +69,9 @@ def test_wrapper_rejects_output_column_clash(spark, two_blobs):
     # clobbered — the wrappers must refuse instead
     with pytest.raises(ValueError, match="cluster"):
         kmeans_fit_predict(two_blobs.withColumn("cluster", two_blobs.id), k=2)
+    # Spark resolves names case-insensitively — 'Cluster' clashes too
+    with pytest.raises(ValueError, match="cluster"):
+        kmeans_fit_predict(two_blobs.withColumn("Cluster", two_blobs.id), k=2)
     with pytest.raises(ValueError, match="prediction"):
         logistic_regression_fit(
             two_blobs.withColumn("prediction", two_blobs.label), label_col="label"

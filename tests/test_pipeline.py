@@ -196,6 +196,34 @@ def test_quality_score_unicode_not_punct(spark):
     assert got[2] == 18
 
 
+def test_quality_score_unicode_whitespace_not_punct(spark):
+    # NBSP (HTML corpora) and ideographic space (CJK) are whitespace,
+    # not punctuation — Java \s alone misses them
+    df = spark.createDataFrame(
+        [(1, "café word　next")], "doc_id long, text string"
+    )
+    assert text.quality_score(df).first().n_punct == 0
+
+
+def test_rolling_fingerprint_literal_separator(spark):
+    # sep='.' must split literally, matching tokens() semantics
+    df = spark.createDataFrame(
+        [(1, "a.b.c"), (2, "a b c")], "doc_id long, text string"
+    )
+    fps = {
+        r.doc_id: r.fp
+        for r in df.select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") == 1, text.rolling_fingerprint("text", ".")
+            )
+            .otherwise(text.rolling_fingerprint("text"))
+            .alias("fp"),
+        ).collect()
+    }
+    assert fps[1] == fps[2]  # same token stream under both separators
+
+
 def test_tokens_literal_separator(spark):
     # '.' and '|' are regex metachars — must split literally
     df = spark.createDataFrame([(1, "a.b.c"), (2, "x|y")], "doc_id long, text string")
@@ -253,8 +281,11 @@ def test_frame_sample_plan(spark):
 
 def test_frame_sample_null_and_huge_durations(spark):
     rows = [
-        # NULL duration: un-probed metadata → contribute NO frames
+        # NULL / zero / negative duration: un-probed or corrupt
+        # metadata → contribute NO frames
         (0, None, ("video", None, None, None, None, None)),
+        (2, None, ("video", None, None, None, 0, None)),
+        (3, None, ("video", None, None, None, -1, None)),
         # ~69-day stream with coarse sampling: frame timestamps exceed
         # int32 — must not wrap negative
         (1, None, ("video", None, None, None, 6_000_000_000, None)),
