@@ -19,8 +19,11 @@ from spark_monotasks_spark.queries.registry import register
 from spark_monotasks_spark.tables import load_tables
 
 
-def _ctx(spark: SparkSession, sf_dir: str) -> SQLContext:
-    load_tables(spark, sf_dir, register_views=True)
+def _ctx(spark: SparkSession, sf_dir: str, *tables: str) -> SQLContext:
+    """Register ONLY the views this query reads (lazy Tables mapping) —
+    one unreadable unrelated file can't fail the query, and at scale no
+    scan is planned for data the SQL never touches."""
+    load_tables(spark, sf_dir, register_views=True).register(*tables)
     return SQLContext(spark)
 
 
@@ -35,7 +38,7 @@ def sql_select_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL twin of scan_filter_project (SURVEY §7.1 requires both
     paths end-to-end): same Catalyst plan from the parser as from the
     DSL."""
-    return _ctx(spark, sf_dir).sql(
+    return _ctx(spark, sf_dir, "lineitem").sql(
         """
         SELECT l_orderkey, l_linenumber, l_extendedprice
         FROM lineitem WHERE l_extendedprice > 95000.0
@@ -55,7 +58,7 @@ def sql_select_where(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_from_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested subquery in FROM (SqlParser relation grammar; golden
     corpus staple)."""
-    return _ctx(spark, sf_dir).sql(
+    return _ctx(spark, sf_dir, "orders").sql(
         """
         SELECT o_orderstatus, count(*) AS n, round(sum(big_price), 2) AS sum_big
         FROM (SELECT o_orderstatus, o_totalprice AS big_price
@@ -77,7 +80,7 @@ def sql_from_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_lateral_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LATERAL VIEW explode (HiveQl.scala:799, Generate L :50) — the
     HiveQL UDTF form of the tokenize query."""
-    return _ctx(spark, sf_dir).sql(
+    return _ctx(spark, sf_dir, "documents").sql(
         """
         SELECT token, count(*) AS n
         FROM documents
@@ -101,7 +104,7 @@ def sql_distribute_sort_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation, partition-local sort.  The row *set* is deterministic (the
     oracle compare is order-insensitive); the partition-local ordering
     is the non-SQL-observable part."""
-    return _ctx(spark, sf_dir).sql(
+    return _ctx(spark, sf_dir, "customer").sql(
         """
         SELECT c_nationkey, c_custkey, c_acctbal
         FROM customer WHERE c_acctbal >= 0
@@ -123,7 +126,7 @@ def sql_distribute_sort_by(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_union_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION ALL inside a FROM subquery (SqlParser.scala:124 — bag
     union feeding an aggregate)."""
-    return _ctx(spark, sf_dir).sql(
+    return _ctx(spark, sf_dir, "orders", "lineitem").sql(
         """
         SELECT status, count(*) AS n FROM (
           SELECT o_orderstatus AS status FROM orders WHERE o_totalprice > 300000.0
@@ -139,7 +142,7 @@ def sql_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TABLESAMPLE (HiveQl.scala:847 percent / :863 bucket sampling) —
     Spark SQL parses both; cardinality bounds are asserted in
     tests/test_operators.py's sampling checks, values are engine-seeded."""
-    return _ctx(spark, sf_dir).sql(
+    return _ctx(spark, sf_dir, "lineitem").sql(
         """
         SELECT l_orderkey, l_linenumber, l_extendedprice
         FROM lineitem TABLESAMPLE (10 PERCENT) REPEATABLE (42)
@@ -160,7 +163,7 @@ def sql_cached_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     compressed columnar cache, and the result must be identical to the
     uncached scan.  The query leaves the table cached; re-registration
     in a later call is a no-op swap (withCachedData, SQLContext.scala:1069)."""
-    ctx = _ctx(spark, sf_dir)
+    ctx = _ctx(spark, sf_dir, "nation")
     ctx.cache_table("nation")
     return ctx.sql(
         """

@@ -5,11 +5,25 @@ filter pushdown + (on partitioned layouts) partition pruning for free —
 the reference implemented these by hand in parquet/newParquet.scala and
 parquet/ParquetFilters.scala; modern Spark's vectorized reader subsumes
 both (SURVEY §4.2).
+
+Sessions: every load path first calls :func:`ensure_parity_confs` so the
+catalog works on ANY SparkSession — including a vanilla
+``SparkSession.builder.getOrCreate()`` with none of the configs from
+``session.get_spark``.  The reference (a Spark 1.3-era fork) has
+pre-ANSI semantics and the events table carries parquet
+TIMESTAMP(NANOS); both need runtime-settable confs on modern Spark 4.
+
+Laziness: :func:`load_tables` returns a :class:`Tables` mapping that
+reads each parquet file only on first access, so a query touching only
+``lineitem`` can never fail on (or waste planning time over) an
+unrelated table — and at 100 TB no view is registered for data the
+query never reads.
 """
 
 from __future__ import annotations
 
 import os
+from collections.abc import Iterator, Mapping
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -33,6 +47,41 @@ BROADCAST_DIMS = frozenset({"region", "nation"})
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: Runtime-settable confs the catalog's semantics depend on.  These are
+#: ALSO set by session.get_spark at build time; setting them here too
+#: makes every query self-sufficient on a session we didn't build
+#: (e.g. the external correctness harness' vanilla session):
+#:
+#: - nanosAsLong: parquet TIMESTAMP(NANOS) (events.ts) otherwise throws
+#:   PARQUET_TYPE_ILLEGAL at read time.
+#: - ansi.enabled=false: reference parity — int division -> double,
+#:   '1'+1 string promotion, lenient casts, silent overflow
+#:   (HiveTypeCoercion.scala:230,:530; Cast.scala:28).
+#: - sizeOfNull=false: size(NULL) -> NULL, matching the oracle.
+#: - session.timeZone=UTC: timestamp oracles are computed in UTC.
+PARITY_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.legacy.sizeOfNull": "false",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def ensure_parity_confs(spark: SparkSession) -> None:
+    """Defensively pin reference-parity confs on an existing session.
+
+    No-ops when already set (session.get_spark sets the same values at
+    build time).  All four confs are runtime-settable on Spark 4.
+    """
+    for key, value in PARITY_CONFS.items():
+        try:
+            if spark.conf.get(key, None) != value:
+                spark.conf.set(key, value)
+        except Exception:
+            # a future Spark making one of these static shouldn't take
+            # down every query; the read below will surface a real error
+            pass
+
 
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
@@ -42,9 +91,9 @@ def _fix_nanos(df: DataFrame) -> DataFrame:
     """Convert TIMESTAMP(NANOS)-read-as-long columns to TimestampType.
 
     Spark rejects parquet TIMESTAMP(NANOS) unless
-    ``spark.sql.legacy.parquet.nanosAsLong=true`` (set in session.py),
-    which surfaces them as nanos-since-epoch longs.  The driver's events
-    data has zero sub-microsecond bits, so integral ``div 1000`` →
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` (ensured above), which
+    surfaces them as nanos-since-epoch longs.  The driver's events data
+    has zero sub-microsecond bits, so integral ``div 1000`` →
     ``timestamp_micros`` is exact and matches the DuckDB oracle's ns→µs
     view of the same values.
     """
@@ -63,25 +112,70 @@ def _fix_nanos(df: DataFrame) -> DataFrame:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    return _fix_nanos(spark.read.parquet(table_path(sf_dir, name)))
+    ensure_parity_confs(spark)
+    path = table_path(sf_dir, name)
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"table {name!r} not found at {path} — is sf_dir={sf_dir!r} correct?"
+        )
+    return _fix_nanos(spark.read.parquet(path))
+
+
+class Tables(Mapping):
+    """Lazy name→DataFrame mapping over the sf_dir parquet tables.
+
+    Each table is read (and its temp view registered, when
+    ``register_views``) on FIRST ACCESS only.  Iteration / ``len`` cover
+    the tables present on disk without loading any of them.
+    """
+
+    def __init__(
+        self, spark: SparkSession, sf_dir: str, register_views: bool = True
+    ) -> None:
+        self._spark = spark
+        self._sf_dir = sf_dir
+        self._register_views = register_views
+        self._cache: dict[str, DataFrame] = {}
+        self._present = tuple(
+            n for n in TABLE_NAMES if os.path.exists(table_path(sf_dir, n))
+        )
+        if not self._present:
+            raise FileNotFoundError(
+                f"no tables found under sf_dir={sf_dir!r} "
+                f"(expected e.g. {table_path(sf_dir, 'lineitem')})"
+            )
+
+    def __getitem__(self, name: str) -> DataFrame:
+        if name not in self._cache:
+            df = load_table(self._spark, self._sf_dir, name)
+            if self._register_views:
+                df.createOrReplaceTempView(name)
+            self._cache[name] = df
+        return self._cache[name]
+
+    def __iter__(self) -> Iterator[str]:
+        return iter(self._present)
+
+    def __len__(self) -> int:
+        return len(self._present)
+
+    def register(self, *names: str) -> "Tables":
+        """Force temp-view registration for ``names`` (all if empty) —
+        for SQL-string queries that reference views without a dict
+        access."""
+        for name in names or self._present:
+            self[name]
+        return self
 
 
 def load_tables(
     spark: SparkSession, sf_dir: str, register_views: bool = True
-) -> dict[str, DataFrame]:
-    """Load every test table; optionally register temp views for SQL.
+) -> Tables:
+    """Lazy-load the test tables; views register on first access.
 
     Mirrors the reference's SimpleCatalog temp-table registration
     (SQLContext.scala:107, catalyst/analysis/Catalog.scala) — temp views
     in modern Spark are the same in-memory name→plan map.
     """
-    out: dict[str, DataFrame] = {}
-    for name in TABLE_NAMES:
-        path = table_path(sf_dir, name)
-        if not os.path.exists(path):
-            continue
-        df = _fix_nanos(spark.read.parquet(path))
-        if register_views:
-            df.createOrReplaceTempView(name)
-        out[name] = df
-    return out
+    ensure_parity_confs(spark)
+    return Tables(spark, sf_dir, register_views=register_views)
