@@ -107,6 +107,73 @@ def linear_regression_fit(
     return preds, list(model.coefficients), float(model.intercept)
 
 
+def als_recommend(
+    ratings: DataFrame,
+    user_col: str = "user",
+    item_col: str = "item",
+    rating_col: str = "rating",
+    rank: int = 8,
+    max_iter: int = 5,
+    reg_param: float = 0.1,
+    seed: int = 42,
+    num_recs: int = 5,
+) -> DataFrame:
+    """mllib recommendation/ALS.scala parity: alternating least squares
+    matrix factorization; returns top-``num_recs`` item recommendations
+    per user as (user, item, score) rows.
+
+    At scale this is the reference's own blocked-ALS design (pyspark.ml
+    ALS keeps the in/out-block partitioning of mllib's ALS.scala); the
+    recommendForAllUsers top-k is a blocked cross-product with a
+    per-user bounded heap, not an all-pairs materialization."""
+    from pyspark.ml.recommendation import ALS
+
+    als = ALS(
+        rank=rank,
+        maxIter=max_iter,
+        regParam=reg_param,
+        seed=seed,
+        userCol=user_col,
+        itemCol=item_col,
+        ratingCol=rating_col,
+        coldStartStrategy="drop",
+    )
+    model = als.fit(ratings)
+    recs = model.recommendForAllUsers(num_recs)
+    return recs.select(
+        F.col(user_col),
+        F.explode("recommendations").alias("rec"),
+    ).select(
+        F.col(user_col),
+        F.col("rec").getField(item_col).alias(item_col),
+        F.round(F.col("rec").getField("rating").cast("double"), 4).alias("score"),
+    )
+
+
+def decision_tree_fit(
+    df: DataFrame,
+    label_col: str,
+    features_col: str = "embedding",
+    max_depth: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """mllib tree/DecisionTree.scala parity (classification): fit a
+    single CART tree, return the input plus a ``prediction`` column.
+    Modern impl is the same distributed histogram-split search
+    (findBestSplits) the reference used."""
+    from pyspark.ml.classification import DecisionTreeClassifier
+
+    _check_free(df, "_features", "prediction", "rawPrediction", "probability")
+    feat = df.withColumn("_features", _vec(features_col))
+    model = DecisionTreeClassifier(
+        maxDepth=max_depth,
+        seed=seed,
+        featuresCol="_features",
+        labelCol=label_col,
+    ).fit(feat)
+    return model.transform(feat).drop("_features", "rawPrediction", "probability")
+
+
 def standardize(
     df: DataFrame, features_col: str = "embedding", with_mean: bool = True
 ) -> DataFrame:

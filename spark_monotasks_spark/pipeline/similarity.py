@@ -178,6 +178,7 @@ def ivf_index(
     seed: int = 42,
     max_iter: int = 10,
     vec_col: str = "embedding",
+    max_fit_rows: int = 100_000,
 ):
     """Build an IVF index: k-means the corpus into ``n_lists`` cells.
 
@@ -186,16 +187,28 @@ def ivf_index(
     corpus BY ``cell`` so a probe reads only its cells' files — same
     pruning story as the LSH bucket column, but data-adaptive (cells
     follow density, so recall at fixed probe count beats fixed random
-    hyperplanes on clustered corpora)."""
+    hyperplanes on clustered corpora).
+
+    The k-means FIT runs on a bounded sample (``max_fit_rows``, seeded)
+    — centroid quality converges long before 1e5 rows for realistic
+    ``n_lists``, and a full-corpus iterative fit at 100 TB would be the
+    index build's bottleneck.  ASSIGNMENT is always full-corpus (one
+    linear ``transform`` pass)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     feat = embeddings.withColumn(
         "_features", array_to_vector(F.col(vec_col).cast("array<double>"))
     )
+    n = feat.count()
+    if max_fit_rows and n > max_fit_rows:
+        # fraction slightly over-target; the fit tolerates ±sampling noise
+        fit_input = feat.sample(fraction=min(1.0, 1.1 * max_fit_rows / n), seed=seed)
+    else:
+        fit_input = feat
     model = KMeans(
         k=n_lists, seed=seed, maxIter=max_iter, featuresCol="_features"
-    ).fit(feat)
+    ).fit(fit_input)
     assigned = (
         model.transform(feat)
         .withColumnRenamed("prediction", "cell")

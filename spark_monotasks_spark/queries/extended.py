@@ -203,6 +203,52 @@ def ml_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustered.groupBy("cluster").agg(F.count("*").alias("n_vecs"))
 
 
+@register("ml_als_recommend")  # iterative factorization — rows-only
+def ml_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib parity (SURVEY §2.12, mllib recommendation/ALS.scala):
+    implicit customer×part ratings from order history (rating =
+    lineitem quantity), top-3 part recommendations per customer.
+    Float factor matrices are seed-stable but not SQL-expressible —
+    observable is the (user, item) top-k row set; rows-only check."""
+    from spark_monotasks_spark.ml import als_recommend
+
+    t = _t(spark, sf_dir)
+    ratings = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("o_custkey").cast("int").alias("user"),
+            F.col("l_partkey").cast("int").alias("item"),
+        )
+        .agg(F.sum("l_quantity").cast("float").alias("rating"))
+        # bound the matrix so the proof runs in seconds at any sf —
+        # ALS cost is O(nnz·rank·iters), not data-scan bound
+        .filter((F.col("user") % 10 == 0) & (F.col("item") % 10 == 0))
+    )
+    return als_recommend(ratings, num_recs=3)
+
+
+@register("ml_decision_tree")  # histogram-split fitpoint — rows-only
+def ml_decision_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib parity (SURVEY §2.12, mllib tree/DecisionTree.scala):
+    classify embeddings by a deterministic label (vec_id parity) and
+    report per-class prediction counts — tree structure is seed-stable,
+    the count-by-(label, prediction) confusion matrix is the
+    observable."""
+    from spark_monotasks_spark.ml import decision_tree_fit
+
+    t = _t(spark, sf_dir)
+    labeled = t["embeddings"].withColumn(
+        "label", (F.col("vec_id") % 2).cast("double")
+    )
+    preds = decision_tree_fit(labeled, label_col="label")
+    return (
+        preds.groupBy("label", "prediction")
+        .agg(F.count("*").alias("n"))
+        .orderBy("label", "prediction")
+    )
+
+
 # --- NA functions — SURVEY §2.9 -------------------------------------------
 
 @register(

@@ -72,6 +72,54 @@ def rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
     )
 
 
+#: Maven coordinate a deployment adds (``spark.jars.packages``) to light
+#: up :func:`kafka_stream`.  Match the artifact's Scala/Spark suffix to
+#: the cluster's Spark build.
+KAFKA_PACKAGE = "org.apache.spark:spark-sql-kafka-0-10_2.13:4.0.0"
+
+
+def kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topics: str,
+    starting_offsets: str = "latest",
+    max_offsets_per_trigger: int | None = None,
+) -> DataFrame:
+    """Kafka source (reference external/kafka KafkaUtils.scala:44
+    createStream / KafkaRDD partition-per-Kafka-partition model).
+
+    Structured Streaming's kafka source keeps the same 1:1
+    Kafka-partition → Spark-partition mapping and exact-offset-range
+    batches the reference's DirectKafkaInputDStream pioneered, plus
+    checkpointed offset tracking.  Returns the standard kafka schema
+    (key/value binary, topic, partition, offset, timestamp).
+
+    The connector is an EXTERNAL package (same as the reference, where
+    kafka lives under external/, not core).  This container has no
+    network/maven cache, so in this repo the function raises a clear
+    error pointing at :data:`KAFKA_PACKAGE`; with the package on the
+    classpath it works as-is.  ``max_offsets_per_trigger`` bounds batch
+    size — the backpressure knob that keeps 100 TB/day topics from
+    producing unbounded first batches.
+    """
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topics)
+        .option("startingOffsets", starting_offsets)
+    )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    try:
+        return reader.load()
+    except Exception as exc:  # surface the actionable fix, keep the cause
+        raise RuntimeError(
+            "kafka connector not on the classpath; start Spark with "
+            f"spark.jars.packages={KAFKA_PACKAGE} (offline container: "
+            "see COVERAGE.md §2.10)"
+        ) from exc
+
+
 # --- windowed aggregations -------------------------------------------------
 
 def windowed_agg(

@@ -144,3 +144,42 @@ def test_substr_two_arg_form(spark, ctx):
     )
     r = df.first()
     assert r.tail == "cdef" and r.mid == "bcd"
+
+
+def test_insert_into_dynamic_partition_sql(spark):
+    """Hive-insert parity (reference hive/execution/InsertIntoHiveTable
+    .scala: static spec, dynamic partitions, per-partition overwrite):
+    the same three INSERT shapes against a partitioned managed table,
+    then read back with partition pruning."""
+    spark.sql("DROP TABLE IF EXISTS t_part")
+    spark.sql(
+        "CREATE TABLE t_part (k INT, v STRING) USING parquet "
+        "PARTITIONED BY (dt STRING)"
+    )
+    try:
+        # static partition spec
+        spark.sql(
+            "INSERT INTO t_part PARTITION (dt='2024-01-01') "
+            "VALUES (1, 'a'), (2, 'b')"
+        )
+        # dynamic partition spec (value comes from the SELECT)
+        spark.sql(
+            "INSERT INTO t_part PARTITION (dt) "
+            "SELECT 3 AS k, 'c' AS v, '2024-01-02' AS dt"
+        )
+        # static-spec OVERWRITE must replace only its own partition
+        spark.sql(
+            "INSERT OVERWRITE TABLE t_part PARTITION (dt='2024-01-01') "
+            "VALUES (9, 'z')"
+        )
+        rows = sorted((r.k, r.v, r.dt) for r in spark.table("t_part").collect())
+        assert rows == [(3, "c", "2024-01-02"), (9, "z", "2024-01-01")]
+        parts = {r[0] for r in spark.sql("SHOW PARTITIONS t_part").collect()}
+        assert parts == {"dt=2024-01-01", "dt=2024-01-02"}
+        # the dt filter must prune at planning time, not post-scan
+        pruned = spark.table("t_part").filter("dt = '2024-01-02'")
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan and "dt" in plan, plan
+        assert [r.k for r in pruned.collect()] == [3]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_part")

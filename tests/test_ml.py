@@ -8,6 +8,8 @@ from __future__ import annotations
 import pytest
 
 from spark_monotasks_spark.ml import (
+    als_recommend,
+    decision_tree_fit,
     kmeans_fit_predict,
     linear_regression_fit,
     logistic_regression_fit,
@@ -74,6 +76,55 @@ def test_wrapper_rejects_output_column_clash(spark, two_blobs):
         kmeans_fit_predict(two_blobs.withColumn("Cluster", two_blobs.id), k=2)
     with pytest.raises(ValueError, match="prediction"):
         logistic_regression_fit(
+            two_blobs.withColumn("prediction", two_blobs.label), label_col="label"
+        )
+
+
+@pytest.fixture(scope="module")
+def block_ratings(spark):
+    # two disjoint taste groups: users 0-4 love items 0-4, users 5-9
+    # love items 5-9 (rating 5); one observed cross rating of 1 each
+    # way so the factorization sees both blocks
+    rows = []
+    for u in range(5):
+        for i in range(5):
+            rows.append((u, i, 5.0))
+    for u in range(5, 10):
+        for i in range(5, 10):
+            rows.append((u, i, 5.0))
+    rows.append((0, 5, 1.0))
+    rows.append((5, 0, 1.0))
+    return spark.createDataFrame(rows, "user int, item int, rating float")
+
+
+def test_als_recovers_block_structure(spark, block_ratings):
+    recs = als_recommend(block_ratings, rank=4, max_iter=10, num_recs=3).collect()
+    by_user: dict[int, list[int]] = {}
+    for r in recs:
+        by_user.setdefault(r.user, []).append(r.item)
+    assert set(by_user) == set(range(10))
+    # every user's top recommendations stay inside their taste block
+    for u, items in by_user.items():
+        block = set(range(5)) if u < 5 else set(range(5, 10))
+        assert set(items) <= block, (u, items)
+
+
+def test_als_deterministic_seed(spark, block_ratings):
+    a = als_recommend(block_ratings, rank=4, max_iter=5, seed=7).collect()
+    b = als_recommend(block_ratings, rank=4, max_iter=5, seed=7).collect()
+    assert sorted((r.user, r.item, r.score) for r in a) == sorted(
+        (r.user, r.item, r.score) for r in b
+    )
+
+
+def test_decision_tree_separates_blobs(spark, two_blobs):
+    out = decision_tree_fit(two_blobs, label_col="label").collect()
+    assert all(r.prediction == r.label for r in out)
+
+
+def test_decision_tree_rejects_clash(spark, two_blobs):
+    with pytest.raises(ValueError, match="prediction"):
+        decision_tree_fit(
             two_blobs.withColumn("prediction", two_blobs.label), label_col="label"
         )
 

@@ -369,6 +369,29 @@ def test_ivf_topk_planted_duplicate(spark):
     assert got[1].sim == 1.0
 
 
+def test_ivf_sampled_fit_still_assigns_full_corpus(spark):
+    # force the bounded-fit path (max_fit_rows < corpus size): the fit
+    # sees a sample, but every corpus row must still get a cell and the
+    # planted duplicate must still be retrievable from its probe cell
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(300):
+        axis = i % 3
+        base = [0.0] * 6
+        base[axis] = 1.0
+        rows.append((i, [x + rng.uniform(-0.05, 0.05) for x in base]))
+    rows.append((999, rows[0][1][:]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assigned, cents = similarity.ivf_index(df, n_lists=3, max_iter=10, max_fit_rows=90)
+    assert assigned.count() == df.count()          # assignment is full-corpus
+    assert assigned.filter(F.col("cell").isNull()).count() == 0
+    q = similarity.query_by_id(df, 0)
+    got = similarity.ivf_topk(assigned, cents, q, k=2, n_probe=1).collect()
+    assert [r.vec_id for r in got] == [0, 999]
+
+
 def test_ivf_probe_bounds_scan(spark, tables):
     emb = tables["embeddings"]
     assigned, cents = similarity.ivf_index(emb, n_lists=8, max_iter=5)

@@ -220,3 +220,11 @@ def test_stream_static_join_matches_batch(spark, chunked_events):
         .first()
     )
     assert (got.n, got.s) == (exp.n, exp.s)
+
+
+def test_kafka_stream_gated_with_actionable_error(spark):
+    """No kafka connector jar in this container (offline): the wrapper
+    must fail with the exact package coordinate a user needs, not a raw
+    ClassNotFoundException (COVERAGE.md §2.10)."""
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        dstream.kafka_stream(spark, "localhost:9092", "events")
