@@ -1,0 +1,697 @@
+"""Extended TPC-H query-shape coverage (SURVEY §2.3 multi-way joins +
+the subquery shapes the reference ran through its SQL parser:
+sql/core/src/test/scala TPC/Hive golden suites — correlated scalar
+subqueries, EXISTS / NOT EXISTS, IN-subqueries, decorrelation).
+
+The driver's tables are TPC-H-ish but lack ``partsupp``,
+``l_commitdate/l_receiptdate/l_shipmode``, ``c_phone``, and comment
+columns, so Q2/Q9/Q11/Q12/Q16/Q20/Q21/Q22 are *shape-faithful
+adaptations*: every join topology, subquery form, and aggregate pattern
+of the original is kept; only the filter columns are remapped onto the
+available schema (noted per query).
+
+Spark-first translation notes:
+- Correlated scalar subqueries (Q2/Q15/Q17) are written DECORRELATED in
+  the DataFrame API — groupBy the correlation key, then join — which is
+  exactly the plan Catalyst's RewriteCorrelatedScalarSubquery produces
+  from the SQL form; the oracle keeps the correlated original.
+- EXISTS / NOT EXISTS (Q21/Q22) become left-semi / left-anti joins
+  (the reference lowered them the same way: SubtractedRDD per SURVEY
+  §7.4.4).
+- Scalar global aggregates (Q11/Q22) are broadcast 1-row crossJoins —
+  no driver collect, no shuffle of the big side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_monotasks_spark.operators import joins, sort
+from spark_monotasks_spark.queries.registry import register
+from spark_monotasks_spark.tables import load_tables
+
+
+def _t(spark: SparkSession, sf_dir: str):
+    return load_tables(spark, sf_dir)
+
+
+def _money(c: F.Column) -> F.Column:
+    return F.round(c, 2)
+
+
+def _ts(lit: str) -> F.Column:
+    return F.lit(lit).cast("timestamp_ntz")
+
+
+def _rev() -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+@register(
+    "tpch_q2_top_supplier_part",
+    oracle="""
+    SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name
+    FROM part, supplier, lineitem, nation, region
+    WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      AND p_size = 10
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'EUROPE'
+      AND s_acctbal = (
+        SELECT max(s2.s_acctbal)
+        FROM supplier s2, lineitem l2, nation n2, region r2
+        WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+          AND s2.s_nationkey = n2.n_nationkey
+          AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE'
+      )
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def tpch_q2_top_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (correlated MAX subquery per part, region-filtered).
+    Adaptation: partsupp → the lineitem (l_partkey, l_suppkey) link;
+    min supplycost → max s_acctbal.  DataFrame form is the decorrelated
+    plan: per-part max over the filtered link, joined back."""
+    t = _t(spark, sf_dir)
+    eu_supp = joins.broadcast_join(
+        t["supplier"],
+        joins.broadcast_join(
+            t["nation"],
+            t["region"].filter(F.col("r_name") == "EUROPE"),
+            on=F.col("n_regionkey") == F.col("r_regionkey"),
+        ),
+        on=F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    link = (
+        t["lineitem"]
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(eu_supp, on=F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    best = link.groupBy(F.col("l_partkey").alias("_bpk")).agg(
+        F.max("s_acctbal").alias("_max_bal")
+    )
+    winners = link.join(
+        best,
+        on=(F.col("l_partkey") == F.col("_bpk"))
+        & (F.col("s_acctbal") == F.col("_max_bal")),
+    ).select(F.col("l_partkey").alias("_pk"), "s_acctbal", "s_name", "n_name")
+    p = t["part"].filter(F.col("p_size") == 10)
+    out = (
+        winners.join(p, on=F.col("_pk") == F.col("p_partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+        .distinct()
+    )
+    return sort.top_k(
+        out,
+        100,
+        F.col("s_acctbal").desc(),
+        F.col("n_name"),
+        F.col("s_name"),
+        F.col("p_partkey"),
+    )
+
+
+@register(
+    "tpch_q7_volume",
+    oracle="""
+    SELECT supp_nation, cust_nation, yr, round(sum(volume), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l_shipdate) AS yr,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate BETWEEN TIMESTAMP '1995-01-01'
+                           AND TIMESTAMP '1996-12-31'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, yr
+    ORDER BY supp_nation, cust_nation, yr
+    """,
+)
+def tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): 6-way join with a symmetric nation-pair
+    disjunction; nation broadcast twice under different aliases."""
+    t = _t(spark, sf_dir)
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= _ts("1995-01-01"))
+        & (F.col("l_shipdate") <= _ts("1996-12-31"))
+    )
+    j = (
+        joins.join(t["supplier"], li, on=F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["orders"], on=F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], on=F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), on=F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), on=F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return (
+        j.withColumn("yr", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "yr")
+        .agg(_money(F.sum(_rev())).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "yr")
+    )
+
+
+@register(
+    "tpch_q8_market_share",
+    oracle="""
+    SELECT yr,
+           round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / sum(volume), 4) AS mkt_share
+    FROM (
+      SELECT year(o_orderdate) AS yr,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region    ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY yr
+    ORDER BY yr
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): 8-way join + conditional-share
+    aggregate — CASE inside sum over the same grouped rows, one pass."""
+    t = _t(spark, sf_dir)
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_rk")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    j = (
+        joins.join(
+            t["part"].filter(F.col("p_type") == "ECONOMY"),
+            t["lineitem"],
+            on=F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(t["supplier"], on=F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["orders"], on=F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], on=F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), on=F.col("c_nationkey") == F.col("n1_key"))
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+            on=F.col("n1_rk") == F.col("r_regionkey"),
+        )
+        .join(F.broadcast(n2), on=F.col("s_nationkey") == F.col("n2_key"))
+    )
+    vol = _rev()
+    return (
+        j.withColumn("yr", F.year("o_orderdate"))
+        .groupBy("yr")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_3", vol).otherwise(0.0))
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("yr")
+    )
+
+
+@register(
+    "tpch_q9_profit",
+    oracle="""
+    SELECT nation, yr, round(sum(amount), 2) AS sum_profit
+    FROM (
+      SELECT n_name AS nation, year(o_orderdate) AS yr,
+             l_extendedprice * (1 - l_discount)
+               - 0.1 * p_retailprice * l_quantity AS amount
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, yr
+    ORDER BY nation, yr DESC
+    """,
+)
+def tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit): LIKE-filtered part joined through
+    the fact table, profit expression aggregated by nation×year.
+    Adaptation: ps_supplycost → 0.1·p_retailprice (no partsupp)."""
+    t = _t(spark, sf_dir)
+    amount = _rev() - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+    j = (
+        joins.join(
+            t["part"].filter(F.col("p_name").like("%red%")),
+            t["lineitem"],
+            on=F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(t["supplier"], on=F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["orders"], on=F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            F.broadcast(t["nation"]),
+            on=F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    return (
+        j.select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("yr"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "yr")
+        .agg(_money(F.sum("amount")).alias("sum_profit"))
+        .orderBy(F.col("nation"), F.col("yr").desc())
+    )
+
+
+@register(
+    "tpch_q11_important_parts",
+    oracle="""
+    SELECT l_partkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS value
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING sum(l_extendedprice * (1 - l_discount)) > (
+      SELECT sum(l_extendedprice * (1 - l_discount))
+             / count(DISTINCT l_partkey) * 1.2
+      FROM lineitem
+    )
+    ORDER BY value DESC, l_partkey
+    """,
+)
+def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (group value vs global threshold — a HAVING over
+    an uncorrelated scalar subquery).  Adaptation: partsupp value →
+    lineitem revenue; the fixed TPC-H fraction (0.0001/SF) is replaced
+    by 1.2× the mean per-part share so selectivity is scale-invariant.
+    The global threshold is a 1-row broadcast, so it costs no second
+    shuffle of the grouped side."""
+    t = _t(spark, sf_dir)
+    by_part = (
+        t["lineitem"]
+        .groupBy("l_partkey")
+        .agg(F.sum(_rev()).alias("_raw_value"))
+    )
+    total = t["lineitem"].agg(
+        (F.sum(_rev()) / F.count_distinct(F.col("l_partkey")) * 1.2).alias(
+            "_threshold"
+        )
+    )
+    return (
+        by_part.crossJoin(F.broadcast(total))
+        .filter(F.col("_raw_value") > F.col("_threshold"))
+        .select("l_partkey", _money(F.col("_raw_value")).alias("value"))
+        .orderBy(F.col("value").desc(), F.col("l_partkey"))
+    )
+
+
+@register(
+    "tpch_q12_priority_lines",
+    oracle="""
+    SELECT l_linestatus,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+)
+def tpch_q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (conditional dual counting by category).
+    Adaptation: l_shipmode → l_linestatus (no shipmode column)."""
+    t = _t(spark, sf_dir)
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        joins.join(t["orders"], li, on=F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "tpch_q13_order_counts",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def tpch_q13_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): LEFT OUTER with an extra join
+    predicate (not a post-filter — customers with only urgent orders
+    must still appear with count 0), then a count-of-counts.
+    Adaptation: o_comment NOT LIKE → o_orderpriority <> filter."""
+    t = _t(spark, sf_dir)
+    c = t["customer"]
+    o = t["orders"]
+    per_cust = (
+        c.join(
+            o,
+            on=(c.c_custkey == o.o_custkey)
+            & (o.o_orderpriority != "1-URGENT"),
+            how="left_outer",
+        )
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): reused CTE + uncorrelated MAX scalar
+    subquery.  Revenue is rounded to cents BEFORE the max-equality so
+    both engines compare identical values (fp-sum order differs at ulp).
+    The 1-row max is broadcast; the CTE is computed once and reused."""
+    t = _t(spark, sf_dir)
+    revenue = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= _ts("1996-01-01"))
+            & (F.col("l_shipdate") < _ts("1996-04-01"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(_money(F.sum(_rev())).alias("total_revenue"))
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("_max_rev"))
+    return (
+        joins.join(
+            t["supplier"], revenue, on=F.col("s_suppkey") == F.col("supplier_no")
+        )
+        .crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("_max_rev"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "tpch_q16_supplier_cnt",
+    oracle="""
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 5, 9, 13)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (supplier counts): NOT IN subquery → broadcast left-anti
+    join (s_suppkey is non-null, so anti-join ≡ NOT IN), then
+    count-distinct per part descriptor.  Adaptation: partsupp → lineitem
+    link; complaint-comment filter → negative balance."""
+    t = _t(spark, sf_dir)
+    bad = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    li = t["lineitem"].join(
+        F.broadcast(bad),
+        on=F.col("l_suppkey") == F.col("s_suppkey"),
+        how="left_anti",
+    )
+    p = t["part"].filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 5, 9, 13)
+    )
+    return (
+        li.join(p, on=F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+@register(
+    "tpch_q17_small_qty",
+    oracle="""
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#3'
+      AND l_quantity < (
+        SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = p_partkey
+      )
+    """,
+)
+def tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): correlated AVG scalar
+    subquery per part.  DataFrame form is the decorrelated aggregate-
+    then-join plan Catalyst produces (RewriteCorrelatedScalarSubquery).
+    Adaptation: container filter → p_brand (no p_container column)."""
+    t = _t(spark, sf_dir)
+    per_part_avg = (
+        t["lineitem"]
+        .groupBy(F.col("l_partkey").alias("_apk"))
+        .agg((0.5 * F.avg("l_quantity")).alias("_half_avg"))
+    )
+    li = joins.join(
+        t["lineitem"],
+        t["part"].filter(F.col("p_brand") == "Brand#3"),
+        on=F.col("p_partkey") == F.col("l_partkey"),
+    )
+    return (
+        li.join(per_part_avg, on=F.col("l_partkey") == F.col("_apk"))
+        .filter(F.col("l_quantity") < F.col("_half_avg"))
+        .agg(_money(F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
+@register(
+    "tpch_q20_part_suppliers",
+    oracle="""
+    SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem
+      WHERE l_partkey IN (
+        SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+      )
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      GROUP BY l_suppkey
+      HAVING sum(l_quantity) > 100
+    )
+    ORDER BY s_name
+    """,
+)
+def tpch_q20_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion): nested IN subqueries with a
+    HAVING threshold — inner IN lowered to a broadcast semi join, outer
+    IN to a semi join on the grouped result.  Adaptation: partsupp
+    availability threshold → shipped-quantity threshold."""
+    t = _t(spark, sf_dir)
+    small_parts = t["part"].filter(F.col("p_name").like("small%")).select(
+        "p_partkey"
+    )
+    qualified = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= _ts("1996-01-01"))
+            & (F.col("l_shipdate") < _ts("1997-01-01"))
+        )
+        .join(
+            F.broadcast(small_parts),
+            on=F.col("l_partkey") == F.col("p_partkey"),
+            how="left_semi",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .filter(F.col("_qty") > 100)
+        .select("l_suppkey")
+    )
+    return (
+        t["supplier"]
+        .join(qualified, on=F.col("s_suppkey") == F.col("l_suppkey"), how="left_semi")
+        .select("s_name", _money(F.col("s_acctbal")).alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
+@register(
+    "tpch_q21_waiting",
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM supplier, lineitem l1, orders
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def tpch_q21_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting): the EXISTS +
+    NOT EXISTS pair over self-joined lineitem, kept exactly; the wait
+    condition is remapped to 'sole supplier who returned' (l_returnflag
+    'R') since commit/receipt dates don't exist in this schema.
+
+    EXISTS → left-semi, NOT EXISTS → left-anti, both on
+    (l_orderkey, other-supplier) — the decorrelation the reference
+    reached via SubtractedRDD (§7.4.4) and Catalyst reaches via
+    RewritePredicateSubquery."""
+    t = _t(spark, sf_dir)
+    li = t["lineitem"]
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            t["orders"].filter(F.col("o_orderstatus") == "F"),
+            on=F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    other = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"),
+        F.col("l_suppkey").alias("o2_suppkey"),
+        F.col("l_returnflag").alias("o2_flag"),
+    )
+    exists_cond = (F.col("l_orderkey") == F.col("o2_orderkey")) & (
+        F.col("l_suppkey") != F.col("o2_suppkey")
+    )
+    l1 = l1.join(other, on=exists_cond, how="left_semi")
+    l1 = l1.join(
+        other.filter(F.col("o2_flag") == "R"), on=exists_cond, how="left_anti"
+    )
+    return (
+        l1.join(
+            F.broadcast(t["supplier"]),
+            on=F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q22_idle_customers",
+    oracle="""
+    SELECT cntrycode, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+    FROM (
+      SELECT c_nationkey % 7 AS cntrycode, c_acctbal
+      FROM customer
+      WHERE c_acctbal > (
+        SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_totalprice > 400000.0
+      )
+    ) custsale
+    GROUP BY cntrycode
+    ORDER BY cntrycode
+    """,
+)
+def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity): above-average balance
+    (uncorrelated scalar subquery, broadcast 1-row) + NOT EXISTS →
+    left-anti against a filtered orders side.  Adaptations: phone
+    country code → c_nationkey % 7; "no orders in 7 years" → "no order
+    over 400k" (every customer in this dataset has some order, so the
+    unfiltered form is degenerate-empty)."""
+    t = _t(spark, sf_dir)
+    avg_bal = (
+        t["customer"]
+        .filter(F.col("c_acctbal") > 0.0)
+        .agg(F.avg("c_acctbal").alias("_avg_bal"))
+    )
+    rich = (
+        t["customer"]
+        .crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+    )
+    idle = rich.join(
+        t["orders"]
+        .filter(F.col("o_totalprice") > 400000.0)
+        .select("o_custkey"),
+        on=F.col("c_custkey") == F.col("o_custkey"),
+        how="left_anti",
+    )
+    return (
+        idle.select(
+            (F.col("c_nationkey") % 7).alias("cntrycode"), F.col("c_acctbal")
+        )
+        .groupBy("cntrycode")
+        .agg(
+            F.count("*").alias("numcust"),
+            _money(F.sum("c_acctbal")).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )

@@ -183,3 +183,43 @@ def test_insert_into_dynamic_partition_sql(spark):
         assert [r.k for r in pruned.collect()] == [3]
     finally:
         spark.sql("DROP TABLE IF EXISTS t_part")
+
+
+def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
+    """JDBC source+sink end-to-end (reference jdbc/JDBCRDD.scala scan,
+    DataFrame.scala:1260 insertIntoJDBC) against the Derby embedded
+    engine that ships in Spark's own jars — no external RDBMS needed.
+    Covers: write (CREATE+INSERT), plain read, stride-partitioned read,
+    per-predicate partitions, and filter pushdown into the remote WHERE
+    (JDBCRDD.compileFilter :244 parity)."""
+    url = f"jdbc:derby:{tmp_path}/jdb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    df = spark.range(100).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") % 5).cast("int").alias("grp"),
+        F.concat(F.lit("v"), F.col("id")).alias("v"),
+    )
+    sio.write_jdbc(df, url, "t_jdbc", mode="overwrite", properties=props)
+
+    back = sio.read_jdbc(spark, url, "t_jdbc", properties=props)
+    assert back.count() == 100
+
+    parted = sio.read_jdbc(
+        spark, url, "t_jdbc",
+        partition_column="k", lower_bound=0, upper_bound=100,
+        num_partitions=4, properties=props,
+    )
+    assert parted.rdd.getNumPartitions() == 4
+    assert parted.count() == 100
+
+    by_pred = sio.read_jdbc(
+        spark, url, "t_jdbc",
+        predicates=["grp < 2", "grp >= 2"], properties=props,
+    )
+    assert by_pred.rdd.getNumPartitions() == 2
+    assert by_pred.count() == 100
+
+    filtered = back.filter(F.col("k") >= 90).select("k", "v")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "GreaterThanOrEqual" in plan.replace(" ", ""), plan
+    assert filtered.count() == 10

@@ -174,3 +174,40 @@ def test_q4_exists_plans_semi_join(spark):
     """tpch_q4: EXISTS must stay a left-semi join, not inner+distinct."""
     plan = plan_of(QUERY_REGISTRY["tpch_q4_priority"](spark, SF))
     assert "LeftSemi" in plan, plan
+
+
+def test_q21_exists_pair_plans_semi_and_anti(spark):
+    """tpch_q21: EXISTS → LeftSemi and NOT EXISTS → LeftAnti must both
+    survive planning (not degrade to inner+distinct / outer+filter)."""
+    plan = plan_of(QUERY_REGISTRY["tpch_q21_waiting"](spark, SF))
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q17_decorrelated_avg_is_partial_agg(spark):
+    """tpch_q17: the per-part AVG must be a partial+final hash aggregate
+    feeding a join — i.e. the decorrelated plan, with map-side combine,
+    not a per-row recomputation."""
+    plan = plan_of(QUERY_REGISTRY["tpch_q17_small_qty"](spark, SF))
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "partial" in plan.lower(), plan
+
+
+def test_q11_threshold_is_broadcast_not_second_shuffle(spark):
+    """tpch_q11: the global-threshold compare must come in as a broadcast
+    (1-row) join against the grouped side — never a nested-loop over the
+    full grouped output or a cartesian."""
+    df = QUERY_REGISTRY["tpch_q11_important_parts"](spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "Broadcast" in plan, plan
+
+
+def test_q2_correlated_max_no_cartesian(spark):
+    """tpch_q2: the decorrelated max-per-part join must stay a hash/merge
+    equi-join; region+nation stay broadcast."""
+    plan = plan_of(QUERY_REGISTRY["tpch_q2_top_supplier_part"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
