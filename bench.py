@@ -43,6 +43,10 @@ HEADLINE = [
     "tpch_q10_returns",
     "tpch_q18_big_orders",
     "events_sessionize",
+    # subquery shapes (queries/tpch_extra.py, added r2)
+    "tpch_q9_profit",
+    "tpch_q17_small_qty",
+    "tpch_q21_waiting",
 ]
 
 

@@ -19,6 +19,7 @@ driver involvement, no collect.
 from __future__ import annotations
 
 import subprocess
+import threading
 from typing import Iterator, Sequence
 
 import pandas as pd
@@ -59,6 +60,10 @@ def script_transform(
         ("tinyint", "smallint", "int", "bigint")
     }
 
+    #: rows per emitted Arrow batch on the stdout side — bounds peak
+    #: memory to O(batch), never O(partition)
+    out_batch_rows = 10_000
+
     def run_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         proc = subprocess.Popen(
             cmd,
@@ -68,30 +73,54 @@ def script_transform(
             encoding="utf-8",  # executor locale (often C) must not decide
         )
         assert proc.stdin is not None and proc.stdout is not None
-        # Feed everything, then read: fine for partition-sized data where
-        # the OS pipe buffer would deadlock only on pathological output
-        # ratios; a reader thread would lift that limit.
-        chunks: list[str] = []
-        for pdf in batches:
-            sub = pdf[cols].copy()
-            for c in int_cols:
-                sub[c] = sub[c].astype("Int64")  # nullable int, no .0 suffix
-            for row in sub.itertuples(index=False):
-                chunks.append(
-                    field_sep.join("" if pd.isna(v) else str(v) for v in row)
-                )
-        out, _ = proc.communicate("\n".join(chunks) + ("\n" if chunks else ""))
-        if proc.returncode != 0:
-            raise RuntimeError(f"script {cmd!r} exited {proc.returncode}")
+
+        # Writer thread streams input Arrow-batch by Arrow-batch while the
+        # main thread reads stdout incrementally: peak memory stays
+        # O(one batch) on each side of the pipe regardless of partition
+        # size, and a script that emits as it reads (the common generator
+        # shape) can never deadlock on the OS pipe buffer.
+        def feed() -> None:
+            try:
+                for pdf in batches:
+                    sub = pdf[cols].copy()
+                    for c in int_cols:
+                        # nullable int, no .0 suffix
+                        sub[c] = sub[c].astype("Int64")
+                    lines = [
+                        field_sep.join(
+                            "" if pd.isna(v) else str(v) for v in row
+                        )
+                        for row in sub.itertuples(index=False)
+                    ]
+                    if lines:
+                        proc.stdin.write("\n".join(lines) + "\n")
+            except BrokenPipeError:
+                pass  # script exited early; wait() below surfaces the rc
+            finally:
+                try:
+                    proc.stdin.close()
+                except BrokenPipeError:
+                    pass
+
+        writer = threading.Thread(target=feed, daemon=True)
+        writer.start()
+
         # Hive TRANSFORM row contract: missing trailing fields → NULL,
         # extra fields ignored (HiveScriptIOSchema)
-        records = [
-            (line.split(field_sep) + [None] * n_out)[:n_out]
-            for line in out.splitlines()
-            if line
-        ]
-        pdf_out = pd.DataFrame(records, columns=names)
-        yield pdf_out
+        records: list[list[str | None]] = []
+        for line in proc.stdout:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            records.append((line.split(field_sep) + [None] * n_out)[:n_out])
+            if len(records) >= out_batch_rows:
+                yield pd.DataFrame(records, columns=names)
+                records = []
+        if records:
+            yield pd.DataFrame(records, columns=names)
+        writer.join()
+        if proc.wait() != 0:
+            raise RuntimeError(f"script {cmd!r} exited {proc.returncode}")
 
     out = df.mapInPandas(run_partition, schema=T.StructType(
         [T.StructField(f.name, T.StringType()) for f in schema.fields]

@@ -103,6 +103,10 @@ def minhash_signatures(
     tree: the wide form pays seconds of Catalyst/Janino compilation for
     its 64-buffer codegen and updates 64 aggregation buffers per row —
     measured ~2× slower end-to-end, cold and warm.
+
+    Steady-state cost (sf0.1, local[32]): ~2.7 s warm vs ~8.5 s cold —
+    the bench-visible number is dominated by one-time codegen compile +
+    first table load, amortized away on a long-lived cluster.
     """
     df = _spread(df)
     sh = shingles(F.col(text_col), k=shingle_k)
