@@ -194,10 +194,12 @@ def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
     (JDBCRDD.compileFilter :244 parity)."""
     url = f"jdbc:derby:{tmp_path}/jdb;create=true"
     props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    # uppercase names: Derby uppercases unquoted identifiers, so the
+    # raw-SQL predicate strings below resolve without dialect quoting
     df = spark.range(100).select(
-        F.col("id").cast("int").alias("k"),
-        (F.col("id") % 5).cast("int").alias("grp"),
-        F.concat(F.lit("v"), F.col("id")).alias("v"),
+        F.col("id").cast("int").alias("K"),
+        (F.col("id") % 5).cast("int").alias("GRP"),
+        F.concat(F.lit("v"), F.col("id")).alias("V"),
     )
     sio.write_jdbc(df, url, "t_jdbc", mode="overwrite", properties=props)
 
@@ -206,7 +208,7 @@ def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
 
     parted = sio.read_jdbc(
         spark, url, "t_jdbc",
-        partition_column="k", lower_bound=0, upper_bound=100,
+        partition_column="K", lower_bound=0, upper_bound=100,
         num_partitions=4, properties=props,
     )
     assert parted.rdd.getNumPartitions() == 4
@@ -214,12 +216,12 @@ def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
 
     by_pred = sio.read_jdbc(
         spark, url, "t_jdbc",
-        predicates=["grp < 2", "grp >= 2"], properties=props,
+        predicates=["GRP < 2", "GRP >= 2"], properties=props,
     )
     assert by_pred.rdd.getNumPartitions() == 2
     assert by_pred.count() == 100
 
-    filtered = back.filter(F.col("k") >= 90).select("k", "v")
+    filtered = back.filter(F.col("K") >= 90).select("K", "V")
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "GreaterThanOrEqual" in plan.replace(" ", ""), plan
     assert filtered.count() == 10
