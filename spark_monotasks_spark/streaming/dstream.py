@@ -201,6 +201,42 @@ def count_by_value_and_window(
     ).drop("window_end")
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    watermark: str = "1 hour",
+    max_skew: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """join of two streams (PairDStreamFunctions.scala:482 ``join`` —
+    per-batch RDD cogroup in the reference).
+
+    Structured Streaming generalizes the reference's same-batch-only
+    join: rows pair across micro-batches, with the watermark + the
+    event-time range condition bounding the buffered state (without the
+    range, stream-stream state grows forever — the unbounded-state
+    failure mode the reference sidestepped by only joining aligned
+    batches).  ``max_skew`` is how far the two sides' event times may
+    differ and still match — the knob that sizes state at 100 TB/day.
+
+    Column names must be disjoint across sides (rename before calling),
+    matching the reference's K/V-pair contract where both sides share
+    only the key.
+    """
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (F.col(left_key) == F.col(right_key))
+        & (F.col(right_ts) >= F.expr(f"{left_ts} - INTERVAL {max_skew}"))
+        & (F.col(right_ts) <= F.expr(f"{left_ts} + INTERVAL {max_skew}"))
+    )
+    return l.join(r, on=cond, how=how)
+
+
 # --- updateStateByKey ------------------------------------------------------
 
 def update_state_by_key(

@@ -228,3 +228,52 @@ def test_kafka_stream_gated_with_actionable_error(spark):
     ClassNotFoundException (COVERAGE.md §2.10)."""
     with pytest.raises(RuntimeError, match="spark-sql-kafka"):
         dstream.kafka_stream(spark, "localhost:9092", "events")
+
+
+def test_stream_stream_join_matches_batch(spark, chunked_events, tmp_path):
+    """stream-stream join (PairDStreamFunctions.scala:482): two streams
+    over the same chunked source, self-joined on event_id with an
+    event-time range — result must equal the batch self-join even
+    though matches can pair across micro-batches (state store holds
+    the unmatched side until the watermark passes)."""
+    path, events = chunked_events
+    left = dstream.file_stream(spark, path, events.schema).select(
+        F.col("event_id").alias("l_id"),
+        F.col("ts").cast("timestamp").alias("l_ts"),
+        F.col("value").alias("l_value"),
+    )
+    right = dstream.file_stream(spark, path, events.schema).select(
+        F.col("event_id").alias("r_id"),
+        F.col("ts").cast("timestamp").alias("r_ts"),
+        F.col("event_type").alias("r_type"),
+    )
+    # chunks are split by event_id, not time, so each micro-batch spans
+    # the whole ts range: the watermark delay must cover that spread or
+    # later batches' rows arrive "late" and get dropped (the correct
+    # production behavior; here we want the lossless comparison)
+    joined = dstream.stream_stream_join(
+        left, right, "l_id", "r_id", "l_ts", "r_ts",
+        watermark="365 days", max_skew="1 hour",
+    ).select("l_id", "l_value", "r_type")
+    q = dstream.start_file_sink(
+        joined, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    _await(q)
+    got = spark.read.parquet(str(tmp_path / "out"))
+    # event_id is unique → self-join on it is exactly one match per row
+    assert got.count() == events.count()
+    assert got.select("l_id").distinct().count() == events.count()
+    sample = got.filter(F.col("l_id") == got.first().l_id).first()
+    exp = events.filter(F.col("event_id") == sample.l_id).first()
+    assert sample.l_value == exp.value and sample.r_type == exp.event_type
+
+
+def test_stream_union_matches_batch(spark, chunked_events):
+    """DStream.union parity: union of two streams drains to the bag
+    union of their inputs (append mode, no dedup)."""
+    path, events = chunked_events
+    a = dstream.file_stream(spark, path, events.schema).select("event_id")
+    b = dstream.file_stream(spark, path, events.schema).select("event_id")
+    q = dstream.start_memory_sink(a.union(b), "su", output_mode="append")
+    _await(q)
+    assert spark.table("su").count() == 2 * events.count()
