@@ -225,3 +225,38 @@ def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "GreaterThanOrEqual" in plan.replace(" ", ""), plan
     assert filtered.count() == 10
+
+
+def test_user_defined_type_roundtrip(spark):
+    """UDT parity (reference dataTypes.scala:1185 SQLUserDefinedType,
+    exercised there by MLlib vectors): a Python class with a __UDT__
+    rides through createDataFrame → DataFrame ops → collect, and its
+    serialized array form is directly queryable JVM-side."""
+    from pyspark.sql import types as T
+
+    from spark_monotasks_spark.functions.udt import Point2D, Point2DUDT
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("pt", Point2DUDT()),
+        ]
+    )
+    pts = [(1, Point2D(0.0, 0.0)), (2, Point2D(3.0, 4.0)), (3, Point2D(6.0, 8.0))]
+    df = spark.createDataFrame(pts, schema)
+    assert isinstance(df.schema["pt"].dataType, Point2DUDT)
+
+    # deserialize on collect gives back the Python objects
+    got = {r.id: r.pt for r in df.collect()}
+    assert got == dict(pts)
+
+    # the UDT survives a shuffle in its serialized form (no Python
+    # round-trip mid-plan) …
+    shuffled = df.repartition(4, "id").sort("id")
+    assert [r.pt for r in shuffled.collect()] == [p for _, p in pts]
+
+    # … and UDFs receive the deserialized Python objects (the
+    # reference's MLlib-vector-UDT usage pattern)
+    dist = F.udf(lambda p: (p.x**2 + p.y**2) ** 0.5, "double")
+    got_d = {r.id: r.d for r in df.select("id", dist("pt").alias("d")).collect()}
+    assert got_d == {1: 0.0, 2: 5.0, 3: 10.0}
