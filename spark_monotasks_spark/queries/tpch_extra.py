@@ -119,7 +119,7 @@ def tpch_q2_top_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT supp_nation, cust_nation, yr, round(sum(volume), 2) AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-             year(l_shipdate) AS yr,
+             CAST(year(l_shipdate) AS INTEGER) AS yr,
              l_extendedprice * (1 - l_discount) AS volume
       FROM supplier
       JOIN lineitem ON s_suppkey = l_suppkey
@@ -182,7 +182,7 @@ def tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
                  / sum(volume), 4) AS mkt_share
     FROM (
-      SELECT year(o_orderdate) AS yr,
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
              l_extendedprice * (1 - l_discount) AS volume,
              n2.n_name AS nation
       FROM part
@@ -245,7 +245,7 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT nation, yr, round(sum(amount), 2) AS sum_profit
     FROM (
-      SELECT n_name AS nation, year(o_orderdate) AS yr,
+      SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS yr,
              l_extendedprice * (1 - l_discount)
                - 0.1 * p_retailprice * l_quantity AS amount
       FROM part
@@ -334,10 +334,10 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q12_priority_lines",
     oracle="""
     SELECT l_linestatus,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate <  TIMESTAMP '1997-01-01'
