@@ -179,3 +179,67 @@ def fingerprint(col: Column | str, normalize: bool = True) -> Column:
 
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select("*", fingerprint(text_col).alias("fingerprint"))
+
+
+#: default redaction rules — RE2-compatible (no backrefs/lookaround) so
+#: the same pattern strings run in Spark (java.util.regex) AND external
+#: engines (DuckDB/re2); order matters (emails before digit runs).
+REDACT_RULES: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\d{6,}", "<NUM>"),
+)
+
+
+def redact(col: Column | str, rules: tuple[tuple[str, str], ...] = REDACT_RULES) -> Column:
+    """PII-style redaction: sequential regexp_replace rules, all
+    JVM-side in one projection (a single codegen stage — no Python, no
+    extra pass per rule at 100 TB)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pattern, replacement in rules:
+        c = F.regexp_replace(c, pattern, replacement)
+    return c
+
+
+def with_redacted(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.select("*", redact(text_col).alias("redacted"))
+
+
+def split_bucket(col: Column | str, n_buckets: int = 10_000) -> Column:
+    """Deterministic engine-portable bucket in [0, n_buckets): first 8
+    hex chars of md5(id-as-string) parsed as an int.  md5 (not
+    xxhash64/crc32) so any system — including the DuckDB oracle and
+    whatever serves the trained model — reproduces the assignment
+    byte-for-byte from the id alone."""
+    c = F.col(col) if isinstance(col, str) else col
+    hex8 = F.substring(F.md5(c.cast("string").cast("binary")), 1, 8)
+    return (F.conv(hex8, 16, 10).cast("long") % n_buckets).alias("bucket")
+
+
+def train_split_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    n_buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by hashed id.
+
+    The split is a pure function of the id — stable across runs,
+    engines, partitionings, and corpus growth (a doc keeps its split
+    when new data arrives, unlike randomSplit), which is the property a
+    training pipeline needs for leak-free eval sets.  One projection,
+    no shuffle."""
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    if abs(sum(weights.values()) - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {weights}")
+    bucket = split_bucket(id_col, n_buckets)
+    expr: Column | None = None
+    cum = 0.0
+    for name, w in weights.items():
+        cum += w
+        bound = int(round(cum * n_buckets))
+        cond = bucket < F.lit(bound)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    # float-rounding slack: anything at the top boundary joins the last
+    return df.select(
+        "*", F.coalesce(expr, F.lit(list(weights)[-1])).alias("split")
+    )

@@ -260,3 +260,66 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_duplicates(
         t["embeddings"], dim=64, threshold=0.35, n_planes=8
     )
+
+
+@register(
+    "doc_redact",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com ref ' || CAST(doc_id * 1000003 AS VARCHAR),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\d{6,}', '<NUM>', 'g') AS redacted
+    FROM documents
+    """,
+)
+def doc_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style redaction (pipeline.text.redact): plant a deterministic
+    email + long number per doc (the corpus text itself is clean), then
+    redact both.  RE2-compatible patterns run identically in Spark's
+    java.util.regex and the DuckDB oracle's re2."""
+    t = _t(spark, sf_dir)
+    planted = t["documents"].select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ref "),
+            (F.col("doc_id") * 1000003).cast("string"),
+        ).alias("text"),
+    )
+    return text.with_redacted(planted).select("doc_id", "redacted")
+
+
+@register(
+    "train_split_assign",
+    oracle="""
+    SELECT split, count(*) AS n_docs
+    FROM (
+      SELECT CASE WHEN b < 9000 THEN 'train'
+                  WHEN b < 9500 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 10000 AS b
+        FROM documents
+      )
+    )
+    GROUP BY split ORDER BY split
+    """,
+)
+def train_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-bucket train/val/test split
+    (pipeline.text.train_split_assign): assignment is a pure function of
+    doc_id — stable across runs/engines/corpus growth, unlike
+    randomSplit.  The oracle recomputes the exact same buckets."""
+    t = _t(spark, sf_dir)
+    assigned = text.train_split_assign(t["documents"], id_col="doc_id")
+    return (
+        assigned.groupBy("split")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("split")
+    )

@@ -408,3 +408,36 @@ def test_dedup_param_guards(spark, docs_with_dups):
         dedup.minhash_near_duplicates(docs_with_dups, num_hashes=16, num_bands=32)
     with pytest.raises(ValueError, match="pigeonhole"):
         dedup.simhash_near_duplicates(docs_with_dups, max_hamming=6, num_bands=4)
+
+
+def test_redact_rules(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "reach me at bob.smith+x@mail.example.org today"),
+            (2, "card 1234567890 and pin 12345"),
+            (3, "clean text stays untouched"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.redacted for r in text.with_redacted(df).collect()}
+    assert got[1] == "reach me at <EMAIL> today"
+    assert got[2] == "card <NUM> and pin 12345"  # <6 digits stays
+    assert got[3] == "clean text stays untouched"
+
+
+def test_train_split_deterministic_and_stable(spark):
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    a = text.train_split_assign(df, id_col="doc_id")
+    counts = {r.split: r.n for r in a.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 2000
+    # ratios within tolerance of 90/5/5
+    assert abs(counts["train"] / 2000 - 0.9) < 0.03
+    # assignment is a pure function of the id: repartitioning the input
+    # (different task layout) must not move any row between splits
+    b = text.train_split_assign(df.repartition(17), id_col="doc_id")
+    assert sorted((r.doc_id, r.split) for r in a.collect()) == sorted(
+        (r.doc_id, r.split) for r in b.collect()
+    )
+    with pytest.raises(ValueError, match="sum to 1"):
+        text.train_split_assign(df, weights={"train": 0.5, "test": 0.4})
