@@ -206,3 +206,31 @@ def conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(seg_nz, F.lit("M?")).alias("seg_nvl"),
         F.when(F.col("c_acctbal") >= 0, "ok").otherwise("neg").alias("flag"),
     )
+
+
+@register(
+    "regexp_funcs",
+    oracle="""
+    SELECT c_custkey,
+           regexp_extract(c_name, '([1-9][0-9]*)$', 1)          AS name_num,
+           CAST(regexp_matches(c_name, '[02468]$') AS INTEGER)  AS even_end,
+           regexp_replace(c_mktsegment, '[AEIOU]', '_', 'g')    AS seg_scrub
+    FROM customer WHERE c_custkey <= 500
+    """,
+)
+def regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp builtins (Hive registry: regexp_extract / regexp_replace /
+    rlike — hiveUdfs.scala registry rows).  RE2-compatible patterns so
+    Spark's java.util.regex and the oracle's re2 agree; note Spark
+    regexp_replace is replace-ALL (DuckDB needs the 'g' flag)."""
+    t = _t(spark, sf_dir)
+    return (
+        t["customer"]
+        .filter(F.col("c_custkey") <= 500)
+        .select(
+            "c_custkey",
+            F.regexp_extract("c_name", r"([1-9][0-9]*)$", 1).alias("name_num"),
+            F.col("c_name").rlike("[02468]$").cast("int").alias("even_end"),
+            F.regexp_replace("c_mktsegment", "[AEIOU]", "_").alias("seg_scrub"),
+        )
+    )
