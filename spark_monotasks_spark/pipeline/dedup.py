@@ -356,3 +356,65 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering: pairs -> components -> canonical survivor
+# ---------------------------------------------------------------------------
+
+def near_duplicate_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Cluster near-duplicates: MinHash pairs -> connected components.
+
+    Pairwise near-dup detection alone under-deduplicates chains (A~B,
+    B~C but A!~C must still collapse to ONE kept doc — the standard
+    transitive-closure step in pretraining dedup, cf. the reference's
+    lib/ConnectedComponents.scala used here via graph.algorithms).
+
+    Scale shape: the label-propagation join runs ONLY on the pair graph
+    (docs that matched at least one near-dup — orders of magnitude
+    smaller than the corpus); the full corpus is touched by exactly one
+    extra left join at the end to give singletons their own cluster id.
+    Returns (id, cluster) where cluster = min doc id in the component.
+    """
+    from spark_monotasks_spark.graph.algorithms import connected_components
+
+    pairs = minhash_near_duplicates(
+        df, id_col, text_col, shingle_k, num_hashes, num_bands, jaccard_threshold
+    )
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    comps = connected_components(edges)
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(comps, on="id", how="left")
+        .select("id", F.coalesce("component", F.col("id")).alias("cluster"))
+    )
+
+
+def drop_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Keep one representative (min id) per near-duplicate cluster.
+
+    Survivor selection shuffles only (id, cluster) longs; the document
+    payload re-enters via a final left-semi join on the id — the same
+    payload-never-shuffles discipline as drop_exact_duplicates.
+    """
+    clusters = near_duplicate_clusters(
+        df, id_col, text_col, shingle_k, num_hashes, num_bands, jaccard_threshold
+    )
+    keep = clusters.groupBy("cluster").agg(F.min("id").alias(id_col))
+    return df.join(keep.select(id_col), on=id_col, how="left_semi")

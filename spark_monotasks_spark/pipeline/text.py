@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: tiny per-language stopword lists for the n-gram/stopword language
@@ -242,4 +242,111 @@ def train_split_assign(
     # float-rounding slack: anything at the top boundary joins the last
     return df.select(
         "*", F.coalesce(expr, F.lit(list(weights)[-1])).alias("split")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    budget: int = 2048,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing for LLM training batches.
+
+    Documents are laid end-to-end in deterministic (shard, id) order and
+    chunked into fixed ``budget``-token training sequences — the
+    standard pretraining packing scheme (a doc may span two sequences;
+    the tokenizer's EOS handles the boundary).  Emits per doc:
+    ``shard``, byte-deterministic from the id; ``seq_id``, the sequence
+    its FIRST token lands in; ``seq_offset``, that token's position.
+
+    Scale shape: the running total is a window over ``shard`` — 100 TB
+    packs as ``n_shards`` independent ordered partitions instead of one
+    global sort, and shard count scales with the cluster, not the data.
+    Pure built-ins, engine-portable (shard is md5-derived, so the DuckDB
+    oracle reproduces it bit-for-bit).
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    shard = split_bucket(id_col, n_shards).alias("shard")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum(token_col).over(w) - F.col(token_col)).alias("_start")
+    return (
+        df.select(id_col, token_col, shard)
+        .select(id_col, token_col, "shard", start)
+        .select(
+            id_col,
+            F.col(token_col).cast("long").alias(token_col),
+            "shard",
+            (F.col("_start") / budget).cast("long").alias("seq_id"),
+            (F.col("_start") % budget).cast("long").alias("seq_offset"),
+        )
+    )
+
+
+def word_ngrams(col: Column | str, n: int = 5) -> Column:
+    """Distinct word n-grams of a document as an array<string> — one
+    higher-order-function expression, no explode until the caller
+    chooses to.  Docs shorter than ``n`` tokens yield an empty array
+    (guarded: Spark's ``sequence(1, 0)`` would DESCEND, not empty)."""
+    toks = tokens(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - n + 1),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def contamination_check(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark-contamination screen: n-gram overlap per training doc.
+
+    The standard decontamination pass (GPT-3/PaLM style): any training
+    document sharing enough word n-grams with an eval benchmark is
+    flagged before training.  Returns (id, n_grams, n_hits, hit_frac)
+    for every doc in ``df``.
+
+    Scale shape: the benchmark's distinct n-grams are a SMALL relation
+    (eval sets are MBs, the corpus is TBs) — the corpus side explodes
+    its n-grams and inner-joins them against the benchmark grams, which
+    Spark/AQE broadcasts, so the 100 TB side never shuffles; the only
+    aggregation is the per-doc hit count.
+    """
+    grams = word_ngrams(F.col(text_col), n)
+    bench_grams = (
+        benchmark.select(F.explode(word_ngrams(F.col(text_col), n)).alias("g"))
+        .distinct()
+    )
+    corpus = df.select(
+        F.col(id_col).alias("id"), grams.alias("grams")
+    ).select("id", "grams", F.size("grams").cast("long").alias("n_grams"))
+    hits = (
+        corpus.select("id", F.explode("grams").alias("g"))
+        .join(F.broadcast(bench_grams), on="g")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        corpus.drop("grams")
+        .join(hits, on="id", how="left")
+        .select(
+            "id",
+            "n_grams",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)) / F.greatest("n_grams", F.lit(1)), 4
+            ).alias("hit_frac"),
+        )
     )

@@ -264,7 +264,7 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_redact",
-    oracle="""
+    oracle=r"""
     SELECT doc_id,
            regexp_replace(
              regexp_replace(
@@ -322,4 +322,91 @@ def train_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned.groupBy("split")
         .agg(F.count("*").alias("n_docs"))
         .orderBy("split")
+    )
+
+
+@register("near_dup_clusters")
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clustering (pipeline.dedup.near_duplicate_clusters):
+    MinHash pairs -> connected components -> (id, cluster) with cluster =
+    min doc id in the component.  Rows-only (xxhash-based MinHash is
+    engine-specific); chain-collapse invariants are asserted in
+    tests/test_pipeline.py with planted duplicate chains."""
+    t = _t(spark, sf_dir)
+    return dedup.near_duplicate_clusters(t["documents"]).orderBy("id")
+
+
+@register(
+    "pack_sequences",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 32 AS shard
+      FROM documents
+    ), packed AS (
+      SELECT doc_id, n_tokens, shard,
+             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS start
+      FROM toks
+    )
+    SELECT doc_id, n_tokens, shard,
+           CAST(start // 2048 AS BIGINT) AS seq_id,
+           CAST(start % 2048 AS BIGINT) AS seq_offset
+    FROM packed
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (pipeline.text.pack_sequences):
+    docs laid end-to-end per md5-shard in doc_id order, chunked into
+    2048-token training sequences.  The oracle reproduces the exact
+    shard/seq/offset assignment — packing is a pure function of
+    (doc_id, n_tokens)."""
+    t = _t(spark, sf_dir)
+    with_counts = t["documents"].select(
+        "doc_id", text.token_count("text").cast("long").alias("n_tokens")
+    )
+    return text.pack_sequences(
+        with_counts, id_col="doc_id", token_col="n_tokens", budget=2048, n_shards=32
+    )
+
+
+@register(
+    "contamination_check",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), corpus AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(greatest(len(t) - 4, 0)),
+                                          i -> array_to_string(t[i+1:i+5], ' ')))
+               AS grams
+      FROM toks
+    ), bench AS (
+      SELECT DISTINCT unnest(grams) AS g FROM corpus WHERE doc_id % 97 = 0
+    ), hits AS (
+      SELECT c.doc_id, count(*) AS n_hits
+      FROM (SELECT doc_id, unnest(grams) AS g FROM corpus) c
+      JOIN bench USING (g)
+      GROUP BY c.doc_id
+    )
+    SELECT corpus.doc_id,
+           CAST(len(grams) AS BIGINT) AS n_grams,
+           CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+           round(coalesce(n_hits, 0) / greatest(len(grams), 1), 4) AS hit_frac
+    FROM corpus LEFT JOIN hits USING (doc_id)
+    """,
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination screen (pipeline.text.contamination_check):
+    5-gram overlap of every training doc against a benchmark set (docs
+    with doc_id % 97 == 0 stand in for the eval set).  Benchmark grams
+    broadcast; the corpus side never shuffles its payload."""
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    return text.contamination_check(docs, benchmark, n=5).withColumnRenamed(
+        "id", "doc_id"
     )

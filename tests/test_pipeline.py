@@ -441,3 +441,88 @@ def test_train_split_deterministic_and_stable(spark):
     )
     with pytest.raises(ValueError, match="sum to 1"):
         text.train_split_assign(df, weights={"train": 0.5, "test": 0.4})
+
+
+# --- near-dup clustering (pairs -> connected components) -------------------
+
+def test_near_dup_clusters_collapse_chain(spark):
+    # 0~1, 1~2 form a chain (0 and 2 need not match directly) -> one cluster
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota lambda mu"),
+        (3, "totally unrelated document about spark shuffles and joins"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.id: r.cluster
+        for r in dedup.near_duplicate_clusters(
+            df, shingle_k=2, jaccard_threshold=0.5
+        ).collect()
+    }
+    assert got[0] == got[1] == got[2] == 0  # min id in the component
+    assert got[3] == 3  # singleton keeps its own id
+
+
+def test_drop_near_duplicates_keeps_one_per_cluster(spark, docs_with_dups):
+    kept = sorted(
+        r.doc_id
+        for r in dedup.drop_near_duplicates(
+            docs_with_dups, shingle_k=2, jaccard_threshold=0.5
+        ).collect()
+    )
+    # 0/1/3 collapse to 0; 2 and 4 survive
+    assert kept == [0, 2, 4]
+
+
+# --- sequence packing ------------------------------------------------------
+
+def test_pack_sequences_invariants(spark):
+    rows = [(i, 700) for i in range(10)]  # 700 tokens each, budget 2048
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = text.pack_sequences(df, budget=2048, n_shards=2).collect()
+    assert len(got) == 10
+    by_shard: dict[int, list] = {}
+    for r in sorted(got, key=lambda r: (r.shard, r.doc_id)):
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard_rows in by_shard.values():
+        # offsets are the running total mod budget, seq ids never decrease
+        start = 0
+        for r in shard_rows:
+            assert r.seq_id == start // 2048
+            assert r.seq_offset == start % 2048
+            start += r.n_tokens
+
+
+def test_pack_sequences_budget_guard(spark):
+    df = spark.createDataFrame([(1, 5)], "doc_id long, n_tokens long")
+    with pytest.raises(ValueError, match="budget"):
+        text.pack_sequences(df, budget=0)
+
+
+# --- contamination check ---------------------------------------------------
+
+def test_contamination_flags_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (0, "intro text then the quick brown fox jumps over the lazy dog end"),
+            (1, "nothing in common with the benchmark document at all here"),
+            (2, "tiny"),  # shorter than n -> zero grams, zero hits
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.id: r for r in text.contamination_check(corpus, bench, n=5).collect()}
+    assert got[0].n_hits > 0 and got[0].hit_frac > 0
+    assert got[1].n_hits == 0 and got[1].hit_frac == 0.0
+    assert got[2].n_grams == 0 and got[2].n_hits == 0
+
+
+def test_word_ngrams_short_doc_empty(spark):
+    df = spark.createDataFrame([("a b",), ("a b c",)], "t string")
+    got = df.select(text.word_ngrams(F.col("t"), n=3).alias("g")).collect()
+    assert got[0].g == []
+    assert got[1].g == ["a b c"]
