@@ -190,3 +190,83 @@ def standardize(
         .withColumn("scaled", vector_to_array("_scaled"))
         .drop("_features", "_scaled")
     )
+
+
+def fpgrowth_frequent_itemsets(
+    baskets: DataFrame,
+    items_col: str = "items",
+    min_support: float = 0.1,
+    min_confidence: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """mllib fpm/FPGrowth.scala parity: frequent itemsets + association
+    rules over an array-of-items column.
+
+    pyspark.ml's FPGrowth is the same parallel FP-tree design (PFP,
+    mllib fpm/FPGrowth.scala): group-dependent conditional trees are
+    mined per partition after one support-count pass — no candidate
+    generation, shuffle keyed by item group.  Returns
+    (itemsets(items, freq), rules(antecedent, consequent, confidence)).
+    """
+    from pyspark.ml.fpm import FPGrowth
+
+    model = FPGrowth(
+        itemsCol=items_col, minSupport=min_support, minConfidence=min_confidence
+    ).fit(baskets)
+    itemsets = model.freqItemsets.select(
+        F.array_sort(F.col("items")).alias("items"), F.col("freq").cast("long")
+    )
+    rules = model.associationRules.select(
+        F.array_sort("antecedent").alias("antecedent"),
+        F.array_sort("consequent").alias("consequent"),
+        F.round("confidence", 4).alias("confidence"),
+    )
+    return itemsets, rules
+
+
+def naive_bayes_fit(
+    df: DataFrame,
+    label_col: str,
+    features_col: str = "embedding",
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """mllib classification/NaiveBayes.scala parity: multinomial NB
+    (one aggregate pass for the conditional counts — the same
+    one-treeAggregate shape as the reference).  Features must be
+    non-negative; returns input plus ``prediction``."""
+    from pyspark.ml.classification import NaiveBayes
+
+    _check_free(df, "_features", "prediction", "rawPrediction", "probability")
+    feat = df.withColumn("_features", _vec(features_col))
+    model = NaiveBayes(
+        smoothing=smoothing, featuresCol="_features", labelCol=label_col
+    ).fit(feat)
+    return model.transform(feat).drop("_features", "rawPrediction", "probability")
+
+
+def tf_idf(
+    df: DataFrame,
+    text_col: str = "text",
+    num_features: int = 1 << 12,
+    min_doc_freq: int = 1,
+) -> DataFrame:
+    """mllib feature/HashingTF.scala + feature/IDF.scala parity:
+    whitespace-tokenize, hash term counts into ``num_features`` buckets,
+    weight by inverse document frequency.
+
+    Same two-pass shape as the reference: TF is embarrassingly parallel
+    (one projection), the IDF document-frequency vector is one
+    treeAggregate over sparse vectors.  Output column ``tfidf``
+    (array<double>, dense)."""
+    from pyspark.ml.feature import IDF, HashingTF, Tokenizer
+
+    _check_free(df, "_tokens", "_tf", "_tfidf", "tfidf")
+    toks = Tokenizer(inputCol=text_col, outputCol="_tokens").transform(df)
+    tf = HashingTF(
+        inputCol="_tokens", outputCol="_tf", numFeatures=num_features
+    ).transform(toks)
+    model = IDF(inputCol="_tf", outputCol="_tfidf", minDocFreq=min_doc_freq).fit(tf)
+    return (
+        model.transform(tf)
+        .withColumn("tfidf", vector_to_array("_tfidf"))
+        .drop("_tokens", "_tf", "_tfidf")
+    )

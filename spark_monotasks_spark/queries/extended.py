@@ -916,3 +916,118 @@ def zip_with_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t["orders"].select(
         "o_orderkey", (F.row_number().over(w) - 1).cast("long").alias("idx")
     )
+
+
+@register(
+    "ml_fpgrowth_itemsets",
+    oracle="""
+    WITH baskets AS (
+      SELECT l_orderkey, list_distinct(list(p_brand)) AS items
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY l_orderkey
+    ), nb AS (SELECT count(*) AS n FROM baskets),
+    exploded AS (SELECT l_orderkey, unnest(items) AS item FROM baskets),
+    singles AS (
+      SELECT [item] AS items, count(*) AS freq FROM exploded GROUP BY item
+      HAVING count(*) / (SELECT CAST(n AS DOUBLE) FROM nb) >= 0.02
+    ), pairs AS (
+      SELECT list_sort([a.item, b.item]) AS items, count(*) AS freq
+      FROM exploded a JOIN exploded b USING (l_orderkey)
+      WHERE a.item < b.item
+      GROUP BY list_sort([a.item, b.item])
+      HAVING count(*) / (SELECT CAST(n AS DOUBLE) FROM nb) >= 0.02
+    )
+    SELECT * FROM singles UNION ALL SELECT * FROM pairs
+    """,
+)
+def ml_fpgrowth_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib fpm parity (mllib fpm/FPGrowth.scala → pyspark.ml.fpm):
+    frequent brand itemsets over per-order baskets.  FPGrowth mines ALL
+    sizes; the contract checks sizes 1-2, which SQL can enumerate
+    exactly (singles + within-basket pairs) — larger itemsets are
+    covered by the local hand-basket test."""
+    from spark_monotasks_spark.ml import fpgrowth_frequent_itemsets
+
+    t = _t(spark, sf_dir)
+    baskets = (
+        t["lineitem"]
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("p_brand").alias("items"))
+    )
+    itemsets, _rules = fpgrowth_frequent_itemsets(
+        baskets, min_support=0.02, min_confidence=0.5
+    )
+    return itemsets.filter(F.size("items") <= 2)
+
+
+@register("ml_naive_bayes")  # float log-prob argmax — rows-only
+def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib classification/NaiveBayes.scala parity: multinomial NB over
+    non-negative text-count features predicting the declared lang;
+    per-(lang, prediction) confusion counts are the observable."""
+    from spark_monotasks_spark.ml import naive_bayes_fit
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"].select(
+        "doc_id",
+        "lang",
+        F.array(
+            F.size(F.split("text", " ")).cast("double"),
+            F.length("text").cast("double"),
+            F.size(F.split("text", r"\.")).cast("double"),
+        ).alias("feats"),
+        (F.abs(F.hash("lang")) % 5).cast("double").alias("label"),
+    )
+    preds = naive_bayes_fit(docs, label_col="label", features_col="feats")
+    return (
+        preds.groupBy("lang", "prediction")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "prediction")
+    )
+
+
+@register("ml_tfidf_norm")  # murmur3 feature hashing — engine-specific, rows-only
+def ml_tfidf_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib feature/HashingTF.scala + IDF.scala parity: hashed TF-IDF
+    vectors over documents; per-doc L2 norm and nonzero count are the
+    stable observables."""
+    from spark_monotasks_spark.ml import tf_idf
+
+    t = _t(spark, sf_dir)
+    vecs = tf_idf(t["documents"], num_features=1 << 10)
+    return vecs.select(
+        "doc_id",
+        F.size(F.filter("tfidf", lambda x: x != 0)).alias("nnz"),
+        F.round(
+            F.sqrt(F.aggregate("tfidf", F.lit(0.0), lambda a, x: a + x * x)), 4
+        ).alias("l2_norm"),
+    )
+
+
+@register(
+    "stat_correlation",
+    oracle="""
+    SELECT round(corr(l_quantity, l_extendedprice), 4)       AS corr_qty_price,
+           round(corr(l_discount, l_tax), 4)                 AS corr_disc_tax,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+           round(stddev_samp(l_quantity), 4)                 AS sd_qty,
+           round(var_samp(l_discount), 6)                    AS var_disc
+    FROM lineitem
+    """,
+)
+def stat_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mllib stat/Statistics.scala parity (colStats + corr): Pearson
+    correlation / covariance / dispersion as ONE partial+final aggregate
+    pass — modern Spark's corr/covar are the same streaming co-moment
+    aggregates the reference's RowMatrix computeColumnSummary used."""
+    t = _t(spark, sf_dir)
+    return t["lineitem"].agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.corr("l_discount", "l_tax"), 4).alias("corr_disc_tax"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "covar_qty_price"
+        ),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+    )

@@ -10,10 +10,13 @@ import pytest
 from spark_monotasks_spark.ml import (
     als_recommend,
     decision_tree_fit,
+    fpgrowth_frequent_itemsets,
     kmeans_fit_predict,
     linear_regression_fit,
     logistic_regression_fit,
+    naive_bayes_fit,
     standardize,
+    tf_idf,
 )
 
 
@@ -136,3 +139,48 @@ def test_kmeans_on_real_embeddings(spark, tables):
     assert n == emb.count()
     clusters = {r.cluster for r in got.select("cluster").distinct().collect()}
     assert clusters <= {0, 1, 2, 3} and len(clusters) >= 2
+
+
+def test_fpgrowth_hand_baskets(spark):
+    baskets = spark.createDataFrame(
+        [
+            (1, ["a", "b", "c"]),
+            (2, ["a", "b"]),
+            (3, ["a", "b", "c"]),
+            (4, ["d"]),
+        ],
+        "id long, items array<string>",
+    )
+    itemsets, rules = fpgrowth_frequent_itemsets(
+        baskets, min_support=0.5, min_confidence=0.8
+    )
+    freq = {tuple(r.items): r.freq for r in itemsets.collect()}
+    assert freq[("a",)] == 3 and freq[("a", "b")] == 3
+    assert freq[("a", "b", "c")] == 2  # size-3 itemset mined too
+    assert ("d",) not in freq  # below support
+    got_rules = {
+        (tuple(r.antecedent), tuple(r.consequent)): r.confidence
+        for r in rules.collect()
+    }
+    assert got_rules[(("a",), ("b",))] == 1.0
+
+
+def test_naive_bayes_separates_counts(spark):
+    rows = [(i, float(i % 2), [10.0 + 5 * (i % 2), 1.0]) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, label double, feats array<double>")
+    out = naive_bayes_fit(df, label_col="label", features_col="feats")
+    acc = out.filter("prediction = label").count() / 40
+    assert acc >= 0.9
+
+
+def test_tfidf_shape_and_idf_weighting(spark):
+    df = spark.createDataFrame(
+        [(1, "common rare"), (2, "common shared"), (3, "common other")],
+        "doc_id long, text string",
+    )
+    out = tf_idf(df, num_features=64).collect()
+    assert all(len(r.tfidf) == 64 for r in out)
+    # 'common' appears in every doc -> idf = ln((n+1)/(df+1)) = ln(1) = 0,
+    # so each doc keeps exactly one nonzero bucket (its distinct word)
+    for r in out:
+        assert sum(1 for x in r.tfidf if x != 0) == 1
