@@ -49,9 +49,8 @@ _PRIORITY = (
     # subquery shapes (correlated scalar / EXISTS+NOT EXISTS / CTE+max /
     # outer-join count distribution — tpch_extra.py)
     "tpch_q17_small_qty", "tpch_q21_waiting", "tpch_q13_order_counts",
-    "tpch_q15_top_supplier",
     # sort / top-k / distribute (§2.6)
-    "order_by_multi", "topk_orders", "sql_distribute_sort_by",
+    "order_by_multi", "topk_orders",
     # set ops (§2.7)
     "union_all_op", "except_reference_op",
     # scalar expression families (§2.8; string_promotion/decimal_agg sit
@@ -67,8 +66,10 @@ _PRIORITY = (
     # SQL parser path (§3.1)
     "sql_lateral_view", "sql_cached_table",
     # LLM-data-pipeline operators (bpe/doc_fingerprint/ngram_jaccard just
-    # outside; token_stats + dedup + ann represent the pipeline families)
+    # outside; token_stats + dedup + ann + packing + decontamination
+    # represent the pipeline families)
     "dedup_exact_groups", "token_stats", "ann_cosine_topk",
+    "pack_sequences", "contamination_check",
 )
 
 
