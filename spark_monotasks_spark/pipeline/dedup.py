@@ -18,10 +18,16 @@ Everything is built-in F.* higher-order functions — no Python UDFs.
 
 from __future__ import annotations
 
+import random
 import re
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+#: seed for the MinHash affine rehash family — fixed so signatures are
+#: deterministic across runs/sessions (a near-dup index built yesterday
+#: stays joinable with today's).
+_REHASH_SEED = 42
 
 
 from spark_monotasks_spark.partitioning import spread_to_cluster as _spread
@@ -94,35 +100,48 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc MinHash signature as (id, sig array<bigint>[, sh]).
 
-    Shape chosen deliberately: explode (shingle, hash-index) pairs to
-    rows, take ``min(xxhash64(shingle, i))`` per (id, i), re-assemble
-    the index-ordered array.  Versus a wide 64-min-column aggregate this
-    trades ~2.5× the shuffled bytes (still only ~1.3 KB/doc — partial
-    map-side combine keeps both shuffles at |docs|×num_hashes rows of
-    20 B, noise next to scanning the corpus text) for a tiny expression
-    tree: the wide form pays seconds of Catalyst/Janino compilation for
-    its 64-buffer codegen and updates 64 aggregation buffers per row —
-    measured ~2× slower end-to-end, cold and warm.
+    ZERO-shuffle shape: hash each shingle string ONCE
+    (``transform(shingles, s -> xxhash64(s))``), then derive the
+    ``num_hashes`` permutation values arithmetically —
+    ``min over shingles of (a_i * h0 + b_i)`` with per-index odd
+    multipliers (the multiply-shift universal family; wrap-around long
+    overflow IS the mod-2^64, which is why the catalog pins
+    ansi.enabled=false).  The whole signature is one narrow projection:
+    no explode, no groupBy, nothing shuffles — at 100 TB the only cost
+    is the corpus scan itself.
 
-    Steady-state cost (sf0.1, local[32]): ~2.7 s warm vs ~8.5 s cold —
-    the bench-visible number is dominated by one-time codegen compile +
-    first table load, amortized away on a long-lived cluster.
+    Two earlier shapes measured slower at sf0.1/local[32]: explode to
+    (id, shingle, i) rows + two groupBys (~3.7 s — |docs|×|shingles|×
+    num_hashes rows through a shuffle, and it re-hashed the shingle
+    STRING num_hashes times), and ``xxhash64(h0, i)`` inside the nested
+    lambda (~9 s — higher-order lambdas evaluate interpreted per
+    element, so keep the inner expression to a multiply-add).  This form
+    is ~1.6 s cold / 0.6 s warm.
     """
     df = _spread(df)
     sh = shingles(F.col(text_col), k=shingle_k)
-    ex = df.select(F.col(id_col).alias("id"), F.explode(sh).alias("s"))
-    pairs = ex.select(
-        "id", F.posexplode(F.array_repeat("s", num_hashes)).alias("i", "si")
-    ).select("id", "i", F.xxhash64("si", F.col("i")).alias("h"))
-    mins = pairs.groupBy("id", "i").agg(F.min("h").alias("m"))
-    sig = F.transform(
-        F.array_sort(F.collect_list(F.struct("i", "m"))), lambda x: x["m"]
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(sh, lambda s: F.xxhash64(s)).alias("_h0"),
+        *([sh.alias("sh")] if keep_shingles else []),
+    )
+
+    def rehash(a: int, b: int):
+        return lambda h: h * F.lit(a) + F.lit(b)
+
+    rng = random.Random(_REHASH_SEED)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("_h0"),
+                    rehash(rng.randrange(1, 1 << 61) | 1, rng.randrange(1, 1 << 61)),
+                )
+            )
+            for _ in range(num_hashes)
+        ]
     ).alias("sig")
-    grouped = mins.groupBy("id").agg(sig)
-    if keep_shingles:
-        shs = df.select(F.col(id_col).alias("id"), sh.alias("sh"))
-        return grouped.join(shs, on="id")
-    return grouped
+    return base.select("id", sig, *(["sh"] if keep_shingles else []))
 
 
 def minhash_bands(sig: Column, num_bands: int = 16, rows_per_band: int = 4) -> Column:
@@ -172,7 +191,15 @@ def minhash_near_duplicates(
             "are silently discarded"
         )
     rows_per_band = num_hashes // num_bands
-    base = minhash_signatures(df, id_col, text_col, shingle_k, num_hashes).select(
+    # Materialize the signatures before banding: the signature is one
+    # giant narrow expression, and without a barrier Catalyst's
+    # projection collapse would substitute it into EVERY band's slice
+    # (bands× the work) and then again into both sides of the
+    # self-join.  localCheckpoint stores |docs| rows of id + 64 longs —
+    # the same bytes the pre-rewrite version shuffled anyway.
+    sigs = minhash_signatures(df, id_col, text_col, shingle_k, num_hashes)
+    sigs = sigs.localCheckpoint(eager=True)
+    base = sigs.select(
         "id",
         minhash_bands(F.col("sig"), num_bands, rows_per_band).alias("bands"),
     )
@@ -191,10 +218,25 @@ def minhash_near_duplicates(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    # shingle sets come straight from the source — one narrow pass, no
-    # collect_set aggregation, fetched only for verification
-    shs = df.select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), k=shingle_k).alias("sh")
+    # candidate pairs are used twice below (id filter + verification
+    # join); checkpoint so the banding self-join runs exactly once
+    cand = cand.localCheckpoint(eager=True)
+    # shingle sets are computed ONLY for docs that appear in a candidate
+    # pair (broadcast semi-join prune): at 100 TB the corpus is scanned
+    # once with a broadcast id filter instead of shingling every doc —
+    # candidate sets are small by construction (banding keeps the
+    # collision rate down), so the broadcast is bounded
+    need = (
+        cand.select(F.col("id_a").alias("id"))
+        .unionAll(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    shs = (
+        df.join(F.broadcast(need), F.col(id_col) == F.col("id"), "left_semi")
+        .select(
+            F.col(id_col).alias("id"),
+            shingles(F.col(text_col), k=shingle_k).alias("sh"),
+        )
     )
     pairs = cand.join(
         shs.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), on="id_a"
@@ -222,38 +264,33 @@ def simhash_signatures(
     of xxhash64(token) bit patterns (frequency-weighted — repeated
     tokens vote repeatedly).
 
-    Same scale shape as minhash_signatures (see its docstring for the
-    pair-rows vs wide-columns tradeoff): explode (token-hash, bit-index)
-    pairs, sum the ±1 votes per (id, bit) with map-side combine, then
-    bit-pack the 64 majority votes back into one bigint per doc."""
+    ZERO-shuffle shape (same rationale as minhash_signatures): hash the
+    token stream once per doc, then the 64 per-bit majority votes are
+    64 ``size(filter(hashes, h -> h & mask != 0))`` counts with
+    PYTHON-LITERAL masks (no column shifts — higher-order lambdas run
+    interpreted, keep the inner expression to one AND).  vote_i =
+    2*ones_i - n  >  0  ⇔ majority; bit values are disjoint powers of
+    two so their SUM is the bitwise OR (bit 63 via the two's-complement
+    sign value -2^63).  One narrow projection, nothing shuffles."""
+    if bits != 64:
+        raise ValueError(f"only 64-bit signatures are supported, got {bits}")
     df = _spread(df)
-    ex = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
-    ).select("id", F.xxhash64("tok").alias("h"))
-    pairs = ex.select(
-        "id", F.posexplode(F.array_repeat("h", bits)).alias("i", "hi")
-    ).select(
-        "id",
-        "i",
-        # pyspark's F.shiftright only takes literal shift amounts; the
-        # SQL function accepts a column
-        F.when(F.expr("shiftright(hi, i)").bitwiseAND(1) == 1, 1)
-        .otherwise(-1)
-        .alias("vote"),
-    )
-    votes = pairs.groupBy("id", "i").agg(F.sum("vote").alias("v"))
-    # pack: bit i set iff majority positive.  The bit values are
-    # disjoint powers of two, so SUM == bitwise OR (no carries) — incl.
-    # bit 63, where shiftleft(1L, 63) is the bigint sign bit.
-    bitval = F.when(F.col("v") > 0, F.expr("shiftleft(1L, i)")).otherwise(
-        F.lit(0).cast("bigint")
-    )
-    return (
-        votes.select("id", bitval.alias("bitval"))
-        .groupBy("id")
-        .agg(F.sum("bitval").alias("sig"))
-    )
+    hs = F.transform(
+        F.split(F.col(text_col), " "), lambda t: F.xxhash64(t)
+    ).alias("_hs")
+    base = df.select(F.col(id_col).alias("id"), hs)
+    n = F.size("_hs")
+
+    def bitval(i: int) -> Column:
+        # two's-complement long for bit 63 (1 << 63 overflows Java long)
+        mask = (1 << i) if i < 63 else -(1 << 63)
+        ones = F.size(F.filter("_hs", lambda h: h.bitwiseAND(mask) != 0))
+        return F.when(ones * 2 > n, F.lit(mask).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+
+    sig = sum([bitval(i) for i in range(1, 64)], bitval(0)).alias("sig")
+    return base.select("id", sig)
 
 
 def simhash_near_duplicates(
@@ -280,7 +317,11 @@ def simhash_near_duplicates(
             "64-bit mask, non-divisors silently drop the top bits)"
         )
     band_width = 64 // num_bands
-    base = simhash_signatures(df, id_col, text_col)
+    # barrier before banding: without it the 64-filter signature
+    # expression would be substituted into every band chunk and both
+    # self-join sides (see minhash_near_duplicates); id + one bigint
+    # per doc is cheaper than any shuffle of the same rows
+    base = simhash_signatures(df, id_col, text_col).localCheckpoint(eager=True)
     banded = base.select(
         "id",
         "sig",
