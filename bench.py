@@ -47,6 +47,11 @@ HEADLINE = [
     "tpch_q9_profit",
     "tpch_q17_small_qty",
     "tpch_q21_waiting",
+    # training-pipeline ops (added r2): packing window, n-gram
+    # decontamination join, FP-tree mining
+    "pack_sequences",
+    "contamination_check",
+    "ml_fpgrowth_itemsets",
 ]
 
 

@@ -328,25 +328,19 @@ def contamination_check(
     bench_grams = (
         benchmark.select(F.explode(word_ngrams(F.col(text_col), n)).alias("g"))
         .distinct()
+        .select("g", F.lit(1).alias("_hit"))
     )
-    corpus = df.select(
-        F.col(id_col).alias("id"), grams.alias("grams")
-    ).select("id", "grams", F.size("grams").cast("long").alias("n_grams"))
-    hits = (
-        corpus.select("id", F.explode("grams").alias("g"))
-        .join(F.broadcast(bench_grams), on="g")
-        .groupBy("id")
-        .agg(F.count("*").alias("n_hits"))
-    )
-    return (
-        corpus.drop("grams")
-        .join(hits, on="id", how="left")
-        .select(
-            "id",
-            "n_grams",
-            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
-            F.round(
-                F.coalesce("n_hits", F.lit(0)) / F.greatest("n_grams", F.lit(1)), 4
-            ).alias("hit_frac"),
-        )
+    # ONE gram-construction pass: explode_outer keeps zero-gram docs
+    # (count("g") skips their null), the broadcast LEFT join marks
+    # benchmark grams in-stream, and a single aggregate produces both
+    # the gram count (word_ngrams is distinct per doc, so the exploded
+    # row count IS n_grams) and the hit count.
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.explode_outer(grams).alias("g")
+    ).join(F.broadcast(bench_grams), on="g", how="left")
+    n_hits = F.coalesce(F.sum("_hit"), F.lit(0)).cast("long")
+    return exploded.groupBy("id").agg(
+        F.count("g").alias("n_grams"),
+        n_hits.alias("n_hits"),
+        F.round(n_hits / F.greatest(F.count("g"), F.lit(1)), 4).alias("hit_frac"),
     )
