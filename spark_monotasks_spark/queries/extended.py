@@ -14,6 +14,7 @@ from spark_monotasks_spark.graph import connected_components, pagerank
 from spark_monotasks_spark.operators import sample as sample_ops
 from spark_monotasks_spark.operators.transform import script_transform
 from spark_monotasks_spark.queries.registry import register
+from spark_monotasks_spark import tables
 from spark_monotasks_spark.tables import load_tables
 
 
@@ -652,13 +653,12 @@ def stream_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = dstream.file_stream(
         spark,
         stage,
-        # stream the raw file: nanos bigint ts, converted after load
+        # stream the raw file; ts arrives either as TIMESTAMP_NTZ (micros
+        # data) or bigint nanos (legacy data) — _fix_nanos normalizes both
         spark.read.parquet(f"{sf_dir}/events.parquet").schema,
         max_files_per_trigger=1,
     )
-    stream = stream.withColumn(
-        "ts", F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)")
-    )
+    stream = tables._fix_nanos(stream)
     agg = dstream.windowed_agg(
         stream,
         "ts",
