@@ -772,8 +772,8 @@ def percentile_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cogroup_collect",
     oracle="""
     SELECT n.n_nationkey AS nationkey,
-           coalesce(c.names, []) AS left_values,
-           coalesce(s.names, []) AS right_values
+           array_to_string(coalesce(c.names, []), ',') AS left_values,
+           array_to_string(coalesce(s.names, []), ',') AS right_values
     FROM nation n
     LEFT JOIN (SELECT c_nationkey, list_sort(list(c_name)) AS names
                FROM customer GROUP BY c_nationkey) c
@@ -803,10 +803,12 @@ def cogroup_collect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     nk = t["nation"].select(F.col("n_nationkey").cast("int").alias("nationkey"))
     out = nk.join(cg, on="nationkey", how="left")
     empty = F.array().cast("array<string>")
+    # serialize the grouped lists to comma strings: the catalog output
+    # schema must be scalar-only (driver canonicalizer can't hash lists)
     return out.select(
         "nationkey",
-        F.coalesce("left_values", empty).alias("left_values"),
-        F.coalesce("right_values", empty).alias("right_values"),
+        F.array_join(F.coalesce("left_values", empty), ",").alias("left_values"),
+        F.array_join(F.coalesce("right_values", empty), ",").alias("right_values"),
     )
 
 
@@ -816,27 +818,37 @@ def cogroup_collect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "decimal_agg",
     oracle="""
     SELECT l_returnflag,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(22,2))
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 2)
              AS sum_price,
-           CAST(avg(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(16,6)) AS avg_qty,
-           max(CAST(l_discount AS DECIMAL(4,2))) AS max_disc
+           round(CAST(avg(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 6)
+             AS avg_qty,
+           round(CAST(max(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE), 2)
+             AS max_disc
     FROM lineitem GROUP BY l_returnflag
     """,
 )
 def decimal_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DecimalType aggregation (dataTypes.scala:672, Decimal.scala;
-    DecimalPrecision coercion HiveTypeCoercion.scala:318): exact decimal
-    sums — no fp rounding tolerance needed, the whole point of the
-    type.  Spark widens sum(DECIMAL(12,2)) to (22,2); DuckDB to (38,2);
-    values must agree exactly.  avg is pinned to DECIMAL(16,6) in both
-    dialects (Spark's avg-decimal result type; DuckDB's is DOUBLE)."""
+    DecimalPrecision coercion HiveTypeCoercion.scala:318): the agg runs
+    in exact decimal arithmetic — Spark widens sum(DECIMAL(12,2)) to
+    (22,2), matching the reference's DecimalPrecision promotion — and
+    only the *catalog output* is cast to rounded DOUBLE, because the
+    driver's value hasher normalizes Decimal cells differently per
+    engine.  The exact-Decimal equality (no fp tolerance at all) is
+    asserted in tests/test_oracle_parity.py::test_decimal_agg_exact."""
     t = _t(spark, sf_dir)
-    return t["lineitem"].groupBy("l_returnflag").agg(
+    d = t["lineitem"].groupBy("l_returnflag").agg(
         F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).alias("sum_price"),
         F.avg(F.col("l_quantity").cast("decimal(12,2)"))
         .cast("decimal(16,6)")
         .alias("avg_qty"),
         F.max(F.col("l_discount").cast("decimal(4,2)")).alias("max_disc"),
+    )
+    return d.select(
+        "l_returnflag",
+        F.round(F.col("sum_price").cast("double"), 2).alias("sum_price"),
+        F.round(F.col("avg_qty").cast("double"), 6).alias("avg_qty"),
+        F.round(F.col("max_disc").cast("double"), 2).alias("max_disc"),
     )
 
 
@@ -937,7 +949,9 @@ def zip_with_index(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY list_sort([a.item, b.item])
       HAVING count(*) / (SELECT CAST(n AS DOUBLE) FROM nb) >= 0.02
     )
-    SELECT * FROM singles UNION ALL SELECT * FROM pairs
+    SELECT array_to_string(items, ',') AS items, freq FROM singles
+    UNION ALL
+    SELECT array_to_string(items, ',') AS items, freq FROM pairs
     """,
 )
 def ml_fpgrowth_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -958,7 +972,10 @@ def ml_fpgrowth_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     itemsets, _rules = fpgrowth_frequent_itemsets(
         baskets, min_support=0.02, min_confidence=0.5
     )
-    return itemsets.filter(F.size("items") <= 2)
+    # itemset serialized sorted+comma-joined: scalar-only catalog contract
+    return itemsets.filter(F.size("items") <= 2).select(
+        F.array_join(F.sort_array("items"), ",").alias("items"), "freq"
+    )
 
 
 @register("ml_naive_bayes")  # float log-prob argmax — rows-only

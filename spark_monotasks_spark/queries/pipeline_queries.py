@@ -25,14 +25,23 @@ def _t(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     "dedup_exact_groups",
     oracle="""
     SELECT md5(text) AS fp, count(*) AS n_copies, min(doc_id) AS keep_id,
-           list_sort(list(doc_id)) AS dup_ids
+           array_to_string(list_sort(list(doc_id)), ',') AS dup_ids
     FROM documents GROUP BY md5(text)
     """,
 )
 def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: one hash-groupBy on the content fingerprint."""
+    """Exact dedup: one hash-groupBy on the content fingerprint.
+
+    The catalog entry serializes ``dup_ids`` to a comma string so every
+    output column is scalar (the driver's pandas canonicalizer cannot
+    hash list cells); ``dedup.exact_duplicates`` itself keeps the typed
+    array for programmatic use.
+    """
     t = _t(spark, sf_dir)
-    return dedup.exact_duplicates(t["documents"])
+    g = dedup.exact_duplicates(t["documents"])
+    return g.select(
+        "fp", "n_copies", "keep_id", F.array_join("dup_ids", ",").alias("dup_ids")
+    )
 
 
 @register(

@@ -148,11 +148,13 @@ def hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_map_funcs",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           list_sort([l_quantity, l_discount, l_tax])       AS arr_sorted,
+           array_to_string(list_sort([l_quantity, l_discount, l_tax]), ',')
+                                                            AS arr_sorted,
            list_contains([l_returnflag, l_linestatus], 'N') AS has_n,
            len([l_quantity, l_discount])                    AS arr_len,
            [l_quantity, l_discount][2]                      AS second,
-           list_slice([l_quantity, l_discount, l_tax], 1, 2) AS sliced,
+           array_to_string(list_slice([l_quantity, l_discount, l_tax], 1, 2), ',')
+                                                            AS sliced,
            map_keys(map(['q'], [l_quantity]))[1]            AS mkey,
            map_values(map(['q'], [l_quantity]))[1]          AS mval
     FROM lineitem WHERE l_orderkey <= 200
@@ -170,11 +172,13 @@ def array_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l.select(
         "l_orderkey",
         "l_linenumber",
-        F.sort_array(arr3).alias("arr_sorted"),
+        # array outputs serialized to comma strings (scalar-only catalog
+        # schema contract — see test_catalog_schemas_scalar_only)
+        F.array_join(F.sort_array(arr3), ",").alias("arr_sorted"),
         F.array_contains(F.array("l_returnflag", "l_linestatus"), "N").alias("has_n"),
         F.size(arr2).cast("long").alias("arr_len"),
         F.element_at(arr2, 2).alias("second"),
-        F.slice(arr3, 1, 2).alias("sliced"),
+        F.array_join(F.slice(arr3, 1, 2), ",").alias("sliced"),
         F.element_at(F.map_keys(mp), 1).alias("mkey"),
         F.element_at(F.map_values(mp), 1).alias("mval"),
     )

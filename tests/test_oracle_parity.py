@@ -87,3 +87,60 @@ def test_query_parity(spark, name):
         (i, a, b) for i, (a, b) in enumerate(zip(s_norm, d_norm)) if a != b
     ]
     assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
+
+
+def test_catalog_schemas_scalar_only(spark):
+    """Registry-level guard: no catalog query may expose array/map/struct
+    at the top level of its output schema — the driver's pandas
+    canonicalizer crashes on unhashable cells (the round-2 red rows).
+    Schema resolution is plan-only (no job runs)."""
+    from pyspark.sql import types as T
+
+    from spark_monotasks_spark.queries import QUERY_REGISTRY
+
+    offenders = []
+    for name, fn in sorted(QUERY_REGISTRY.items()):
+        schema = fn(spark, SF_ORACLE_DIR).schema
+        for f in schema.fields:
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+                offenders.append((name, f.name, f.dataType.simpleString()))
+    assert not offenders, f"non-scalar catalog output columns: {offenders}"
+
+
+def test_decimal_agg_exact(spark):
+    """The decimal_agg catalog entry rounds to DOUBLE for the driver's
+    hasher; this test keeps the *exact* Decimal assertion — Spark's
+    widened DECIMAL(22,2) sum must equal DuckDB's bit-for-bit, no fp
+    tolerance (SURVEY §7.4.1)."""
+    from pyspark.sql import functions as F
+
+    from spark_monotasks_spark.tables import load_tables
+
+    t = load_tables(spark, SF_ORACLE_DIR)
+    sdf = (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).alias("sum_price"),
+            F.avg(F.col("l_quantity").cast("decimal(12,2)"))
+            .cast("decimal(16,6)")
+            .alias("avg_qty"),
+            F.max(F.col("l_discount").cast("decimal(4,2)")).alias("max_disc"),
+        )
+    )
+    spark_rows = {r["l_returnflag"]: (r["sum_price"], r["avg_qty"], r["max_disc"])
+                  for r in sdf.collect()}
+    con = _duck(SF_ORACLE_DIR)
+    duck_rows = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            """
+            SELECT l_returnflag,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(22,2)),
+                   CAST(avg(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(16,6)),
+                   max(CAST(l_discount AS DECIMAL(4,2)))
+            FROM lineitem GROUP BY l_returnflag
+            """
+        ).fetchall()
+    }
+    assert spark_rows == duck_rows
