@@ -98,6 +98,38 @@ def test_ngram_jaccard_exact_values(spark):
     assert jac[(1, 3)] == 0.0
 
 
+def test_ngram_jaccard_catalog_blocks_bounded(spark, tables):
+    """The ngram_jaccard_block catalog entry must block on a key whose
+    cardinality grows with the corpus (minhash bucket), never a fixed
+    low-cardinality column — the round-2 `lang` demo made the self-join
+    O(n²/5).  Guard: max block size stays a small fraction of n."""
+    import pyspark.sql.functions as F
+
+    docs = tables["documents"]
+    sh = dedup.shingles(F.col("text"), k=3)
+    blocks = (
+        docs.withColumn("mh_bucket", F.array_min(F.transform(sh, lambda s: F.md5(s))))
+        .groupBy("mh_bucket")
+        .count()
+    )
+    n = docs.count()
+    max_block = blocks.agg(F.max("count")).first()[0]
+    # planted near-dup clusters are tiny; anything over ~2% of the corpus
+    # in one bucket means the blocking key degenerated
+    assert max_block <= max(8, n // 50), (n, max_block)
+
+
+def test_ngram_jaccard_catalog_finds_planted_dups(spark, tables):
+    """Single-band minhash blocking still surfaces the planted
+    near-identical pairs (J≈1 ⇒ same min-shingle-hash w.p. ≈1)."""
+    from spark_monotasks_spark.queries.pipeline_queries import ngram_jaccard_block
+    from tests.conftest import SF_TEST_DIR
+
+    out = ngram_jaccard_block(spark, SF_TEST_DIR)
+    high = out.filter("jaccard >= 0.8").count()
+    assert high > 0
+
+
 # --- similarity ------------------------------------------------------------
 
 @pytest.fixture(scope="module")
