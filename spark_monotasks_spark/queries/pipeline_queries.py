@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spark_monotasks_spark.pipeline import dedup, similarity, text
+from spark_monotasks_spark.pipeline import dedup, multimodal, similarity, text
 from spark_monotasks_spark.queries.registry import register
 from spark_monotasks_spark.tables import load_tables
 
@@ -437,3 +437,40 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.contamination_check(docs, benchmark, n=5).withColumnRenamed(
         "id", "doc_id"
     )
+
+
+@register(
+    "media_meta_extract",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                ELSE 'wav' END AS codec,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 16 + doc_id % 48
+                                WHEN 1 THEN 32 + doc_id % 64 END
+                AS INTEGER) AS width,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 16 + doc_id % 32
+                                WHEN 1 THEN 24 + doc_id % 40 END
+                AS INTEGER) AS height,
+           CAST(CASE WHEN doc_id % 3 = 2
+                     THEN 8000 + (doc_id % 4) * 4000 END
+                AS INTEGER) AS sample_rate,
+           CAST(CASE WHEN doc_id % 3 = 2
+                     THEN (doc_id % 5 + 1) * 100 END
+                AS BIGINT) AS duration_ms
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def media_meta_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal decode, end-to-end: encode deterministic PNG /
+    JPEG / WAV blobs distributed (multimodal.media_from_ids), then parse
+    their container headers back out with the stdlib codec
+    (multimodal.probe_media_meta over Arrow batches).  The oracle states
+    the encoding parameters in closed form over doc_id, so a value match
+    proves the encode→parse roundtrip recovers every field — no PIL or
+    ffmpeg involved, and no blob ever reaches the driver."""
+    t = _t(spark, sf_dir)
+    ids = t["documents"].filter(F.col("doc_id") < 200).select(
+        F.col("doc_id").alias("media_id")
+    )
+    media = multimodal.media_from_ids(ids)
+    return multimodal.probe_media_meta(media)

@@ -558,3 +558,49 @@ def test_word_ngrams_short_doc_empty(spark):
     got = df.select(text.word_ngrams(F.col("t"), n=3).alias("g")).collect()
     assert got[0].g == []
     assert got[1].g == ["a b c"]
+
+
+def test_media_header_codecs_roundtrip():
+    """Pure-python codec checks: every encoder's output parses back to
+    the exact parameters, PNG IDAT is genuinely zlib-valid, corrupt and
+    truncated inputs degrade to None fields (never raise)."""
+    import struct
+    import zlib
+
+    p = multimodal.parse_media_header(multimodal.encode_png(33, 21))
+    assert (p["codec"], p["width"], p["height"]) == ("png", 33, 21)
+    j = multimodal.parse_media_header(multimodal.encode_jpeg_header(640, 480))
+    assert (j["codec"], j["width"], j["height"]) == ("jpeg", 640, 480)
+    w = multimodal.parse_media_header(multimodal.encode_wav(16000, 4800))
+    assert (w["codec"], w["sample_rate"], w["duration_ms"]) == ("wav", 16000, 300)
+    # stereo WAV: byte_rate doubles, duration math must still hold
+    st = multimodal.parse_media_header(multimodal.encode_wav(8000, 2000, channels=2))
+    assert (st["sample_rate"], st["duration_ms"]) == (8000, 250)
+    # PNG IDAT decompresses to filtered RGB scanlines of the right size
+    b = multimodal.encode_png(16, 8)
+    idat_len = struct.unpack(">I", b[33:37])[0]
+    assert len(zlib.decompress(b[41 : 41 + idat_len])) == (1 + 3 * 16) * 8
+    for junk in (None, b"", b"xx", b"garbage-bytes-here", b"\x89PNG\r\n\x1a\nxx"):
+        out = multimodal.parse_media_header(junk)
+        assert out["codec"] is None or junk is not None
+        assert out["width"] is None and out["duration_ms"] is None
+
+
+def test_probe_media_meta_distributed(spark):
+    """probe_media_meta over a generated media table: headers parse in
+    Arrow batches, corrupt blobs yield NULL fields not task failures."""
+    ids = spark.range(0, 30).withColumnRenamed("id", "media_id")
+    media = multimodal.media_from_ids(ids)
+    got = {r.media_id: r for r in multimodal.probe_media_meta(media).collect()}
+    assert len(got) == 30
+    assert got[0].codec == "png" and got[0].width == 16 and got[0].height == 16
+    assert got[4].codec == "jpeg" and got[4].width == 36 and got[4].height == 28
+    assert got[5].codec == "wav" and got[5].sample_rate == 12000
+    assert got[5].duration_ms == 100  # (5%5+1)*100
+    # corrupt row: parse degrades, no exception
+    import pandas as pd  # noqa: F401
+    corrupt = spark.createDataFrame(
+        [(99, bytearray(b"not-a-container"))], "media_id long, blob binary"
+    )
+    row = multimodal.probe_media_meta(corrupt).first()
+    assert row.codec is None and row.width is None
