@@ -171,3 +171,57 @@ def sql_cached_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM nation GROUP BY n_regionkey
         """
     )
+
+
+@register(
+    "sql_insert_overwrite_partitioned",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def sql_insert_overwrite_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive INSERT path end-to-end (InsertIntoHiveTable.scala,
+    hiveWriterContainers.scala dynamic-partition writer): write orders
+    into a warehouse-backed table partitioned by o_orderstatus via SQL
+    ``INSERT OVERWRITE ... PARTITION``, then read it BACK from the
+    catalog and aggregate.  The oracle aggregates the source parquet
+    directly, so a value match proves no row was lost or duplicated
+    through the partitioned write+read roundtrip.  The table name is
+    keyed to sf_dir so different scale factors never share state."""
+    import hashlib
+
+    from spark_monotasks_spark.sources import io as sio
+    from spark_monotasks_spark.tables import load_tables
+
+    t = load_tables(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    table = f"orders_by_status_{tag}"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # an ephemeral (in-memory) session catalog forgets managed tables on
+    # restart but their warehouse directories persist; CREATE then fails
+    # with LOCATION_ALREADY_EXISTS — reap the orphan location first
+    if not spark.catalog.tableExists(table):
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        shutil.rmtree(f"{wh}/{table}", ignore_errors=True)
+    sio.insert_overwrite_partitioned(
+        spark,
+        t["orders"].select("o_orderkey", "o_totalprice", "o_orderstatus"),
+        table,
+        ["o_orderstatus"],
+    )
+    from pyspark.sql import functions as F
+
+    return (
+        spark.table(table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )

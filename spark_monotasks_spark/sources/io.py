@@ -181,3 +181,42 @@ def save_as_table(
         n, cols = bucket_by
         writer = writer.bucketBy(n, *cols).sortBy(*cols)
     writer.saveAsTable(name)
+
+
+def insert_overwrite_partitioned(
+    spark,
+    df: DataFrame,
+    table: str,
+    partition_cols: Sequence[str],
+) -> None:
+    """Hive-style ``INSERT OVERWRITE TABLE ... PARTITION`` with dynamic
+    partitions against the session catalog (warehouse-dir-backed) —
+    ref hive/execution/InsertIntoHiveTable.scala,
+    hiveWriterContainers.scala:1 (the dynamic-partition writer).
+
+    Creates the partitioned parquet table if absent, then runs the SQL
+    INSERT OVERWRITE path.  ``partitionOverwriteMode=dynamic`` pins the
+    reference semantics: only partitions PRESENT in the input are
+    rewritten, untouched partitions survive — which is what makes this
+    the idempotent-backfill primitive at 100 TB (re-run one day's
+    pipeline, only that day's partitions rewrite; a static overwrite
+    would truncate the table).
+    """
+    part = list(partition_cols)
+    # Spark requires dynamic partition columns LAST in the projection
+    cols = [c for c in df.columns if c not in part] + part
+    src = df.select(*cols)
+    view = f"_ins_src_{table}"
+    src.createOrReplaceTempView(view)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    col_ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in src.schema.fields
+    )
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {table} ({col_ddl}) USING parquet "
+        f"PARTITIONED BY ({', '.join(part)})"
+    )
+    spark.sql(
+        f"INSERT OVERWRITE TABLE {table} PARTITION ({', '.join(part)}) "
+        f"SELECT * FROM {view}"
+    )

@@ -260,3 +260,25 @@ def test_user_defined_type_roundtrip(spark):
     dist = F.udf(lambda p: (p.x**2 + p.y**2) ** 0.5, "double")
     got_d = {r.id: r.d for r in df.select("id", dist("pt").alias("d")).collect()}
     assert got_d == {1: 0.0, 2: 5.0, 3: 10.0}
+
+
+def test_insert_overwrite_dynamic_preserves_other_partitions(spark):
+    """The reference semantics of dynamic INSERT OVERWRITE
+    (hiveWriterContainers.scala): only partitions present in the input
+    are rewritten; untouched partitions survive.  This is what makes the
+    path an idempotent backfill primitive at scale."""
+    table = "t_ins_dyn_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    df1 = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "v int, pk string"
+    )
+    sio.insert_overwrite_partitioned(spark, df1, table, ["pk"])
+    assert spark.table(table).count() == 3
+
+    # rewrite ONLY partition a, with different data
+    df2 = spark.createDataFrame([(99, "a")], "v int, pk string")
+    sio.insert_overwrite_partitioned(spark, df2, table, ["pk"])
+    got = {(r.v, r.pk) for r in spark.table(table).collect()}
+    # partition a replaced wholesale, partition b untouched
+    assert got == {(99, "a"), (3, "b")}
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
