@@ -250,7 +250,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     token_col: str = "n_tokens",
     budget: int = 2048,
-    n_shards: int = 32,
+    n_shards: int | None = None,
 ) -> DataFrame:
     """Concat-and-chunk sequence packing for LLM training batches.
 
@@ -263,12 +263,24 @@ def pack_sequences(
 
     Scale shape: the running total is a window over ``shard`` — 100 TB
     packs as ``n_shards`` independent ordered partitions instead of one
-    global sort, and shard count scales with the cluster, not the data.
+    global sort.  ``n_shards`` CAPS both parallelism and per-task window
+    size, so it must scale with the input: when omitted it is derived as
+    ``max(input scan partitions, defaultParallelism)`` — scan partitions
+    already approximate ``input_bytes / maxPartitionBytes``, so a 100×
+    bigger input gets ~100× more shards without a config change.  Pass
+    it explicitly only when downstream layout requires a fixed shard
+    count (then size it ≈ input_bytes / target_shard_bytes yourself —
+    a fixed 32 at 100 TB would push ~3 TB through each window task).
     Pure built-ins, engine-portable (shard is md5-derived, so the DuckDB
     oracle reproduces it bit-for-bit).
     """
     if budget < 1:
         raise ValueError(f"budget must be >= 1, got {budget}")
+    if n_shards is None:
+        n_shards = max(
+            df.rdd.getNumPartitions(),
+            df.sparkSession.sparkContext.defaultParallelism,
+        )
     shard = split_bucket(id_col, n_shards).alias("shard")
     w = (
         Window.partitionBy("shard")
@@ -285,6 +297,87 @@ def pack_sequences(
             "shard",
             (F.col("_start") / budget).cast("long").alias("seq_id"),
             (F.col("_start") % budget).cast("long").alias("seq_offset"),
+        )
+    )
+
+
+def pack_manifest(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    budget: int = 2048,
+    n_shards: int | None = None,
+) -> DataFrame:
+    """Per-sequence packing manifest: what a training data loader
+    actually consumes.  One row per (shard, seq_id) with the ordered doc
+    spans filling that sequence — ``spans`` is ``doc:offset:len`` comma-
+    joined (offset = position inside the sequence), so a loader can
+    fetch exactly the byte ranges for one training sequence without
+    scanning the corpus.
+
+    A document crossing a sequence boundary contributes a span to EACH
+    sequence it touches (explode over its seq range) — the loader-side
+    contract of pack_sequences' concat-and-chunk layout.  Same shard
+    derivation and scale shape as pack_sequences; the explode adds at
+    most ceil(n_tokens/budget) rows per doc, so output stays linear in
+    corpus tokens.
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    if n_shards is None:
+        n_shards = max(
+            df.rdd.getNumPartitions(),
+            df.sparkSession.sparkContext.defaultParallelism,
+        )
+    shard = split_bucket(id_col, n_shards).alias("shard")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n = F.col(token_col).cast("long")
+    base = df.select(F.col(id_col), n.alias("_n"), shard).select(
+        id_col, "_n", "shard", (F.sum("_n").over(w) - F.col("_n")).alias("_start")
+    )
+    seq_first = (F.col("_start") / budget).cast("long")
+    seq_last = ((F.col("_start") + F.col("_n") - 1) / budget).cast("long")
+    spans = base.select(
+        id_col,
+        "_n",
+        "shard",
+        "_start",
+        F.explode(F.sequence(seq_first, seq_last)).alias("seq_id"),
+    ).select(
+        id_col,
+        "shard",
+        "seq_id",
+        F.greatest(F.col("_start") - F.col("seq_id") * budget, F.lit(0))
+        .cast("long")
+        .alias("_off"),
+        (
+            F.least(
+                F.col("_start") + F.col("_n") - F.col("seq_id") * budget,
+                F.lit(budget),
+            )
+            - F.greatest(F.col("_start") - F.col("seq_id") * budget, F.lit(0))
+        )
+        .cast("long")
+        .alias("_len"),
+    )
+    entry = F.struct(
+        F.col("_off").alias("off"), F.col(id_col).alias("doc"), F.col("_len").alias("len")
+    )
+    return (
+        spans.groupBy("shard", "seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(entry)),
+                    lambda x: F.concat_ws(":", x["doc"], x["off"], x["len"]),
+                ),
+                ",",
+            ).alias("spans"),
         )
     )
 

@@ -401,6 +401,55 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pack_manifest",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 32 AS shard
+      FROM documents
+    ), packed AS (
+      SELECT doc_id, n_tokens, shard,
+             CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS BIGINT) AS start
+      FROM toks
+    ), spans AS (
+      SELECT shard, doc_id, n_tokens, start,
+             unnest(range(start // 2048, (start + n_tokens - 1) // 2048 + 1)) AS s
+      FROM packed
+    ), per AS (
+      SELECT shard, s AS seq_id, doc_id,
+             greatest(start - s * 2048, 0) AS off,
+             least(start + n_tokens - s * 2048, 2048)
+               - greatest(start - s * 2048, 0) AS len
+      FROM spans
+    )
+    SELECT shard, seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+           array_to_string(
+             list_transform(list_sort(list([off, doc_id, len])),
+                            p -> p[2] || ':' || p[1] || ':' || p[3]),
+             ',') AS spans
+    FROM per GROUP BY shard, seq_id
+    """,
+)
+def pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loader-side packing manifest (pipeline.text.pack_manifest): one
+    row per training sequence with its ordered ``doc:offset:len`` spans,
+    including continuation spans for boundary-crossing docs.  The oracle
+    re-derives every span in SQL — a value match proves the explode /
+    boundary arithmetic exactly."""
+    t = _t(spark, sf_dir)
+    with_counts = t["documents"].select(
+        "doc_id", text.token_count("text").cast("long").alias("n_tokens")
+    )
+    return text.pack_manifest(
+        with_counts, id_col="doc_id", token_col="n_tokens", budget=2048, n_shards=32
+    )
+
+
+@register(
     "contamination_check",
     oracle="""
     WITH toks AS (

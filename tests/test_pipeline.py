@@ -604,3 +604,40 @@ def test_probe_media_meta_distributed(spark):
     )
     row = multimodal.probe_media_meta(corrupt).first()
     assert row.codec is None and row.width is None
+
+
+def test_pack_sequences_shards_scale_with_input(spark):
+    """Derived n_shards must grow with input partitioning — a fixed
+    shard count caps parallelism (and window size) regardless of data
+    scale.  64-partition input ⇒ at least 64 shards."""
+    df = (
+        spark.range(0, 20_000)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("n_tokens", (F.col("doc_id") % 500 + 1).cast("long"))
+        .repartition(64)
+    )
+    got = text.pack_sequences(df, budget=1024)
+    n_shards = got.select("shard").distinct().count()
+    assert n_shards >= 48  # 64 derived buckets, minus empty-bucket slack
+    # explicit n_shards still honored (fixed downstream layouts)
+    fixed = text.pack_sequences(df, budget=1024, n_shards=4)
+    assert fixed.select("shard").distinct().count() == 4
+
+
+def test_pack_manifest_boundary_spans(spark):
+    """Hand-computed manifest: a doc crossing a sequence boundary must
+    appear in BOTH sequences with complementary spans summing to its
+    token count, and every interior sequence must be exactly full."""
+    df = spark.createDataFrame(
+        [(1, 600), (2, 600), (3, 600)], "doc_id long, n_tokens long"
+    )
+    rows = text.pack_manifest(df, budget=1000, n_shards=1).collect()
+    by_seq = {r.seq_id: r for r in sorted(rows, key=lambda r: r.seq_id)}
+    # layout: doc1 [0,600) seq0; doc2 [600,1200) → seq0 [600..1000)=400
+    # + seq1 [0..200); doc3 [1200,1800) → seq1 [200..800)
+    assert by_seq[0].spans == "1:0:600,2:600:400"
+    assert by_seq[1].spans == "2:0:200,3:200:600"
+    assert by_seq[0].n_docs == 2 and by_seq[1].n_docs == 2
+    # spans in seq 0 fill the whole budget (interior sequences are full)
+    lens0 = [int(s.split(":")[2]) for s in by_seq[0].spans.split(",")]
+    assert sum(lens0) == 1000
