@@ -5,5 +5,6 @@ from spark_monotasks_spark.graph.algorithms import (  # noqa: F401
     label_propagation,
     pagerank,
     shortest_paths,
+    strongly_connected_components,
     triangle_count,
 )

@@ -292,3 +292,113 @@ def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
         "(graph diameter exceeds max_iters) — raise max_iters; returning "
         "the intermediate labels would be silently wrong"
     )
+
+
+def _directed_min_label(
+    edges: DataFrame, verts: DataFrame, max_iters: int
+) -> DataFrame:
+    """Fixpoint of forward min-label propagation along DIRECTED edges:
+    label(v) = min vertex id that can reach v (including v itself).
+    Same join+agg superstep as connected_components, without the
+    symmetrization."""
+    labels = verts.select("id", F.col("id").alias("label"))
+    for _ in range(max_iters):
+        incoming = (
+            edges.join(labels.withColumnRenamed("id", "src"), on="src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("in_min"))
+        )
+        new_labels = (
+            labels.join(incoming, on="id", how="left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("in_min"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"directed min-label propagation did not converge in {max_iters} "
+        "rounds — raise max_iters"
+    )
+
+
+def strongly_connected_components(
+    edges: DataFrame, max_iters: int = 50, max_rounds: int = 20
+) -> DataFrame:
+    """lib/StronglyConnectedComponents.scala parity: SCC id = smallest
+    vertex id in each strongly connected component.
+
+    Coloring / FW-BW algorithm on DataFrames: per round compute
+    F(v) = min id reaching v (forward propagation) and B(v) = min id
+    reachable from v (propagation on reversed edges).  Both are
+    SCC-invariant, and F(v) == B(v) == m certifies v ∈ SCC(m) (m is
+    both ancestor and descendant of v).  Assign those vertices, drop
+    them and their edges, repeat on the remainder — each round the
+    minimum remaining vertex id certifies its own SCC, so progress is
+    guaranteed.  The reference nests the same reachability coloring
+    inside Pregel (lib/StronglyConnectedComponents.scala).
+
+    Scale shape: every superstep is one directed join + one groupBy on
+    vertex ids (AQE coalesces as the remainder shrinks); assigned
+    vertices leave the working set, so later rounds touch only the
+    unresolved subgraph.  Returns (id, component).
+    """
+    edges = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionAll(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    parts = []
+    for _ in range(max_rounds):
+        if verts.limit(1).count() == 0:
+            result = parts[0]
+            for p in parts[1:]:
+                result = result.unionAll(p)
+            return result
+        fwd = _directed_min_label(edges, verts, max_iters)
+        rev = edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+        bwd = _directed_min_label(rev, verts, max_iters).withColumnRenamed(
+            "label", "blabel"
+        )
+        both = fwd.join(bwd, on="id")
+        assigned = both.filter(F.col("label") == F.col("blabel")).select(
+            "id", F.col("label").alias("component")
+        ).localCheckpoint()
+        parts.append(assigned)
+        verts = (
+            verts.join(assigned.select("id"), on="id", how="left_anti")
+            .localCheckpoint()
+        )
+        # prune edges whose endpoints were assigned (semi-join both ends)
+        edges = (
+            edges.join(verts.withColumnRenamed("id", "src"), on="src", how="left_semi")
+            .join(verts.withColumnRenamed("id", "dst"), on="dst", how="left_semi")
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+    raise RuntimeError(
+        f"strongly_connected_components did not finish within {max_rounds} "
+        "rounds — raise max_rounds (each round resolves at least the SCC of "
+        "the minimum remaining vertex)"
+    )

@@ -642,6 +642,10 @@ def stream_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from spark_monotasks_spark.streaming import dstream
 
+    # legacy bigint-nanos events data needs nanosAsLong pinned BEFORE the
+    # batch schema read below — on a vanilla session the read would throw
+    # PARQUET_TYPE_ILLEGAL before _fix_nanos ever runs
+    tables.ensure_parity_confs(spark)
     # the file source wants a *directory* of files; stage a symlink
     # (abspath: a relative sf_dir would otherwise dangle when the link
     # is resolved against the stage dir)
@@ -1048,3 +1052,83 @@ def stat_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
         F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
     )
+
+
+@register(
+    "decimal_precision_edge",
+    oracle="""
+    SELECT l_returnflag,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE), 2)
+             AS sum_p38,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE), 4)
+             AS sum_prod,
+           round(CAST(max(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * CAST(l_tax AS DECIMAL(4,2))) AS DOUBLE), 4)
+             AS max_prod
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def decimal_precision_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decimal arithmetic at the precision-38 boundary (SURVEY §7.4.1;
+    ref dataTypes.scala:672 allows PrecisionInfo=None = unlimited
+    precision, modern Spark caps at 38): sum over DECIMAL(38,2) — the
+    result type cannot widen further — plus decimal×decimal widening
+    ((12,2)×(4,2) → Spark (17,4), DuckDB (16,4); same exact values)
+    aggregated to the 38-cap.  All arithmetic runs in exact decimals in
+    both engines; only the catalog output is rounded DOUBLE (driver
+    hasher contract).  The unlimited-precision DELTA — overflow past 38
+    returns NULL where the reference would keep growing — is documented
+    in tests/test_oracle_parity.py::test_decimal38_overflow_delta."""
+    t = _t(spark, sf_dir)
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    d = t["lineitem"].groupBy("l_returnflag").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(38,2)")).alias("sum_p38"),
+        F.sum(price * F.col("l_discount").cast("decimal(4,2)")).alias("sum_prod"),
+        F.max(price * F.col("l_tax").cast("decimal(4,2)")).alias("max_prod"),
+    )
+    return d.select(
+        "l_returnflag",
+        F.round(F.col("sum_p38").cast("double"), 2).alias("sum_p38"),
+        F.round(F.col("sum_prod").cast("double"), 4).alias("sum_prod"),
+        F.round(F.col("max_prod").cast("double"), 4).alias("max_prod"),
+    )
+
+
+@register(
+    "graph_scc",
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS id,
+           CAST(min(n_nationkey) OVER (PARTITION BY n_regionkey) AS BIGINT)
+             AS component
+    FROM nation
+    """,
+)
+def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StronglyConnectedComponents (graphx
+    lib/StronglyConnectedComponents.scala) on a DIRECTED graph: nations
+    of each region form a directed cycle (strongly connected ⇒ one SCC
+    per region, id = min nationkey — the closed-form oracle), plus
+    one-way DAG edges between region minimums which a plain CC would
+    wrongly merge into a single component — exactly the directed/
+    undirected distinction this entry certifies."""
+    from spark_monotasks_spark.graph import strongly_connected_components
+
+    t = _t(spark, sf_dir)
+    n = t["nation"].select(
+        F.col("n_nationkey").cast("long").alias("id"),
+        F.col("n_regionkey").alias("r"),
+    )
+    w = Window.partitionBy("r").orderBy("id")
+    wp = Window.partitionBy("r")
+    cycle = n.select(
+        F.col("id").alias("src"),
+        F.coalesce(F.lead("id").over(w), F.min("id").over(wp)).alias("dst"),
+    )
+    mins = n.groupBy("r").agg(F.min("id").alias("m")).orderBy("r")
+    wr = Window.orderBy("r")
+    dag = (
+        mins.select(F.col("m").alias("src"), F.lead("m").over(wr).alias("dst"))
+        .filter(F.col("dst").isNotNull())
+    )
+    return strongly_connected_components(cycle.unionAll(dag)).orderBy("id")

@@ -198,3 +198,40 @@ def test_script_transform_null_ints_and_ragged_output(spark):
     )
     got2 = {r.k: r.s for r in out2.collect()}
     assert got2 == {1: None, 2: "a", 3: "b"}
+
+
+def test_scc_planted_cycles_and_dag(spark):
+    """Closed-form SCC fixture: two directed cycles bridged by one-way
+    DAG edges, a pure-DAG tail, and a 2-cycle — every vertex's component
+    is hand-computable, and undirected CC would merge everything."""
+    from spark_monotasks_spark.graph import (
+        connected_components,
+        strongly_connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            # cycle A {1,2,3}
+            (1, 2), (2, 3), (3, 1),
+            # one-way bridge into cycle B {10,11,12}
+            (3, 10), (10, 11), (11, 12), (12, 10),
+            # DAG tail: 12 -> 20 -> 21 (no back edges: singleton SCCs)
+            (12, 20), (20, 21),
+            # 2-cycle {30,31}, disconnected from the rest
+            (30, 31), (31, 30),
+        ],
+        "src long, dst long",
+    )
+    got = {
+        r.id: r.component
+        for r in strongly_connected_components(edges).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 21,
+        30: 30, 31: 30,
+    }
+    # contrast: undirected CC merges the bridged cycles and the tail
+    cc = {r.id: r.component for r in connected_components(edges).collect()}
+    assert cc[20] == cc[1] == cc[10]

@@ -144,3 +144,24 @@ def test_decimal_agg_exact(spark):
         ).fetchall()
     }
     assert spark_rows == duck_rows
+
+
+def test_decimal38_overflow_delta(spark):
+    """Documents the delta vs the reference's unlimited-precision
+    DecimalType (dataTypes.scala:672 PrecisionInfo=None): modern Spark
+    caps precision at 38, so a sum overflowing 38 digits returns NULL
+    (ANSI off) instead of growing without bound.  DECIMAL(38,0) near
+    10^37 summed 20× exceeds the cap."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    big = Decimal(10) ** 37
+    df = spark.createDataFrame([(big,)] * 20, "v decimal(38,0)")
+    got = df.agg(F.sum("v").alias("s")).first().s
+    assert got is None  # overflow past the 38-digit cap, NULL not error
+    # at exactly the cap there is no loss: 9 copies stay representable
+    ok = spark.createDataFrame([(big,)] * 9, "v decimal(38,0)").agg(
+        F.sum("v").alias("s")
+    ).first().s
+    assert ok == big * 9
