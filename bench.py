@@ -52,6 +52,11 @@ HEADLINE = [
     "pack_sequences",
     "contamination_check",
     "ml_fpgrowth_itemsets",
+    # added r3: loader manifest (window+explode), multimodal header
+    # decode (mapInPandas codec), Hive INSERT OVERWRITE path
+    "pack_manifest",
+    "media_meta_extract",
+    "sql_insert_overwrite_partitioned",
 ]
 
 

@@ -39,13 +39,15 @@ from spark_monotasks_spark.queries import tpch_extra  # noqa: E402,F401
 _PRIORITY = (
     # scans / filter / project / predicates / DSL (§2.1-2.2)
     "scan_filter_project", "predicate_ops", "case_when", "between_like",
-    # aggregation families (§2.4)
+    # aggregation families (§2.4; percentile_ops moved just outside in r3
+    # to make room — udaf/first_last still cover advanced aggs)
     "tpch_q1_pricing", "agg_distinct", "cube_agg", "group_having",
-    "first_last_agg", "udaf_weighted_mean", "percentile_ops", "decimal_agg",
-    # join families (§2.3)
+    "first_last_agg", "udaf_weighted_mean", "decimal_agg",
+    # join families (§2.3; tpch_q18 moved just outside in r3 — q3 + the
+    # subquery block keep multiway shapes in-window)
     "join_inner", "join_full_outer", "join_left_semi", "join_left_anti",
     "join_theta", "join_broadcast_dims", "cogroup_collect",
-    "tpch_q3_shipping", "tpch_q18_big_orders",
+    "tpch_q3_shipping",
     # subquery shapes (correlated scalar / EXISTS+NOT EXISTS / CTE+max /
     # outer-join count distribution — tpch_extra.py)
     "tpch_q17_small_qty", "tpch_q21_waiting", "tpch_q13_order_counts",
@@ -63,8 +65,10 @@ _PRIORITY = (
     "na_fill_drop", "bdb_q4_transform", "udtf_posexplode_tokens",
     # streaming / graph (§2.10, §2.12)
     "stream_hourly_window", "graph_connected_components",
-    # SQL parser path (§3.1)
-    "sql_lateral_view", "sql_cached_table",
+    # SQL parser path + Hive INSERT path (§3.1, §2.1 row 12 — closed r3)
+    "sql_lateral_view", "sql_cached_table", "sql_insert_overwrite_partitioned",
+    # multimodal header decode (beyond-reference, real codecs r3)
+    "media_meta_extract",
     # LLM-data-pipeline operators (bpe/doc_fingerprint/ngram_jaccard just
     # outside; token_stats + dedup + ann + packing + decontamination
     # represent the pipeline families)
