@@ -270,3 +270,59 @@ def tf_idf(
         .withColumn("tfidf", vector_to_array("_tfidf"))
         .drop("_tokens", "_tf", "_tfidf")
     )
+
+
+def random_forest_fit(
+    df: DataFrame,
+    label_col: str,
+    features_col: str = "embedding",
+    num_trees: int = 20,
+    max_depth: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """mllib tree/RandomForest.scala parity (classification): bagged
+    CART ensemble — per-tree bootstrap + feature subsampling, majority
+    vote.  Modern impl distributes the same histogram-split search as
+    the single tree but trains all trees' node batches together
+    (RandomForest.scala's node-queue grouping), so cost scales with
+    data passes, not num_trees.  Returns input + ``prediction``."""
+    from pyspark.ml.classification import RandomForestClassifier
+
+    _check_free(df, "_features", "prediction", "rawPrediction", "probability")
+    feat = df.withColumn("_features", _vec(features_col))
+    model = RandomForestClassifier(
+        numTrees=num_trees,
+        maxDepth=max_depth,
+        seed=seed,
+        featuresCol="_features",
+        labelCol=label_col,
+    ).fit(feat)
+    return model.transform(feat).drop("_features", "rawPrediction", "probability")
+
+
+def gbt_fit(
+    df: DataFrame,
+    label_col: str,
+    features_col: str = "embedding",
+    max_iter: int = 10,
+    max_depth: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """mllib tree/GradientBoostedTrees.scala parity (binary
+    classification): sequential shallow-tree boosting on the logistic
+    loss gradient.  Inherently iterative (each stage fits the previous
+    residual — the reference's boost() loop); at scale the cost is
+    max_iter full passes, which is the algorithm, not a plan flaw.
+    Returns input + ``prediction``."""
+    from pyspark.ml.classification import GBTClassifier
+
+    _check_free(df, "_features", "prediction", "rawPrediction", "probability")
+    feat = df.withColumn("_features", _vec(features_col))
+    model = GBTClassifier(
+        maxIter=max_iter,
+        maxDepth=max_depth,
+        seed=seed,
+        featuresCol="_features",
+        labelCol=label_col,
+    ).fit(feat)
+    return model.transform(feat).drop("_features", "rawPrediction", "probability")

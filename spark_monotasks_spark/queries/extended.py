@@ -250,6 +250,44 @@ def ml_decision_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ml_random_forest")  # bagged ensemble, seed-stable — rows-only
+def ml_random_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib parity (mllib tree/RandomForest.scala): bagged CART
+    ensemble over embeddings with a deterministic vec_id-parity label;
+    the (label, prediction) confusion counts are the observable, same
+    contract as ml_decision_tree."""
+    from spark_monotasks_spark.ml import random_forest_fit
+
+    t = _t(spark, sf_dir)
+    labeled = t["embeddings"].withColumn(
+        "label", (F.col("vec_id") % 2).cast("double")
+    )
+    preds = random_forest_fit(labeled, label_col="label", num_trees=10)
+    return (
+        preds.groupBy("label", "prediction")
+        .agg(F.count("*").alias("n"))
+        .orderBy("label", "prediction")
+    )
+
+
+@register("ml_gbt")  # boosted ensemble, iterative fit — rows-only
+def ml_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib parity (mllib tree/GradientBoostedTrees.scala): logistic-
+    loss boosted shallow trees, same confusion-count observable."""
+    from spark_monotasks_spark.ml import gbt_fit
+
+    t = _t(spark, sf_dir)
+    labeled = t["embeddings"].withColumn(
+        "label", (F.col("vec_id") % 2).cast("double")
+    )
+    preds = gbt_fit(labeled, label_col="label", max_iter=5)
+    return (
+        preds.groupBy("label", "prediction")
+        .agg(F.count("*").alias("n"))
+        .orderBy("label", "prediction")
+    )
+
+
 # --- NA functions — SURVEY §2.9 -------------------------------------------
 
 @register(

@@ -523,3 +523,44 @@ def media_meta_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media = multimodal.media_from_ids(ids)
     return multimodal.probe_media_meta(media)
+
+
+@register(
+    "quality_filter_rules",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n_words,
+             (length(text) - (len(t) - 1)) * 1.0 / len(t) AS mean_wl,
+             len(list_filter(t, x -> regexp_full_match(x, '[A-Za-z]+')))
+               * 1.0 / greatest(len(t), 1) AS alpha_frac,
+             CAST(len(list_intersect(list_transform(t, x -> lower(x)),
+                  ['the','a','of','and','to','in','is','that','it','for']))
+               AS BIGINT) AS stop_hits
+      FROM toks
+    )
+    SELECT doc_id, n_words,
+           round(mean_wl, 4) AS mean_word_len,
+           round(alpha_frac, 4) AS alpha_frac,
+           stop_hits,
+           n_words >= 5 AND n_words <= 100000 AS ok_words,
+           mean_wl >= 2.0 AND mean_wl <= 12.0 AS ok_word_len,
+           alpha_frac >= 0.6 AS ok_alpha,
+           stop_hits >= 2 AS ok_stopwords,
+           (n_words >= 5 AND n_words <= 100000)
+             AND (mean_wl >= 2.0 AND mean_wl <= 12.0)
+             AND alpha_frac >= 0.6 AND stop_hits >= 2 AS keep
+    FROM m
+    """,
+)
+def quality_filter_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText-style quality rules
+    (pipeline.text.gopher_quality_rules): word-count bounds, mean word
+    length, alphabetic-word fraction, stopword hits — each rule's
+    measurement AND boolean plus the conjunction, all engine-portable
+    (full-match [A-Za-z]+ agrees between Java regex and RE2), so unlike
+    quality_scores this carries a full oracle."""
+    t = _t(spark, sf_dir)
+    return text.gopher_quality_rules(t["documents"])

@@ -184,3 +184,27 @@ def test_tfidf_shape_and_idf_weighting(spark):
     # so each doc keeps exactly one nonzero bucket (its distinct word)
     for r in out:
         assert sum(1 for x in r.tfidf if x != 0) == 1
+
+
+def test_random_forest_separates_blobs(spark, two_blobs):
+    from spark_monotasks_spark.ml import random_forest_fit
+
+    out = random_forest_fit(two_blobs, label_col="label", num_trees=10).collect()
+    assert all(r.prediction == r.label for r in out)
+
+
+def test_random_forest_deterministic_seed(spark, two_blobs):
+    from spark_monotasks_spark.ml import random_forest_fit
+
+    a = random_forest_fit(two_blobs, label_col="label", seed=7).collect()
+    b = random_forest_fit(two_blobs, label_col="label", seed=7).collect()
+    assert sorted((r.id, r.prediction) for r in a) == sorted(
+        (r.id, r.prediction) for r in b
+    )
+
+
+def test_gbt_separates_blobs(spark, two_blobs):
+    from spark_monotasks_spark.ml import gbt_fit
+
+    out = gbt_fit(two_blobs, label_col="label", max_iter=5).collect()
+    assert all(r.prediction == r.label for r in out)

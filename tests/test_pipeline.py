@@ -641,3 +641,23 @@ def test_pack_manifest_boundary_spans(spark):
     # spans in seq 0 fill the whole budget (interior sequences are full)
     lens0 = [int(s.split(":")[2]) for s in by_seq[0].spans.split(",")]
     assert sum(lens0) == 1000
+
+
+def test_gopher_quality_rules_planted(spark):
+    """Each rule fires on its planted violation and only there."""
+    rows = [
+        (1, "the cat sat on the mat and it is fine for all"),  # clean
+        (2, "a b"),                                             # too few words
+        (3, "the " + "supercalifragilistic " * 20 + "of it is"),  # long words
+        (4, "the 123 456 789 000 111 222 333 444 of"),          # low alpha
+        (5, "zebra quartz jumps vexing wizard fbord klyx m"),   # no stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in text.gopher_quality_rules(df).collect()}
+    assert got[1].keep
+    assert not got[2].ok_words and not got[2].keep
+    assert not got[3].ok_word_len and not got[3].keep
+    assert not got[4].ok_alpha and not got[4].keep
+    assert not got[5].ok_stopwords and not got[5].keep
+    # per-rule bits stay independently observable
+    assert got[2].n_words == 2 and got[5].stop_hits == 0
