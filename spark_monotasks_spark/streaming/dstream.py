@@ -120,6 +120,68 @@ def kafka_stream(
         ) from exc
 
 
+#: The kafka source's fixed output schema (Structured Streaming kafka
+#: integration; same fields the reference's KafkaRDD exposed as
+#: MessageAndMetadata).  ``kafka_decode`` accepts ANY frame with these
+#: columns, which is what makes the decode path testable offline.
+KAFKA_RECORD_SCHEMA = (
+    "key binary, value binary, topic string, partition int, "
+    "offset bigint, timestamp timestamp, timestampType int"
+)
+
+
+def kafka_decode(
+    records: DataFrame,
+    value_schema: str | None = None,
+    drop_corrupt: bool = False,
+) -> DataFrame:
+    """Decode a kafka record batch/stream: key/value binary → UTF-8
+    strings, keeping the (topic, partition, offset, timestamp) metadata
+    the reference's MessageAndMetadata carried.  With ``value_schema``,
+    the value additionally parses as JSON into typed columns (the
+    standard payload step after any kafka source); malformed JSON yields
+    NULL fields (``drop_corrupt=True`` filters such rows instead —
+    corrupt records are data at streaming scale, never task failures).
+
+    Works identically on the live connector's output and on any frame
+    with :data:`KAFKA_RECORD_SCHEMA` — the whole decode path is covered
+    by offline tests even though the socket itself needs the external
+    package (tests/test_streaming.py::test_kafka_decode_*).
+    """
+    out = records.select(
+        F.col("key").cast("string").alias("key"),
+        F.col("value").cast("string").alias("value"),
+        "topic",
+        "partition",
+        "offset",
+        "timestamp",
+    )
+    if value_schema is not None:
+        if drop_corrupt:
+            # PERMISSIVE from_json yields a struct of NULL fields for bad
+            # JSON (not a NULL struct), so corruption must be detected via
+            # the dedicated corrupt-record column
+            ext = value_schema + ", _corrupt_record string"
+            out = (
+                out.withColumn(
+                    "payload",
+                    F.from_json(
+                        "value", ext,
+                        {"columnNameOfCorruptRecord": "_corrupt_record"},
+                    ),
+                )
+                .filter(F.col("payload._corrupt_record").isNull())
+            )
+            return out.select(
+                "key", "topic", "partition", "offset", "timestamp", "payload.*"
+            ).drop("_corrupt_record")
+        out = out.withColumn("payload", F.from_json("value", value_schema))
+        out = out.select(
+            "key", "topic", "partition", "offset", "timestamp", "payload.*"
+        )
+    return out
+
+
 # --- windowed aggregations -------------------------------------------------
 
 def windowed_agg(

@@ -277,3 +277,66 @@ def test_stream_union_matches_batch(spark, chunked_events):
     q = dstream.start_memory_sink(a.union(b), "su", output_mode="append")
     _await(q)
     assert spark.table("su").count() == 2 * events.count()
+
+
+# --- kafka decode path (offline: connector socket needs the external
+# --- package; everything AFTER the source is covered here) -----------------
+
+def _kafka_records(spark, rows):
+    return spark.createDataFrame(rows, dstream.KAFKA_RECORD_SCHEMA)
+
+
+def test_kafka_decode_batch(spark):
+    import datetime
+
+    ts = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (b"k1", b'{"user": 7, "amt": 1.5}', "orders", 0, 100, ts, 0),
+        (b"k2", b'{"user": 8, "amt": 2.5}', "orders", 1, 101, ts, 0),
+        (None, b"not json", "orders", 0, 102, ts, 0),
+    ]
+    plain = dstream.kafka_decode(_kafka_records(spark, rows)).collect()
+    assert [r.value for r in plain] == [
+        '{"user": 7, "amt": 1.5}', '{"user": 8, "amt": 2.5}', "not json"
+    ]
+    assert [r.offset for r in plain] == [100, 101, 102]
+
+    typed = dstream.kafka_decode(
+        _kafka_records(spark, rows), value_schema="user long, amt double"
+    ).collect()
+    assert {(r.user, r.amt) for r in typed} == {(7, 1.5), (8, 2.5), (None, None)}
+
+    kept = dstream.kafka_decode(
+        _kafka_records(spark, rows),
+        value_schema="user long, amt double",
+        drop_corrupt=True,
+    ).collect()
+    assert {r.user for r in kept} == {7, 8}
+
+
+def test_kafka_decode_streaming(spark, tmp_path):
+    """The same decode runs under Structured Streaming semantics: stage
+    kafka-shaped records as a file stream, decode, aggregate per key."""
+    import uuid
+
+    src = _kafka_records(
+        spark,
+        [
+            (b"a", b'{"n": 1}', "t", 0, 0, None, 0),
+            (b"a", b'{"n": 2}', "t", 0, 1, None, 0),
+            (b"b", b'{"n": 5}', "t", 1, 0, None, 0),
+        ],
+    )
+    stage = str(tmp_path / "kafka_stage")
+    src.write.parquet(stage)
+    stream = dstream.file_stream(spark, stage, src.schema)
+    decoded = dstream.kafka_decode(stream, value_schema="n long")
+    agg = decoded.groupBy("key").agg(F.sum("n").alias("total"))
+    name = f"kafka_decode_{uuid.uuid4().hex[:8]}"
+    q = dstream.start_memory_sink(agg, name, output_mode="complete")
+    try:
+        assert q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = {r.key: r.total for r in spark.table(name).collect()}
+    assert got == {"a": 3, "b": 5}
