@@ -211,3 +211,43 @@ def test_q2_correlated_max_no_cartesian(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoop" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_quality_rules_single_projection_no_shuffle(spark):
+    """gopher_quality_rules must be one narrow codegen'd projection: no
+    Exchange, no Python evaluation in the plan."""
+    df = QUERY_REGISTRY["quality_filter_rules"](spark, SF)
+    plan = plan_of(df)
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan  # no UDF fell into the hot path
+    # single Project over the scan (higher-order lambdas are JVM-side
+    # but codegen-fallback, so no WholeStageCodegen assert)
+    assert plan.count("Project") == 1, plan
+
+
+def test_media_probe_no_shuffle(spark):
+    """media_meta_extract: encode + header parse are mapInPandas stages
+    over the scan — blobs must never shuffle."""
+    df = QUERY_REGISTRY["media_meta_extract"](spark, SF)
+    plan = plan_of(df)
+    assert "Exchange" not in plan, plan
+
+
+def test_pack_manifest_single_shuffle(spark):
+    """pack_manifest: the shard window and the (shard, seq_id) groupBy
+    must share ONE hash-partitioning on shard — the explode and final
+    agg may not introduce a second whole-corpus shuffle.  (hashpartitioning
+    appears once for the window and once for the partial/final agg pair
+    over the SAME keys prefix; assert ≤ 2 Exchanges total.)"""
+    df = QUERY_REGISTRY["pack_manifest"](spark, SF)
+    plan = plan_of(df)
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_ngram_jaccard_block_no_cartesian(spark):
+    """The minhash-bucketed jaccard demo must join on the bucket key —
+    never CartesianProduct / BroadcastNestedLoop."""
+    df = QUERY_REGISTRY["ngram_jaccard_block"](spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
