@@ -488,3 +488,62 @@ def gopher_quality_rules(
         r_stop.alias("ok_stopwords"),
         (r_words & r_wl & r_alpha & r_stop).alias("keep"),
     )
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """WITHIN-document repetition signals (Gopher §A1.1 repetition
+    filters — the complement of cross-corpus dedup): per doc, the
+    fraction of duplicate lines, the fraction of duplicate word
+    ``n``-grams, and the share of the single most frequent n-gram.
+    Machine-generated and boilerplate text scores high on all three.
+
+    Shape: line stats are a narrow projection; n-gram stats explode to
+    (doc, gram) rows and aggregate twice — both groupBys hash on doc-
+    prefixed keys, so partial aggregation collapses each doc's grams
+    map-side and the shuffle carries ~distinct-grams-per-doc rows, not
+    the corpus token stream.  Docs shorter than ``n`` tokens score 0.
+    """
+    toks = tokens(F.col(text_col))
+    lines = F.split(F.col(text_col), "\n")
+    dup_line_frac = F.round(
+        1 - F.size(F.array_distinct(lines)) / F.size(lines), 4
+    )
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = df.select(
+        F.col(id_col), dup_line_frac.alias("dup_line_frac"), grams.alias("_grams")
+    )
+    per_gram = (
+        base.select(id_col, F.explode("_grams").alias("_gram"))
+        .groupBy(id_col, "_gram")
+        .agg(F.count("*").alias("_c"))
+    )
+    agg = per_gram.groupBy(id_col).agg(
+        F.sum("_c").alias("_total"),
+        F.count("*").alias("_distinct"),
+        F.max("_c").alias("_top"),
+    )
+    return (
+        base.select(id_col, "dup_line_frac")
+        .join(agg, on=id_col, how="left")
+        .select(
+            id_col,
+            "dup_line_frac",
+            F.coalesce(
+                F.round(1 - F.col("_distinct") / F.col("_total"), 4), F.lit(0.0)
+            ).alias(f"dup_{n}gram_frac"),
+            F.coalesce(
+                F.round(F.col("_top") / F.col("_total"), 4), F.lit(0.0)
+            ).alias(f"top_{n}gram_frac"),
+        )
+    )

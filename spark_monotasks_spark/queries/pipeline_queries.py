@@ -564,3 +564,41 @@ def quality_filter_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality_scores this carries a full oracle."""
     t = _t(spark, sf_dir)
     return text.gopher_quality_rules(t["documents"])
+
+
+@register(
+    "repetition_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             string_split(text, chr(10)) AS lines
+      FROM documents
+    ), base AS (
+      SELECT doc_id,
+             round(1 - len(list_distinct(lines)) * 1.0 / len(lines), 4)
+               AS dup_line_frac,
+             CASE WHEN len(t) >= 2 THEN
+               list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+             ELSE [] END AS grams
+      FROM toks
+    ), g AS (
+      SELECT doc_id, unnest(grams) AS gram FROM base
+    ), pg AS (
+      SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram
+    ), agg AS (
+      SELECT doc_id, sum(c) AS total, count(*) AS dist, max(c) AS top
+      FROM pg GROUP BY doc_id
+    )
+    SELECT base.doc_id, dup_line_frac,
+           coalesce(round(1 - dist * 1.0 / total, 4), 0.0) AS dup_2gram_frac,
+           coalesce(round(top * 1.0 / total, 4), 0.0) AS top_2gram_frac
+    FROM base LEFT JOIN agg ON base.doc_id = agg.doc_id
+    """,
+)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repetition screen (pipeline.text.repetition_stats):
+    duplicate-line fraction, duplicate-2gram fraction, and most-frequent-
+    2gram share — the Gopher repetition-filter family, fully
+    oracle-checked."""
+    t = _t(spark, sf_dir)
+    return text.repetition_stats(t["documents"])

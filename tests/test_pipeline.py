@@ -661,3 +661,22 @@ def test_gopher_quality_rules_planted(spark):
     assert not got[5].ok_stopwords and not got[5].keep
     # per-rule bits stay independently observable
     assert got[2].n_words == 2 and got[5].stop_hits == 0
+
+
+def test_repetition_stats_planted(spark):
+    """Hand-computed repetition fractions: a repeated-line doc, a
+    looping-2gram doc, and a clean doc."""
+    rows = [
+        (1, "one two three four five"),               # clean: all distinct
+        (2, "spam ham\nspam ham\nspam ham"),          # 3 lines, 1 distinct
+        (3, "go go go go"),                           # 2-grams: "go go" x3
+        (4, "x"),                                     # shorter than n: zeros
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in text.repetition_stats(df).collect()}
+    assert got[1].dup_line_frac == 0.0
+    assert got[1].dup_2gram_frac == 0.0 and got[1].top_2gram_frac == 0.25
+    assert got[2].dup_line_frac == pytest.approx(1 - 1 / 3, abs=1e-4)
+    assert got[3].dup_2gram_frac == pytest.approx(1 - 1 / 3, abs=1e-4)
+    assert got[3].top_2gram_frac == 1.0  # every 2-gram is "go go"
+    assert got[4].dup_2gram_frac == 0.0 and got[4].top_2gram_frac == 0.0
