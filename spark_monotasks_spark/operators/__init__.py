@@ -1,5 +1,6 @@
 from spark_monotasks_spark.operators import (  # noqa: F401
     aggregates,
+    asof,
     joins,
     sample,
     setops,

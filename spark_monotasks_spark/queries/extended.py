@@ -1170,3 +1170,33 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dst").isNotNull())
     )
     return strongly_connected_components(cycle.unionAll(dag)).orderBy("id")
+
+
+@register(
+    "asof_join_events",
+    oracle="""
+    SELECT c.event_id, c.user_id, c.ts,
+           p.value AS value_r, p.ts AS ts_r
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (beyond-reference, operators/asof.py): each click
+    event picks up the user's latest at-or-before purchase — the
+    point-in-time feature-lookup shape.  One key shuffle + window; the
+    oracle is DuckDB's NATIVE ASOF JOIN, so the union-window
+    formulation is checked against an independent reference
+    implementation of the same inclusive-`>=` semantics."""
+    from spark_monotasks_spark.operators.asof import as_of_join
+
+    t = _t(spark, sf_dir)
+    ev = t["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return as_of_join(clicks, purchases, on="user_id")

@@ -335,3 +335,45 @@ def test_cogroup_collect_null_keys_and_values(spark):
     # values survive in the lists
     assert got[None] == (["x"], ["y"])
     assert sorted(got[1][0], key=lambda x: (x is None, x)) == ["a", None]
+
+
+# --- as-of join (beyond-reference, operators/asof.py) ----------------------
+
+def test_asof_join_hand_computed(spark):
+    from spark_monotasks_spark.operators.asof import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "l1"), (1, 20, "l2"), (1, 5, "l0"), (2, 10, "lx")],
+        "k long, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0), (3, 1, 999.0)],
+        "k long, ts long, v double",
+    )
+    got = {
+        r.tag: (r.v_r, r.ts_r)
+        for r in as_of_join(left, right, on="k").collect()
+    }
+    assert got["l0"] == (None, None)      # nothing at-or-before ts=5
+    assert got["l1"] == (100.0, 10)       # tie: inclusive >= matches
+    assert got["l2"] == (150.0, 15)       # latest of the two priors
+    assert got["lx"] == (None, None)      # key 2 has no right rows
+
+
+def test_asof_join_single_shuffle_plan(spark):
+    """The union-window formulation must cost ONE hash partitioning on
+    the key — never a range cross product (BroadcastNestedLoop /
+    Cartesian)."""
+    from spark_monotasks_spark.operators.asof import as_of_join
+
+    left = spark.range(100).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("ts")
+    )
+    right = spark.range(50).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("ts"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    df = as_of_join(left, right, on="k")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
