@@ -86,3 +86,53 @@ def as_of_join(
         *[F.last(c, ignorenulls=True).over(w).alias(c) for c in out_vals],
     )
     return carried.filter(F.col("_side") == 1).drop("_asof_t", "_side")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str = "ts",
+    right_start: str = "start",
+    right_end: str = "end",
+    bucket_width: int | None = None,
+) -> DataFrame:
+    """Interval join: left rows matched to every right interval (same
+    key) with ``start <= ts <= end`` — inclusive both ends.
+
+    Spark plans a raw inequality join as BroadcastNestedLoop (a range
+    cross product).  This formulation makes it an EQUI-join: each right
+    interval explodes to the coarse time buckets it overlaps, the left
+    side computes its single bucket, both equi-join on (key, bucket),
+    and the exact BETWEEN predicate filters residuals.  Cost: one hash
+    shuffle on (key, bucket) + interval rows duplicated
+    ``interval_len / bucket_width`` times — pick ``bucket_width`` near
+    the TYPICAL interval length so the duplication factor stays O(1).
+    Defaults to the right side's average interval length (one cheap agg)
+    when not given; pass it explicitly in pipelines where the input
+    statistics are known.
+
+    Timestamps are treated as numeric (cast to long internally); works
+    for epoch seconds/millis or any monotone numeric key.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    lt = F.col(left_ts).cast("long")
+    rs, re_ = F.col(right_start).cast("long"), F.col(right_end).cast("long")
+    if bucket_width is None:
+        row = right.select(
+            F.avg(re_ - rs).alias("w")
+        ).first()
+        bucket_width = max(int(row.w or 1), 1)
+    r_bucketed = right.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.floor(rs / bucket_width), F.floor(re_ / bucket_width)
+            )
+        ),
+    )
+    l_bucketed = left.withColumn("_bkt", F.floor(lt / bucket_width))
+    joined = l_bucketed.join(r_bucketed, on=[*keys, "_bkt"]).filter(
+        (lt >= rs) & (lt <= re_)
+    )
+    return joined.drop("_bkt")

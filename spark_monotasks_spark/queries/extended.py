@@ -1200,3 +1200,56 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", "value"
     )
     return as_of_join(clicks, purchases, on="user_id")
+
+
+@register(
+    "range_join_sessions",
+    oracle="""
+    WITH ts AS (
+      SELECT event_id, user_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t
+      FROM events
+    ), sess AS (
+      SELECT user_id, t AS s_start, t + 600 AS s_end, event_id AS signup_id
+      FROM ts WHERE event_type = 'signup'
+    )
+    SELECT c.event_id, c.user_id, c.t AS ts_epoch,
+           s.signup_id, s.s_start, s.s_end
+    FROM (SELECT * FROM ts WHERE event_type = 'click') c
+    JOIN sess s
+      ON c.user_id = s.user_id AND c.t BETWEEN s.s_start AND s.s_end
+    """,
+)
+def range_join_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join (beyond-reference, operators/asof.range_join):
+    clicks falling inside a 10-minute window after each signup by the
+    same user.  The bucketed equi-join formulation is checked against
+    DuckDB's plain BETWEEN join — same rows, but OUR plan is a hash
+    join on (key, bucket), never a nested-loop range cross product."""
+    from spark_monotasks_spark.operators.asof import range_join
+
+    t = _t(spark, sf_dir)
+    ev = t["events"].withColumn(
+        "t", F.col("ts").cast("timestamp").cast("long")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("t").alias("ts_epoch")
+    )
+    sessions = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("t").alias("s_start"),
+        (F.col("t") + 600).alias("s_end"),
+        F.col("event_id").alias("signup_id"),
+    )
+    out = range_join(
+        clicks,
+        sessions,
+        on="user_id",
+        left_ts="ts_epoch",
+        right_start="s_start",
+        right_end="s_end",
+        bucket_width=600,
+    )
+    return out.select(
+        "event_id", "user_id", "ts_epoch", "signup_id", "s_start", "s_end"
+    )

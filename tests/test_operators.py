@@ -377,3 +377,47 @@ def test_asof_join_single_shuffle_plan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_range_join_hand_computed(spark):
+    from spark_monotasks_spark.operators.asof import range_join
+
+    left = spark.createDataFrame(
+        [(1, 5, "a"), (1, 10, "b"), (1, 25, "c"), (2, 10, "d")],
+        "k long, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 0, 10, "i1"), (1, 8, 12, "i2"), (2, 50, 60, "i3")],
+        "k long, start long, end long, iv string",
+    )
+    got = sorted(
+        (r.tag, r.iv)
+        for r in range_join(left, right, on="k", bucket_width=7).collect()
+    )
+    # a∈[0,10]; b∈[0,10] AND [8,12] (inclusive ends); c,d match nothing
+    assert got == [("a", "i1"), ("b", "i1"), ("b", "i2")]
+    # derived bucket width gives identical matches
+    auto = sorted(
+        (r.tag, r.iv) for r in range_join(left, right, on="k").collect()
+    )
+    assert auto == got
+
+
+def test_range_join_equi_plan_no_nested_loop(spark):
+    from spark_monotasks_spark.operators.asof import range_join
+
+    left = spark.range(200).select(
+        (F.col("id") % 5).alias("k"), F.col("id").alias("ts")
+    )
+    right = spark.range(20).select(
+        (F.col("id") % 5).alias("k"),
+        (F.col("id") * 10).alias("start"),
+        (F.col("id") * 10 + 15).alias("end"),
+    )
+    df = range_join(left, right, on="k", bucket_width=10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    # the join itself must be a hash/sort-merge EQUI join on (k, bucket)
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    ), plan
