@@ -547,3 +547,72 @@ def repetition_stats(
             ).alias(f"top_{n}gram_frac"),
         )
     )
+
+
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+    max_size: int | None = None,
+) -> DataFrame:
+    """Corpus vocabulary with contiguous ids — the tokenizer-training
+    step: token → (count, token_id), ids assigned by (count desc, token
+    asc) so the mapping is deterministic across runs and engines.
+
+    Scale shape: the corpus-sized work is the explode + count groupBy
+    (map-side partial aggregation collapses each partition's token
+    stream first).  The ranking window is global-order BUT runs on the
+    already-aggregated vocab table — bounded by distinct-token count
+    (~10^5-10^6 for natural language regardless of corpus bytes), so the
+    single-partition sort is over a small frame, not the corpus.
+    """
+    counts = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    vocab = counts.select(
+        "token", "n", (F.row_number().over(w) - 1).alias("token_id")
+    )
+    if max_size is not None:
+        vocab = vocab.filter(F.col("token_id") < max_size)
+    return vocab
+
+
+def encode_tokens(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    unk_id: int = -1,
+) -> DataFrame:
+    """Encode each document's token stream as vocabulary ids (comma
+    string — scalar catalog contract), preserving order; out-of-vocab
+    tokens map to ``unk_id``.  The vocab broadcasts (it is bounded, see
+    build_vocab); the corpus side is one explode + one map-side join +
+    one per-doc reassembly groupBy on posexploded order."""
+    pos = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "token"),
+    )
+    joined = pos.join(F.broadcast(vocab.select("token", "token_id")),
+                      on="token", how="left")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "token_id"))
+                    ),
+                    lambda x: F.coalesce(
+                        x["token_id"], F.lit(unk_id)
+                    ).cast("string"),
+                ),
+                ",",
+            ).alias("token_ids")
+        )
+    )

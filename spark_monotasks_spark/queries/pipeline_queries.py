@@ -602,3 +602,65 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checked."""
     t = _t(spark, sf_dir)
     return text.repetition_stats(t["documents"])
+
+
+@register(
+    "vocab_top_tokens",
+    oracle="""
+    WITH counts AS (
+      SELECT token, count(*) AS n
+      FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x != ''))
+              AS token FROM documents)
+      GROUP BY token HAVING count(*) >= 20
+    )
+    SELECT token, n,
+           CAST(row_number() OVER (ORDER BY n DESC, token) - 1 AS INT)
+             AS token_id
+    FROM counts
+    """,
+)
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary build (pipeline.text.build_vocab): token counts with
+    deterministic contiguous ids by (count desc, token asc) — the
+    tokenizer-training step; ids match DuckDB's row_number exactly."""
+    t = _t(spark, sf_dir)
+    return text.build_vocab(t["documents"], min_count=20)
+
+
+@register(
+    "encode_token_ids",
+    oracle="""
+    WITH counts AS (
+      SELECT token, count(*) AS n
+      FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x != ''))
+              AS token FROM documents)
+      GROUP BY token HAVING count(*) >= 20
+    ), vocab AS (
+      SELECT token,
+             CAST(row_number() OVER (ORDER BY n DESC, token) - 1 AS INT)
+               AS token_id
+      FROM counts
+    ), pos AS (
+      SELECT doc_id, t.token, t.pos
+      FROM documents,
+           LATERAL (SELECT unnest(string_split(text, ' ')) AS token,
+                           generate_subscripts(string_split(text, ' '), 1) AS pos) t
+      WHERE doc_id < 500
+    )
+    SELECT doc_id,
+           string_agg(CAST(coalesce(v.token_id, -1) AS VARCHAR), ','
+                      ORDER BY pos) AS token_ids
+    FROM pos LEFT JOIN vocab v USING (token)
+    GROUP BY doc_id
+    """,
+)
+def encode_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-id encoding (pipeline.text.encode_tokens): documents
+    re-expressed as ordered vocabulary-id sequences with -1 for
+    out-of-vocab — what a tokenized training shard contains.  The vocab
+    broadcasts; order preserved via posexplode + sorted reassembly."""
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    vocab = text.build_vocab(docs, min_count=20)
+    small = docs.filter(F.col("doc_id") < 500)
+    return text.encode_tokens(small, vocab)

@@ -680,3 +680,18 @@ def test_repetition_stats_planted(spark):
     assert got[3].dup_2gram_frac == pytest.approx(1 - 1 / 3, abs=1e-4)
     assert got[3].top_2gram_frac == 1.0  # every 2-gram is "go go"
     assert got[4].dup_2gram_frac == 0.0 and got[4].top_2gram_frac == 0.0
+
+
+def test_build_vocab_and_encode(spark):
+    df = spark.createDataFrame(
+        [(1, "b a a c"), (2, "a b b")], "doc_id long, text string"
+    )
+    vocab = text.build_vocab(df)
+    rows = {r.token: (r.n, r.token_id) for r in vocab.collect()}
+    # counts: a=3, b=3, c=1; ties break lexicographically → a=0, b=1, c=2
+    assert rows == {"a": (3, 0), "b": (3, 1), "c": (1, 2)}
+    capped = text.build_vocab(df, max_size=2)
+    assert {r.token for r in capped.collect()} == {"a", "b"}
+    enc = {r.doc_id: r.token_ids for r in text.encode_tokens(df, capped).collect()}
+    # doc 1: b a a c → 1,0,0,<unk>; doc 2: a b b → 0,1,1
+    assert enc == {1: "1,0,0,-1", 2: "0,1,1"}
