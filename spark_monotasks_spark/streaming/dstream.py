@@ -299,6 +299,32 @@ def stream_stream_join(
     return l.join(r, on=cond, how=how)
 
 
+def stream_dedup(
+    stream: DataFrame,
+    keys: Sequence[str],
+    ts_col: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming deduplication — exactly-once delivery of at-least-once
+    inputs (the reference had no streaming dedup; its receiver-based
+    DStreams replayed duplicates on recovery, SURVEY §2.10).
+
+    With ``ts_col``: `dropDuplicatesWithinWatermark` — state for a key
+    is DROPPED once the watermark passes it, so state is bounded by
+    (keys arriving within the watermark window), the only shape that
+    survives unbounded streams.  Duplicates separated by more than the
+    watermark are NOT caught — that is the documented contract, the
+    price of bounded state.  Without ``ts_col``: global
+    `dropDuplicates`, state grows with distinct keys forever — only for
+    bounded key domains.
+    """
+    if ts_col is not None:
+        return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            list(keys)
+        )
+    return stream.dropDuplicates(list(keys))
+
+
 # --- updateStateByKey ------------------------------------------------------
 
 def update_state_by_key(

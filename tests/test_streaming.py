@@ -340,3 +340,34 @@ def test_kafka_decode_streaming(spark, tmp_path):
         q.stop()
     got = {r.key: r.total for r in spark.table(name).collect()}
     assert got == {"a": 3, "b": 5}
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Duplicate event_ids inside the watermark window are delivered
+    exactly once; the batch-side equivalence is distinct-by-key."""
+    import datetime
+    import uuid
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, "a"),
+        (1, t0 + datetime.timedelta(seconds=30), "a-dup"),   # dup of key 1
+        (2, t0 + datetime.timedelta(seconds=10), "b"),
+        (3, t0 + datetime.timedelta(seconds=40), "c"),
+        (2, t0 + datetime.timedelta(seconds=50), "b-dup"),   # dup of key 2
+    ]
+    src = spark.createDataFrame(rows, "event_id long, ts timestamp, tag string")
+    stage = str(tmp_path / "dedup_stage")
+    src.write.parquet(stage)
+    stream = dstream.file_stream(spark, stage, src.schema)
+    deduped = dstream.stream_dedup(
+        stream, keys=["event_id"], ts_col="ts", watermark="10 minutes"
+    )
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    q = dstream.start_memory_sink(deduped, name, output_mode="append")
+    try:
+        assert q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = sorted(r.event_id for r in spark.table(name).collect())
+    assert got == [1, 2, 3]
