@@ -84,3 +84,58 @@ def grouping_sets_sql(
 def describe(df: DataFrame, *cols: str) -> DataFrame:
     """DataFrame.describe (DataFrame.scala:788): count/mean/stddev/min/max."""
     return df.describe(*cols)
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    spec: dict[str, tuple[str, str]],
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Skew-resilient two-stage aggregation: the aggregation sibling of
+    ``joins.salted_join`` for keys so hot one reducer would own the
+    whole group.
+
+    ``spec`` maps output name → ("sum"|"count"|"min"|"max"|"avg", col).
+    Stage 1 aggregates on (keys, salt) — the hot key's rows split over
+    ``salt_buckets`` reducers — stage 2 merges the partials per key.
+    Only decomposable aggregates are offered (avg merges as sum/count);
+    that restriction is what makes the rewrite exact.
+
+    Salt is ``xxhash64(struct(*)) % buckets`` — deterministic per row
+    content, so shuffle-retry recomputation can't double-count (a
+    ``rand()`` salt can, under partial stage retries).  Note AQE's
+    skew handling covers JOINS only; skewed aggregation keys still need
+    explicit salting.  Two shuffles instead of one — pay it only when a
+    key is hot enough to swamp a task.
+    """
+    allowed = {"sum", "count", "min", "max", "avg"}
+    bad = {f for f, (fn, _) in spec.items() if fn not in allowed}
+    if bad:
+        raise ValueError(
+            f"non-decomposable aggregate(s) {bad}: salted_agg supports {allowed}"
+        )
+    salt = F.pmod(F.xxhash64(F.struct(*df.columns)), F.lit(salt_buckets))
+    partials = []
+    merges = []
+    for out, (fn, col) in spec.items():
+        if fn == "count":
+            partials.append(F.count(col).alias(f"_p_{out}"))
+            merges.append(F.sum(f"_p_{out}").cast("long").alias(out))
+        elif fn == "sum":
+            partials.append(F.sum(col).alias(f"_p_{out}"))
+            merges.append(F.sum(f"_p_{out}").alias(out))
+        elif fn == "min":
+            partials.append(F.min(col).alias(f"_p_{out}"))
+            merges.append(F.min(f"_p_{out}").alias(out))
+        elif fn == "max":
+            partials.append(F.max(col).alias(f"_p_{out}"))
+            merges.append(F.max(f"_p_{out}").alias(out))
+        else:  # avg: decompose into sum + count, merge as ratio
+            partials.append(F.sum(col).alias(f"_ps_{out}"))
+            partials.append(F.count(col).alias(f"_pc_{out}"))
+            merges.append(
+                (F.sum(f"_ps_{out}") / F.sum(f"_pc_{out}")).alias(out)
+            )
+    stage1 = df.groupBy(*keys, salt.alias("_salt")).agg(*partials)
+    return stage1.groupBy(*keys).agg(*merges)

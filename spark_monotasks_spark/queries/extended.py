@@ -1253,3 +1253,43 @@ def range_join_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "user_id", "ts_epoch", "signup_id", "s_start", "s_end"
     )
+
+
+@register(
+    "salted_agg_skew",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_extendedprice), 2) AS total_price,
+           round(avg(l_quantity), 6) AS avg_qty,
+           max(l_discount) AS max_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def salted_agg_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient two-stage aggregation (operators/aggregates.py
+    salted_agg): lineitem grouped by l_returnflag — 3 distinct keys over
+    millions of rows is EXACTLY the shape where one reducer owns a
+    whole group; the salted rewrite splits each key over 32 partial
+    reducers then merges.  Oracle is the plain GROUP BY: the rewrite
+    must be value-identical."""
+    from spark_monotasks_spark.operators.aggregates import salted_agg
+
+    t = _t(spark, sf_dir)
+    out = salted_agg(
+        t["lineitem"],
+        keys=["l_returnflag"],
+        spec={
+            "n": ("count", "l_returnflag"),
+            "total_price": ("sum", "l_extendedprice"),
+            "avg_qty": ("avg", "l_quantity"),
+            "max_disc": ("max", "l_discount"),
+        },
+    )
+    return out.select(
+        "l_returnflag",
+        "n",
+        F.round("total_price", 2).alias("total_price"),
+        F.round("avg_qty", 6).alias("avg_qty"),
+        "max_disc",
+    )

@@ -421,3 +421,36 @@ def test_range_join_equi_plan_no_nested_loop(spark):
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
         "ShuffledHashJoin" in plan
     ), plan
+
+
+def test_salted_agg_matches_plain(spark):
+    from spark_monotasks_spark.operators.aggregates import salted_agg
+
+    df = spark.createDataFrame(
+        [(k, v * 1.0) for k in ("a", "a", "a", "b") for v in range(5)],
+        "k string, v double",
+    )
+    got = {
+        r.k: (r.n, r.s, r.mn, r.mx, round(r.av, 9))
+        for r in salted_agg(
+            df,
+            keys=["k"],
+            spec={
+                "n": ("count", "v"),
+                "s": ("sum", "v"),
+                "mn": ("min", "v"),
+                "mx": ("max", "v"),
+                "av": ("avg", "v"),
+            },
+            salt_buckets=4,
+        ).collect()
+    }
+    assert got == {"a": (15, 30.0, 0.0, 4.0, 2.0), "b": (5, 10.0, 0.0, 4.0, 2.0)}
+
+
+def test_salted_agg_rejects_nondecomposable(spark):
+    from spark_monotasks_spark.operators.aggregates import salted_agg
+
+    df = spark.createDataFrame([("a", 1.0)], "k string, v double")
+    with pytest.raises(ValueError, match="non-decomposable"):
+        salted_agg(df, keys=["k"], spec={"m": ("median", "v")})
