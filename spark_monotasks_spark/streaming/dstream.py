@@ -211,6 +211,34 @@ def windowed_agg(
     )
 
 
+def session_windowed_agg(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    aggs: Sequence[Column],
+    keys: Sequence[str] = (),
+    watermark: str | None = None,
+) -> DataFrame:
+    """Gap-based session windows (``F.session_window``): a session
+    closes when ``gap`` passes with no event for the key — the streaming
+    twin of the batch ``events_sessionize`` query (which derives the
+    same sessions with a lag-window over event time).
+
+    Dynamic windows: unlike tumbling/sliding, session extents depend on
+    the DATA, so state for a key stays open until watermark passes its
+    last event + gap — set ``watermark`` in production or state grows
+    with open sessions forever."""
+    if watermark is not None:
+        df = df.withWatermark(ts_col, watermark)
+    win = F.session_window(ts_col, gap)
+    out = df.groupBy(win.alias("session"), *keys).agg(*aggs)
+    return out.select(
+        F.col("session.start").alias("session_start"),
+        F.col("session.end").alias("session_end"),
+        *[c for c in out.columns if c != "session"],
+    )
+
+
 def reduce_by_key_and_window(
     df: DataFrame,
     ts_col: str,

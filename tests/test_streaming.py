@@ -371,3 +371,45 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
         q.stop()
     got = sorted(r.event_id for r in spark.table(name).collect())
     assert got == [1, 2, 3]
+
+
+def test_session_window_stream_matches_batch_sessionize(spark, tmp_path):
+    """Session windows under streaming semantics: events within the gap
+    merge into one session; a gap closes it.  Hand-computed sessions."""
+    import datetime
+    import uuid
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def at(sec):
+        return t0 + datetime.timedelta(seconds=sec)
+
+    rows = [  # user 1: two sessions (gap 60s); user 2: one session
+        (1, at(0)), (1, at(30)), (1, at(50)),
+        (1, at(200)), (1, at(210)),
+        (2, at(0)),
+    ]
+    src = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    stage = str(tmp_path / "sess_stage")
+    src.write.parquet(stage)
+    stream = dstream.file_stream(spark, stage, src.schema)
+    agg = dstream.session_windowed_agg(
+        stream, "ts", "60 seconds",
+        aggs=[F.count("*").alias("n_events")],
+        keys=("user_id",),
+    )
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    q = dstream.start_memory_sink(agg, name, output_mode="complete")
+    try:
+        assert q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = sorted(
+        ((r.user_id, r.session_start, r.session_end, r.n_events)
+         for r in spark.table(name).collect()),
+    )
+    got = [(u, n, s, e) for (u, s, e, n) in got]
+    assert [(u, n) for (u, n, _, _) in got] == [(1, 3), (1, 2), (2, 1)]
+    # session extents: [first_event, last_event + gap)
+    assert got[0][2] == at(0) and got[0][3] == at(50 + 60)
+    assert got[1][2] == at(200) and got[1][3] == at(210 + 60)
