@@ -57,6 +57,15 @@ HEADLINE = [
     "pack_manifest",
     "media_meta_extract",
     "sql_insert_overwrite_partitioned",
+    # added r3 (second batch): as-of + range joins (union-window /
+    # bucketed equi-join), quality + repetition filters, skew-salted
+    # agg, vocabulary build
+    "asof_join_events",
+    "range_join_sessions",
+    "quality_filter_rules",
+    "repetition_stats",
+    "salted_agg_skew",
+    "vocab_top_tokens",
 ]
 
 

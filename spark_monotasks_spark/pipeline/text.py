@@ -506,7 +506,13 @@ def repetition_stats(
     (doc, gram) rows and aggregate twice — both groupBys hash on doc-
     prefixed keys, so partial aggregation collapses each doc's grams
     map-side and the shuffle carries ~distinct-grams-per-doc rows, not
-    the corpus token stream.  Docs shorter than ``n`` tokens score 0.
+    the corpus token stream.  Deriving dup/top fractions from the agg
+    COUNTS (ints) keeps every array expression single-evaluation; three
+    "zero-shuffle" row-local alternatives measured SLOWER at sf0.1
+    (struct-fold longest-run ~1.3×, per-index element_at run bounds
+    ~10×, array_distinct-in-projection ~1.7× — interpreted higher-order
+    lambdas and double-evaluated array exprs lose to Tungsten's
+    compiled hash aggregate).  Docs shorter than ``n`` tokens score 0.
     """
     toks = tokens(F.col(text_col))
     lines = F.split(F.col(text_col), "\n")
