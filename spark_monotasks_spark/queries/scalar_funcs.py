@@ -238,3 +238,35 @@ def regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace("c_mktsegment", "[AEIOU]", "_").alias("seg_scrub"),
         )
     )
+
+
+@register(
+    "string_distance_funcs",
+    oracle="""
+    SELECT c_custkey,
+           levenshtein(c_name, 'Customer#000000001') AS lev_to_first,
+           CAST(length(c_name) - length(replace(c_name, '0', '')) AS INT)
+             AS n_zeros,
+           upper(substring(c_mktsegment, 1, 1))
+             || lower(substring(c_mktsegment, 2)) AS seg_title,
+           split_part(c_name, '#', 2) AS cust_num
+    FROM customer WHERE c_custkey <= 300
+    """,
+)
+def string_distance_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-distance + casing tail (Hive registry: levenshtein,
+    initcap; stringOperations.scala family): edit distance to a fixed
+    key — the fuzzy-match primitive record linkage uses — plus
+    occurrence counting via replace-length and delimiter extraction
+    (split_part/element_at parity)."""
+    t = _t(spark, sf_dir)
+    c = t["customer"].filter(F.col("c_custkey") <= 300)
+    return c.select(
+        "c_custkey",
+        F.levenshtein("c_name", F.lit("Customer#000000001")).alias("lev_to_first"),
+        (F.length("c_name") - F.length(F.replace(F.col("c_name"), F.lit("0"))))
+        .cast("int")
+        .alias("n_zeros"),
+        F.initcap(F.lower("c_mktsegment")).alias("seg_title"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("cust_num"),
+    )
