@@ -1293,3 +1293,75 @@ def salted_agg_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("avg_qty", 6).alias("avg_qty"),
         "max_disc",
     )
+
+
+@register(
+    "window_analytics_funcs",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           lag(o_totalprice) OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cdist,
+           first_value(o_totalprice) OVER w AS first_price,
+           nth_value(o_totalprice, 2) OVER w AS second_price
+    FROM orders WHERE o_custkey <= 200
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_analytics_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window analytic function tail (beyond-reference, marked — the
+    fork had no window operator at all, SURVEY §2.5): lag/lead, ntile,
+    percent_rank, cume_dist, first_value, nth_value over a per-customer
+    price ordering with a unique tiebreaker.  All engine-portable."""
+    t = _t(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    o = t["orders"].filter(F.col("o_custkey") <= 200)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )
+
+
+@register(
+    "datetime_funcs2",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+           last_day(o_orderdate) AS eom,
+           CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+           CAST(weekofyear(o_orderdate) AS INT) AS woy,
+           CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS INT)
+             AS days_since,
+           CAST(o_orderdate - INTERVAL 7 DAY AS DATE) AS minus7d
+    FROM orders WHERE o_orderkey <= 1000
+    """,
+)
+def datetime_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-function tail (Hive registry: add_months, last_day,
+    dayofweek, weekofyear, datediff, date_sub).  DuckDB's dayofweek is
+    0=Sunday where Spark's is 1=Sunday — the oracle shifts by one;
+    months_between is deliberately absent (fractional-month semantics
+    differ across engines at month-end boundaries)."""
+    t = _t(spark, sf_dir)
+    o = t["orders"].filter(F.col("o_orderkey") <= 1000)
+    return o.select(
+        "o_orderkey",
+        F.add_months("o_orderdate", 3).alias("plus3m"),
+        F.last_day("o_orderdate").alias("eom"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.weekofyear("o_orderdate").alias("woy"),
+        F.datediff("o_orderdate", F.lit("1995-01-01").cast("date")).alias(
+            "days_since"
+        ),
+        F.date_sub("o_orderdate", 7).alias("minus7d"),
+    )
