@@ -1365,3 +1365,64 @@ def datetime_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.date_sub("o_orderdate", 7).alias("minus7d"),
     )
+
+
+@register(
+    "conditional_agg_funcs",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) FILTER (WHERE o_totalprice > 100000) AS BIGINT)
+             AS n_big,
+           bool_and(o_totalprice > 0) AS all_positive,
+           bool_or(o_totalprice > 400000) AS any_huge,
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_prios
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def conditional_agg_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/boolean aggregate tail (Hive registry reach:
+    count_if, bool_and/every, bool_or/any): predicate-filtered counts
+    and universally/existentially quantified columns — the SQL FILTER
+    clause's function forms."""
+    t = _t(spark, sf_dir)
+    return t["orders"].groupBy("o_orderstatus").agg(
+        F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_huge"),
+        F.count_distinct("o_orderpriority").alias("n_prios"),
+    )
+
+
+@register(
+    "regression_agg_funcs",
+    oracle="""
+    SELECT l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+           round(corr(l_extendedprice, l_quantity), 6) AS pearson,
+           round(covar_samp(l_extendedprice, l_quantity), 4) AS cov_s
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def regression_agg_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregate family (regr_slope/intercept/r2/count
+    + corr/covar_samp — the in-SQL OLS primitives the reference reached
+    via Hive UDAFs; mllib's LinearRegression is the iterative sibling,
+    ml/wrappers.py).  Price-vs-quantity per return flag: essentially
+    deterministic (sums of products), rounded for cross-engine fp
+    parity."""
+    t = _t(spark, sf_dir)
+    return t["lineitem"].groupBy("l_returnflag").agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(
+            F.regr_intercept("l_extendedprice", "l_quantity"), 4
+        ).alias("intercept"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+        F.regr_count("l_extendedprice", "l_quantity").alias("n"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("pearson"),
+        F.round(
+            F.covar_samp("l_extendedprice", "l_quantity"), 4
+        ).alias("cov_s"),
+    )
