@@ -495,6 +495,7 @@ def repetition_stats(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 2,
+    hash_grams: bool = False,
 ) -> DataFrame:
     """WITHIN-document repetition signals (Gopher §A1.1 repetition
     filters — the complement of cross-corpus dedup): per doc, the
@@ -513,6 +514,12 @@ def repetition_stats(
     ~10×, array_distinct-in-projection ~1.7× — interpreted higher-order
     lambdas and double-evaluated array exprs lose to Tungsten's
     compiled hash aggregate).  Docs shorter than ``n`` tokens score 0.
+
+    ``hash_grams=True`` is the 100 TB path: grams hash to int64 before
+    the shuffle (xxhash64), shrinking shuffle width ~2× and measuring
+    ~2.3× faster at sf0.1.  Counts can merge on a 64-bit collision
+    (probability ~grams²/2⁶⁴ per doc — ~1e-12 for 10⁴-gram docs), so
+    the exact string form stays the default and the oracle target.
     """
     toks = tokens(F.col(text_col))
     lines = F.split(F.col(text_col), "\n")
@@ -529,8 +536,13 @@ def repetition_stats(
     base = df.select(
         F.col(id_col), dup_line_frac.alias("dup_line_frac"), grams.alias("_grams")
     )
+    gram_stream = (
+        F.explode(F.transform("_grams", lambda g: F.xxhash64(g)))
+        if hash_grams
+        else F.explode("_grams")
+    )
     per_gram = (
-        base.select(id_col, F.explode("_grams").alias("_gram"))
+        base.select(id_col, gram_stream.alias("_gram"))
         .groupBy(id_col, "_gram")
         .agg(F.count("*").alias("_c"))
     )

@@ -695,3 +695,14 @@ def test_build_vocab_and_encode(spark):
     enc = {r.doc_id: r.token_ids for r in text.encode_tokens(df, capped).collect()}
     # doc 1: b a a c → 1,0,0,<unk>; doc 2: a b b → 0,1,1
     assert enc == {1: "1,0,0,-1", 2: "0,1,1"}
+
+
+def test_repetition_stats_hashed_matches_exact(spark, tables):
+    """The hash_grams scale path must produce identical fractions on a
+    real corpus (collisions are ~2^-64-scale events)."""
+    docs = tables["documents"]
+    exact = {r.doc_id: (r.dup_2gram_frac, r.top_2gram_frac)
+             for r in text.repetition_stats(docs).collect()}
+    hashed = {r.doc_id: (r.dup_2gram_frac, r.top_2gram_frac)
+              for r in text.repetition_stats(docs, hash_grams=True).collect()}
+    assert exact == hashed
