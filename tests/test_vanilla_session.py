@@ -37,6 +37,14 @@ PROBES = [
     "join_broadcast_dims",
     "sql_lateral_view",
     "token_stats",
+    # round-3 additions, each conf-sensitive its own way:
+    # asof reads the TIMESTAMP(NANOS) events table, decimal_agg breaks
+    # under ANSI, media runs the Arrow mapInPandas path, insert uses
+    # the warehouse-backed SQL catalog
+    "asof_join_events",
+    "decimal_agg",
+    "media_meta_extract",
+    "sql_insert_overwrite_partitioned",
 ]
 
 _SCRIPT = r"""
