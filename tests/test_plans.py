@@ -251,3 +251,13 @@ def test_ngram_jaccard_block_no_cartesian(spark):
     plan = plan_of(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_salted_agg_two_stage_plan(spark):
+    """salted_agg must show the two-stage shape: one Exchange on
+    (keys, salt), one on keys — and Tungsten partial aggregation on
+    both levels (4 HashAggregate nodes total)."""
+    df = QUERY_REGISTRY["salted_agg_skew"](spark, SF)
+    plan = plan_of(df)
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert plan.count("HashAggregate") == 4, plan
