@@ -20,6 +20,7 @@ import enum
 from typing import Any, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class SaveMode(str, enum.Enum):
@@ -219,4 +220,33 @@ def insert_overwrite_partitioned(
     spark.sql(
         f"INSERT OVERWRITE TABLE {table} PARTITION ({', '.join(part)}) "
         f"SELECT * FROM {view}"
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    shard_col: str = "shard",
+    order_cols: Sequence[str] = ("seq_id", "seq_offset"),
+    max_records_per_file: int = 1_000_000,
+    mode: SaveMode | str = SaveMode.OVERWRITE,
+) -> None:
+    """Training-shard sink: the last step of the packing pipeline
+    (pipeline.text.pack_sequences → here).  Writes hive-partitioned
+    parquet ``shard=k/`` directories with rows SORTED by ``order_cols``
+    inside every file, so a data loader streams each shard in training
+    order with zero shuffling or sorting at read time.
+
+    Scale shape: repartition by the shard column (each shard's rows
+    land in one task), sortWithinPartitions (no global sort — shard
+    order is the only order a loader needs), ``maxRecordsPerFile``
+    bounds file size so a 1000-worker loader gets balanced files.
+    """
+    (
+        df.repartition(F.col(shard_col))
+        .sortWithinPartitions(shard_col, *order_cols)
+        .write.mode(str(SaveMode(mode).value))
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(shard_col)
+        .parquet(path)
     )
