@@ -127,18 +127,90 @@ def rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("language_id_pred")  # heuristic scorer — Spark-native, rows-only
+@register(
+    "language_id_pred",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, text, string_split(text, ' ') AS t FROM documents
+    ), scores AS (
+      SELECT doc_id, lang,
+        [
+          {'score': len(list_intersect(t, ['der','die','das','und','zu',
+                                           'in','ein','eine','ist','nicht'])),
+           'lang': 'de'},
+          {'score': len(list_intersect(t, ['the','a','of','and','to',
+                                           'in','is','that','it','for'])),
+           'lang': 'en'},
+          {'score': len(list_intersect(t, ['el','la','de','y','que',
+                                           'en','un','una','los','las'])),
+           'lang': 'es'},
+          {'score': len(list_intersect(t, ['le','la','de','et','que',
+                                           'en','un','une','les','des'])),
+           'lang': 'fr'},
+          {'score': len(list_filter(['的','了','是','在','我',
+                                     '有','和','就','不','人'],
+                                    w -> contains(text, w))),
+           'lang': 'zh'}
+        ] AS sc
+      FROM toks
+    ), best AS (SELECT doc_id, lang, list_max(sc) AS b FROM scores)
+    SELECT doc_id, lang,
+           CASE WHEN b.score > 0 THEN b.lang ELSE 'und' END AS pred_lang,
+           CAST(b.score AS INT) AS lang_score
+    FROM best
+    """,
+)
 def language_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-overlap language ID (pipeline.text.language_id)."""
+    """Stopword-overlap language ID (pipeline.text.language_id).  Fully
+    oracle-backed since round 3: the scoring (token-set intersections
+    for segmented languages, character containment for zh) and the
+    struct-max argmax with greatest-lang tie-breaking are both
+    expressible in DuckDB — struct comparison is field-order
+    lexicographic in both engines, so ties resolve identically."""
     t = _t(spark, sf_dir)
-    return text.language_id(t["documents"]).select(
+    out = text.language_id(t["documents"]).select(
         "doc_id", "lang", "pred_lang", "lang_score"
     )
+    return out.withColumn("lang_score", F.col("lang_score").cast("int"))
 
 
-@register("quality_scores")  # regex punct-count differs across engines → rows-only
+@register(
+    "quality_scores",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n_tokens,
+             (length(text) - len(t) + 1) * 1.0 / len(t) AS avg_token_len,
+             CAST(length(text) - length(regexp_replace(
+                    text, '[^\p{L}\p{N}\s\p{Z}]', '', 'g')) AS BIGINT)
+               AS n_punct,
+             CAST(len(list_intersect(t, ['the','a','of','and','to',
+                                         'in','is','that','it','for']))
+                  AS INT) AS n_stopwords,
+             length(text) AS text_len
+      FROM toks
+    )
+    SELECT doc_id, n_tokens,
+           round(avg_token_len, 4) AS avg_token_len, n_stopwords,
+           round(CAST(
+             (CASE WHEN n_tokens BETWEEN 5 AND 100000 THEN 0.25 ELSE 0 END)
+             + (CASE WHEN avg_token_len BETWEEN 2.0 AND 12.0
+                     THEN 0.25 ELSE 0 END)
+             + (CASE WHEN n_punct * 1.0 / greatest(text_len, 1) <= 0.2
+                     THEN 0.25 ELSE 0 END)
+             + (CASE WHEN n_stopwords > 0 THEN 0.25 ELSE 0 END)
+             AS DOUBLE), 2) AS quality_score
+    FROM m
+    """,
+)
 def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic quality scoring (pipeline.text.quality_score)."""
+    """Heuristic quality scoring (pipeline.text.quality_score).  Fully
+    oracle-backed since round 3: DuckDB's RE2 supports the same
+    Unicode classes (\\p{L}/\\p{N}/\\p{Z}) as Java regex, so the
+    punctuation count — the signal previously declared rows-only —
+    reproduces exactly."""
     t = _t(spark, sf_dir)
     return text.quality_score(t["documents"]).select(
         "doc_id", "n_tokens", "avg_token_len", "n_stopwords", "quality_score"
