@@ -171,14 +171,60 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(edges, max_iters=4)
 
 
-@register("graph_pagerank")  # iterative float fixpoint — rows-only; exact
-def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:  # invariants in tests
+@register(
+    "graph_pagerank",
+    oracle="""
+    WITH edges0 AS (
+      SELECT DISTINCT l_suppkey + 1000000000000 AS src, o_custkey AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), verts AS (
+      SELECT src AS id FROM edges0 UNION SELECT dst FROM edges0
+    ), outdeg AS (
+      SELECT src, count(*) AS d FROM edges0 GROUP BY src
+    ), edges AS (
+      SELECT e.src, e.dst, 1.0 / d AS w FROM edges0 e JOIN outdeg USING (src)
+    ), r0 AS (SELECT id, 1.0 AS rank FROM verts
+    ), r1 AS (
+      SELECT v.id, 0.15 + 0.85 * coalesce(m.s, 0.0) AS rank FROM verts v
+      LEFT JOIN (SELECT e.dst AS id, sum(r0.rank * e.w) AS s
+                 FROM edges e JOIN r0 ON r0.id = e.src GROUP BY e.dst) m
+        ON m.id = v.id
+    ), r2 AS (
+      SELECT v.id, 0.15 + 0.85 * coalesce(m.s, 0.0) AS rank FROM verts v
+      LEFT JOIN (SELECT e.dst AS id, sum(r1.rank * e.w) AS s
+                 FROM edges e JOIN r1 ON r1.id = e.src GROUP BY e.dst) m
+        ON m.id = v.id
+    ), r3 AS (
+      SELECT v.id, 0.15 + 0.85 * coalesce(m.s, 0.0) AS rank FROM verts v
+      LEFT JOIN (SELECT e.dst AS id, sum(r2.rank * e.w) AS s
+                 FROM edges e JOIN r2 ON r2.id = e.src GROUP BY e.dst) m
+        ON m.id = v.id
+    ), r4 AS (
+      SELECT v.id, 0.15 + 0.85 * coalesce(m.s, 0.0) AS rank FROM verts v
+      LEFT JOIN (SELECT e.dst AS id, sum(r3.rank * e.w) AS s
+                 FROM edges e JOIN r3 ON r3.id = e.src GROUP BY e.dst) m
+        ON m.id = v.id
+    ), r5 AS (
+      SELECT v.id, 0.15 + 0.85 * coalesce(m.s, 0.0) AS rank FROM verts v
+      LEFT JOIN (SELECT e.dst AS id, sum(r4.rank * e.w) AS s
+                 FROM edges e JOIN r4 ON r4.id = e.src GROUP BY e.dst) m
+        ON m.id = v.id
+    )
+    SELECT id, round(rank, 6) AS rank FROM r5
+    """,
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Static PageRank (graphx lib/PageRank.scala) over the
     supplier→customer shipment graph (edge = supplier shipped a
     lineitem on a customer's order).  Supplier ids are offset by 10^12
     so the two key spaces can't collide in one vertex-id domain at any
     reachable scale factor (TPC-H custkeys hit 10^7 around SF 67; 10^12
-    is beyond SF 10^6 while staying far from bigint overflow)."""
+    is beyond SF 10^6 while staying far from bigint overflow).
+
+    Fully oracle-backed since round 3: 5 fixed iterations unroll to
+    chained CTEs in DuckDB and round(6) absorbs fp sum-order ulps —
+    a previously rows-only marquee algorithm now value-checked
+    end-to-end."""
     t = _t(spark, sf_dir)
     edges = (
         t["lineitem"]
