@@ -244,13 +244,63 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_lsh_topk")  # LSH buckets use xxhash-free hyperplanes but
-def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:  # approximate → rows-only
+def _lsh_oracle_sql(dim: int = 64, n_planes: int = 8, seed: int = 42) -> str:
+    """Build the ann_lsh_topk oracle with the SAME deterministic
+    hyperplanes the Spark path embeds as literals — the planes come
+    from a pure-python LCG (similarity._hyperplanes), so DuckDB can
+    replicate the signature, the ≤2-bit multiprobe, and the exact
+    cosine re-rank end-to-end."""
+    from spark_monotasks_spark.pipeline.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    def dot_sql(vec: str, plane: list[float]) -> str:
+        lits = "[" + ",".join(repr(x) for x in plane) + "]"
+        return (
+            f"list_sum(list_transform(list_zip({vec}, {lits}), "
+            f"x -> CAST(x[1] AS DOUBLE) * x[2]))"
+        )
+
+    def bucket_sql(vec: str) -> str:
+        parts = [
+            f"(CASE WHEN {dot_sql(vec, p)} >= 0 THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        ]
+        return "(" + " + ".join(parts) + ")"
+
+    return f"""
+    WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+    qsig AS (SELECT qvec, {bucket_sql('qvec')} AS qbucket FROM q),
+    sig AS (SELECT vec_id, embedding, {bucket_sql('embedding')} AS bucket
+            FROM embeddings),
+    cand AS (
+      SELECT s.vec_id,
+             round(
+               list_sum(list_transform(list_zip(s.embedding, qsig.qvec),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(s.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(qsig.qvec,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)
+               AS sim
+      FROM sig s, qsig
+      WHERE bit_count(xor(s.bucket, qsig.qbucket)) <= 2
+    )
+    SELECT vec_id, sim FROM cand ORDER BY sim DESC, vec_id LIMIT 20
+    """
+
+
+@register("ann_lsh_topk", oracle=_lsh_oracle_sql())
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH + multiprobe
     (similarity.lsh_bucket_topk); recall vs brute force asserted in
     tests.  8 planes + 2-bit multiprobe: 37 of 256 buckets probed, so
     the candidate set (~15% of the corpus) reliably fills k=20 on the
-    sf0.01 corpus while still skipping the other 85%."""
+    sf0.01 corpus while still skipping the other 85%.  Fully
+    oracle-backed since round 3 (_lsh_oracle_sql): the hyperplanes are
+    deterministic pure-python literals, so the WHOLE approximate path —
+    signature bit-packing, multiprobe bucket set, cosine re-rank — is
+    value-checked against DuckDB, not just recall-tested."""
     t = _t(spark, sf_dir)
     emb = t["embeddings"]
     return similarity.lsh_bucket_topk(
