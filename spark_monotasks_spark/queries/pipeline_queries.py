@@ -244,6 +244,23 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _plane_dot_sql(vec: str, plane: list[float]) -> str:
+    lits = "[" + ",".join(repr(x) for x in plane) + "]"
+    return (
+        f"list_sum(list_transform(list_zip({vec}, {lits}), "
+        f"x -> CAST(x[1] AS DOUBLE) * x[2]))"
+    )
+
+
+def _lsh_bucket_sql(vec: str, planes: list[list[float]]) -> str:
+    """DuckDB replica of similarity.signature_col's bit-packed bucket."""
+    parts = [
+        f"(CASE WHEN {_plane_dot_sql(vec, p)} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
 def _lsh_oracle_sql(dim: int = 64, n_planes: int = 8, seed: int = 42) -> str:
     """Build the ann_lsh_topk oracle with the SAME deterministic
     hyperplanes the Spark path embeds as literals — the planes come
@@ -254,19 +271,8 @@ def _lsh_oracle_sql(dim: int = 64, n_planes: int = 8, seed: int = 42) -> str:
 
     planes = _hyperplanes(dim, n_planes, seed)
 
-    def dot_sql(vec: str, plane: list[float]) -> str:
-        lits = "[" + ",".join(repr(x) for x in plane) + "]"
-        return (
-            f"list_sum(list_transform(list_zip({vec}, {lits}), "
-            f"x -> CAST(x[1] AS DOUBLE) * x[2]))"
-        )
-
     def bucket_sql(vec: str) -> str:
-        parts = [
-            f"(CASE WHEN {dot_sql(vec, p)} >= 0 THEN {1 << i} ELSE 0 END)"
-            for i, p in enumerate(planes)
-        ]
-        return "(" + " + ".join(parts) + ")"
+        return _lsh_bucket_sql(vec, planes)
 
     return f"""
     WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
@@ -398,13 +404,43 @@ def ngram_jaccard_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("embedding_near_dups")  # LSH-blocked → rows-only
+def _near_dup_oracle_sql(dim: int = 64, n_planes: int = 8, seed: int = 42) -> str:
+    """embedding_near_dups oracle: same deterministic hyperplane trick
+    as _lsh_oracle_sql — DuckDB reproduces the bucket self-join AND the
+    exact cosine verification."""
+    from spark_monotasks_spark.pipeline.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    return f"""
+    WITH sig AS (SELECT vec_id, embedding,
+                        {_lsh_bucket_sql('embedding', planes)} AS bucket
+                 FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(
+               list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(a.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(b.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)
+               AS sim
+      FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, sim FROM p WHERE sim >= 0.35
+    """
+
+
+@register("embedding_near_dups", oracle=_near_dup_oracle_sql())
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via LSH blocking
     (similarity.embedding_near_duplicates).  Threshold 0.35 because this
     synthetic corpus is near-uniform random (max pairwise cosine ~0.4) —
     0.9 would return zero rows and make the check vacuous; planted-dup
-    behavior at high thresholds is covered in tests/test_pipeline.py."""
+    behavior at high thresholds is covered in tests/test_pipeline.py.
+    Fully oracle-backed since round 3 (_near_dup_oracle_sql):
+    deterministic hyperplane literals let DuckDB replicate both the
+    bucket blocking and the cosine verify."""
     t = _t(spark, sf_dir)
     return similarity.embedding_near_duplicates(
         t["embeddings"], dim=64, threshold=0.35, n_planes=8
