@@ -634,3 +634,57 @@ def encode_tokens(
             ).alias("token_ids")
         )
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    n_buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic per-source subsampling to hit a target data
+    mixture — the "domain mixing" step of a training-data pipeline
+    (e.g. keep 100% of books, 30% of common-crawl).
+
+    Like :func:`train_split_assign`, membership is a pure function of
+    the id (md5 bucket < fraction·n_buckets): re-running on a grown
+    corpus keeps every previously-selected doc selected, and any
+    engine can reproduce the exact row set — unlike ``sample()``, whose
+    seed semantics are engine-private.  One projection + filter, no
+    shuffle, fully pushdown-friendly.  Groups absent from ``fractions``
+    are dropped (a mixture is a whitelist)."""
+    pairs: list[Column] = []
+    for name, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {name!r} must be in [0,1], got {frac}")
+        pairs += [F.lit(name), F.lit(int(round(frac * n_buckets)))]
+    bound = F.create_map(*pairs)[F.col(group_col)]
+    return df.filter(split_bucket(id_col, n_buckets) < bound)
+
+
+def rolling_fingerprint_portable(
+    col: Column | str, sep: str = " ", mod_bits: int = 40
+) -> Column:
+    """Order-sensitive polynomial rolling fingerprint any engine can
+    reproduce: token hash = first 12 hex chars of md5(token) base-16
+    (48 bits), folded as  h' = (h·31 + hash(tok)) mod 2^mod_bits.
+
+    The explicit modulus keeps every intermediate below 2^54 — no
+    64-bit wraparound, so the SAME fold runs in DuckDB/Trino/anything
+    with exact bigint arithmetic (the xxhash64 variant above relies on
+    Java long overflow and is engine-private).  Audit/parity variant;
+    :func:`rolling_fingerprint` remains the single-hash-call scale
+    path."""
+    m = F.lit(1 << mod_bits).cast("bigint")
+    return F.aggregate(
+        tokens(col, sep),
+        F.lit(0).cast("bigint"),
+        lambda acc, tok: F.pmod(
+            acc * F.lit(31).cast("bigint")
+            + F.conv(F.substring(F.md5(tok.cast("binary")), 1, 12), 16, 10).cast(
+                "bigint"
+            ),
+            m,
+        ),
+    )

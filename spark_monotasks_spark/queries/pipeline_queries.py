@@ -822,3 +822,136 @@ def encode_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = text.build_vocab(docs, min_count=20)
     small = docs.filter(F.col("doc_id") < 500)
     return text.encode_tokens(small, vocab)
+
+
+@register(
+    "segment_dedup_reassemble",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    segs AS (
+      SELECT doc_id, CAST(p AS INT) AS pos,
+             array_to_string(t[p*4+1 : p*4+4], ' ') AS seg
+      FROM toks, UNNEST(range(0, CAST(ceil(len(t)/4.0) AS BIGINT))) AS u(p)
+    ),
+    ranked AS (
+      SELECT doc_id, pos, seg,
+             row_number() OVER (PARTITION BY md5(seg) ORDER BY doc_id, pos)
+               AS rn
+      FROM segs
+    ),
+    kept AS (
+      SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text_dedup
+      FROM ranked WHERE rn = 1 GROUP BY doc_id
+    )
+    SELECT d.doc_id, coalesce(k.text_dedup, '') AS text_dedup
+    FROM documents d LEFT JOIN kept k USING (doc_id)
+    """,
+)
+def segment_dedup_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level segment dedup with reassembly
+    (pipeline.dedup.drop_duplicate_segments): every 4-token segment that
+    repeats anywhere in the corpus is removed except its first
+    occurrence (by doc_id, position) — the C4 §2.2 line-dedup shape on
+    token windows (testdata has no newlines).  The corpus text never
+    shuffles: only 28-byte (fp,id,pos) keys and the tiny drop-position
+    sets move; the rebuild is a map-side array filter."""
+    t = _t(spark, sf_dir)
+    return dedup.drop_duplicate_segments(t["documents"], seg_tokens=4).select(
+        "doc_id", "text_dedup"
+    )
+
+
+@register(
+    "mixture_sample_rows",
+    oracle="""
+    SELECT doc_id, source FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            % 10000
+          < CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+                        WHEN 'src2' THEN 2500  WHEN 'src3' THEN 1000
+            END
+    """,
+)
+def mixture_sample_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixture sampling (pipeline.text.
+    mixture_sample): per-source keep fractions (100%/50%/25%/10% here)
+    realized as a pure md5-bucket function of doc_id — any engine
+    reproduces the exact row set, and a grown corpus keeps previously
+    selected docs, unlike sample()'s engine-private seeds.  One
+    pushdown-friendly filter, no shuffle."""
+    t = _t(spark, sf_dir)
+    picked = text.mixture_sample(
+        t["documents"], {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+    )
+    return picked.select("doc_id", "source")
+
+
+@register(
+    "minhash_portable_sigs",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(t) >= 3
+               THEN list_transform(range(1, len(t) - 1),
+                                   i -> array_to_string(t[i:i+2], ' '))
+               ELSE [array_to_string(t, ' ')] END) AS s
+      FROM toks)
+    SELECT doc_id AS id,
+      list_min(list_transform(s, x ->
+        CAST(('0x' || substr(md5(x || '#0'), 1, 12)) AS BIGINT))) AS h0,
+      list_min(list_transform(s, x ->
+        CAST(('0x' || substr(md5(x || '#1'), 1, 12)) AS BIGINT))) AS h1,
+      list_min(list_transform(s, x ->
+        CAST(('0x' || substr(md5(x || '#2'), 1, 12)) AS BIGINT))) AS h2,
+      list_min(list_transform(s, x ->
+        CAST(('0x' || substr(md5(x || '#3'), 1, 12)) AS BIGINT))) AS h3,
+      list_min(list_transform(s, x ->
+        CAST(('0x' || substr(md5(x || '#4'), 1, 12)) AS BIGINT))) AS h4,
+      list_min(list_transform(s, x ->
+        CAST(('0x' || substr(md5(x || '#5'), 1, 12)) AS BIGINT))) AS h5,
+      list_min(list_transform(s, x ->
+        CAST(('0x' || substr(md5(x || '#6'), 1, 12)) AS BIGINT))) AS h6,
+      list_min(list_transform(s, x ->
+        CAST(('0x' || substr(md5(x || '#7'), 1, 12)) AS BIGINT))) AS h7
+    FROM sh
+    """,
+)
+def minhash_portable_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable MinHash signatures (pipeline.dedup.
+    minhash_signatures_portable): family i hashes shingle s to the
+    first 48 bits of md5(s||'#i'), so DuckDB reproduces every signature
+    byte-for-byte — the value-audited proof that the MinHash math
+    (k-shingling, per-family min) is right.  The xxhash64 affine family
+    (minhash_signatures) stays the scale path; this is its audit
+    twin."""
+    t = _t(spark, sf_dir)
+    return dedup.minhash_signatures_portable(
+        t["documents"], shingle_k=3, num_hashes=8
+    )
+
+
+@register(
+    "rolling_fingerprint_port",
+    oracle="""
+    WITH toks AS (SELECT doc_id,
+                         list_filter(string_split(text, ' '), x -> x != '') AS t
+                  FROM documents)
+    SELECT doc_id,
+      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(t, x -> CAST(('0x' || substr(md5(x), 1, 12)) AS BIGINT))),
+        (acc, h) -> (acc * 31 + h) % 1099511627776) AS rfp
+    FROM toks
+    """,
+)
+def rolling_fingerprint_port(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive polynomial rolling fingerprint, engine-portable
+    form (pipeline.text.rolling_fingerprint_portable): md5-derived
+    48-bit token hashes folded as (acc*31 + h) mod 2^40 — explicit
+    modulus instead of Java-long wraparound, so the DuckDB oracle runs
+    the SAME fold.  Value-audits the rolling-hash math that the
+    xxhash64 scale variant (rolling_fingerprints) relies on."""
+    t = _t(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id", text.rolling_fingerprint_portable("text").alias("rfp")
+    )

@@ -706,3 +706,98 @@ def test_repetition_stats_hashed_matches_exact(spark, tables):
     hashed = {r.doc_id: (r.dup_2gram_frac, r.top_2gram_frac)
               for r in text.repetition_stats(docs, hash_grams=True).collect()}
     assert exact == hashed
+
+
+# --- corpus-wide segment dedup (C4-style) ---------------------------------
+
+def test_segment_dedup_planted(spark):
+    # docs 10 and 20 share the exact 4-token prefix segment; the later
+    # occurrence (doc 20) loses it, first occurrence survives verbatim
+    rows = [
+        (10, "alpha beta gamma delta unique tail ten one two"),
+        (20, "alpha beta gamma delta other tail twenty one two"),
+        (30, "totally distinct words here nothing shared at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r.text_dedup
+        for r in dedup.drop_duplicate_segments(df, seg_tokens=4).collect()
+    }
+    assert out[10] == rows[0][1]
+    # doc 20 loses the shared prefix segment AND its trailing "two"
+    # segment (doc 10's final 1-token segment is also "two")
+    assert out[20] == "other tail twenty one"
+    assert out[30] == rows[2][1]
+
+
+def test_segment_dedup_within_doc_repeat(spark):
+    # a segment repeated INSIDE one doc is also deduped (pos ordering)
+    df = spark.createDataFrame(
+        [(1, "a b c d a b c d x y z w")], "doc_id long, text string"
+    )
+    out = dedup.drop_duplicate_segments(df, seg_tokens=4).collect()[0]
+    assert out.text_dedup == "a b c d x y z w"
+
+
+def test_segment_dedup_all_dropped_yields_empty(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.text_dedup
+           for r in dedup.drop_duplicate_segments(df, seg_tokens=4).collect()}
+    assert out == {1: "a b c d", 2: ""}
+
+
+# --- mixture sampling ------------------------------------------------------
+
+def test_mixture_sample_deterministic_and_nested(spark):
+    rows = [(i, f"text {i}", "web" if i % 2 else "books") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    half = text.mixture_sample(df, {"web": 0.5, "books": 1.0})
+    quarter = text.mixture_sample(df, {"web": 0.25, "books": 1.0})
+    half_ids = {r.doc_id for r in half.collect()}
+    quarter_ids = {r.doc_id for r in quarter.collect()}
+    # all books kept in both
+    assert all(i in half_ids and i in quarter_ids for i in range(0, 400, 2))
+    # nesting: lowering a fraction only removes rows, never adds
+    assert quarter_ids <= half_ids
+    # deterministic across runs
+    assert {r.doc_id for r in half.collect()} == half_ids
+    # unlisted sources are dropped
+    none = text.mixture_sample(df, {"code": 1.0})
+    assert none.count() == 0
+
+
+def test_mixture_sample_fraction_guard(spark):
+    df = spark.createDataFrame([(1, "t", "web")],
+                               "doc_id long, text string, source string")
+    with pytest.raises(ValueError, match="fraction"):
+        text.mixture_sample(df, {"web": 1.5})
+
+
+# --- portable minhash / rolling fingerprint --------------------------------
+
+def test_minhash_portable_matches_python(spark):
+    import hashlib
+
+    txt = "w0 w1 w2 w3 w4"
+    df = spark.createDataFrame([(1, txt)], "doc_id long, text string")
+    got = dedup.minhash_signatures_portable(df, num_hashes=2).collect()[0]
+    toks = txt.split(" ")
+    sh = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+    for i, col in [(0, got.h0), (1, got.h1)]:
+        expect = min(
+            int(hashlib.md5(f"{s}#{i}".encode()).hexdigest()[:12], 16) for s in sh
+        )
+        assert col == expect
+
+
+def test_rolling_fingerprint_portable_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "c b a")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.f for r in df.select(
+        "doc_id", text.rolling_fingerprint_portable("text").alias("f")
+    ).collect()}
+    assert out[1] != out[2]
+    assert all(0 <= v < 1 << 40 for v in out.values())
