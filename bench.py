@@ -66,6 +66,10 @@ HEADLINE = [
     "repetition_stats",
     "salted_agg_skew",
     "vocab_top_tokens",
+    # added r3 (third batch): corpus-level segment dedup (C4 line-dedup
+    # shape) and deterministic domain-mixture sampling
+    "segment_dedup_reassemble",
+    "mixture_sample_rows",
 ]
 
 

@@ -1472,3 +1472,38 @@ def regression_agg_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.covar_samp("l_extendedprice", "l_quantity"), 4
         ).alias("cov_s"),
     )
+
+
+@register(
+    "window_range_trailing",
+    oracle="""
+    SELECT event_id, user_id,
+           round(CAST(sum(CAST(value AS DECIMAL(12,2))) OVER (
+             PARTITION BY user_id
+             ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE), 2) AS trail_1h
+    FROM events
+    """,
+)
+def window_range_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window (value-based frame, vs the ROWS frames the
+    other window entries use): trailing 1-hour per-user event-value sum
+    at every event.  The frame is over epoch seconds so ties (same
+    second) are peers in both engines; the sum runs in exact DECIMAL so
+    frame-order fp drift can't flip the rounding.  One shuffle on
+    user_id, sort within partitions — the shape that survives 100×
+    because frames never cross partition keys."""
+    t = _t(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("timestamp").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return t["events"].select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.sum(F.col("value").cast("decimal(12,2)")).over(w).cast("double"), 2
+        ).alias("trail_1h"),
+    )

@@ -1,0 +1,128 @@
+"""Table-maintenance catalog entries: merge/upsert and CDC apply.
+
+The reference's write surface stops at INSERT INTO / INSERT OVERWRITE
+(hive/execution/InsertIntoHiveTable.scala); the upsert/CDC shapes here
+complete that surface the way a modern warehouse user expects.  Both
+oracles state the EXPECTED FINAL TABLE directly (not a re-implementation
+of the merge), so the driver check validates merge semantics, not just
+join plumbing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_monotasks_spark.operators.merge import apply_cdc, merge_upsert
+from spark_monotasks_spark.queries.registry import register
+from spark_monotasks_spark.tables import load_tables
+
+#: slim orders projection used by both entries — merge requires
+#: matching schemas between base and updates.
+_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+
+
+def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir)["orders"].select(*_COLS)
+
+
+@register(
+    "merge_upsert_orders",
+    oracle="""
+    WITH updates AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice + 10.0 AS o_totalprice
+      FROM orders WHERE o_orderkey % 100 = 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_custkey, 'N',
+             o_totalprice + 100.0
+      FROM orders WHERE o_orderkey % 100 = 50
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           round(o_totalprice, 2) AS o_totalprice
+    FROM updates
+    UNION ALL
+    SELECT b.o_orderkey, b.o_custkey, b.o_orderstatus,
+           round(b.o_totalprice, 2) AS o_totalprice
+    FROM orders b
+    WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+    """,
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert (operators.merge.merge_upsert): a CDC-sized update batch
+    — price corrections for keys ≡0 (mod 100), brand-new orders for
+    keys ≡50 — merged into orders via ONE broadcast anti-join + union;
+    the base table never shuffles.  The oracle states the expected
+    final table independently of the merge algebra."""
+    base = _base(spark, sf_dir)
+    corrections = base.filter(F.col("o_orderkey") % 100 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 10.0
+    )
+    inserts = base.filter(F.col("o_orderkey") % 100 == 50).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 100.0).alias("o_totalprice"),
+    )
+    merged = merge_upsert(base, corrections.unionByName(inserts), on=["o_orderkey"])
+    return merged.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+
+
+@register(
+    "apply_cdc_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           round(CASE WHEN o_orderkey % 100 = 0
+                      THEN o_totalprice + 10.0 ELSE o_totalprice END, 2)
+             AS o_totalprice
+    FROM orders WHERE o_orderkey % 100 != 7
+    UNION ALL
+    SELECT o_orderkey + 100000000, o_custkey, 'N',
+           round(o_totalprice + 100.0, 2)
+    FROM orders WHERE o_orderkey % 100 = 50
+    """,
+)
+def apply_cdc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply (operators.merge.apply_cdc): a change log containing a
+    superseded delete (seq 1 'D' beaten by seq 2 'U' on keys ≡0), a
+    live delete (keys ≡7), and inserts (keys ≡50) collapses to
+    latest-change-per-key — the window runs over the LOG only — then
+    applies through one anti-join + union.  The oracle is the expected
+    final snapshot, written without any merge machinery, so seq
+    ordering, delete semantics, and upsert semantics are all
+    value-checked."""
+    base = _base(spark, sf_dir)
+    upd_keys = base.filter(F.col("o_orderkey") % 100 == 0)
+    stale_deletes = upd_keys.select(
+        *_COLS, F.lit("D").alias("op"), F.lit(1).alias("seq")
+    )
+    updates = upd_keys.withColumn(
+        "o_totalprice", F.col("o_totalprice") + 10.0
+    ).select(*_COLS, F.lit("U").alias("op"), F.lit(2).alias("seq"))
+    deletes = (
+        base.filter(F.col("o_orderkey") % 100 == 7)
+        .select(*_COLS, F.lit("D").alias("op"), F.lit(5).alias("seq"))
+    )
+    inserts = (
+        base.filter(F.col("o_orderkey") % 100 == 50)
+        .select(
+            (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+            "o_custkey",
+            F.lit("N").alias("o_orderstatus"),
+            (F.col("o_totalprice") + 100.0).alias("o_totalprice"),
+        )
+        .select("*", F.lit("I").alias("op"), F.lit(3).alias("seq"))
+    )
+    log = stale_deletes.unionByName(updates).unionByName(deletes).unionByName(inserts)
+    final = apply_cdc(base, log, on=["o_orderkey"])
+    return final.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )

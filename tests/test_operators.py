@@ -454,3 +454,59 @@ def test_salted_agg_rejects_nondecomposable(spark):
     df = spark.createDataFrame([("a", 1.0)], "k string, v double")
     with pytest.raises(ValueError, match="non-decomposable"):
         salted_agg(df, keys=["k"], spec={"m": ("median", "v")})
+
+
+# --- merge / CDC (operators/merge.py) --------------------------------------
+
+def test_merge_upsert_semantics(spark):
+    from spark_monotasks_spark.operators.merge import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, s string, v double"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", 99.0), (4, "d", 40.0)], "k long, s string, v double"
+    )
+    got = {r.k: (r.s, r.v) for r in merge_upsert(base, updates, ["k"]).collect()}
+    assert got == {1: ("a", 10.0), 2: ("B", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def test_merge_upsert_schema_guard(spark):
+    import pytest
+    from spark_monotasks_spark.operators.merge import merge_upsert
+
+    base = spark.createDataFrame([(1, "a")], "k long, s string")
+    bad = spark.createDataFrame([(1, 2.0)], "k long, v double")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        merge_upsert(base, bad, ["k"])
+
+
+def test_merge_upsert_broadcast_plan(spark):
+    from spark_monotasks_spark.operators.merge import merge_upsert
+
+    base = spark.createDataFrame([(i, float(i)) for i in range(100)], "k long, v double")
+    updates = spark.createDataFrame([(1, -1.0)], "k long, v double")
+    plan = merge_upsert(base, updates, ["k"])._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_apply_cdc_latest_wins_and_deletes(spark):
+    from spark_monotasks_spark.operators.merge import apply_cdc
+
+    base = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double"
+    )
+    # key 1: stale delete (seq 1) superseded by update (seq 2)
+    # key 2: live delete; key 4: insert then update (seq 4 wins)
+    log = spark.createDataFrame(
+        [
+            (1, 0.0, "D", 1),
+            (1, 11.0, "U", 2),
+            (2, 0.0, "D", 5),
+            (4, 40.0, "I", 3),
+            (4, 44.0, "U", 4),
+        ],
+        "k long, v double, op string, seq long",
+    )
+    got = {r.k: r.v for r in apply_cdc(base, log, ["k"]).collect()}
+    assert got == {1: 11.0, 3: 30.0, 4: 44.0}
