@@ -1,14 +1,20 @@
 """Multimodal column plumbing: images/audio/video as opaque binary columns.
 
 The Spark-side architecture is real and tested — typed schema, Arrow-
-batched ``mapInPandas`` transforms, partition sizing.  Header-level
-decode (container metadata: codec, dimensions, sample rate, duration)
-is REAL, implemented with stdlib ``struct``/``zlib`` over PNG IHDR,
-JPEG SOFn, and WAV RIFF chunks — no external codec library needed.
-Only pixel/sample-level decode (feature extraction) remains STUBBED
-(PIL/librosa are not in this container); those stubs either raise
-``NotImplementedError`` (strict mode) or produce a deterministic fake
-(plumbing-test mode), clearly marked below.
+batched ``mapInPandas`` transforms, partition sizing.  Decode is REAL
+at two levels, stdlib+numpy only (no PIL/librosa/cv2):
+
+- **header level** (``parse_media_header``): PNG IHDR, JPEG SOFn
+  marker walk, WAV RIFF chunk walk → codec/dims/rate/duration;
+- **pixel/sample level**: full PNG-RGB8 pixel decode
+  (``decode_png_pixels`` — zlib inflate + all five scanline filters),
+  16-bit PCM WAV sample decode (``decode_wav_samples``), and genuine
+  MFCCs (``_mfcc_mean`` — Hann/rFFT/mel/DCT).
+
+Only entropy-coded formats (JPEG pixels, mp3/aac) are beyond stdlib:
+for those, strict=True raises ``NotImplementedError`` and
+strict=False degrades to NULL fields (corrupt/undecodable blobs are
+data, not task failures, at 100 TB).
 
 Design for 100 TB of media:
 - media rows are *wide* (MBs of binary) — keep ``maxRecordsPerFile`` and
@@ -64,23 +70,46 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 
 
 def _decode_image_batch(blobs: pd.Series, strict: bool) -> pd.DataFrame:
-    """STUB decode step.  Real implementation would call PIL/cv2 here
-    (vectorized over the Arrow batch).  strict=True raises; otherwise a
-    deterministic fake derived from the blob bytes keeps the plumbing
-    testable."""
-    if strict:
-        raise NotImplementedError(
-            "image decode requires PIL/cv2, not available in this container"
+    """Pixel decode + channel statistics per Arrow batch.
+
+    PNG (RGB8) decodes for REAL — :func:`decode_png_pixels`, stdlib
+    zlib + numpy, all five scanline filters.  Features are
+    [mean_r, mean_g, mean_b, std_r, std_g, std_b, mean_gray,
+    frac_nonzero].  JPEG pixel decode needs an entropy codec this
+    container doesn't have: strict=True raises NotImplementedError for
+    undecodable blobs, strict=False yields NULLs (data, not errors)."""
+    widths, heights, feats = [], [], []
+    for b in blobs:
+        px = decode_png_pixels(b) if b is not None else None
+        if px is None:
+            if strict and b is not None:
+                raise NotImplementedError(
+                    "pixel decode implemented for PNG-RGB8 only (JPEG "
+                    "entropy decode needs a codec library not in this "
+                    "container)"
+                )
+            widths.append(None)
+            heights.append(None)
+            feats.append(None)
+            continue
+        h, w, _ = px.shape
+        f = px.astype("float64")
+        means = f.mean(axis=(0, 1))
+        stds = f.std(axis=(0, 1))
+        feats.append(
+            [float(x) for x in means]
+            + [float(x) for x in stds]
+            + [float(f.mean()), float((px.any(axis=2)).mean())]
         )
-    out = {
-        "width": [(len(b) % 640) + 1 if b is not None else None for b in blobs],
-        "height": [(len(b) % 480) + 1 if b is not None else None for b in blobs],
-        "features": [
-            [float(x) / 255.0 for x in (b[:8] if b else b"\x00" * 8)] if b is not None else None
-            for b in blobs
-        ],
-    }
-    return pd.DataFrame(out)
+        widths.append(w)
+        heights.append(h)
+    return pd.DataFrame(
+        {
+            "width": pd.array(widths, dtype="Int32"),
+            "height": pd.array(heights, dtype="Int32"),
+            "features": feats,
+        }
+    )
 
 
 def extract_image_features(media: DataFrame, strict: bool = False) -> DataFrame:
@@ -120,38 +149,86 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 )
 
 
+def _mfcc_mean(mono, rate: int, n_mfcc: int = 13, n_mels: int = 26):
+    """REAL MFCCs with numpy only: 25 ms Hann frames / 10 ms hop →
+    |rFFT|² → mel filterbank → log → DCT-II → first ``n_mfcc``
+    coefficients, averaged over frames.  Compact but genuine — the
+    standard pipeline, no librosa."""
+    import numpy as np
+
+    frame = max(int(rate * 0.025), 2)
+    hop = max(int(rate * 0.010), 1)
+    if len(mono) < frame:
+        mono = np.pad(mono, (0, frame - len(mono)))
+    n_frames = 1 + (len(mono) - frame) // hop
+    idx = np.arange(frame)[None, :] + hop * np.arange(n_frames)[:, None]
+    frames = mono[idx] * np.hanning(frame)[None, :]
+    power = np.abs(np.fft.rfft(frames, axis=1)) ** 2 / frame
+    n_bins = power.shape[1]
+    # mel filterbank (HTK mel scale), triangular filters
+    def mel(f):
+        return 2595.0 * np.log10(1.0 + f / 700.0)
+
+    def imel(m):
+        return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+
+    pts = imel(np.linspace(mel(0.0), mel(rate / 2.0), n_mels + 2))
+    bins = np.floor((n_bins - 1) * 2.0 * pts / rate).astype(int)
+    fb = np.zeros((n_mels, n_bins))
+    for m in range(1, n_mels + 1):
+        left, mid, right = bins[m - 1], bins[m], bins[m + 1]
+        for k in range(left, mid):
+            if mid > left:
+                fb[m - 1, k] = (k - left) / (mid - left)
+        for k in range(mid, right):
+            if right > mid:
+                fb[m - 1, k] = (right - k) / (right - mid)
+    logmel = np.log(power @ fb.T + 1e-10)
+    # DCT-II, orthonormal
+    n = np.arange(n_mels)
+    basis = np.cos(np.pi * np.arange(n_mfcc)[:, None] * (2 * n + 1) / (2 * n_mels))
+    mfcc = logmel @ basis.T
+    return [float(x) for x in mfcc.mean(axis=0)]
+
+
 def extract_audio_features(
     media: DataFrame, strict: bool = False, window_ms: int = 25
 ) -> DataFrame:
-    """Audio decode + MFCC-shaped features over Arrow batches.
-
-    STUB: a real implementation would call librosa/torchaudio per batch;
-    strict=True raises, otherwise a deterministic fake derived from the
-    blob keeps the plumbing testable.  Window count comes from the typed
-    metadata (no decode needed), so partition planning can filter/size
-    on it first."""
+    """REAL audio decode + MFCC over Arrow batches: 16-bit PCM WAV
+    decodes via :func:`decode_wav_samples` (RIFF walk + numpy
+    frombuffer), window count comes from the ACTUAL sample count, and
+    the 13 MFCC coefficients are computed for real (:func:`_mfcc_mean` —
+    Hann frames, rFFT, mel filterbank, DCT).  Compressed codecs (mp3/
+    aac/…) would need an entropy decoder this container lacks:
+    strict=True raises for undecodable blobs, strict=False yields NULLs.
+    """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if strict:
-                raise NotImplementedError(
-                    "audio decode requires librosa/torchaudio, not available "
-                    "in this container"
-                )
-            n_windows = [
-                int(m["duration_ms"] // window_ms)
-                if m is not None and m.get("duration_ms") is not None
-                else None
-                for m in pdf["meta"]
-            ]
-            mfcc = [
-                [float(x) / 255.0 for x in (b[:13] if b else b"\x00" * 13)]
-                if b is not None
-                else None
-                for b in pdf["blob"]
-            ]
+            n_windows, mfcc = [], []
+            for b in pdf["blob"]:
+                dec = decode_wav_samples(b) if b is not None else None
+                if dec is None:
+                    if strict and b is not None:
+                        raise NotImplementedError(
+                            "sample decode implemented for PCM16 WAV only "
+                            "(compressed codecs need libraries not in this "
+                            "container)"
+                        )
+                    n_windows.append(None)
+                    mfcc.append(None)
+                    continue
+                rate, _channels, samples = dec
+                mono = samples.mean(axis=1) / 32768.0
+                win = max(int(rate * window_ms / 1000), 1)
+                n_windows.append(int(len(mono) // win))
+                mfcc.append(_mfcc_mean(mono, rate))
             yield pd.DataFrame(
-                {"media_id": pdf["media_id"], "n_windows": n_windows, "mfcc": mfcc}
+                {
+                    "media_id": pdf["media_id"],
+                    "n_windows": pd.array(n_windows, dtype="Int32"),
+                    "mfcc": mfcc,
+                }
             )
 
     audio = media.filter(F.col("meta.media_type") == "audio")
@@ -201,12 +278,21 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
-def synthetic_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic fake media table for plumbing tests."""
+def synthetic_media(spark, n: int = 64, real_blobs: bool = False) -> DataFrame:
+    """Deterministic media table for plumbing tests.  With
+    ``real_blobs=False`` the blobs are opaque byte noise (exercises the
+    undecodable-input path); ``real_blobs=True`` swaps in genuine
+    gradient PNGs / ramp WAVs so pixel- and sample-level decode run for
+    real (video blobs stay noise — no video codec)."""
     rows = []
     for i in range(n):
-        blob = bytes((i * 7 + j) % 256 for j in range(64 + (i % 32)))
         media_type = ("image", "audio", "video")[i % 3]
+        if real_blobs and media_type == "image":
+            blob = encode_png(16, 12, pattern="gradient")
+        elif real_blobs and media_type == "audio":
+            blob = encode_wav(16000, 3200, pattern="ramp")
+        else:
+            blob = bytes((i * 7 + j) % 256 for j in range(64 + (i % 32)))
         rows.append(
             (
                 i,
@@ -236,18 +322,30 @@ _JPEG_SOF = frozenset(
 ) - {0xC4, 0xC8, 0xCC}
 
 
-def encode_png(width: int, height: int) -> bytes:
+def encode_png(width: int, height: int, pattern: str = "zero") -> bytes:
     """Minimal fully-valid RGB8 PNG: signature + IHDR + one IDAT of
-    zero-filled filtered scanlines + IEND, CRCs included.  Small dims
-    only (raw buffer is 3*w*h) — this is a fixture/codec-test encoder,
-    not a production image writer."""
+    filtered scanlines + IEND, CRCs included.  ``pattern="zero"`` writes
+    silent black; ``pattern="gradient"`` writes pixel(x,y,c) =
+    (x + y + c) % 256 — a closed-form image whose channel statistics an
+    external oracle can state without any codec.  Small dims only (raw
+    buffer is 3*w*h) — this is a fixture/codec-test encoder, not a
+    production image writer."""
 
     def chunk(tag: bytes, payload: bytes) -> bytes:
         crc = zlib.crc32(tag + payload) & 0xFFFFFFFF
         return struct.pack(">I", len(payload)) + tag + payload + struct.pack(">I", crc)
 
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
-    raw = (b"\x00" + b"\x00" * (3 * width)) * height  # filter byte + RGB row
+    if pattern == "gradient":
+        rows = []
+        for y in range(height):
+            row = bytearray([0])  # filter type 0 (None)
+            for x in range(width):
+                row += bytes(((x + y + c) % 256 for c in range(3)))
+            rows.append(bytes(row))
+        raw = b"".join(rows)
+    else:
+        raw = (b"\x00" + b"\x00" * (3 * width)) * height  # filter byte + RGB row
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)
@@ -271,11 +369,23 @@ def encode_jpeg_header(width: int, height: int) -> bytes:
     )
 
 
-def encode_wav(sample_rate: int, n_samples: int, channels: int = 1) -> bytes:
-    """Fully valid 16-bit PCM WAV (RIFF/fmt /data) with silent samples."""
+def encode_wav(
+    sample_rate: int, n_samples: int, channels: int = 1, pattern: str = "zero"
+) -> bytes:
+    """Fully valid 16-bit PCM WAV (RIFF/fmt /data).  ``pattern="zero"``
+    is silence; ``pattern="ramp"`` writes sample i = ((i*37) % 201) -
+    100 on every channel — closed-form samples whose statistics an
+    external oracle can state without a decoder."""
     block_align = channels * 2
     byte_rate = sample_rate * block_align
-    data = b"\x00" * (n_samples * block_align)
+    if pattern == "ramp":
+        one = [((i * 37) % 201) - 100 for i in range(n_samples)]
+        data = struct.pack(
+            "<%dh" % (n_samples * channels),
+            *(v for v in one for _ in range(channels)),
+        )
+    else:
+        data = b"\x00" * (n_samples * block_align)
     fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, block_align, 16)
     riff_payload = (
         b"WAVE"
@@ -283,6 +393,126 @@ def encode_wav(sample_rate: int, n_samples: int, channels: int = 1) -> bytes:
         + b"data" + struct.pack("<I", len(data)) + data
     )
     return b"RIFF" + struct.pack("<I", len(riff_payload)) + riff_payload
+
+
+# ---------------------------------------------------------------------------
+# REAL pixel / sample decoders (stdlib + numpy only)
+# ---------------------------------------------------------------------------
+
+def decode_png_pixels(b: bytes):
+    """Full PNG pixel decode for 8-bit RGB (color type 2) images —
+    stdlib zlib inflate + all five scanline filters (None/Sub/Up/
+    Average/Paeth) unfiltered per the PNG spec, no PIL.  Returns a
+    numpy uint8 array (h, w, 3); returns None for non-PNG, interlaced,
+    non-RGB8, or corrupt input (corrupt blobs are data, not errors).
+
+    Filters Up/None vectorize across the scanline; Sub/Average/Paeth
+    carry a left-neighbor dependency and run per-pixel — acceptable
+    because this decoder targets fixture/audit-sized images; production
+    pixel pipelines would swap in a C codec behind the same batch
+    signature."""
+    import numpy as np
+
+    if not b or b[:8] != _PNG_SIG:
+        return None
+    try:
+        pos, w = 8, None
+        idat = b""
+        while pos + 8 <= len(b):
+            (length,) = struct.unpack(">I", b[pos : pos + 4])
+            tag = b[pos + 4 : pos + 8]
+            payload = b[pos + 8 : pos + 8 + length]
+            if tag == b"IHDR":
+                w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                    ">IIBBBBB", payload
+                )
+                if depth != 8 or color != 2 or interlace != 0:
+                    return None
+            elif tag == b"IDAT":
+                idat += payload
+            elif tag == b"IEND":
+                break
+            pos += 12 + length  # len + tag + payload + crc
+        if w is None or not idat:
+            return None
+        raw = zlib.decompress(idat)
+        stride = 3 * w
+        if len(raw) != h * (stride + 1):
+            return None
+        out = np.empty((h, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.int32)
+        for y in range(h):
+            base = y * (stride + 1)
+            ftype = raw[base]
+            line = np.frombuffer(
+                raw, dtype=np.uint8, count=stride, offset=base + 1
+            ).astype(np.int32)
+            if ftype == 0:  # None
+                cur = line
+            elif ftype == 2:  # Up
+                cur = (line + prev) & 0xFF
+            elif ftype == 1:  # Sub
+                cur = line
+                for x in range(3, stride):
+                    cur[x] = (cur[x] + cur[x - 3]) & 0xFF
+            elif ftype == 3:  # Average
+                cur = line
+                for x in range(stride):
+                    left = cur[x - 3] if x >= 3 else 0
+                    cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
+            elif ftype == 4:  # Paeth
+                cur = line
+                for x in range(stride):
+                    a = cur[x - 3] if x >= 3 else 0
+                    c_ul = prev[x - 3] if x >= 3 else 0
+                    p = a + prev[x] - c_ul
+                    pa, pb, pc = abs(p - a), abs(p - prev[x]), abs(p - c_ul)
+                    if pa <= pb and pa <= pc:
+                        pred = a
+                    elif pb <= pc:
+                        pred = prev[x]
+                    else:
+                        pred = c_ul
+                    cur[x] = (cur[x] + pred) & 0xFF
+            else:
+                return None
+            prev = cur
+            out[y] = cur.astype(np.uint8)
+        return out.reshape(h, w, 3)
+    except Exception:
+        return None
+
+
+def decode_wav_samples(b: bytes):
+    """Real 16-bit PCM WAV decode: RIFF chunk walk + numpy frombuffer.
+    Returns (sample_rate, channels, samples int16 ndarray shaped
+    (n_frames, channels)) or None for non-PCM16/corrupt input."""
+    import numpy as np
+
+    if not b or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    try:
+        i, rate, channels, bits, data = 12, None, None, None, None
+        while i + 8 <= len(b):
+            tag = b[i : i + 4]
+            size = struct.unpack("<I", b[i + 4 : i + 8])[0]
+            if tag == b"fmt " and i + 24 <= len(b):
+                fmt_code, channels, rate, _br, _ba, bits = struct.unpack(
+                    "<HHIIHH", b[i + 8 : i + 24]
+                )
+                if fmt_code != 1 or bits != 16:
+                    return None
+            elif tag == b"data":
+                data = b[i + 8 : i + 8 + size]
+            i += 8 + size + (size & 1)
+        if rate is None or data is None or not channels:
+            return None
+        samples = np.frombuffer(
+            data, dtype="<i2", count=(len(data) // (2 * channels)) * channels
+        )
+        return rate, channels, samples.reshape(-1, channels)
+    except Exception:
+        return None
 
 
 def parse_media_header(b: bytes | None) -> dict:
@@ -397,12 +627,16 @@ def media_from_ids(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
             for i in pdf[id_col]:
                 i = int(i)
                 if i % 3 == 0:
-                    blobs.append(encode_png(16 + i % 48, 16 + i % 32))
+                    blobs.append(
+                        encode_png(16 + i % 48, 16 + i % 32, pattern="gradient")
+                    )
                 elif i % 3 == 1:
                     blobs.append(encode_jpeg_header(32 + i % 64, 24 + i % 40))
                 else:
                     rate = 8000 + (i % 4) * 4000
-                    blobs.append(encode_wav(rate, (i % 5 + 1) * rate // 10))
+                    blobs.append(
+                        encode_wav(rate, (i % 5 + 1) * rate // 10, pattern="ramp")
+                    )
             yield pd.DataFrame({"media_id": pdf[id_col], "blob": blobs})
 
     out_schema = T.StructType(
@@ -414,3 +648,108 @@ def media_from_ids(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
     return ids.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
         run, schema=out_schema
     )
+
+
+PIXEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_r", T.DoubleType(), True),
+        T.StructField("mean_g", T.DoubleType(), True),
+        T.StructField("mean_b", T.DoubleType(), True),
+        T.StructField("std_r", T.DoubleType(), True),
+    ]
+)
+
+
+def image_pixel_stats(media: DataFrame) -> DataFrame:
+    """Per-image channel statistics from REAL pixel decode
+    (:func:`decode_png_pixels`): mean of each RGB channel + red-channel
+    std, rounded for cross-engine fp parity.  Undecodable blobs yield
+    NULL stats.  Arrow-batched mapInPandas; blobs never leave their
+    partition."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("width", "height", "mean_r", "mean_g", "mean_b", "std_r")}
+            for b in pdf["blob"]:
+                px = decode_png_pixels(b) if b is not None else None
+                if px is None:
+                    for k in out:
+                        out[k].append(None)
+                    continue
+                h, w, _ = px.shape
+                f = px.astype("float64")
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mean_r"].append(round(float(f[:, :, 0].mean()), 4))
+                out["mean_g"].append(round(float(f[:, :, 1].mean()), 4))
+                out["mean_b"].append(round(float(f[:, :, 2].mean()), 4))
+                out["std_r"].append(round(float(f[:, :, 0].std()), 4))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pd.array(out["width"], dtype="Int32"),
+                    "height": pd.array(out["height"], dtype="Int32"),
+                    "mean_r": pd.array(out["mean_r"], dtype="float64"),
+                    "mean_g": pd.array(out["mean_g"], dtype="float64"),
+                    "mean_b": pd.array(out["mean_b"], dtype="float64"),
+                    "std_r": pd.array(out["std_r"], dtype="float64"),
+                }
+            )
+
+    return media.select("media_id", "blob").mapInPandas(run, schema=PIXEL_STATS_SCHEMA)
+
+
+SAMPLE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("mean_amp", T.DoubleType(), True),
+        T.StructField("rms_amp", T.DoubleType(), True),
+        T.StructField("peak_amp", T.IntegerType(), True),
+    ]
+)
+
+
+def audio_sample_stats(media: DataFrame) -> DataFrame:
+    """Per-clip statistics over REAL decoded PCM16 samples
+    (:func:`decode_wav_samples`): mean / RMS / peak of the raw int16
+    values (mono mix), rounded for cross-engine parity.  Undecodable
+    blobs yield NULL stats."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("sample_rate", "n_samples", "mean_amp", "rms_amp", "peak_amp")}
+            for b in pdf["blob"]:
+                dec = decode_wav_samples(b) if b is not None else None
+                if dec is None:
+                    for k in out:
+                        out[k].append(None)
+                    continue
+                rate, _ch, samples = dec
+                mono = samples.mean(axis=1)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(samples.shape[0])
+                out["mean_amp"].append(round(float(mono.mean()), 6))
+                out["rms_amp"].append(
+                    round(float(np.sqrt((mono.astype("float64") ** 2).mean())), 6)
+                )
+                out["peak_amp"].append(int(np.abs(mono).max()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sample_rate": pd.array(out["sample_rate"], dtype="Int32"),
+                    "n_samples": pd.array(out["n_samples"], dtype="Int64"),
+                    "mean_amp": pd.array(out["mean_amp"], dtype="float64"),
+                    "rms_amp": pd.array(out["rms_amp"], dtype="float64"),
+                    "peak_amp": pd.array(out["peak_amp"], dtype="Int32"),
+                }
+            )
+
+    return media.select("media_id", "blob").mapInPandas(run, schema=SAMPLE_STATS_SCHEMA)

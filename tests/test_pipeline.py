@@ -285,7 +285,7 @@ def test_fingerprint_normalization(spark):
 # --- multimodal plumbing ---------------------------------------------------
 
 def test_media_feature_extraction_shape(spark):
-    media = multimodal.synthetic_media(spark, n=12)
+    media = multimodal.synthetic_media(spark, n=12, real_blobs=True)
     feats = multimodal.extract_image_features(media, strict=False)
     rows = feats.collect()
     # images only (every 3rd synthetic row) — audio/video never reach
@@ -293,6 +293,18 @@ def test_media_feature_extraction_shape(spark):
     assert len(rows) == 4
     assert feats.schema == multimodal.IMAGE_FEATURES_SCHEMA
     assert all(len(r.features) == 8 for r in rows)
+    # REAL decode: gradient PNG pixel(x,y,c) = x+y+c (no mod wrap at
+    # 16x12), so channel means are (w-1)/2 + (h-1)/2 + c = 13, 14, 15
+    for r in rows:
+        assert (r.width, r.height) == (16, 12)
+        assert [round(v, 3) for v in r.features[:3]] == [13.0, 14.0, 15.0]
+
+
+def test_media_feature_extraction_undecodable_yields_nulls(spark):
+    media = multimodal.synthetic_media(spark, n=12)  # noise blobs
+    rows = multimodal.extract_image_features(media, strict=False).collect()
+    assert len(rows) == 4
+    assert all(r.features is None and r.width is None for r in rows)
 
 
 def test_media_strict_mode_raises(spark):
@@ -331,13 +343,19 @@ def test_frame_sample_null_and_huge_durations(spark):
 
 
 def test_audio_features_shape(spark):
-    media = multimodal.synthetic_media(spark, n=12)
+    import math
+
+    media = multimodal.synthetic_media(spark, n=12, real_blobs=True)
     feats = multimodal.extract_audio_features(media)
     rows = feats.collect()
     # audio rows are every 3rd (i % 3 == 1)
     assert len(rows) == 4
-    assert all(r.n_windows == 5000 // 25 for r in rows)
+    # REAL decode: 3200 ramp samples / (16000 Hz * 25 ms) = 8 windows
+    assert all(r.n_windows == 8 for r in rows)
     assert all(len(r.mfcc) == 13 for r in rows)
+    assert all(math.isfinite(v) for r in rows for v in r.mfcc)
+    # identical blobs → identical real MFCCs
+    assert rows[0].mfcc == rows[1].mfcc
 
 
 def test_audio_strict_raises(spark):
@@ -801,3 +819,103 @@ def test_rolling_fingerprint_portable_order_sensitive(spark):
     ).collect()}
     assert out[1] != out[2]
     assert all(0 <= v < 1 << 40 for v in out.values())
+
+
+# --- REAL pixel/sample decoders -------------------------------------------
+
+def test_png_decode_all_filter_types():
+    """Encode filtered scanlines with each PNG filter type by applying
+    the spec's forward filters to a known image, then check
+    decode_png_pixels inverts every one of them exactly."""
+    import struct as _struct
+    import zlib as _zlib
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    w, h = 5, 5
+    img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    flat = img.reshape(h, 3 * w).astype(np.int64)
+    stride = 3 * w
+    raw = bytearray()
+    for y, ftype in enumerate([0, 1, 2, 3, 4]):
+        line = flat[y]
+        prev = flat[y - 1] if y > 0 else np.zeros(stride, dtype=np.int64)
+        enc = np.empty(stride, dtype=np.int64)
+        for x in range(stride):
+            a = line[x - 3] if x >= 3 else 0
+            b_up = prev[x]
+            c_ul = prev[x - 3] if x >= 3 else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b_up
+            elif ftype == 3:
+                pred = (a + b_up) >> 1
+            else:  # paeth
+                p = a + b_up - c_ul
+                pa, pb, pc = abs(p - a), abs(p - b_up), abs(p - c_ul)
+                pred = a if (pa <= pb and pa <= pc) else (b_up if pb <= pc else c_ul)
+            enc[x] = (line[x] - pred) % 256
+        raw += bytes([ftype]) + bytes(enc.astype(np.uint8))
+
+    def chunk(tag, payload):
+        crc = _zlib.crc32(tag + payload) & 0xFFFFFFFF
+        return _struct.pack(">I", len(payload)) + tag + payload + _struct.pack(">I", crc)
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", _zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    got = multimodal.decode_png_pixels(png)
+    assert got is not None and (got == img).all()
+
+
+def test_png_decode_rejects_garbage():
+    assert multimodal.decode_png_pixels(b"not a png") is None
+    assert multimodal.decode_png_pixels(None) is None
+    # truncated real PNG → None, not an exception
+    good = multimodal.encode_png(8, 8, pattern="gradient")
+    assert multimodal.decode_png_pixels(good[:30]) is None
+
+
+def test_png_gradient_roundtrip_exact():
+    import numpy as np
+
+    px = multimodal.decode_png_pixels(multimodal.encode_png(20, 10, "gradient"))
+    assert px.shape == (10, 20, 3)
+    x = np.arange(20)[None, :, None]
+    y = np.arange(10)[:, None, None]
+    c = np.arange(3)[None, None, :]
+    assert (px == ((x + y + c) % 256)).all()
+
+
+def test_wav_decode_roundtrip_exact():
+    import numpy as np
+
+    b = multimodal.encode_wav(8000, 1000, channels=2, pattern="ramp")
+    rate, ch, samples = multimodal.decode_wav_samples(b)
+    assert (rate, ch) == (8000, 2)
+    assert samples.shape == (1000, 2)
+    expect = np.array([((i * 37) % 201) - 100 for i in range(1000)])
+    assert (samples[:, 0] == expect).all() and (samples[:, 1] == expect).all()
+    assert multimodal.decode_wav_samples(b"RIFFjunk") is None
+
+
+def test_mfcc_distinguishes_tones():
+    """Real MFCC sanity: two pure tones an octave apart must produce
+    different coefficient vectors; identical input → identical output."""
+    import numpy as np
+
+    t = np.arange(4000) / 16000.0
+    low = np.sin(2 * np.pi * 440 * t)
+    high = np.sin(2 * np.pi * 880 * t)
+    m_low = multimodal._mfcc_mean(low, 16000)
+    m_high = multimodal._mfcc_mean(high, 16000)
+    assert len(m_low) == len(m_high) == 13
+    assert m_low == multimodal._mfcc_mean(low, 16000)
+    assert max(abs(a - b) for a, b in zip(m_low, m_high)) > 0.5
