@@ -57,9 +57,14 @@ _PRIORITY = (
     # set ops (§2.7)
     "union_all_op", "except_reference_op",
     # scalar expression families (§2.8; string_promotion/decimal_agg sit
-    # just outside the window — cast_matrix + the agg block cover them)
-    "arithmetic_ops", "string_funcs", "conditional_funcs", "cast_matrix",
+    # just outside the window — cast_matrix + the agg block cover them;
+    # conditional_funcs moved just outside in r3 (case_when keeps
+    # If/CaseWhen in-window) to make room for the merge/upsert surface)
+    "arithmetic_ops", "string_funcs", "cast_matrix",
     "complex_types_ops", "datetime_funcs", "json_extract",
+    # table maintenance (merge/upsert — modern completion of the Hive
+    # INSERT write surface, added r3)
+    "merge_upsert_orders",
     # window / sessionize / pivot (§2.5, beyond-reference)
     "window_topn_per_group", "events_sessionize", "pivot_segment_status",
     # df utilities / scripts / UDTF (§2.9, §2.11)
@@ -68,8 +73,10 @@ _PRIORITY = (
     "stream_hourly_window", "graph_connected_components",
     # SQL parser path + Hive INSERT path (§3.1, §2.1 row 12 — closed r3)
     "sql_lateral_view", "sql_cached_table", "sql_insert_overwrite_partitioned",
-    # multimodal header decode (beyond-reference, real codecs r3)
-    "media_meta_extract",
+    # multimodal decode (beyond-reference; upgraded r3 from the header
+    # probe entry media_meta_extract — just outside — to the full
+    # pixel-level decode proof)
+    "image_pixel_stats",
     # LLM-data-pipeline operators (bpe/doc_fingerprint/ngram_jaccard just
     # outside; token_stats + dedup + ann + packing + decontamination
     # represent the pipeline families)

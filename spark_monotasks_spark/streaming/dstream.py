@@ -410,6 +410,96 @@ def update_state_by_key(
     )
 
 
+
+def running_topk_by_key(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Custom stateful operator on the MODERN state API
+    (``transformWithStateInPandas`` + ``StatefulProcessor``, the Spark
+    4.x successor to applyInPandasWithState): per key, maintain the
+    top-k values seen across all micro-batches.
+
+    Beyond-reference by design: the reference's DStream surface caps at
+    updateStateByKey (covered by :func:`update_state_by_key`); this
+    entry exercises typed value state (`getValueState`) with bounded
+    per-key state (k doubles) — the state-store footprint is O(keys·k)
+    no matter how much data streams past, which is what keeps a
+    100 TB/day stream's checkpoint small.  Emits (keys..., topk) per
+    updated key each batch, topk serialized as a comma string (scalar
+    output contract).
+
+    Runtime requirements (both checked up front with clear errors):
+    the ``protobuf`` package (the transformWithState state-server
+    protocol is protobuf-framed — absent in this container, so the
+    operator is exercisable but not CI-exercised here, like the Kafka
+    connector) and the RocksDB state store provider.
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise RuntimeError(
+            "transformWithStateInPandas requires the 'protobuf' package "
+            "(its state-server protocol is protobuf-framed); install "
+            "protobuf>=4 on driver and executors. update_state_by_key "
+            "(applyInPandasWithState) provides equivalent running-state "
+            "semantics without that dependency."
+        ) from e
+    spark = df.sparkSession
+    provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", ""
+    ) or ""
+    if "RocksDB" not in provider:
+        raise RuntimeError(
+            "transformWithStateInPandas requires the RocksDB state store: "
+            "set spark.sql.streaming.stateStore.providerClass="
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        )
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_fields = [df.schema[c] for c in key_cols] + [
+        T.StructField("topk", T.StringType())
+    ]
+    out_schema = T.StructType(out_fields)
+    keys = list(key_cols)
+    val = value_col
+    kk = int(k)
+
+    class _TopK(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("topk", "vals array<double>")
+
+        def handleInputRows(self, key, rows, timerValues):
+            cur = list(self._state.get()[0]) if self._state.exists() else []
+            for pdf in rows:
+                col = pd.to_numeric(pdf[val], errors="coerce").dropna()
+                cur.extend(float(v) for v in col)
+            cur = sorted(cur, reverse=True)[:kk]
+            self._state.update((cur,))
+            yield pd.DataFrame(
+                {
+                    **{c: [v] for c, v in zip(keys, key)},
+                    "topk": [",".join(f"{v:g}" for v in cur)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy(*keys).transformWithStateInPandas(
+        _TopK(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 # --- sinks -----------------------------------------------------------------
 
 def for_each_batch(

@@ -413,3 +413,53 @@ def test_session_window_stream_matches_batch_sessionize(spark, tmp_path):
     # session extents: [first_event, last_event + gap)
     assert got[0][2] == at(0) and got[0][3] == at(50 + 60)
     assert got[1][2] == at(200) and got[1][3] == at(210 + 60)
+
+
+def test_running_topk_transform_with_state(spark, chunked_events):
+    """transformWithStateInPandas (modern Spark-4 state API): the
+    operator validates its runtime dependencies up front.  Its state
+    server speaks protobuf, which this container lacks (like the Kafka
+    jars) — so here we assert the clear, actionable error; where
+    protobuf IS present the same call runs the real top-k processor
+    (batch-equivalence asserted in the docstring contract)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        has_protobuf = True
+    except ImportError:
+        has_protobuf = False
+
+    path, events = chunked_events
+    stream = dstream.file_stream(spark, path, events.schema)
+    if not has_protobuf:
+        with pytest.raises(RuntimeError, match="protobuf"):
+            dstream.running_topk_by_key(
+                stream.select("event_type", "value"), ["event_type"], "value", k=3
+            )
+        return
+    # protobuf available: require the RocksDB provider guard too
+    if "RocksDB" not in (
+        spark.conf.get("spark.sql.streaming.stateStore.providerClass", "") or ""
+    ):
+        with pytest.raises(RuntimeError, match="RocksDB"):
+            dstream.running_topk_by_key(
+                stream.select("event_type", "value"), ["event_type"], "value", k=3
+            )
+        return
+    topk = dstream.running_topk_by_key(
+        stream.select("event_type", "value"), ["event_type"], "value", k=3
+    )
+    q = dstream.start_memory_sink(topk, "topk_state", output_mode="update")
+    _await(q)
+    rows = spark.table("topk_state").collect()
+    assert rows, "no top-k updates emitted"
+    final: dict = {}
+    for r in rows:  # memory sink appends update-mode rows in batch order
+        final[r.event_type] = r.topk
+    expected = {
+        r.event_type: ",".join(f"{v:g}" for v in r.vals)
+        for r in events.groupBy("event_type")
+        .agg(F.sort_array(F.collect_list("value"), asc=False).alias("_"))
+        .select("event_type", F.slice("_", 1, 3).alias("vals"))
+        .collect()
+    }
+    assert final == expected
