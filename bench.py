@@ -70,6 +70,12 @@ HEADLINE = [
     # shape) and deterministic domain-mixture sampling
     "segment_dedup_reassemble",
     "mixture_sample_rows",
+    # added r3 (fourth batch): table maintenance (broadcast-anti upsert,
+    # rollup state merge), real pixel decode, RANGE-framed window
+    "merge_upsert_orders",
+    "incremental_agg_refresh",
+    "image_pixel_stats",
+    "window_range_trailing",
 ]
 
 

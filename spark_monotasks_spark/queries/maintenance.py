@@ -126,3 +126,53 @@ def apply_cdc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         F.round("o_totalprice", 2).alias("o_totalprice"),
     )
+
+
+@register(
+    "incremental_agg_refresh",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS price_count,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+             AS price_sum,
+           round(CAST(avg(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 6)
+             AS price_avg,
+           round(CAST(min(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+             AS price_min,
+           round(CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+             AS price_max
+    FROM orders GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-rollup maintenance (operators.incremental): history
+    (orders before 1997) is aggregated ONCE into per-key partial state;
+    the 1997+ delta folds in via aggregate_state(delta) + a key-wise
+    state merge — history never rescanned, the 100 TB refresh pattern.
+    The oracle is a FULL recompute over all orders: exact equality
+    (decimal measures, so partial/merge order can't drift) proves the
+    decomposable-algebra maintenance matches a from-scratch GROUP BY."""
+    from spark_monotasks_spark.operators import incremental as inc
+
+    o = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderstatus",
+        "o_orderpriority",
+        "o_orderdate",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+    )
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    keys = ["o_orderstatus", "o_orderpriority"]
+    hist_state = inc.aggregate_state(
+        o.filter(F.col("o_orderdate") < cutoff).drop("o_orderdate"), keys, ["price"]
+    )
+    delta = o.filter(F.col("o_orderdate") >= cutoff).drop("o_orderdate")
+    refreshed = inc.incremental_refresh(hist_state, delta, keys, ["price"])
+    final = inc.finalize_state(refreshed, keys, ["price"])
+    return final.select(
+        *keys,
+        F.col("price_count"),
+        F.round(F.col("price_sum").cast("double"), 2).alias("price_sum"),
+        F.round(F.col("price_avg").cast("double"), 6).alias("price_avg"),
+        F.round(F.col("price_min").cast("double"), 2).alias("price_min"),
+        F.round(F.col("price_max").cast("double"), 2).alias("price_max"),
+    )

@@ -510,3 +510,67 @@ def test_apply_cdc_latest_wins_and_deletes(spark):
     )
     got = {r.k: r.v for r in apply_cdc(base, log, ["k"]).collect()}
     assert got == {1: 11.0, 3: 30.0, 4: 44.0}
+
+
+# --- incremental aggregate maintenance (operators/incremental.py) ----------
+
+def test_incremental_state_merge_matches_full(spark):
+    from spark_monotasks_spark.operators import incremental as inc
+
+    full = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 7.0), ("b", -3.0), ("b", 5.0), ("c", 0.0)],
+        "k string, v double",
+    )
+    b1 = full.filter("v <= 1.0")
+    b2 = full.filter("v > 1.0")
+    s = inc.incremental_refresh(
+        inc.aggregate_state(b1, ["k"], ["v"]), b2, ["k"], ["v"]
+    )
+    got = {
+        r.k: (r.v_count, r.v_sum, r.v_avg, r.v_min, r.v_max)
+        for r in inc.finalize_state(s, ["k"], ["v"]).collect()
+    }
+    expect = {
+        r.k: (r.c, r.s, r.a, r.mn, r.mx)
+        for r in full.groupBy("k")
+        .agg(
+            F.count("v").alias("c"), F.sum("v").alias("s"), F.avg("v").alias("a"),
+            F.min("v").alias("mn"), F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    assert got == expect
+
+
+def test_incremental_refresh_keys_only_in_delta(spark):
+    from spark_monotasks_spark.operators import incremental as inc
+
+    hist = inc.aggregate_state(
+        spark.createDataFrame([("a", 1.0)], "k string, v double"), ["k"], ["v"]
+    )
+    delta = spark.createDataFrame([("z", 9.0), ("z", 11.0)], "k string, v double")
+    out = {
+        r.k: (r.v_count, r.v_sum)
+        for r in inc.finalize_state(
+            inc.incremental_refresh(hist, delta, ["k"], ["v"]), ["k"], ["v"]
+        ).collect()
+    }
+    assert out == {"a": (1, 1.0), "z": (2, 20.0)}
+
+
+def test_incremental_repeated_refresh_associative(spark):
+    from spark_monotasks_spark.operators import incremental as inc
+
+    rows = [(f"k{i % 3}", float(i)) for i in range(30)]
+    full = spark.createDataFrame(rows, "k string, v double")
+    chunks = [full.filter(f"v % 5 = {i}") for i in range(5)]
+    state = inc.aggregate_state(chunks[0], ["k"], ["v"])
+    for c in chunks[1:]:
+        state = inc.incremental_refresh(state, c, ["k"], ["v"])
+    got = {r.k: (r.v_count, r.v_sum, r.v_min, r.v_max)
+           for r in inc.finalize_state(state, ["k"], ["v"]).collect()}
+    expect = {r.k: (r.c, r.s, r.mn, r.mx)
+              for r in full.groupBy("k").agg(
+                  F.count("v").alias("c"), F.sum("v").alias("s"),
+                  F.min("v").alias("mn"), F.max("v").alias("mx")).collect()}
+    assert got == expect
