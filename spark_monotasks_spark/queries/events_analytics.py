@@ -1,0 +1,125 @@
+"""Event-analytics catalog entries: funnel conversion and cohort
+retention over the events table.
+
+Beyond-reference composites (the reference's BigDataBenchmark queries
+stop at scan/agg/join — SURVEY §6): these are the two shapes every
+product-analytics workload runs at scale, expressed entirely in
+joins + aggregates so Catalyst plans them with ordinary shuffles on
+user_id.  Both carry full DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_monotasks_spark.queries.registry import register
+from spark_monotasks_spark.tables import load_tables
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir)["events"]
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM v) AS n_view,
+           (SELECT count(*) FROM c) AS n_click_after_view,
+           (SELECT count(*) FROM p) AS n_purchase_after_click
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): per user, the first
+    view, the first click strictly after it, the first purchase
+    strictly after that; output counts users surviving each stage.
+
+    Scale shape: three per-user min-aggregations + two joins, ALL keyed
+    on user_id — one partitioning reused across every stage, no
+    self-join explosion (each stage's right side is one row per
+    surviving user)."""
+    e = _events(spark, sf_dir)
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.join(v, on="user_id")
+        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.join(c, on="user_id")
+        .filter((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_click_after_view")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase_after_click")))
+    )
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+    ), act AS (
+      SELECT DISTINCT e.user_id,
+             CAST(date_trunc('week', f.first_ts) AS DATE) AS cohort_week,
+             CAST((CAST(floor(epoch(e.ts)) AS BIGINT)
+                   - CAST(floor(epoch(f.first_ts)) AS BIGINT)) // 604800
+                  AS INT) AS week_offset
+      FROM events e JOIN f USING (user_id)
+    )
+    SELECT CAST(cohort_week AS VARCHAR) AS cohort_week, week_offset,
+           count(*) AS n_users
+    FROM act GROUP BY cohort_week, week_offset
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by the ISO week of their
+    first event; for each cohort, how many were active 0,1,2,… weeks
+    later (offset measured from each user's own first event, so the
+    matrix is calendar-alignment-free).
+
+    Scale shape: one user_id aggregation for first-seen, one broadcast-
+    able (users ≪ events) join back, one distinct + count — the
+    retention matrix is tiny (weeks × offsets) however large the event
+    log."""
+    e = _events(spark, sf_dir)
+    f = e.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    sec = lambda col: F.col(col).cast("timestamp").cast("long")  # noqa: E731
+    act = (
+        e.join(f, on="user_id")
+        .select(
+            "user_id",
+            F.date_trunc("week", "first_ts").cast("date").cast("string")
+            .alias("cohort_week"),
+            F.floor((sec("ts") - sec("first_ts")) / 604800)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return act.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").alias("n_users")
+    )

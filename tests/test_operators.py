@@ -574,3 +574,26 @@ def test_incremental_repeated_refresh_associative(spark):
                   F.count("v").alias("c"), F.sum("v").alias("s"),
                   F.min("v").alias("mn"), F.max("v").alias("mx")).collect()}
     assert got == expect
+
+
+# --- event analytics (queries/events_analytics.py) -------------------------
+
+def test_funnel_stages_monotone(spark, tables):
+    from spark_monotasks_spark.queries.events_analytics import funnel_conversion
+    from tests.conftest import SF_TEST_DIR
+
+    r = funnel_conversion(spark, SF_TEST_DIR).collect()[0]
+    assert r.n_view >= r.n_click_after_view >= r.n_purchase_after_click
+    assert r.n_view > 0 and r.n_purchase_after_click > 0
+
+
+def test_cohort_offset_zero_covers_every_user(spark, tables):
+    from spark_monotasks_spark.queries.events_analytics import cohort_retention
+    from tests.conftest import SF_TEST_DIR
+
+    rows = cohort_retention(spark, SF_TEST_DIR).collect()
+    n_users = tables["events"].select("user_id").distinct().count()
+    # every user is active in their own week 0, so offset-0 cells sum to
+    # the full user count; offsets never go negative
+    assert sum(r.n_users for r in rows if r.week_offset == 0) == n_users
+    assert min(r.week_offset for r in rows) == 0
