@@ -261,3 +261,68 @@ def test_salted_agg_two_stage_plan(spark):
     plan = plan_of(df)
     assert plan.count("Exchange hashpartitioning") == 2, plan
     assert plan.count("HashAggregate") == 4, plan
+
+
+def test_segment_dedup_text_never_shuffles(spark):
+    """drop_duplicate_segments' scale claim, plan-gated: no shuffle
+    exchange may carry the document text (or exploded segment strings) —
+    only (fp, id, pos) keys and the per-doc drop sets move; the doc
+    table re-enters via broadcast."""
+    def output_names(node_line: str) -> set[str]:
+        """Top-level output attribute names of a plan node line: split
+        the first [...] at top-level commas, take each item's final
+        `name#id` token (the alias for computed columns)."""
+        start = node_line.index("[") + 1
+        depth, item, items = 0, "", []
+        for ch in node_line[start:]:
+            if ch == "[" or ch == "(":
+                depth += 1
+            elif ch == ")" or (ch == "]" and depth > 0):
+                depth -= 1
+            elif ch == "]" and depth == 0:
+                break
+            if ch == "," and depth == 0:
+                items.append(item)
+                item = ""
+            else:
+                item += ch
+        items.append(item)
+        names = set()
+        for it in items:
+            m = re.findall(r"(\w+)#\d+", it)
+            if m:
+                names.add(m[-1])
+        return names
+
+    df = QUERY_REGISTRY["segment_dedup_reassemble"](spark, SF)
+    lines = plan_of(df).split("\n")
+    shuffle_children = [
+        lines[i + 1]
+        for i, l in enumerate(lines)
+        if "Exchange hashpartitioning" in l and i + 1 < len(lines)
+    ]
+    assert shuffle_children, "expected shuffles in the dedup plan"
+    for child in shuffle_children:  # exchange output == its child's output
+        names = output_names(child)
+        assert "text" not in names and "seg" not in names, child
+
+
+def test_merge_upsert_catalog_plan_broadcast_anti(spark):
+    """merge_upsert_orders: the base table must never shuffle — the
+    change-batch keys broadcast into a LeftAnti hash join."""
+    df = QUERY_REGISTRY["merge_upsert_orders"](spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_incremental_refresh_single_merge_shuffle(spark):
+    """incremental_agg_refresh: delta aggregation + state merge must
+    plan as partial/final HashAggregates with shuffles only on the
+    grouping keys (never a full re-partition of raw history rows
+    beyond the initial state build)."""
+    df = QUERY_REGISTRY["incremental_agg_refresh"](spark, SF)
+    plan = plan_of(df)
+    assert "HashAggregate" in plan
+    # state build + delta agg + merge ⇒ at most 3 key-shuffles
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
