@@ -1507,3 +1507,64 @@ def window_range_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(12,2)")).over(w).cast("double"), 2
         ).alias("trail_1h"),
     )
+
+
+@register(
+    "variant_json_ops",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INT) AS k_val,
+           CAST(json_extract(props, '$.missing') AS INT) AS missing_val
+    FROM events WHERE event_id < 2000
+    """,
+)
+def variant_json_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT semi-structured type (modern successor of the
+    get_json_object path the reference reached via Hive UDFs —
+    json_extract covers that form): parse_json once into a binary
+    variant, then typed variant_get extraction; absent paths yield
+    NULL, matching JSON-path semantics in the oracle."""
+    t = _t(spark, sf_dir)
+    e = t["events"].filter(F.col("event_id") < 2000)
+    v = F.parse_json("props")
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k_val"),
+        F.variant_get(v, "$.missing", "int").alias("missing_val"),
+    )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey, NULLIF(o_orderkey % 7, 3) AS k
+      FROM orders WHERE o_orderkey < 500
+    ), b AS (
+      SELECT c_custkey, NULLIF(c_custkey % 7, 3) AS k
+      FROM customer WHERE c_custkey < 300
+    )
+    SELECT a.k AS k, count(*) AS n_pairs
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    GROUP BY a.k
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / eqNullSafe — the reference's
+    EqualNullSafe predicate, predicates.scala): NULL keys match each
+    other instead of vanishing, unlike ordinary equi-join under
+    3-valued logic.  Catalyst still plans a HASH join (the null-safe
+    operator is equi-joinable), not a nested loop."""
+    t = _t(spark, sf_dir)
+    a = (
+        t["orders"]
+        .filter(F.col("o_orderkey") < 500)
+        .select(F.nullif(F.col("o_orderkey") % 7, F.lit(3)).alias("k"))
+    )
+    b = (
+        t["customer"]
+        .filter(F.col("c_custkey") < 300)
+        .select(F.nullif(F.col("c_custkey") % 7, F.lit(3)).alias("k_b"))
+    )
+    joined = a.join(b, a["k"].eqNullSafe(b["k_b"]))
+    return joined.groupBy("k").agg(F.count("*").alias("n_pairs"))

@@ -326,3 +326,13 @@ def test_incremental_refresh_single_merge_shuffle(spark):
     assert "HashAggregate" in plan
     # state build + delta agg + merge ⇒ at most 3 key-shuffles
     assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_null_safe_join_plans_hash_not_nested_loop(spark):
+    """EqualNullSafe is equi-joinable: Catalyst must plan a hash join
+    (broadcast or shuffled), never BroadcastNestedLoopJoin."""
+    df = QUERY_REGISTRY["join_null_safe"](spark, SF)
+    plan = plan_of(df)
+    assert "HashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
