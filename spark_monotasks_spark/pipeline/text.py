@@ -688,3 +688,44 @@ def rolling_fingerprint_portable(
             m,
         ),
     )
+
+
+def unigram_logprob_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-doc mean unigram log-probability under the corpus's own
+    unigram distribution (add-alpha smoothed) — the CCNet-style
+    LM-quality proxy: gibberish and boilerplate-free natural text score
+    near the corpus mode, token soup and rare-token spam score low.
+
+    logp(tok) = ln((count(tok) + alpha) / (N + alpha·V)); the doc score
+    is the mean over its tokens.
+
+    Scale shape: one explode + count groupBy builds the unigram table
+    (bounded by vocabulary size, not corpus bytes); it broadcasts back
+    onto the exploded stream, and the per-doc mean is a partial-final
+    aggregate.  No Python, no per-row UDFs."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count("*").alias("n"))
+    tot = counts.agg(
+        F.sum("n").alias("N_total"), F.count("*").alias("V_size")
+    )
+    scored = toks.join(F.broadcast(counts), on="token").crossJoin(
+        F.broadcast(tot)
+    )
+    logp = F.log(
+        (F.col("n") + F.lit(alpha))
+        / (F.col("N_total") + F.lit(alpha) * F.col("V_size"))
+    )
+    return toks.select(id_col).distinct().join(
+        scored.groupBy(id_col).agg(
+            F.round(F.avg(logp), 4).alias("logprob")
+        ),
+        on=id_col,
+        how="left",
+    )

@@ -1023,3 +1023,30 @@ def audio_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("doc_id").alias("media_id"))
     media = multimodal.media_from_ids(ids)
     return multimodal.audio_sample_stats(media)
+
+
+@register(
+    "unigram_logprob_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x != ''))
+               AS token
+      FROM documents
+    ), counts AS (
+      SELECT token, count(*) AS n FROM toks GROUP BY token
+    ), tot AS (
+      SELECT sum(n) AS nt, count(*) AS v FROM counts
+    )
+    SELECT doc_id, round(avg(ln((n + 0.5) / (nt + 0.5 * v))), 4) AS logprob
+    FROM toks JOIN counts USING (token) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-quality proxy (pipeline.text.unigram_logprob_score): per-doc
+    mean log-probability under the corpus's own smoothed unigram model —
+    the CCNet-style scoring pass, fully value-audited (same doubles,
+    same smoothing, rounded for summation-order parity)."""
+    t = _t(spark, sf_dir)
+    return text.unigram_logprob_score(t["documents"])

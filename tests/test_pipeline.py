@@ -919,3 +919,18 @@ def test_mfcc_distinguishes_tones():
     assert len(m_low) == len(m_high) == 13
     assert m_low == multimodal._mfcc_mean(low, 16000)
     assert max(abs(a - b) for a, b in zip(m_low, m_high)) > 0.5
+
+
+def test_unigram_logprob_orders_common_vs_rare(spark):
+    # doc 1 repeats the corpus-dominant token; doc 2 is all hapaxes →
+    # doc 1 must score strictly higher (closer to 0)
+    rows = [
+        (1, "the the the the the"),
+        (2, "zyx qwv plk mnb vcx"),
+        (3, "the the zyx the the"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.logprob for r in
+           text.unigram_logprob_score(df).collect()}
+    assert got[1] > got[3] > got[2]
+    assert all(v < 0 for v in got.values())
