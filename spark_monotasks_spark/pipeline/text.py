@@ -729,3 +729,28 @@ def unigram_logprob_score(
         on=id_col,
         how="left",
     )
+
+
+def stratified_sample_k(
+    df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Exactly-k-per-group deterministic sample: rank rows inside each
+    group by md5(id) (an engine-portable pseudo-random but stable
+    order) and keep the first k — the balanced-eval-set builder.
+    Unlike sampleBy, the selection is a pure function of the ids: any
+    engine reproduces it, and k is EXACT per group, not expected.
+
+    One shuffle on the group key; the rank window is per-group so no
+    global sort exists.  At 100 TB prefer a high-cardinality
+    ``group_col`` or pre-aggregation — a 5-group corpus funnels
+    everything through 5 window tasks."""
+    order = F.md5(F.col(id_col).cast("string").cast("binary"))
+    w = Window.partitionBy(group_col).orderBy(order, F.col(id_col))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

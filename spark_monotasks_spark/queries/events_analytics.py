@@ -123,3 +123,47 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return act.groupBy("cohort_week", "week_offset").agg(
         F.count("*").alias("n_users")
     )
+
+
+@register(
+    "timeseries_gapfill",
+    oracle="""
+    WITH b AS (
+      SELECT user_id,
+             (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS bucket_ts,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec, value
+      FROM events WHERE user_id < 40
+    ), obs AS (
+      SELECT user_id, bucket_ts, value AS obs_value FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY user_id, bucket_ts ORDER BY sec DESC, value DESC
+        ) AS rn FROM b
+      ) WHERE rn = 1
+    ), span AS (
+      SELECT user_id, min(bucket_ts) AS mn, max(bucket_ts) AS mx
+      FROM b GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, mn + i * 3600 AS bucket_ts
+      FROM span, UNNEST(range(0, (mx - mn) // 3600 + 1)) AS t(i)
+    )
+    SELECT g.user_id AS key, g.bucket_ts,
+           last_value(o.obs_value IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.bucket_ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value,
+           o.obs_value IS NULL AS filled
+    FROM grid g LEFT JOIN obs o
+      ON o.user_id = g.user_id AND o.bucket_ts = g.bucket_ts
+    """,
+)
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization (operators.timeseries.resample_ffill):
+    per-user hourly grid from first to last event, last-write-wins
+    bucket values, forward-filled gaps — the feature-engineering
+    resample vanilla SQL lacks, value-audited against an oracle that
+    rebuilds the same grid with generate-series + IGNORE NULLS
+    last_value."""
+    from spark_monotasks_spark.operators.timeseries import resample_ffill
+
+    e = _events(spark, sf_dir).filter(F.col("user_id") < 40)
+    return resample_ffill(e, "user_id", "ts", "value", step_seconds=3600)

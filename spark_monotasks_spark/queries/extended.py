@@ -1568,3 +1568,40 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = a.join(b, a["k"].eqNullSafe(b["k_b"]))
     return joined.groupBy("k").agg(F.count("*").alias("n_pairs"))
+
+
+@register(
+    "unpivot_melt",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+           round(l_quantity, 2) AS value
+    FROM lineitem WHERE l_orderkey < 200
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+           round(l_extendedprice, 2)
+    FROM lineitem WHERE l_orderkey < 200
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', round(l_discount, 2)
+    FROM lineitem WHERE l_orderkey < 200
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', round(l_tax, 2)
+    FROM lineitem WHERE l_orderkey < 200
+    """,
+)
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unpivot/melt — wide→long reshaping (the inverse of the pivot
+    entry; the reference era spelled this LATERAL VIEW explode(map(...)),
+    covered by sql_lateral_view).  Zero-shuffle: unpivot is a
+    per-row flatMap, 4× rows out, no exchange."""
+    t = _t(spark, sf_dir)
+    li = t["lineitem"].filter(F.col("l_orderkey") < 200)
+    out = li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "value",
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", "metric",
+        F.round("value", 2).alias("value"),
+    )

@@ -1050,3 +1050,27 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     same smoothing, rounded for summation-order parity)."""
     t = _t(spark, sf_dir)
     return text.unigram_logprob_score(t["documents"])
+
+
+@register(
+    "stratified_sample_k",
+    oracle="""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    ) WHERE rk <= 7
+    """,
+)
+def stratified_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exactly-k-per-source sample (pipeline.text.
+    stratified_sample_k): md5-ranked within group, so the oracle
+    reproduces the EXACT row set — the property sampleBy (expected
+    fractions, engine seeds) cannot give."""
+    t = _t(spark, sf_dir)
+    return text.stratified_sample_k(t["documents"], k=7).select(
+        "doc_id", "source"
+    )

@@ -597,3 +597,32 @@ def test_cohort_offset_zero_covers_every_user(spark, tables):
     # the full user count; offsets never go negative
     assert sum(r.n_users for r in rows if r.week_offset == 0) == n_users
     assert min(r.week_offset for r in rows) == 0
+
+
+# --- time-series resample + forward-fill (operators/timeseries.py) ---------
+
+def test_resample_ffill_fills_gaps(spark):
+    from spark_monotasks_spark.operators.timeseries import resample_ffill
+
+    rows = [
+        # key "a": obs at hour 0 and hour 3 → hours 1,2 forward-filled
+        ("a", "2024-01-01 00:10:00", 1.0),
+        ("a", "2024-01-01 03:20:00", 9.0),
+        # key "b": two obs in the SAME bucket → last write (later ts) wins
+        ("b", "2024-01-01 00:00:01", 5.0),
+        ("b", "2024-01-01 00:59:59", 6.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string, v double").select(
+        "k", F.col("ts").cast("timestamp").alias("ts"), "v"
+    )
+    out = resample_ffill(df, "k", "ts", "v", step_seconds=3600).collect()
+    a = sorted([(r.bucket_ts, r.value, r.filled) for r in out if r.key == "a"])
+    base = 1704067200  # 2024-01-01 00:00:00 UTC
+    assert a == [
+        (base, 1.0, False),
+        (base + 3600, 1.0, True),
+        (base + 7200, 1.0, True),
+        (base + 10800, 9.0, False),
+    ]
+    b = [(r.bucket_ts, r.value, r.filled) for r in out if r.key == "b"]
+    assert b == [(base, 6.0, False)]  # last write wins, single bucket
