@@ -585,3 +585,47 @@ def minhash_signatures_portable(
         for i in range(num_hashes)
     ]
     return base.select("id", *cols)
+
+
+# ---------------------------------------------------------------------------
+# blocked fuzzy join (edit-distance record linkage)
+# ---------------------------------------------------------------------------
+
+def fuzzy_pairs_levenshtein(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str | None = None,
+    max_distance: int = 60,
+) -> DataFrame:
+    """Record-linkage fuzzy self-join: candidate pairs from a bounded
+    blocking key, verified by edit distance ≤ ``max_distance``.
+
+    Like every pair operator here, the join is NEVER all-pairs: callers
+    must supply a content-derived ``block_col`` (e.g. a 1-band MinHash
+    bucket) whose cardinality grows with the corpus.  The JVM-side
+    ``levenshtein(l, r, threshold)`` 3-arg form abandons a pair as soon
+    as the running distance exceeds the bound — O(threshold·n) instead
+    of O(n²) per pair — and returns -1 for over-threshold pairs, which
+    we filter.  Output (id_a, id_b, edit_dist)."""
+    if block_col is None:
+        raise ValueError(
+            "fuzzy_pairs_levenshtein requires a bounded blocking column; "
+            "an unblocked self-join is all-pairs O(n^2)"
+        )
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(text_col).alias("_ta"),
+        F.col(block_col).alias("_blk"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(text_col).alias("_tb"),
+        F.col(block_col).alias("_blk"),
+    )
+    pairs = a.join(b, on="_blk").filter(F.col("id_a") < F.col("id_b"))
+    dist = F.levenshtein(F.col("_ta"), F.col("_tb"), max_distance)
+    return (
+        pairs.select("id_a", "id_b", dist.alias("edit_dist"))
+        .filter(F.col("edit_dist") >= 0)
+    )

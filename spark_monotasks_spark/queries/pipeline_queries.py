@@ -1074,3 +1074,43 @@ def stratified_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.stratified_sample_k(t["documents"], k=7).select(
         "doc_id", "source"
     )
+
+
+@register(
+    "fuzzy_join_levenshtein",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, text,
+             CASE WHEN len(t) >= 3 THEN
+               list_distinct(list_transform(range(1, len(t) - 1),
+                 i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+             ELSE [array_to_string(t, ' ')] END AS sh
+      FROM toks
+    ), bk AS (
+      SELECT doc_id, text,
+             list_min(list_transform(sh, x -> md5(x))) AS blk
+      FROM sh
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           levenshtein(a.text, b.text) AS edit_dist
+    FROM bk a JOIN bk b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.text, b.text) <= 60
+    """,
+)
+def fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy self-join (pipeline.dedup.fuzzy_pairs_levenshtein):
+    1-band MinHash blocking (portable md5 form, same key as
+    ngram_jaccard_block) + edit-distance verify with the JVM's
+    early-exit 3-arg levenshtein.  The oracle recomputes both blocking
+    and distances in DuckDB — full value audit of the record-linkage
+    pair set."""
+    t = _t(spark, sf_dir)
+    sh = dedup.shingles(F.col("text"), k=3)
+    docs = t["documents"].withColumn(
+        "mh_bucket", F.array_min(F.transform(sh, lambda s: F.md5(s)))
+    )
+    return dedup.fuzzy_pairs_levenshtein(
+        docs, block_col="mh_bucket", max_distance=60
+    )

@@ -934,3 +934,25 @@ def test_unigram_logprob_orders_common_vs_rare(spark):
            text.unigram_logprob_score(df).collect()}
     assert got[1] > got[3] > got[2]
     assert all(v < 0 for v in got.values())
+
+
+def test_fuzzy_pairs_requires_block(spark, docs_with_dups):
+    with pytest.raises(ValueError, match="blocking"):
+        dedup.fuzzy_pairs_levenshtein(docs_with_dups, block_col=None)
+
+
+def test_fuzzy_pairs_finds_near_dup_and_bounds(spark, docs_with_dups):
+    sh = dedup.shingles(F.col("text"), k=2)
+    docs = docs_with_dups.withColumn(
+        "blk", F.array_min(F.transform(sh, lambda s: F.md5(s)))
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.edit_dist
+        for r in dedup.fuzzy_pairs_levenshtein(
+            docs, block_col="blk", max_distance=10
+        ).collect()
+    }
+    assert pairs[(0, 3)] == 0  # exact dup
+    assert 0 < pairs[(0, 1)] <= 10  # planted near-dup ("bank"→"bend")
+    # over-threshold / cross-block pairs never emitted
+    assert all(d <= 10 for d in pairs.values())
