@@ -76,6 +76,8 @@ HEADLINE = [
     "incremental_agg_refresh",
     "image_pixel_stats",
     "window_range_trailing",
+    # flagship composite: quality filter -> dedup -> split, one flow
+    "e2e_training_pipeline",
 ]
 
 

@@ -1114,3 +1114,73 @@ def fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.fuzzy_pairs_levenshtein(
         docs, block_col="mh_bucket", max_distance=60
     )
+
+
+@register(
+    "e2e_training_pipeline",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+    ), m AS (
+      SELECT doc_id, text,
+             CAST(len(t) AS BIGINT) AS n_words,
+             (length(text) - (len(t) - 1)) * 1.0 / len(t) AS mean_wl,
+             len(list_filter(t, x -> regexp_full_match(x, '[A-Za-z]+')))
+               * 1.0 / greatest(len(t), 1) AS alpha_frac,
+             CAST(len(list_intersect(list_transform(t, x -> lower(x)),
+                  ['the','a','of','and','to','in','is','that','it','for']))
+               AS BIGINT) AS stop_hits
+      FROM toks
+    ), q AS (
+      SELECT doc_id, text FROM m
+      WHERE n_words BETWEEN 5 AND 100000
+        AND mean_wl BETWEEN 2.0 AND 12.0
+        AND alpha_frac >= 0.6 AND stop_hits >= 2
+    ), d AS (
+      SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)
+    ), s AS (
+      SELECT doc_id,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                            AS BIGINT) % 10000 < 9000 THEN 'train'
+                  WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                            AS BIGINT) % 10000 < 9500 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM d
+    )
+    SELECT (SELECT count(*) FROM documents) AS n_raw,
+           (SELECT count(*) FROM q) AS n_quality,
+           (SELECT count(*) FROM d) AS n_deduped,
+           (SELECT count(*) FROM s WHERE split = 'train') AS n_train,
+           (SELECT count(*) FROM s WHERE split = 'val') AS n_val,
+           (SELECT count(*) FROM s WHERE split = 'test') AS n_test
+    """,
+)
+def e2e_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data pipeline as ONE composed flow — Gopher
+    quality filter → exact dedup (min-id survivor) → deterministic
+    md5-bucket split — reporting per-stage survivor counts.  Every
+    stage is the library operator itself (gopher_quality_rules,
+    drop_exact_duplicates, train_split_assign); the oracle re-derives
+    the whole cascade independently, so stage composition (filter
+    before dedup before split) is value-audited, not just each stage
+    alone."""
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    keep_ids = text.gopher_quality_rules(docs).filter("keep").select("doc_id")
+    quality = docs.join(keep_ids, on="doc_id", how="left_semi")
+    deduped = dedup.drop_exact_duplicates(quality)
+    split = text.train_split_assign(deduped, id_col="doc_id")
+    counts = split.groupBy("split").agg(F.count("*").alias("n"))
+    pivoted = counts.groupBy().pivot("split", ["train", "val", "test"]).sum("n")
+    return (
+        docs.agg(F.count("*").alias("n_raw"))
+        .crossJoin(quality.agg(F.count("*").alias("n_quality")))
+        .crossJoin(deduped.agg(F.count("*").alias("n_deduped")))
+        .crossJoin(
+            pivoted.select(
+                F.coalesce("train", F.lit(0)).alias("n_train"),
+                F.coalesce("val", F.lit(0)).alias("n_val"),
+                F.coalesce("test", F.lit(0)).alias("n_test"),
+            )
+        )
+    )
