@@ -336,3 +336,45 @@ def test_null_safe_join_plans_hash_not_nested_loop(spark):
     assert "HashJoin" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_dynamic_partition_pruning_on_join(spark, tmp_path):
+    """Dynamic partition pruning: joining a status-partitioned fact to a
+    FILTERED tiny dim must inject a runtime pruning subquery into the
+    fact scan (dynamicpruning expression) — at 100 TB this skips whole
+    partitions based on the dim filter, without a static predicate."""
+    from spark_monotasks_spark.sources import io as sio
+
+    prev = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled")
+    try:
+        spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+        src = spark.read.parquet(f"{SF}/orders.parquet").withColumn(
+            "status", F.col("o_orderstatus")
+        )
+        path = str(tmp_path / "orders_dpp")
+        sio.write_parquet(src, path, mode="overwrite", partition_by=["status"])
+        fact = spark.read.parquet(path)
+        dim = spark.createDataFrame(
+            [("F", "finished")], "status string, label string"
+        )
+        joined = fact.join(dim, on="status").filter(
+            F.col("label") == "finished"
+        ).select("o_orderkey", "label")
+        plan = formatted(joined)
+        assert "dynamicpruning" in plan.lower(), plan
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.enabled", prev
+        )
+
+
+def test_exchange_reuse_in_self_union(spark):
+    """Exchange reuse: two aggregations over the same shuffled child in
+    one query must plan ONE shuffle + a ReusedExchange, not two
+    identical exchanges — Spark's cross-subtree dedup of work."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    agg = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("q"))
+    two = agg.filter(F.col("q") > 0).union(agg.filter(F.col("q") < 0))
+    two.collect()  # AQE finalizes reuse only on execution
+    plan = plan_of(two)
+    assert "ReusedExchange" in plan or plan.count("Exchange hashpartitioning") == 1, plan
