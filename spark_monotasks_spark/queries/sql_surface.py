@@ -13,6 +13,7 @@ reference's call pattern works verbatim.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from spark_monotasks_spark.api import SQLContext
 from spark_monotasks_spark.queries.registry import register
@@ -225,3 +226,34 @@ def sql_insert_overwrite_partitioned(spark: SparkSession, sf_dir: str) -> DataFr
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
     )
+
+
+@register(
+    "python_datasource_scan",
+    oracle="""
+    SELECT i AS event_id,
+           ['view','click','purchase','error'][(i % 4) + 1] AS event_type,
+           round(((i * 37) % 997) / 10.0, 1) AS value
+    FROM UNNEST(range(0, 5000)) AS t(i)
+    WHERE i >= 100 AND i < 2100
+    """,
+)
+def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External data-source API (SURVEY §2.1 row 9 — the reference's
+    sql/sources RelationProvider / PrunedFilteredScan trait family,
+    interfaces.scala) realized through the modern Python DataSource API
+    (sources/custom.SyntheticEventsDataSource): declared schema,
+    partitioned executor-side reads, and event_id range-filter pushdown
+    into the reader.  The source is a closed-form generator, so the
+    oracle re-derives the exact relation from range() — scan, schema,
+    and pushdown semantics all value-audited."""
+    from spark_monotasks_spark.sources import custom
+
+    custom.register(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("n", 5000)
+        .option("numPartitions", 8)
+        .load()
+    )
+    return df.filter((F.col("event_id") >= 100) & (F.col("event_id") < 2100))

@@ -1,0 +1,127 @@
+"""Custom external data source via the Python DataSource API — closes
+SURVEY §2.1 row 9 (the reference's sql.sources external-datasource
+trait family: RelationProvider / TableScan / PrunedFilteredScan,
+sql/core/src/main/scala/org/apache/spark/sql/sources/interfaces.scala)
+with the modern PySpark equivalent instead of a JVM trait.
+
+`SyntheticEventsDataSource` is a deterministic generator source —
+`spark.read.format("synthetic_events").option("n", ...).load()` — that
+demonstrates every contract point the reference's API had:
+
+- schema declaration (fixed StructType, like `BaseRelation.schema`);
+- PARTITIONED reads (`DataSourceReader.partitions` → one
+  `InputPartition` per slice, like `TableScan.buildScan`'s RDD
+  partitions — rows are generated executor-side per partition, the
+  driver never materializes data);
+- filter pushdown (`pushFilters` accepts `EqualTo`/`GreaterThan`/
+  `LessThan` on event_id, mirroring `PrunedFilteredScan`; unsupported
+  filters are returned to Spark for post-filtering).
+
+Determinism makes it oracle-able: row i is a closed-form function of i,
+so DuckDB can re-derive the exact relation from `range()`.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    InputPartition,
+)
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: closed-form row model: event_id i → (i, type_i, value_i)
+_EVENT_TYPES = ("view", "click", "purchase", "error")
+
+
+def _row(i: int):
+    return (i, _EVENT_TYPES[i % 4], round((i * 37 % 997) / 10.0, 1))
+
+
+SYNTHETIC_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), False),
+        StructField("event_type", StringType(), False),
+        StructField("value", DoubleType(), False),
+    ]
+)
+
+
+class _Slice(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class SyntheticEventsReader(DataSourceReader):
+    def __init__(self, options):
+        self.n = int(options.get("n", 1000))
+        self.num_partitions = int(options.get("numPartitions", 4))
+        self.lo = 0
+        self.hi = self.n
+
+    def pushFilters(self, filters):
+        """PrunedFilteredScan parity: handle range/equality on event_id
+        by shrinking the generated range; yield back anything else for
+        Spark-side evaluation."""
+        for f in filters:
+            handled = False
+            attr = f.attribute[0] if getattr(f, "attribute", None) else None
+            if attr == "event_id":
+                cls = type(f).__name__
+                if isinstance(f, EqualTo):
+                    self.lo = max(self.lo, int(f.value))
+                    self.hi = min(self.hi, int(f.value) + 1)
+                    handled = True
+                elif cls == "GreaterThan":
+                    self.lo = max(self.lo, int(f.value) + 1)
+                    handled = True
+                elif cls == "GreaterThanOrEqual":
+                    self.lo = max(self.lo, int(f.value))
+                    handled = True
+                elif cls == "LessThan":
+                    self.hi = min(self.hi, int(f.value))
+                    handled = True
+                elif cls == "LessThanOrEqual":
+                    self.hi = min(self.hi, int(f.value) + 1)
+                    handled = True
+            if not handled:
+                yield f
+
+    def partitions(self):
+        lo, hi = self.lo, max(self.lo, self.hi)
+        span = max(1, (hi - lo + self.num_partitions - 1) // self.num_partitions)
+        return [
+            _Slice(s, min(s + span, hi)) for s in range(lo, hi, span)
+        ] or [_Slice(lo, lo)]
+
+    def read(self, partition: _Slice) -> Iterator[tuple]:
+        # executor-side generation: the driver ships only (start, end)
+        for i in range(partition.start, partition.end):
+            yield _row(i)
+
+
+class SyntheticEventsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events"
+
+    def schema(self) -> StructType:
+        return SYNTHETIC_SCHEMA
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return SyntheticEventsReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration: spark.read.format('synthetic_events')."""
+    spark.dataSource.register(SyntheticEventsDataSource)

@@ -314,3 +314,33 @@ def test_write_training_shards_layout_and_order(spark, tmp_path):
     a = sorted((r.doc_id, r.seq_id, r.seq_offset) for r in packed.collect())
     b = sorted((r.doc_id, r.seq_id, r.seq_offset) for r in back.collect())
     assert a == b
+
+
+# --- Python DataSource API (sources/custom.py — SURVEY §2.1 row 9) ---------
+
+def test_python_datasource_scan_partitions_and_pushdown(spark):
+    import re
+
+    from pyspark.sql import functions as F
+
+    from spark_monotasks_spark.sources import custom
+
+    custom.register(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("n", 1000)
+        .option("numPartitions", 5)
+        .load()
+    )
+    assert df.count() == 1000
+    assert df.rdd.getNumPartitions() == 5  # partitioned executor-side read
+    filtered = df.filter((F.col("event_id") >= 500) & (F.col("event_id") < 510))
+    plan = filtered._sc._jvm.PythonSQLUtils.explainString(
+        filtered._jdf.queryExecution(), "formatted"
+    )
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "GreaterThanOrEqual" in m.group(1), plan
+    got = sorted(r.event_id for r in filtered.collect())
+    assert got == list(range(500, 510))
+    # unsupported filters (non-event_id) still evaluate correctly
+    assert df.filter(F.col("event_type") == "view").count() == 250
