@@ -125,3 +125,71 @@ class SyntheticEventsDataSource(DataSource):
 def register(spark) -> None:
     """Idempotent registration: spark.read.format('synthetic_events')."""
     spark.dataSource.register(SyntheticEventsDataSource)
+
+
+# ---------------------------------------------------------------------------
+# sink side — CreatableRelationProvider parity (interfaces.scala), via the
+# Python DataSource writer API: JSONL directory sink with per-partition
+# task files + driver-side commit manifest (the InsertableRelation shape).
+# ---------------------------------------------------------------------------
+
+import json
+import os
+import uuid
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+
+class _JsonlCommit(WriterCommitMessage):
+    def __init__(self, path: str, rows: int):
+        self.path = path
+        self.rows = rows
+
+
+class JsonlDirWriter(DataSourceWriter):
+    """Each task writes one `part-<uuid>.jsonl` (executor-side, append-
+    safe under speculation because file names are unique); `commit`
+    runs on the driver and records the manifest — the two-phase
+    contract the reference's InsertIntoDataSource path relied on."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_dir sink requires option 'path'")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        os.makedirs(self.path, exist_ok=True)
+        fname = os.path.join(self.path, f"part-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(fname, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _JsonlCommit(fname, n)
+
+    def commit(self, messages):
+        manifest = {
+            "files": sorted(m.path for m in messages if m is not None),
+            "rows": sum(m.rows for m in messages if m is not None),
+        }
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+            json.dump(manifest, f)
+
+    def abort(self, messages):
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class JsonlDirDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_dir"
+
+    def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
+        return JsonlDirWriter(self.options, overwrite)
+
+
+def register_sink(spark) -> None:
+    spark.dataSource.register(JsonlDirDataSource)

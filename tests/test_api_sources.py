@@ -344,3 +344,23 @@ def test_python_datasource_scan_partitions_and_pushdown(spark):
     assert got == list(range(500, 510))
     # unsupported filters (non-event_id) still evaluate correctly
     assert df.filter(F.col("event_type") == "view").count() == 250
+
+
+def test_python_datasource_jsonl_sink_roundtrip(spark, tmp_path):
+    import json as _json
+    import os as _os
+
+    from spark_monotasks_spark.sources import custom
+
+    custom.register_sink(spark)
+    df = spark.createDataFrame(
+        [(i, f"n{i}") for i in range(50)], "id long, name string"
+    ).repartition(4)
+    out = str(tmp_path / "sink")
+    df.write.format("jsonl_dir").option("path", out).mode("append").save()
+    # two-phase commit: manifest written on driver, counts all task rows
+    with open(_os.path.join(out, "_MANIFEST.json")) as f:
+        manifest = _json.load(f)
+    assert manifest["rows"] == 50 and len(manifest["files"]) == 4
+    back = spark.read.json(out + "/part-*.jsonl")
+    assert sorted(r.id for r in back.collect()) == list(range(50))
