@@ -190,6 +190,51 @@ class JsonlDirDataSource(DataSource):
     def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
         return JsonlDirWriter(self.options, overwrite)
 
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return JsonlDirStreamWriter(self.options)
+
 
 def register_sink(spark) -> None:
     spark.dataSource.register(JsonlDirDataSource)
+
+
+# ---------------------------------------------------------------------------
+# streaming sink — the DStream-era saveAsTextFiles/foreachRDD sink family
+# re-expressed as a Python DataSourceStreamWriter: per-batch task files,
+# per-batch commit manifests (exactly-once bookkeeping by batch id).
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import DataSourceStreamWriter
+
+
+class JsonlDirStreamWriter(DataSourceStreamWriter):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_dir stream sink requires option 'path'")
+
+    def write(self, iterator):
+        os.makedirs(self.path, exist_ok=True)
+        fname = os.path.join(self.path, f"part-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(fname, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _JsonlCommit(fname, n)
+
+    def commit(self, messages, batchId) -> None:
+        manifest = {
+            "batch": batchId,
+            "files": sorted(m.path for m in messages if m is not None),
+            "rows": sum(m.rows for m in messages if m is not None),
+        }
+        with open(
+            os.path.join(self.path, f"_BATCH_{batchId}.json"), "w"
+        ) as f:
+            json.dump(manifest, f)
+
+    def abort(self, messages, batchId) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)

@@ -463,3 +463,34 @@ def test_running_topk_transform_with_state(spark, chunked_events):
         .collect()
     }
     assert final == expected
+
+
+def test_python_datasource_stream_sink(spark, chunked_events, tmp_path):
+    """Streaming write through the Python DataSourceStreamWriter: every
+    micro-batch commits a per-batch manifest; total rows across batch
+    files equal the source table."""
+    import glob
+    import json as _json
+
+    from spark_monotasks_spark.sources import custom
+
+    custom.register_sink(spark)
+    path, events = chunked_events
+    out = str(tmp_path / "stream_sink")
+    stream = dstream.file_stream(spark, path, events.schema).select(
+        "event_id", "event_type"
+    )
+    q = (
+        stream.writeStream.format("jsonl_dir")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    manifests = sorted(glob.glob(out + "/_BATCH_*.json"))
+    assert manifests, "no batch manifests committed"
+    total = sum(_json.load(open(m))["rows"] for m in manifests)
+    assert total == events.count()
+    back = spark.read.json(out + "/part-*.jsonl")
+    assert back.count() == events.count()
