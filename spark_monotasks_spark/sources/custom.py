@@ -121,6 +121,9 @@ class SyntheticEventsDataSource(DataSource):
     def reader(self, schema: StructType) -> DataSourceReader:
         return SyntheticEventsReader(self.options)
 
+    def simpleStreamReader(self, schema: StructType):
+        return SyntheticEventsStreamReader(self.options)
+
 
 def register(spark) -> None:
     """Idempotent registration: spark.read.format('synthetic_events')."""
@@ -238,3 +241,46 @@ class JsonlDirStreamWriter(DataSourceStreamWriter):
         for m in messages:
             if m is not None and os.path.exists(m.path):
                 os.remove(m.path)
+
+
+# ---------------------------------------------------------------------------
+# streaming source — external stream connector parity (the reference's
+# external/kafka KafkaUtils receiver model, KafkaUtils.scala:44) as a
+# fully offline-exercisable Python SimpleDataSourceStreamReader: a
+# deterministic event feed with offset tracking (initialOffset / read /
+# readBetweenOffsets for replay after failure / commit).
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Offsets are row indices into the same closed-form feed the batch
+    reader generates; each micro-batch advances by ``batchSize`` until
+    ``n`` rows have been emitted.  readBetweenOffsets replays a batch
+    deterministically — the recovery contract a Kafka-style source
+    needs."""
+
+    def __init__(self, options):
+        self.n = int(options.get("n", 1000))
+        self.batch_size = int(options.get("batchSize", 100))
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def read(self, start: dict):
+        lo = int(start["pos"])
+        hi = min(lo + self.batch_size, self.n)
+        if hi == lo:
+            # drained: the wrapper probes emptiness with next(it) — must
+            # be an iterator
+            return (iter([]), {"pos": lo})
+        # advancing: a LIST, not a generator — the prefetch cache
+        # copy.copy()s the container when the batch is planned
+        return ([_row(i) for i in range(lo, hi)], {"pos": hi})
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return [_row(i) for i in range(int(start["pos"]), int(end["pos"]))]
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing external to clean up — offsets are pure indices

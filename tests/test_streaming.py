@@ -494,3 +494,31 @@ def test_python_datasource_stream_sink(spark, chunked_events, tmp_path):
     assert total == events.count()
     back = spark.read.json(out + "/part-*.jsonl")
     assert back.count() == events.count()
+
+
+def test_python_datasource_stream_source(spark, tmp_path):
+    """Custom Python streaming SOURCE (external-connector parity,
+    offline-exercisable unlike the Kafka jars): the offset-tracked feed
+    drains completely, batches never overlap, and the union of batches
+    equals the closed-form relation."""
+    from spark_monotasks_spark.sources import custom
+
+    custom.register(spark)
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("n", 500)
+        .option("batchSize", 120)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("synth_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt_src"))
+        .start()
+    )
+    q.processAllAvailable()  # drain the finite feed (500 rows / 120-row batches)
+    q.stop()
+    rows = spark.table("synth_stream").collect()
+    assert sorted(r.event_id for r in rows) == list(range(500))
+    got = {r.event_id: (r.event_type, r.value) for r in rows}
+    assert got[7] == ("error", ((7 * 37) % 997) / 10.0)
