@@ -126,7 +126,13 @@ class SyntheticEventsDataSource(DataSource):
 
 
 def register(spark) -> None:
-    """Idempotent registration: spark.read.format('synthetic_events')."""
+    """Idempotent registration: spark.read.format('synthetic_events').
+
+    Also enables `spark.sql.python.filterPushdown.enabled` (a runtime
+    SQL conf, off by default): a reader that implements pushFilters
+    hard-errors on sessions without it — including the vanilla
+    getOrCreate session an external harness builds."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SyntheticEventsDataSource)
 
 

@@ -45,6 +45,17 @@ PROBES = [
     "decimal_agg",
     "media_meta_extract",
     "sql_insert_overwrite_partitioned",
+    # round-3 (second wave): python datasource needs the runtime
+    # filterPushdown conf (set inside custom.register), variant the new
+    # VariantType path, pixel stats the numpy decode inside Arrow
+    # batches, gapfill/window_range the nanos timestamp casts,
+    # incremental the decimal state merge under ANSI-off
+    "python_datasource_scan",
+    "variant_json_ops",
+    "image_pixel_stats",
+    "timeseries_gapfill",
+    "window_range_trailing",
+    "incremental_agg_refresh",
 ]
 
 _SCRIPT = r"""
