@@ -16,6 +16,7 @@ import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -283,3 +284,53 @@ def embedding_near_duplicates(
         )
         .filter(F.col("sim") >= threshold)
     )
+
+
+def normalize_embeddings_arrow(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """L2-normalize an embedding column via ``mapInArrow`` — the
+    Arrow-NATIVE UDF surface (one step below the pandas_udf family: no
+    pandas materialization at all, the list column's value buffer goes
+    straight into one numpy matrix per batch).
+
+    This is the shape for bulk vector preprocessing at 100 TB: each
+    Arrow batch becomes a single (rows × dim) float32 matrix, one
+    vectorized divide normalizes the whole batch, and the rebuilt
+    ListArray reuses the computed buffer — per-element Python never
+    runs.  Zero-vector rows pass through unscaled (norm clamped to 1)."""
+    import numpy as np
+    import pyarrow as pa
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("norm", T.DoubleType()),
+            T.StructField("normalized", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def run(batches):
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index(id_col))
+            lst = batch.column(batch.schema.get_field_index(vec_col))
+            flat = lst.flatten().to_numpy(zero_copy_only=False)
+            mat = flat.reshape(-1, dim).astype(np.float64)
+            norms = np.sqrt((mat * mat).sum(axis=1))
+            safe = np.where(norms == 0.0, 1.0, norms)
+            normalized = (mat / safe[:, None]).astype(np.float32)
+            offsets = pa.array(
+                np.arange(0, (len(mat) + 1) * dim, dim, dtype=np.int32)
+            )
+            out_list = pa.ListArray.from_arrays(
+                offsets, pa.array(normalized.ravel(), type=pa.float32())
+            )
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(norms, type=pa.float64()), out_list],
+                names=["id", "norm", "normalized"],
+            )
+
+    return df.select(id_col, vec_col).mapInArrow(run, schema=out_schema)

@@ -1184,3 +1184,34 @@ def e2e_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@register(
+    "embedding_normalize_arrow",
+    oracle="""
+    SELECT vec_id AS id,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS norm,
+           round(CAST(embedding[1] AS DOUBLE)
+                 / sqrt(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS e0
+    FROM embeddings
+    """,
+)
+def embedding_normalize_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-native vector preprocessing (pipeline.similarity.
+    normalize_embeddings_arrow, mapInArrow): per-batch zero-copy numpy
+    normalization; catalog output exposes the L2 norm and the first
+    normalized component (scalar contract), value-audited against
+    DuckDB recomputing both from the raw vectors."""
+    from spark_monotasks_spark.pipeline.similarity import (
+        normalize_embeddings_arrow,
+    )
+
+    t = _t(spark, sf_dir)
+    out = normalize_embeddings_arrow(t["embeddings"])
+    return out.select(
+        "id",
+        F.round("norm", 4).alias("norm"),
+        F.round(F.element_at("normalized", 1).cast("double"), 4).alias("e0"),
+    )

@@ -956,3 +956,19 @@ def test_fuzzy_pairs_finds_near_dup_and_bounds(spark, docs_with_dups):
     assert 0 < pairs[(0, 1)] <= 10  # planted near-dup ("bank"→"bend")
     # over-threshold / cross-block pairs never emitted
     assert all(d <= 10 for d in pairs.values())
+
+
+def test_normalize_embeddings_arrow_unit_norm_and_zero_safe(spark):
+    import math
+
+    rows = [(0, [3.0, 4.0, 0.0, 0.0]), (1, [0.0, 0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.id: r for r in similarity.normalize_embeddings_arrow(
+        df, dim=4).collect()}
+    assert out[0].norm == pytest.approx(5.0)
+    assert out[0].normalized == pytest.approx([0.6, 0.8, 0.0, 0.0])
+    # zero vector: norm 0 reported, vector passes through un-divided
+    assert out[1].norm == 0.0
+    assert out[1].normalized == [0.0, 0.0, 0.0, 0.0]
+    renorm = math.sqrt(sum(v * v for v in out[0].normalized))
+    assert renorm == pytest.approx(1.0)
