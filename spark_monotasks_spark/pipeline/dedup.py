@@ -629,3 +629,60 @@ def fuzzy_pairs_levenshtein(
         pairs.select("id_a", "id_b", dist.alias("edit_dist"))
         .filter(F.col("edit_dist") >= 0)
     )
+
+
+def near_duplicate_clusters_portable(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 8,
+    min_matches: int = 4,
+) -> DataFrame:
+    """Near-dup clustering on the ENGINE-PORTABLE MinHash family:
+    candidate pairs share ≥ ``min_matches`` of ``num_hashes`` md5-family
+    minima (estimated Jaccard ≥ min_matches/num_hashes), then collapse
+    transitively via iterative connected components.
+
+    The portability is the point: every stage — signatures, banding
+    join, match counting, and even the TRANSITIVE CLOSURE — can be
+    recomputed by an external engine (the catalog oracle does the
+    closure with a recursive CTE), so the iterative Spark algorithm is
+    value-audited end-to-end, not rows-only.  Scale shape matches
+    near_duplicate_clusters: the match join ships (hash, id) pairs, the
+    component iteration runs on the pair graph only, and the corpus is
+    touched once at the end for singleton ids."""
+    from spark_monotasks_spark.graph.algorithms import connected_components
+
+    sigs = minhash_signatures_portable(
+        df, id_col, text_col, shingle_k=shingle_k, num_hashes=num_hashes
+    )
+    melted = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("fam"), F.col(f"h{i}").alias("h")
+                    )
+                    for i in range(num_hashes)
+                ]
+            )
+        ).alias("fh"),
+    ).select("id", F.col("fh.fam").alias("fam"), F.col("fh.h").alias("h"))
+    a = melted.select(F.col("id").alias("id_a"), "fam", "h")
+    b = melted.select(F.col("id").alias("id_b"), "fam", "h")
+    edges = (
+        a.join(b, on=["fam", "h"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_match"))
+        .filter(F.col("n_match") >= min_matches)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    comps = connected_components(edges)
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(comps, on="id", how="left")
+        .select("id", F.coalesce("component", F.col("id")).alias("cluster"))
+    )

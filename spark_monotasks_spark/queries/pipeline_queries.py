@@ -1215,3 +1215,53 @@ def embedding_normalize_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("norm", 4).alias("norm"),
         F.round(F.element_at("normalized", 1).cast("double"), 4).alias("e0"),
     )
+
+
+@register(
+    "near_dup_clusters_portable",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(t) >= 3
+               THEN list_transform(range(1, len(t) - 1),
+                                   i -> array_to_string(t[i:i+2], ' '))
+               ELSE [array_to_string(t, ' ')] END) AS s
+      FROM toks
+    ), melt AS (
+      SELECT doc_id, CAST(f.i AS INT) AS fam,
+             list_min(list_transform(s, x ->
+               CAST(('0x' || substr(md5(x || '#' || CAST(f.i AS VARCHAR)),
+                                    1, 12)) AS BIGINT))) AS h
+      FROM sh, UNNEST(range(0, 8)) AS f(i)
+    ), edges AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM melt a JOIN melt b
+        ON a.fam = b.fam AND a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 4
+    ), sym AS (
+      SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+    ), walk AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT w.src, s.dst FROM walk w JOIN sym s ON w.dst = s.src
+    ), comp AS (
+      SELECT src AS id, min(dst) AS mn FROM walk GROUP BY src
+    )
+    SELECT d.doc_id AS id,
+           least(coalesce(c.mn, d.doc_id), d.doc_id) AS cluster
+    FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    """,
+)
+def near_dup_clusters_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clustering, value-audited END TO END
+    (pipeline.dedup.near_duplicate_clusters_portable): portable
+    md5-family MinHash signatures → ≥4-of-8 family-match candidate
+    pairs → iterative connected components — and the oracle recomputes
+    ALL of it, including the transitive closure, with a recursive CTE.
+    The one iterative algorithm in the catalog whose fixpoint is
+    hash-compared against an independent engine rather than rows-only
+    checked."""
+    t = _t(spark, sf_dir)
+    return dedup.near_duplicate_clusters_portable(t["documents"])

@@ -972,3 +972,19 @@ def test_normalize_embeddings_arrow_unit_norm_and_zero_safe(spark):
     assert out[1].normalized == [0.0, 0.0, 0.0, 0.0]
     renorm = math.sqrt(sum(v * v for v in out[0].normalized))
     assert renorm == pytest.approx(1.0)
+
+
+def test_near_dup_clusters_portable_collapses_chain(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, base),
+        (1, base + " extra"),           # near-dup of 0
+        (2, base + " extra more"),      # near-dup of 1 (chain 0~1~2)
+        (9, "totally different words nothing shared here at all today"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: r.cluster
+           for r in dedup.near_duplicate_clusters_portable(
+               df, min_matches=3).collect()}
+    assert got[0] == got[1] == got[2] == 0  # chain collapses to min id
+    assert got[9] == 9  # singleton keeps its own id
