@@ -1085,3 +1085,50 @@ def events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n"), money(F.sum("value")).alias("total_value"))
     )
+
+
+@register(
+    "except_all_op",
+    oracle="""
+    SELECT o_custkey AS k FROM orders WHERE o_totalprice > 100000.0
+    EXCEPT ALL
+    SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def except_all_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag difference with multiplicities (a customer with
+    3 qualifying orders and 1 subtracted keeps 2 rows), completing the
+    §2.7 set-op family beyond the distinct and reference-hybrid forms."""
+    t = _t(spark, sf_dir)
+    return setops.except_all(
+        t["orders"].filter(F.col("o_totalprice") > 100000.0).select(
+            F.col("o_custkey").alias("k")
+        ),
+        t["orders"].filter(F.col("o_orderstatus") == "F").select(
+            F.col("o_custkey").alias("k")
+        ),
+    )
+
+
+@register(
+    "intersect_all_op",
+    oracle="""
+    SELECT o_custkey AS k FROM orders WHERE o_totalprice > 100000.0
+    INTERSECT ALL
+    SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def intersect_all_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag intersection (min of the two multiplicities
+    per value), the other half of the bag-semantics pair."""
+    t = _t(spark, sf_dir)
+    return (
+        t["orders"]
+        .filter(F.col("o_totalprice") > 100000.0)
+        .select(F.col("o_custkey").alias("k"))
+        .intersectAll(
+            t["orders"]
+            .filter(F.col("o_orderstatus") == "F")
+            .select(F.col("o_custkey").alias("k"))
+        )
+    )
