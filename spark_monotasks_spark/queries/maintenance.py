@@ -176,3 +176,30 @@ def incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("price_min").cast("double"), 2).alias("price_min"),
         F.round(F.col("price_max").cast("double"), 2).alias("price_max"),
     )
+
+
+from spark_monotasks_spark.operators.layout import zorder_key, zorder_sql
+
+_Z_A = "o_custkey % 65536"
+_Z_B = "(CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400) % 65536"
+
+
+@register(
+    "zorder_layout_key",
+    oracle=f"""
+    SELECT o_orderkey, {zorder_sql(_Z_A, _Z_B)} AS zkey
+    FROM orders
+    """,
+)
+def zorder_layout_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout key (operators.layout.zorder_key):
+    interleaves customer-key and order-day bits so a
+    repartitionByRange(zkey) + sortWithinPartitions write clusters
+    files in BOTH dimensions — min/max zone maps then prune on either
+    predicate (the OPTIMIZE ZORDER pattern).  The oracle recomputes
+    every key with the same bit arithmetic rendered as portable SQL."""
+    o = load_tables(spark, sf_dir)["orders"]
+    sec = F.col("o_orderdate").cast("timestamp").cast("long")
+    a = (F.col("o_custkey") % 65536).cast("long")
+    b = (F.floor(sec / F.lit(86400)).cast("long") % 65536)
+    return o.select("o_orderkey", zorder_key(a, b).alias("zkey"))

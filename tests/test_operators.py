@@ -626,3 +626,52 @@ def test_resample_ffill_fills_gaps(spark):
     ]
     b = [(r.bucket_ts, r.value, r.filled) for r in out if r.key == "b"]
     assert b == [(base, 6.0, False)]  # last write wins, single bucket
+
+
+# --- z-order layout (operators/layout.py) ----------------------------------
+
+def test_zorder_clusters_both_dimensions(spark, tables):
+    """Files sorted by the Morton key must bound BOTH columns: compare
+    the mean per-chunk day-span under z-ordering vs ordering by custkey
+    alone (which leaves days unclustered)."""
+    from spark_monotasks_spark.operators.layout import quantize, zorder_key
+
+    o = tables["orders"]
+    sec = F.col("o_orderdate").cast("timestamp").cast("long")
+    day = F.floor(sec / F.lit(86400)).cast("long")
+    lo_day, hi_day = o.select(
+        F.min(day), F.max(day)
+    ).first()
+    lo_c, hi_c = o.select(F.min("o_custkey"), F.max("o_custkey")).first()
+    # equal-width quantization is the layout prerequisite (layout.py
+    # docstring): interleaving raw bits lets the wider-range column
+    # dominate the curve
+    qa = quantize(F.col("o_custkey"), lo_c, hi_c, bits=8)
+    qb = quantize(day, lo_day, hi_day, bits=8)
+    keyed = o.select(
+        qa.alias("a"), qb.alias("b"), zorder_key(qa, qb, bits=8).alias("zkey")
+    )
+
+    def mean_chunk_span(df, order_col, dim, n_chunks=32):
+        from pyspark.sql import Window
+
+        w = Window.orderBy(order_col)
+        chunked = df.withColumn(
+            "chunk", F.ntile(n_chunks).over(w)
+        )
+        spans = (
+            chunked.groupBy("chunk")
+            .agg((F.max(dim) - F.min(dim)).alias("span"))
+            .agg(F.avg("span"))
+            .first()[0]
+        )
+        return spans
+
+    z_day_span = mean_chunk_span(keyed, "zkey", "b")
+    cust_day_span = mean_chunk_span(keyed, "a", "b")
+    z_cust_span = mean_chunk_span(keyed, "zkey", "a")
+    # z-order bounds the day dimension far better than custkey-sorting
+    assert z_day_span < 0.5 * cust_day_span, (z_day_span, cust_day_span)
+    # and still clusters custkey (span far below the full 1500-key range)
+    full_cust_span = keyed.agg(F.max("a") - F.min("a")).first()[0]
+    assert z_cust_span < 0.5 * full_cust_span, (z_cust_span, full_cust_span)
