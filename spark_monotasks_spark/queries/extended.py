@@ -1605,3 +1605,29 @@ def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber", "metric",
         F.round("value", 2).alias("value"),
     )
+
+
+@register("hll_sketch_rollup")  # sketch bytes are engine-specific → rows-only;
+# exact-tolerance + union-consistency asserted in tests/test_operators.py
+def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct-count sketches (Datasketches HLL,
+    Spark 4's hll_sketch_agg / hll_union_agg): per-(status, priority)
+    customer sketches built once, then ROLLED UP to per-status counts
+    by merging sketches — no rescan of the fact table, the pattern that
+    makes distinct-count dashboards tractable at 100 TB (a raw
+    count_distinct cannot be re-aggregated from finer grains).
+    Successor of the reference's ApproxCountDistinct (HyperLogLogUDT,
+    udaf collection) with mergeable state as a first-class column."""
+    t = _t(spark, sf_dir)
+    fine = t["orders"].groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk")
+    )
+    return (
+        fine.groupBy("o_orderstatus")
+        .agg(F.hll_union_agg("sk").alias("merged"))
+        .select(
+            "o_orderstatus",
+            F.hll_sketch_estimate("merged").alias("est_distinct_cust"),
+        )
+        .orderBy("o_orderstatus")
+    )

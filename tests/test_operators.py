@@ -675,3 +675,30 @@ def test_zorder_clusters_both_dimensions(spark, tables):
     # and still clusters custkey (span far below the full 1500-key range)
     full_cust_span = keyed.agg(F.max("a") - F.min("a")).first()[0]
     assert z_cust_span < 0.5 * full_cust_span, (z_cust_span, full_cust_span)
+
+
+def test_hll_sketch_rollup_close_to_exact_and_union_consistent(spark, tables):
+    from spark_monotasks_spark.queries.extended import hll_sketch_rollup
+    from tests.conftest import SF_TEST_DIR
+
+    got = {r.o_orderstatus: r.est_distinct_cust
+           for r in hll_sketch_rollup(spark, SF_TEST_DIR).collect()}
+    exact = {
+        r.o_orderstatus: r.n
+        for r in tables["orders"]
+        .groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k in exact:  # default lgConfigK=12 → rse ~1.6%; allow 5%
+        assert abs(got[k] - exact[k]) <= max(3, 0.05 * exact[k]), (k, got[k], exact[k])
+    # merging finer sketches must equal sketching the coarse grain directly
+    direct = {
+        r.o_orderstatus: r.est
+        for r in tables["orders"]
+        .groupBy("o_orderstatus")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("est"))
+        .collect()
+    }
+    assert got == direct
