@@ -1265,3 +1265,108 @@ def near_dup_clusters_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     checked."""
     t = _t(spark, sf_dir)
     return dedup.near_duplicate_clusters_portable(t["documents"])
+
+
+@register(
+    "inverted_index_build",
+    oracle="""
+    WITH dt AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x != ''))
+               AS token
+      FROM documents
+    )
+    SELECT token, count(*) AS doc_freq,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+             AS postings
+    FROM dt GROUP BY token HAVING count(*) >= 450
+    """,
+)
+def inverted_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index (token → sorted posting list) — the retrieval
+    structure a corpus search layer builds once and serves forever.
+    One explode + distinct + token groupBy: the posting shuffle carries
+    (token, doc_id) pairs only.  Restricted to near-stop-words here
+    (df ≥ 450 of 500 docs) so posting strings stay bounded for the
+    value hash; the real structure would write postings as arrays."""
+    t = _t(spark, sf_dir)
+    dt = (
+        t["documents"]
+        .select(
+            "doc_id",
+            F.explode(F.split(F.col("text"), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    return (
+        dt.groupBy("token")
+        .agg(
+            F.count("*").alias("doc_freq"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .filter(F.col("doc_freq") >= 450)
+    )
+
+
+@register(
+    "tfidf_exact_scores",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x != ''))
+               AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM toks
+      GROUP BY doc_id, token
+    ), df AS (
+      SELECT token, count(*) AS df FROM (
+        SELECT DISTINCT doc_id, token FROM toks
+      ) GROUP BY token
+    ), n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, token, tf,
+           round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6)
+             AS tfidf
+    FROM tf JOIN df USING (token) CROSS JOIN n
+    WHERE doc_id < 50
+    """,
+)
+def tfidf_exact_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact TF-IDF (smoothed idf = ln((N+1)/(df+1)) + 1 — the
+    sklearn/standard form) with real tokens, value-audited — the
+    auditable complement of the rows-only hashed ml_tfidf_norm
+    (HashingTF buckets are engine-private).  Shapes: one tf groupBy,
+    one bounded df aggregate broadcast back, N as a broadcast scalar."""
+    t = _t(spark, sf_dir)
+    toks = (
+        t["documents"]
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_t = (
+        toks.distinct().groupBy("token").agg(F.count("*").alias("df"))
+    )
+    n_docs = t["documents"].count()
+    out = (
+        tf.join(F.broadcast(df_t), on="token")
+        .filter(F.col("doc_id") < 50)
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            F.round(
+                F.col("tf")
+                * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    return out
