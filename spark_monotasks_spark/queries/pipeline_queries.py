@@ -1370,3 +1370,72 @@ def tfidf_exact_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+@register(
+    "bm25_rank_query",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x != ''))
+               AS token
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, count(*) AS dlen FROM toks GROUP BY doc_id
+    ), stats AS (
+      SELECT count(*) AS n_docs,
+             (SELECT avg(dlen) FROM dl) AS avg_len
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM toks
+      WHERE token IN ('table', 'spark', 'query')
+      GROUP BY doc_id, token
+    ), df AS (
+      SELECT token, count(DISTINCT doc_id) AS df FROM toks
+      WHERE token IN ('table', 'spark', 'query')
+      GROUP BY token
+    )
+    SELECT doc_id,
+           round(sum(
+             ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+             * tf * 2.2
+             / (tf + 1.2 * (0.25 + 0.75 * dl.dlen / avg_len))
+           ), 6) AS bm25
+    FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+)
+def bm25_rank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking (k1=1.2, b=0.75) for a fixed keyword query — with
+    inverted_index_build and tfidf_exact_scores this completes a
+    value-audited retrieval stack.  Shapes: doc-length and df are
+    bounded aggregates broadcast back onto the (query-filtered) tf
+    relation; top-k plans TakeOrderedAndProject."""
+    t = _t(spark, sf_dir)
+    q_terms = ["table", "spark", "query"]
+    toks = (
+        t["documents"]
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dlen"))
+    n_docs = t["documents"].count()
+    avg_len = dl.agg(F.avg("dlen")).first()[0]
+    qt = toks.filter(F.col("token").isin(q_terms))
+    tf = qt.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_t = qt.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    k1, b = 1.2, 0.75
+    idf = F.log((n_docs - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    denom = F.col("tf") + k1 * (1 - b + b * F.col("dlen") / F.lit(avg_len))
+    score = idf * F.col("tf") * (k1 + 1.0) / denom
+    return (
+        tf.join(F.broadcast(df_t), on="token")
+        .join(dl, on="doc_id")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(score), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
