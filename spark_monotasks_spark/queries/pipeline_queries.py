@@ -1354,9 +1354,12 @@ def tfidf_exact_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_t = (
         toks.distinct().groupBy("token").agg(F.count("*").alias("df"))
     )
-    n_docs = t["documents"].count()
-    out = (
+    # corpus size enters as a broadcast single-row aggregate, NOT a
+    # driver-side .count() — no extra eager scan per invocation
+    n = t["documents"].agg(F.count("*").alias("n_docs"))
+    return (
         tf.join(F.broadcast(df_t), on="token")
+        .crossJoin(F.broadcast(n))
         .filter(F.col("doc_id") < 50)
         .select(
             "doc_id",
@@ -1364,12 +1367,11 @@ def tfidf_exact_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tf",
             F.round(
                 F.col("tf")
-                * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
                 6,
             ).alias("tfidf"),
         )
     )
-    return out
 
 
 @register(
@@ -1420,20 +1422,28 @@ def bm25_rank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("token") != "")
     )
     dl = toks.groupBy("doc_id").agg(F.count("*").alias("dlen"))
-    n_docs = t["documents"].count()
-    avg_len = dl.agg(F.avg("dlen")).first()[0]
+    # corpus stats enter as ONE broadcast single-row aggregate — never
+    # driver-side .count()/.first() scalars that force extra scans
+    stats = t["documents"].agg(F.count("*").alias("n_docs")).crossJoin(
+        dl.agg(F.avg("dlen").alias("avg_len"))
+    )
     qt = toks.filter(F.col("token").isin(q_terms))
     tf = qt.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     df_t = qt.groupBy("token").agg(
         F.countDistinct("doc_id").alias("df")
     )
     k1, b = 1.2, 0.75
-    idf = F.log((n_docs - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
-    denom = F.col("tf") + k1 * (1 - b + b * F.col("dlen") / F.lit(avg_len))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + k1 * (
+        1 - b + b * F.col("dlen") / F.col("avg_len")
+    )
     score = idf * F.col("tf") * (k1 + 1.0) / denom
     return (
         tf.join(F.broadcast(df_t), on="token")
         .join(dl, on="doc_id")
+        .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(F.round(F.sum(score), 6).alias("bm25"))
         .orderBy(F.col("bm25").desc(), "doc_id")
