@@ -257,3 +257,55 @@ def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
     )
     return df.filter((F.col("event_id") >= 100) & (F.col("event_id") < 2100))
+
+
+@register(
+    "schema_evolution_merge",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(o_totalprice) AS BIGINT) AS n_priced,
+           round(sum(coalesce(o_totalprice, 0.0)), 2) AS total_price
+    FROM (
+      SELECT o_orderstatus,
+             CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice END
+               AS o_totalprice
+      FROM orders
+    )
+    GROUP BY o_orderstatus
+    """,
+)
+def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet files (newParquet.scala's schema
+    merging — mergeSchema=true): an old file written WITHOUT
+    o_totalprice and a new file WITH it are read as one relation; the
+    missing column back-fills as NULL for old rows.  The oracle states
+    the expected union (price present only for even keys), so a value
+    match proves merge + null-backfill semantics through a real
+    write→read roundtrip.  Paths are keyed to sf_dir and overwritten
+    each run — no cross-run state."""
+    import hashlib
+    import os
+
+    t = load_tables(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"/tmp/spark_graft_schema_evo_{tag}"
+    o = t["orders"]
+    old = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderstatus"
+    )
+    new = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    old.write.mode("overwrite").parquet(os.path.join(base, "v=1"))
+    new.write.mode("overwrite").parquet(os.path.join(base, "v=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "v=1"), os.path.join(base, "v=2")
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        F.count("o_totalprice").alias("n_priced"),
+        F.round(F.sum(F.coalesce("o_totalprice", F.lit(0.0))), 2).alias(
+            "total_price"
+        ),
+    )
