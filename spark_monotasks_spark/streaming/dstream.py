@@ -502,6 +502,67 @@ def running_topk_by_key(
 
 # --- sinks -----------------------------------------------------------------
 
+def stream_static_join(
+    stream: DataFrame,
+    static: DataFrame,
+    on: Sequence[str] | str,
+    how: str = "inner",
+    broadcast_static: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join (the DStream-era
+    ``transform(rdd => rdd.join(dimRDD))`` pattern,
+    DStream.scala:552): each micro-batch joins against a BATCH
+    relation.  No state store is involved — the static side is re-read
+    per trigger (so dim updates are picked up), and with
+    ``broadcast_static`` the join never shuffles the stream.  At
+    100 TB/day this is the standard dimension-enrichment shape."""
+    right = F.broadcast(static) if broadcast_static else static
+    return stream.join(right, on=on, how=how)
+
+
+def streaming_upsert_sink(
+    stream: DataFrame,
+    target_path: str,
+    on: Sequence[str],
+    checkpoint: str,
+) -> DataStreamWriter:
+    """Streaming CDC-upsert materialization: every micro-batch upserts
+    into a parquet snapshot through operators.merge.merge_upsert
+    (latest batch row wins per key within a batch via max-seq
+    collapse is the caller's concern; across batches, later batches
+    replace earlier keys).  foreachBatch is the right hook because
+    sinks with merge semantics need batch-scoped transactions —
+    append-mode file sinks cannot express "replace this key".
+
+    Scale: the snapshot rewrite is bounded by snapshot size, and the
+    anti-join side is the (small) batch — broadcast.  A production
+    system would partition the snapshot and rewrite only touched
+    partitions; the single-file form keeps the demo honest."""
+    from spark_monotasks_spark.operators.merge import merge_upsert
+
+    schema = stream.schema
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        import os
+
+        if os.path.exists(target_path):
+            base = spark.read.schema(schema).parquet(target_path)
+            merged = merge_upsert(base, batch, on=list(on))
+        else:
+            merged = batch
+        # localCheckpoint materializes BEFORE the overwrite truncates
+        # the directory being read (classic read-overwrite hazard)
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            target_path
+        )
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
 def for_each_batch(
     df: DataFrame, fn: Callable[[DataFrame, int], None]
 ) -> DataStreamWriter:

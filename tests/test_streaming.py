@@ -522,3 +522,60 @@ def test_python_datasource_stream_source(spark, tmp_path):
     assert sorted(r.event_id for r in rows) == list(range(500))
     got = {r.event_id: (r.event_type, r.value) for r in rows}
     assert got[7] == ("error", ((7 * 37) % 997) / 10.0)
+
+
+def test_stream_static_join_enriches_every_batch(spark, chunked_events):
+    path, events = chunked_events
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("purchase", "revenue"),
+         ("view", "engagement"), ("error", "ops"), ("signup", "growth")],
+        "event_type string, category string",
+    )
+    stream = dstream.file_stream(spark, path, events.schema)
+    joined = dstream.stream_static_join(
+        stream.select("event_id", "event_type"), dim, on="event_type"
+    )
+    q = dstream.start_memory_sink(joined, "enriched", output_mode="append")
+    _await(q)
+    got = spark.table("enriched")
+    assert got.count() == events.count()  # inner join, every type mapped
+    cats = {r.event_type: r.category for r in got.distinct().collect()}
+    assert cats["purchase"] == "revenue" and cats["error"] == "ops"
+
+
+def test_streaming_upsert_sink_converges_to_latest(spark, tmp_path):
+    """Micro-batched CDC feed upserted into a parquet snapshot: later
+    batches replace earlier rows per key; the final snapshot equals
+    last-write-wins over the whole feed."""
+    import os
+
+    src = str(tmp_path / "cdc_feed")
+    os.makedirs(src)
+    # batch files processed in name order with maxFilesPerTrigger=1
+    spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1), (3, "c", 1)], "k long, v string, rev int"
+    ).coalesce(1).write.parquet(src + "/b0")
+    spark.createDataFrame(
+        [(2, "B2", 2), (4, "d", 2)], "k long, v string, rev int"
+    ).coalesce(1).write.parquet(src + "/b1")
+    flat = str(tmp_path / "cdc_flat")
+    os.makedirs(flat)
+    for sub in sorted(os.listdir(src)):
+        for f in os.listdir(os.path.join(src, sub)):
+            if f.endswith(".parquet"):
+                os.link(os.path.join(src, sub, f),
+                        os.path.join(flat, f"{sub}_{f}"))
+    target = str(tmp_path / "snapshot")
+    stream = (
+        spark.readStream.schema("k long, v string, rev int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    q = dstream.streaming_upsert_sink(
+        stream, target, on=["k"], checkpoint=str(tmp_path / "ckpt_upsert")
+    ).trigger(availableNow=True).start()
+    _await(q)
+    snap = {r.k: (r.v, r.rev) for r in spark.read.parquet(target).collect()}
+    assert snap[1] == ("a", 1) and snap[3] == ("c", 1)
+    assert snap[4] == ("d", 2)
+    assert snap[2][1] == 2  # key 2 replaced by the later batch
