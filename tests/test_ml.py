@@ -208,3 +208,32 @@ def test_gbt_separates_blobs(spark, two_blobs):
 
     out = gbt_fit(two_blobs, label_col="label", max_iter=5).collect()
     assert all(r.prediction == r.label for r in out)
+
+
+def test_model_persistence_roundtrip(spark, tmp_path):
+    """Model save/load (mllib's Saveable/Loader contract,
+    mllib/util/modelSaveLoad.scala): a fitted model written to disk and
+    loaded back must produce identical predictions on the same data."""
+    from pyspark.ml.classification import (
+        LogisticRegression,
+        LogisticRegressionModel,
+    )
+
+    from spark_monotasks_spark.ml.wrappers import _vec
+
+    rows = [(i, [float(i % 7), float((i * 3) % 5)], float(i % 2))
+            for i in range(60)]
+    df = spark.createDataFrame(
+        rows, "id long, embedding array<float>, label double"
+    ).withColumn("_features", _vec("embedding"))
+    model = LogisticRegression(
+        maxIter=10, featuresCol="_features", labelCol="label"
+    ).fit(df)
+    path = str(tmp_path / "lr_model")
+    model.write().overwrite().save(path)
+    loaded = LogisticRegressionModel.load(path)
+    orig = {r.id: r.prediction
+            for r in model.transform(df).select("id", "prediction").collect()}
+    got = {r.id: r.prediction
+           for r in loaded.transform(df).select("id", "prediction").collect()}
+    assert got == orig and len(got) == 60
