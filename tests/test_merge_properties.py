@@ -67,3 +67,84 @@ def test_apply_cdc_matches_dict_model(spark, base, log):
         else:
             model[k] = v
     assert got == model
+
+
+# --- segment dedup vs model ------------------------------------------------
+
+_doc = st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=9)
+_corpus = st.lists(_doc, min_size=1, max_size=5)
+
+
+@pytest.mark.slow
+@given(corpus=_corpus)
+@_SETTINGS
+def test_segment_dedup_matches_model(spark, corpus):
+    from spark_monotasks_spark.pipeline.dedup import drop_duplicate_segments
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(corpus)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.text_dedup
+        for r in drop_duplicate_segments(df, seg_tokens=2).collect()
+    }
+    # model: first occurrence of each 2-token segment (by doc, pos) wins
+    seen: set = set()
+    expect = {}
+    for i, toks in enumerate(corpus):
+        segs = [" ".join(toks[j:j + 2]) for j in range(0, len(toks), 2)]
+        kept = []
+        for seg in segs:
+            if seg not in seen:
+                seen.add(seg)
+                kept.append(seg)
+        expect[i] = " ".join(kept)
+    assert got == expect
+
+
+# --- time-series forward-fill vs model -------------------------------------
+
+_obs = st.lists(
+    st.tuples(st.integers(0, 20), st.integers(-5, 5)),
+    min_size=1,
+    max_size=8,
+    unique_by=lambda r: r[0],  # one obs per second keeps last-write trivial
+)
+
+
+@pytest.mark.slow
+@given(obs=_obs)
+@_SETTINGS
+def test_resample_ffill_matches_model(spark, obs):
+    from spark_monotasks_spark.operators.timeseries import resample_ffill
+
+    rows = [("k", f"2024-01-01 00:00:{sec:02d}", float(v)) for sec, v in obs]
+    df = spark.createDataFrame(rows, "k string, ts string, v double").select(
+        "k", st_col_ts("ts"), "v"
+    )
+    got = {
+        r.bucket_ts: (r.value, r.filled)
+        for r in resample_ffill(df, "k", "ts", "v", step_seconds=4).collect()
+    }
+    base = 1704067200
+    by_bucket: dict = {}
+    for sec, v in obs:
+        b = base + (sec // 4) * 4
+        cur = by_bucket.get(b)
+        if cur is None or sec > cur[0]:
+            by_bucket[b] = (sec, float(v))
+    lo, hi = min(by_bucket), max(by_bucket)
+    expect = {}
+    last = None
+    for b in range(lo, hi + 4, 4):
+        if b in by_bucket:
+            last = by_bucket[b][1]
+            expect[b] = (last, False)
+        else:
+            expect[b] = (last, True)
+    assert got == expect
+
+
+def st_col_ts(name):
+    from pyspark.sql import functions as F
+
+    return F.col(name).cast("timestamp").alias("ts")
