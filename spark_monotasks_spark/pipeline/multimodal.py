@@ -11,10 +11,15 @@ at two levels, stdlib+numpy only (no PIL/librosa/cv2):
   16-bit PCM WAV sample decode (``decode_wav_samples``), and genuine
   MFCCs (``_mfcc_mean`` — Hann/rFFT/mel/DCT).
 
-Only entropy-coded formats (JPEG pixels, mp3/aac) are beyond stdlib:
-for those, strict=True raises ``NotImplementedError`` and
-strict=False degrades to NULL fields (corrupt/undecodable blobs are
-data, not task failures, at 100 TB).
+- **entropy level** (``pipeline.jpeg``): a real baseline 4:4:4 JPEG
+  codec — standard Annex-K Huffman/quant tables, DC prediction, AC
+  run-length, 2-D DCT — in pure numpy, both directions.
+
+Only formats needing licensed/compiled codecs (progressive or
+subsampled JPEG, mp3/aac) remain out of profile: for those,
+strict=True raises ``NotImplementedError`` and strict=False degrades
+to NULL fields (corrupt/undecodable blobs are data, not task
+failures, at 100 TB).
 
 Design for 100 TB of media:
 - media rows are *wide* (MBs of binary) — keep ``maxRecordsPerFile`` and
@@ -72,21 +77,27 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 def _decode_image_batch(blobs: pd.Series, strict: bool) -> pd.DataFrame:
     """Pixel decode + channel statistics per Arrow batch.
 
-    PNG (RGB8) decodes for REAL — :func:`decode_png_pixels`, stdlib
-    zlib + numpy, all five scanline filters.  Features are
+    PNG (RGB8) decodes for REAL via :func:`decode_png_pixels` (stdlib
+    zlib + numpy, all five scanline filters) and baseline 4:4:4 JPEG
+    decodes for REAL via :func:`pipeline.jpeg.decode_jpeg_pixels`
+    (pure-numpy Huffman + dequant + IDCT — no libjpeg).  Features are
     [mean_r, mean_g, mean_b, std_r, std_g, std_b, mean_gray,
-    frac_nonzero].  JPEG pixel decode needs an entropy codec this
-    container doesn't have: strict=True raises NotImplementedError for
-    undecodable blobs, strict=False yields NULLs (data, not errors)."""
+    frac_nonzero].  Outside-profile input (progressive/subsampled JPEG,
+    other formats): strict=True raises NotImplementedError,
+    strict=False yields NULLs (data, not errors)."""
+    from spark_monotasks_spark.pipeline.jpeg import decode_jpeg_pixels
+
     widths, heights, feats = [], [], []
     for b in blobs:
         px = decode_png_pixels(b) if b is not None else None
+        if px is None and b is not None:
+            px = decode_jpeg_pixels(bytes(b))
         if px is None:
             if strict and b is not None:
                 raise NotImplementedError(
-                    "pixel decode implemented for PNG-RGB8 only (JPEG "
-                    "entropy decode needs a codec library not in this "
-                    "container)"
+                    "pixel decode implemented for PNG-RGB8 and baseline "
+                    "4:4:4 JPEG (progressive/subsampled JPEG and other "
+                    "formats need codec libraries not in this container)"
                 )
             widths.append(None)
             heights.append(None)
@@ -631,7 +642,22 @@ def media_from_ids(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
                         encode_png(16 + i % 48, 16 + i % 32, pattern="gradient")
                     )
                 elif i % 3 == 1:
-                    blobs.append(encode_jpeg_header(32 + i % 64, 24 + i % 40))
+                    # full scan-bearing baseline JPEG (linear gradient —
+                    # dims keep x+y+c < 256 so no wrap), pixel-decodable
+                    # by pipeline.jpeg; SOF0 dims match the header-only
+                    # fixture so media_meta_extract's oracle is unchanged
+                    import numpy as np
+
+                    from spark_monotasks_spark.pipeline.jpeg import (
+                        encode_jpeg_pixels,
+                    )
+
+                    w_j, h_j = 32 + i % 64, 24 + i % 40
+                    x = np.arange(w_j)[None, :, None]
+                    y = np.arange(h_j)[:, None, None]
+                    c = np.arange(3)[None, None, :]
+                    img = ((x + y + c) % 256).astype(np.uint8)
+                    blobs.append(encode_jpeg_pixels(img, quality=92))
                 else:
                     rate = 8000 + (i % 4) * 4000
                     blobs.append(

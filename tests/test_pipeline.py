@@ -988,3 +988,71 @@ def test_near_dup_clusters_portable_collapses_chain(spark):
                df, min_matches=3).collect()}
     assert got[0] == got[1] == got[2] == 0  # chain collapses to min id
     assert got[9] == 9  # singleton keeps its own id
+
+
+# --- baseline JPEG codec (pipeline/jpeg.py) --------------------------------
+
+def test_jpeg_roundtrip_bounded_error():
+    import numpy as np
+
+    from spark_monotasks_spark.pipeline import jpeg
+
+    x = np.arange(24)[None, :, None]
+    y = np.arange(16)[:, None, None]
+    c = np.arange(3)[None, None, :]
+    img = ((x * 3 + y * 5 + c * 10) % 200 + 20).astype(np.uint8)
+    dec = jpeg.decode_jpeg_pixels(jpeg.encode_jpeg_pixels(img, quality=90))
+    assert dec is not None and dec.shape == img.shape
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.mean() < 2.0 and err.max() <= 12  # smooth content ≈ lossless
+    # channel means survive DC quantization nearly exactly
+    assert abs(float(dec.mean()) - float(img.mean())) < 1.0
+
+
+def test_jpeg_decoder_rejects_out_of_profile():
+    import struct
+
+    import numpy as np
+
+    from spark_monotasks_spark.pipeline import jpeg
+
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    good = jpeg.encode_jpeg_pixels(img)
+    assert jpeg.decode_jpeg_pixels(good) is not None
+    # flip SOF0 (C0) to progressive SOF2 (C2) → None, not an exception
+    i = good.find(b"\xff\xc0")
+    progressive = good[:i] + b"\xff\xc2" + good[i + 2:]
+    assert jpeg.decode_jpeg_pixels(progressive) is None
+    assert jpeg.decode_jpeg_pixels(b"\xff\xd8junk") is None
+    assert jpeg.decode_jpeg_pixels(good[:40]) is None
+
+
+def test_jpeg_blobs_decode_in_feature_batch(spark):
+    """media_from_ids' JPEG rows now carry full scans: the image
+    feature extractor must return REAL dims + stats for them."""
+    ids = spark.createDataFrame([(1,), (4,), (7,)], "media_id long")
+    media = multimodal.media_from_ids(ids)  # ids %3==1 → JPEG
+    meta = multimodal.probe_media_meta(media)
+    full = media.join(
+        meta.withColumnRenamed("media_id", "mid"),
+        F.col("media_id") == F.col("mid"),
+    ).select(
+        "media_id",
+        "blob",
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.col("codec"),
+            F.col("width"),
+            F.col("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+    rows = multimodal.extract_image_features(full, strict=True).collect()
+    assert len(rows) == 3
+    for r in rows:
+        i = r.media_id
+        assert (r.width, r.height) == (32 + i % 64, 24 + i % 40)
+        # gradient mean_r ≈ (w-1)/2 + (h-1)/2 within JPEG loss
+        expect = (r.width - 1) / 2 + (r.height - 1) / 2
+        assert abs(r.features[0] - expect) < 1.5, (i, r.features[0], expect)
