@@ -392,6 +392,8 @@ def decode_jpeg_pixels(b: bytes):
                     p += 17 + nvals
             elif marker == 0xDA:
                 ns = payload[0]
+                if ns != 3:
+                    return None  # non-interleaved scans: out of profile
                 for c in range(ns):
                     cid = payload[1 + 2 * c]
                     tabs = payload[2 + 2 * c]
