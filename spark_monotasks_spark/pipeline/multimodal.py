@@ -633,6 +633,10 @@ def media_from_ids(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
     a blob."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from spark_monotasks_spark.pipeline.jpeg import encode_jpeg_pixels
+
         for pdf in batches:
             blobs = []
             for i in pdf[id_col]:
@@ -646,12 +650,6 @@ def media_from_ids(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
                     # dims keep x+y+c < 256 so no wrap), pixel-decodable
                     # by pipeline.jpeg; SOF0 dims match the header-only
                     # fixture so media_meta_extract's oracle is unchanged
-                    import numpy as np
-
-                    from spark_monotasks_spark.pipeline.jpeg import (
-                        encode_jpeg_pixels,
-                    )
-
                     w_j, h_j = 32 + i % 64, 24 + i % 40
                     x = np.arange(w_j)[None, :, None]
                     y = np.arange(h_j)[:, None, None]
