@@ -78,6 +78,10 @@ HEADLINE = [
     "window_range_trailing",
     # flagship composite: quality filter -> dedup -> split, one flow
     "e2e_training_pipeline",
+    # retrieval stack representative (df/dl aggregates + broadcast +
+    # top-k) and the entropy-level decode path
+    "bm25_rank_query",
+    "jpeg_decode_stats",
 ]
 
 

@@ -689,17 +689,22 @@ PIXEL_STATS_SCHEMA = T.StructType(
 
 def image_pixel_stats(media: DataFrame) -> DataFrame:
     """Per-image channel statistics from REAL pixel decode
-    (:func:`decode_png_pixels`): mean of each RGB channel + red-channel
-    std, rounded for cross-engine fp parity.  Undecodable blobs yield
-    NULL stats.  Arrow-batched mapInPandas; blobs never leave their
-    partition."""
+    (:func:`decode_png_pixels`, falling through to the pure-numpy
+    baseline JPEG decoder in :mod:`pipeline.jpeg`): mean of each RGB
+    channel + red-channel std, rounded for cross-engine fp parity.
+    Undecodable blobs yield NULL stats.  Arrow-batched mapInPandas;
+    blobs never leave their partition."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from spark_monotasks_spark.pipeline.jpeg import decode_jpeg_pixels
+
         for pdf in batches:
             out = {k: [] for k in
                    ("width", "height", "mean_r", "mean_g", "mean_b", "std_r")}
             for b in pdf["blob"]:
                 px = decode_png_pixels(b) if b is not None else None
+                if px is None and b is not None:
+                    px = decode_jpeg_pixels(bytes(b))
                 if px is None:
                     for k in out:
                         out[k].append(None)

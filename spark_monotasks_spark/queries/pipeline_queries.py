@@ -1449,3 +1449,20 @@ def bm25_rank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20)
     )
+
+
+@register("jpeg_decode_stats")  # JPEG is lossy → stats are codec-exact but
+# not SQL-re-derivable; bounded-error vs the generative gradient is
+# asserted in tests/test_pipeline.py (rows-only driver check)
+def jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL entropy-level decode in the driver contract: scan-bearing
+    baseline JPEGs (pipeline.jpeg, pure-numpy Huffman+IDCT) are encoded
+    distributed and pixel-decoded back to channel statistics.  Lossy by
+    format, so no exact SQL oracle — the local test bounds the error
+    against the generative gradient instead."""
+    t = _t(spark, sf_dir)
+    ids = t["documents"].filter(
+        (F.col("doc_id") < 300) & (F.col("doc_id") % 3 == 1)
+    ).select(F.col("doc_id").alias("media_id"))
+    media = multimodal.media_from_ids(ids)
+    return multimodal.image_pixel_stats(media)

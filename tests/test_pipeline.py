@@ -1056,3 +1056,19 @@ def test_jpeg_blobs_decode_in_feature_batch(spark):
         # gradient mean_r ≈ (w-1)/2 + (h-1)/2 within JPEG loss
         expect = (r.width - 1) / 2 + (r.height - 1) / 2
         assert abs(r.features[0] - expect) < 1.5, (i, r.features[0], expect)
+
+
+def test_jpeg_decode_stats_bounded_error(spark, tables):
+    from spark_monotasks_spark.queries.pipeline_queries import jpeg_decode_stats
+    from tests.conftest import SF_TEST_DIR
+
+    rows = jpeg_decode_stats(spark, SF_TEST_DIR).collect()
+    assert rows and all(r.width is not None for r in rows)
+    for r in rows:
+        i = r.media_id
+        assert (r.width, r.height) == (32 + i % 64, 24 + i % 40)
+        expect = (r.width - 1) / 2 + (r.height - 1) / 2
+        # JPEG loss bounds: channel means within 1.5 grey levels
+        assert abs(r.mean_r - expect) < 1.5
+        assert abs(r.mean_g - (expect + 1)) < 1.5
+        assert abs(r.mean_b - (expect + 2)) < 1.5
