@@ -309,3 +309,110 @@ def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_price"
         ),
     )
+
+
+@register(
+    "sql_lateral_join_topn",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey,
+           round(o.o_totalprice, 2) AS o_totalprice
+    FROM customer c,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) o
+    WHERE c.c_custkey < 200
+    """,
+)
+def sql_lateral_join_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery join (the SQL-standard sibling of
+    LATERAL VIEW — per-customer top-2 orders via an ORDER BY + LIMIT
+    subquery referencing the outer row).  Catalyst decorrelates this
+    into a window-rank under the hood; DuckDB executes the LATERAL
+    directly — same rows either way."""
+    return _ctx(spark, sf_dir, "customer", "orders").sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey,
+               round(o.o_totalprice, 2) AS o_totalprice
+        FROM customer c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) o
+        WHERE c.c_custkey < 200
+        """
+    )
+
+
+@register(
+    "try_error_safe_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                ELSE round(o_totalprice / (o_orderkey % 7), 4) END
+             AS safe_div,
+           TRY_CAST(o_orderpriority AS INT) AS bad_int,
+           TRY_CAST(substr(o_orderpriority, 1, 1) AS INT) AS good_int
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def try_error_safe_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression family (try_divide / try_cast): malformed
+    input and division by zero produce NULL rather than failing the
+    task — at 100 TB of dirty data this is the difference between a
+    quarantine column and a dead job.  DuckDB's TRY_CAST + an explicit
+    zero-guard reproduce the semantics exactly."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].filter(F.col("o_orderkey") < 2000)
+    return o.select(
+        "o_orderkey",
+        # divisor ∈ {0..6}: every quotient of a 2-decimal price either
+        # terminates within 4 decimals or never terminates, so round(4)
+        # can't land on an exact half (…/8 did, and the two engines
+        # break half-ties differently)
+        F.round(
+            F.try_divide("o_totalprice", F.col("o_orderkey") % 7), 4
+        ).alias("safe_div"),
+        F.try_to_number("o_orderpriority", F.lit("9")).cast("int").alias("bad_int")
+        if False
+        else F.col("o_orderpriority").try_cast("int").alias("bad_int"),
+        F.substring("o_orderpriority", 1, 1).try_cast("int").alias("good_int"),
+    )
+
+
+@register(
+    "union_by_name_evolution",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           round(coalesce(o_totalprice, -1.0), 2) AS o_totalprice
+    FROM orders WHERE o_orderkey < 500
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, -1.0
+    FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 1000
+    """,
+)
+def union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName(allowMissingColumns=True): schema-evolved frames
+    (one side lacks o_totalprice) union by NAME with NULL backfill —
+    the DataFrame-side sibling of parquet mergeSchema.  The backfilled
+    NULL is coalesced to a sentinel in both dialects for the value
+    hash."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"]
+    a = o.filter(F.col("o_orderkey") < 500).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    b = (
+        o.filter((F.col("o_orderkey") >= 500) & (F.col("o_orderkey") < 1000))
+        .select("o_orderkey", "o_orderstatus")
+    )
+    u = a.unionByName(b, allowMissingColumns=True)
+    return u.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.coalesce("o_totalprice", F.lit(-1.0)), 2).alias(
+            "o_totalprice"
+        ),
+    )
