@@ -416,3 +416,54 @@ def union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_totalprice"
         ),
     )
+
+
+@register(
+    "sql_recursive_calendar",
+    oracle="""
+    WITH RECURSIVE months(m) AS (
+      SELECT CAST(date_trunc('month', (SELECT min(o_orderdate) FROM orders))
+                  AS DATE)
+      UNION ALL
+      SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+      WHERE m < CAST(date_trunc('month', (SELECT max(o_orderdate) FROM orders))
+                     AS DATE)
+    ), per_month AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+             count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(months.m AS VARCHAR) AS month,
+           coalesce(n, 0) AS n_orders,
+           coalesce(revenue, 0.0) AS revenue
+    FROM months LEFT JOIN per_month ON months.m = per_month.m
+    """,
+)
+def sql_recursive_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE, new in Spark 4 — the parser-level
+    capability the reference era lacked entirely): generate a gap-free
+    month spine from min to max order date recursively, then left-join
+    per-month order counts — the classic calendar-spine reporting
+    pattern where a missing month must appear as an explicit zero row.
+    The spine is bounded by the date RANGE (not the table size), so the
+    recursion depth is ~tens regardless of corpus scale."""
+    return _ctx(spark, sf_dir, "orders").sql(
+        """
+        WITH RECURSIVE months(m) AS (
+          SELECT CAST(date_trunc('month',
+                      (SELECT min(o_orderdate) FROM orders)) AS DATE)
+          UNION ALL
+          SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM months
+          WHERE m < CAST(date_trunc('month',
+                         (SELECT max(o_orderdate) FROM orders)) AS DATE)
+        ), per_month AS (
+          SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+                 count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+          FROM orders GROUP BY 1
+        )
+        SELECT CAST(months.m AS STRING) AS month,
+               coalesce(n, 0) AS n_orders,
+               coalesce(revenue, 0.0) AS revenue
+        FROM months LEFT JOIN per_month ON months.m = per_month.m
+        """
+    )
