@@ -467,3 +467,52 @@ def sql_recursive_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM months LEFT JOIN per_month ON months.m = per_month.m
         """
     )
+
+
+@register(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           round(sum(o_totalprice), 2) AS rev
+    FROM orders WHERE o_totalprice > 100000.0
+    GROUP BY o_orderstatus
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (|>, Spark 4): the same relational pipeline
+    written operator-by-operator in reading order — FROM |> WHERE |>
+    AGGREGATE … GROUP BY — must plan identically to the nested SELECT
+    the oracle runs."""
+    return _ctx(spark, sf_dir, "orders").sql(
+        """
+        FROM orders
+        |> WHERE o_totalprice > 100000.0
+        |> AGGREGATE count(*) AS n, round(sum(o_totalprice), 2) AS rev
+           GROUP BY o_orderstatus
+        """
+    )
+
+
+@register(
+    "sql_parameterized",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n
+    FROM orders
+    WHERE o_totalprice > 250000.0 AND o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (named :markers bound server-side — the
+    injection-safe API surface).  The literals live in the args map,
+    never in the SQL text; the oracle inlines the same values."""
+    _ctx(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n
+        FROM orders
+        WHERE o_totalprice > :lim AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"lim": 250000.0, "status": "F"},
+    )
