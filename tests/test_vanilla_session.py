@@ -56,6 +56,13 @@ PROBES = [
     "timeseries_gapfill",
     "window_range_trailing",
     "incremental_agg_refresh",
+    # round-3 (third wave): Spark-4 parser features on a bare session
+    # (recursive CTE date arithmetic is ANSI-sensitive; pipe syntax and
+    # LATERAL exercise the parser path end-to-end)
+    "sql_recursive_calendar",
+    "sql_pipe_syntax",
+    "sql_lateral_join_topn",
+    "jpeg_decode_stats",
 ]
 
 _SCRIPT = r"""
