@@ -167,3 +167,81 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _events(spark, sf_dir).filter(F.col("user_id") < 40)
     return resample_ffill(e, "user_id", "ts", "value", step_seconds=3600)
+
+
+@register(
+    "session_window_sql",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             epoch(ts) AS raw FROM events WHERE user_id < 30
+    ), marked AS (
+      SELECT user_id, sec, raw,
+             CASE WHEN raw - lag(raw) OVER (PARTITION BY user_id ORDER BY raw)
+                       > 1800 OR
+                  lag(raw) OVER (PARTITION BY user_id ORDER BY raw) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e
+    ), grouped AS (
+      SELECT user_id, sec, raw,
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY raw
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS sid
+      FROM marked
+    )
+    SELECT user_id, min(sec) AS session_start,
+           max(sec) + 1800 AS session_end, count(*) AS n_events
+    FROM grouped GROUP BY user_id, sid
+    """,
+)
+def session_window_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (F.session_window, 30-minute gap) checked
+    against FIRST PRINCIPLES: the oracle rebuilds the same sessions with
+    the classic gaps-and-islands SQL (lag → new-session flag → running
+    sum → group), so Spark's built-in session assignment — including
+    the end = last event + gap convention — is value-audited, not just
+    trusted.  Batch form of the streaming session_windowed_agg."""
+    e = _events(spark, sf_dir).filter(F.col("user_id") < 30)
+    sw = e.groupBy(
+        "user_id", F.session_window("ts", "30 minutes")
+    ).agg(F.count("*").alias("n_events"))
+    sec = lambda c: F.col(c).cast("timestamp").cast("long")  # noqa: E731
+    return sw.select(
+        "user_id",
+        sec("session_window.start").alias("session_start"),
+        sec("session_window.end").alias("session_end"),
+        "n_events",
+    )
+
+
+@register(
+    "window_sliding_counts",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events
+    ), assigned AS (
+      SELECT (sec // 3600) * 3600 AS w1, ((sec // 3600) - 1) * 3600 AS w2
+      FROM e
+    ), melted AS (
+      SELECT w1 AS window_start FROM assigned
+      UNION ALL
+      SELECT w2 FROM assigned
+    )
+    SELECT window_start, count(*) AS n FROM melted GROUP BY window_start
+    """,
+)
+def window_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (F.window with slide < length: 2-hour
+    windows every hour — each event lands in exactly two).  The oracle
+    assigns both containing windows arithmetically, proving Spark's
+    window expansion semantics."""
+    e = _events(spark, sf_dir)
+    w = e.groupBy(F.window("ts", "2 hours", "1 hour")).agg(
+        F.count("*").alias("n")
+    )
+    return w.select(
+        F.col("window.start").cast("timestamp").cast("long")
+        .alias("window_start"),
+        "n",
+    )
