@@ -1631,3 +1631,99 @@ def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "higher_order_funcs",
+    oracle="""
+    WITH g AS (
+      SELECT o_custkey,
+             list_sort(list(round(o_totalprice, 2))) AS prices
+      FROM orders WHERE o_custkey < 300 GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           round(list_reduce(prices, (a, b) -> a + b), 2) AS total,
+           len(list_filter(prices, p -> p > 200000.0)) AS n_big,
+           round(list_reduce(list_transform(prices, p -> p + 10.0),
+                             (a, b) -> a + b), 2) AS bumped_total,
+           round(prices[1], 2) AS cheapest
+    FROM g WHERE len(prices) > 0
+    """,
+)
+def higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (transform / filter / aggregate —
+    the JVM-side lambda family the whole pipeline layer is built on):
+    per-customer price arrays folded, filtered, and mapped without a
+    single UDF.  DuckDB's list lambdas replicate each step."""
+    t = _t(spark, sf_dir)
+    g = (
+        t["orders"]
+        .filter(F.col("o_custkey") < 300)
+        .groupBy("o_custkey")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.round("o_totalprice", 2))
+            ).alias("prices")
+        )
+    )
+    fsum = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0.0), lambda a, b: a + b
+    )
+    return g.filter(F.size("prices") > 0).select(
+        "o_custkey",
+        F.round(fsum(F.col("prices")), 2).alias("total"),
+        F.size(
+            F.filter(F.col("prices"), lambda p: p > 200000.0)
+        ).alias("n_big"),
+        # the map stays exact (+10.0 on 2-decimal values): a 0.9
+        # multiply made the fold land on representation-dependent
+        # half-boundaries that the two engines round apart
+        F.round(
+            fsum(F.transform(F.col("prices"), lambda p: p + 10.0)), 2
+        ).alias("bumped_total"),
+        F.round(F.element_at("prices", 1), 2).alias("cheapest"),
+    )
+
+
+@register(
+    "explode_outer_semantics",
+    oracle="""
+    WITH g AS (
+      SELECT c.c_custkey,
+             (SELECT list(o.o_orderkey ORDER BY o.o_orderkey)
+              FROM orders o WHERE o.o_custkey = c.c_custkey
+                AND o.o_totalprice > 400000.0) AS big_orders
+      FROM customer c WHERE c.c_custkey < 300
+    )
+    SELECT c_custkey, u.ok AS o_orderkey
+    FROM g LEFT JOIN LATERAL (
+      SELECT unnest(big_orders) AS ok
+    ) u ON TRUE
+    """,
+)
+def explode_outer_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer (generator null semantics): customers with NO
+    qualifying orders keep one row with a NULL orderkey — plain explode
+    would drop them.  The oracle reproduces it with LEFT JOIN LATERAL
+    unnest."""
+    t = _t(spark, sf_dir)
+    c = t["customer"].filter(F.col("c_custkey") < 300)
+    o = t["orders"].filter(F.col("o_totalprice") > 400000.0)
+    g = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.sort_array(
+                F.filter(
+                    F.collect_list("o_orderkey"), lambda x: x.isNotNull()
+                )
+            ).alias("big_orders")
+        )
+        .withColumn(
+            "big_orders",
+            F.when(F.size("big_orders") > 0, F.col("big_orders")),
+        )
+    )
+    return g.select(
+        "c_custkey", F.explode_outer("big_orders").alias("o_orderkey")
+    )
