@@ -364,3 +364,25 @@ def test_python_datasource_jsonl_sink_roundtrip(spark, tmp_path):
     assert manifest["rows"] == 50 and len(manifest["files"]) == 4
     back = spark.read.json(out + "/part-*.jsonl")
     assert sorted(r.id for r in back.collect()) == list(range(50))
+
+
+def test_observe_metrics_collected(spark):
+    """df.observe: named aggregate metrics piggyback on a real action
+    (no extra scan) and surface through the observation handle."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation("orders_obs")
+    df = (
+        spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_totalprice").alias("sum_price"),
+        )
+        .filter(F.col("o_totalprice") > 0)
+    )
+    n = df.count()
+    got = obs.get
+    assert got["n_rows"] >= n and got["n_rows"] > 0
+    assert got["sum_price"] > 0

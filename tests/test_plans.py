@@ -378,3 +378,11 @@ def test_exchange_reuse_in_self_union(spark):
     two.collect()  # AQE finalizes reuse only on execution
     plan = plan_of(two)
     assert "ReusedExchange" in plan or plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_session_window_single_shuffle(spark):
+    """Native session windows: one user_id exchange serves gap
+    detection, session assignment, and the final aggregate."""
+    df = QUERY_REGISTRY["session_window_sql"](spark, SF)
+    plan = plan_of(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
