@@ -386,3 +386,34 @@ def test_observe_metrics_collected(spark):
     got = obs.get
     assert got["n_rows"] >= n and got["n_rows"] > 0
     assert got["sum_price"] > 0
+
+
+def test_csv_malformed_modes(spark, tmp_path):
+    """Dirty-ingest semantics (CSVRelation's dropMalformed lineage):
+    PERMISSIVE quarantines bad rows in _corrupt_record with NULL typed
+    fields, DROPMALFORMED silently drops them, FAILFAST raises."""
+    import pytest as _pytest
+
+    p = tmp_path / "dirty.csv"
+    p.write_text("id,price\n1,10.5\nnot_an_int,oops,extra\n3,7.25\n")
+    schema = "id int, price double, _corrupt_record string"
+    permissive = spark.read.schema(schema).option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    ).option("header", "true").csv(str(p))
+    rows = permissive.collect()
+    assert len(rows) == 3
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert len(bad) == 1 and bad[0].id is None
+    dropped = (
+        spark.read.schema("id int, price double")
+        .option("mode", "DROPMALFORMED").option("header", "true")
+        .csv(str(p))
+    )
+    assert sorted(r.id for r in dropped.collect()) == [1, 3]
+    with _pytest.raises(Exception, match="Malformed|FAILFAST|BadRecord"):
+        (
+            spark.read.schema("id int, price double")
+            .option("mode", "FAILFAST").option("header", "true")
+            .csv(str(p))
+            .collect()
+        )
