@@ -1727,3 +1727,71 @@ def explode_outer_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "c_custkey", F.explode_outer("big_orders").alias("o_orderkey")
     )
+
+
+@register(
+    "nested_struct_ops",
+    oracle="""
+    SELECT o_orderkey,
+           o_custkey AS cust,
+           round(o_totalprice + 1.0, 2) AS bumped,
+           upper(o_orderstatus) AS status_u
+    FROM orders WHERE o_orderkey < 1000
+    """,
+)
+def nested_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-struct surgery (withField / dropFields — the modern form
+    of the reference's GetField/named_struct expressions,
+    complexTypes.scala): build a struct, update one field in place,
+    drop another, then project the pieces back out flat.  The oracle
+    states the equivalent flat computation — a value match proves the
+    struct rebuild touched exactly the intended fields."""
+    t = _t(spark, sf_dir)
+    o = t["orders"].filter(F.col("o_orderkey") < 1000)
+    s = F.struct(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    reshaped = (
+        s.withField("price", F.round(F.col("o_totalprice") + 1.0, 2))
+        .withField("status", F.upper(F.col("o_orderstatus")))
+        .dropFields("prio")
+    )
+    return o.select("o_orderkey", reshaped.alias("s")).select(
+        "o_orderkey",
+        F.col("s.cust").alias("cust"),
+        F.col("s.price").alias("bumped"),
+        F.col("s.status").alias("status_u"),
+    )
+
+
+@register(
+    "collation_ci_group",
+    oracle="""
+    SELECT lower(CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+                      ELSE event_type END) AS etype,
+           count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def collation_ci_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String collations (Spark 4): a UTF8_LCASE-collated column groups
+    case-insensitively — 'CLICK' and 'click' land in one group without
+    rewriting every predicate with lower().  The oracle normalizes
+    explicitly; output is lowercased for a stable display form."""
+    t = _t(spark, sf_dir)
+    mixed = t["events"].select(
+        F.when(
+            F.col("event_id") % 2 == 0, F.upper("event_type")
+        ).otherwise(F.col("event_type")).alias("etype_raw")
+    )
+    collated = mixed.select(
+        F.collate("etype_raw", "UTF8_LCASE").alias("etype_ci")
+    )
+    return (
+        collated.groupBy("etype_ci")
+        .agg(F.count("*").alias("n"))
+        .select(F.lower("etype_ci").alias("etype"), "n")
+    )
