@@ -1795,3 +1795,55 @@ def collation_ci_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .select(F.lower("etype_ci").alias("etype"), "n")
     )
+
+
+@register(
+    "array_setops_funcs",
+    oracle="""
+    WITH a AS (
+      SELECT o_custkey,
+             list_sort(list(DISTINCT o_orderpriority)) AS prios_hi
+      FROM orders WHERE o_totalprice > 250000.0 GROUP BY o_custkey
+    ), b AS (
+      SELECT o_custkey,
+             list_sort(list(DISTINCT o_orderpriority)) AS prios_lo
+      FROM orders WHERE o_totalprice <= 250000.0 GROUP BY o_custkey
+    )
+    SELECT a.o_custkey,
+           coalesce(array_to_string(list_sort(list_distinct(
+             list_concat(prios_hi, prios_lo))), ','), '') AS union_p,
+           coalesce(array_to_string(list_sort(
+             list_intersect(prios_hi, prios_lo)), ','), '') AS common_p,
+           -- DuckDB's array_to_string of an empty list yields NULL,
+           -- Spark's array_join yields '' — coalesce to match
+           coalesce(array_to_string(list_sort(list_filter(prios_hi,
+             x -> NOT list_contains(prios_lo, x))), ','), '') AS only_hi
+    FROM a JOIN b USING (o_custkey)
+    """,
+)
+def array_setops_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra (array_union / array_intersect / array_except
+    — the collection expressions the reference reached through Hive
+    brickwork): per-customer priority sets from the high- and low-value
+    order populations, combined three ways.  Arrays serialized to comma
+    strings for the scalar catalog contract."""
+    t = _t(spark, sf_dir)
+    o = t["orders"]
+    a = (
+        o.filter(F.col("o_totalprice") > 250000.0)
+        .groupBy("o_custkey")
+        .agg(F.sort_array(F.collect_set("o_orderpriority")).alias("hi"))
+    )
+    b = (
+        o.filter(F.col("o_totalprice") <= 250000.0)
+        .groupBy("o_custkey")
+        .agg(F.sort_array(F.collect_set("o_orderpriority")).alias("lo"))
+    )
+    j = a.join(b, on="o_custkey")
+    arr_str = lambda c: F.array_join(F.sort_array(c), ",")  # noqa: E731
+    return j.select(
+        "o_custkey",
+        arr_str(F.array_union("hi", "lo")).alias("union_p"),
+        arr_str(F.array_intersect("hi", "lo")).alias("common_p"),
+        arr_str(F.array_except("hi", "lo")).alias("only_hi"),
+    )
