@@ -30,6 +30,30 @@ def _vec(col: str | Column) -> Column:
     return array_to_vector(c.cast("array<double>"))
 
 
+def _drop_training_summary(model):
+    """Detach the JVM training summary before the model enters a task
+    closure.
+
+    Summary-bearing models (HasTrainingSummary: logistic/linear
+    regression, random forest, k-means, ...) keep a reference to the
+    SparkSession inside the summary.  The session serializes fine while
+    its lazily-initialized ``observationManager`` field is still null,
+    but after any ``df.observe()`` call in the process that field is
+    populated with a non-serializable ObservationManager — and every
+    later ``model.transform`` whose prediction UDF captures the model
+    dies with ``Task not serializable``.  Stripping the summary (the
+    same thing ML persistence does on save/load) makes the model
+    closure session-free; the wrappers never expose the summary, so
+    nothing is lost.  Returns the model for chaining."""
+    from pyspark import SparkContext
+
+    try:
+        model._java_obj.setSummary(SparkContext._jvm.scala.Option.empty())
+    except Exception:
+        pass  # model type without a summary slot — nothing to strip
+    return model
+
+
 def _check_free(df: DataFrame, *names: str) -> None:
     """The wrappers introduce fixed intermediate/output columns; an
     input frame already carrying one would be silently clobbered or
@@ -56,7 +80,9 @@ def kmeans_fit_predict(
     input plus a ``cluster`` column."""
     _check_free(df, "_features", "prediction", "cluster")
     feat = df.withColumn("_features", _vec(features_col))
-    model = KMeans(k=k, seed=seed, maxIter=max_iter, featuresCol="_features").fit(feat)
+    model = _drop_training_summary(
+        KMeans(k=k, seed=seed, maxIter=max_iter, featuresCol="_features").fit(feat)
+    )
     return model.transform(feat).withColumnRenamed("prediction", "cluster").drop(
         "_features"
     )
@@ -74,12 +100,14 @@ def logistic_regression_fit(
     ``prediction`` and ``probability`` columns."""
     _check_free(df, "_features", "prediction", "probability", "rawPrediction")
     feat = df.withColumn("_features", _vec(features_col))
-    model = LogisticRegression(
-        maxIter=max_iter,
-        regParam=reg_param,
-        featuresCol="_features",
-        labelCol=label_col,
-    ).fit(feat)
+    model = _drop_training_summary(
+        LogisticRegression(
+            maxIter=max_iter,
+            regParam=reg_param,
+            featuresCol="_features",
+            labelCol=label_col,
+        ).fit(feat)
+    )
     out = model.transform(feat)
     return out.withColumn("probability", vector_to_array("probability")).drop(
         "_features", "rawPrediction"
@@ -103,8 +131,10 @@ def linear_regression_fit(
         featuresCol="_features",
         labelCol=label_col,
     ).fit(feat)
+    coefficients, intercept = list(model.coefficients), float(model.intercept)
+    _drop_training_summary(model)
     preds = model.transform(feat).drop("_features")
-    return preds, list(model.coefficients), float(model.intercept)
+    return preds, coefficients, intercept
 
 
 def als_recommend(
@@ -290,13 +320,15 @@ def random_forest_fit(
 
     _check_free(df, "_features", "prediction", "rawPrediction", "probability")
     feat = df.withColumn("_features", _vec(features_col))
-    model = RandomForestClassifier(
-        numTrees=num_trees,
-        maxDepth=max_depth,
-        seed=seed,
-        featuresCol="_features",
-        labelCol=label_col,
-    ).fit(feat)
+    model = _drop_training_summary(
+        RandomForestClassifier(
+            numTrees=num_trees,
+            maxDepth=max_depth,
+            seed=seed,
+            featuresCol="_features",
+            labelCol=label_col,
+        ).fit(feat)
+    )
     return model.transform(feat).drop("_features", "rawPrediction", "probability")
 
 
@@ -318,11 +350,13 @@ def gbt_fit(
 
     _check_free(df, "_features", "prediction", "rawPrediction", "probability")
     feat = df.withColumn("_features", _vec(features_col))
-    model = GBTClassifier(
-        maxIter=max_iter,
-        maxDepth=max_depth,
-        seed=seed,
-        featuresCol="_features",
-        labelCol=label_col,
-    ).fit(feat)
+    model = _drop_training_summary(
+        GBTClassifier(
+            maxIter=max_iter,
+            maxDepth=max_depth,
+            seed=seed,
+            featuresCol="_features",
+            labelCol=label_col,
+        ).fit(feat)
+    )
     return model.transform(feat).drop("_features", "rawPrediction", "probability")

@@ -219,16 +219,21 @@ def test_model_persistence_roundtrip(spark, tmp_path):
         LogisticRegressionModel,
     )
 
-    from spark_monotasks_spark.ml.wrappers import _vec
+    from spark_monotasks_spark.ml.wrappers import _drop_training_summary, _vec
 
     rows = [(i, [float(i % 7), float((i * 3) % 5)], float(i % 2))
             for i in range(60)]
     df = spark.createDataFrame(
         rows, "id long, embedding array<float>, label double"
     ).withColumn("_features", _vec("embedding"))
-    model = LogisticRegression(
-        maxIter=10, featuresCol="_features", labelCol="label"
-    ).fit(df)
+    # strip the training summary before transform: it pins the session,
+    # which stops serializing once any df.observe() ran in the process
+    # (see wrappers._drop_training_summary; save/load drops it anyway)
+    model = _drop_training_summary(
+        LogisticRegression(
+            maxIter=10, featuresCol="_features", labelCol="label"
+        ).fit(df)
+    )
     path = str(tmp_path / "lr_model")
     model.write().overwrite().save(path)
     loaded = LogisticRegressionModel.load(path)
