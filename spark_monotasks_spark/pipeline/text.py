@@ -382,19 +382,34 @@ def pack_manifest(
     )
 
 
+def ngram_fold(toks: Column, n: int, sep: str = " ") -> Column:
+    """Overlapping word n-grams of a token array (``size - n + 1``
+    entries, NOT distinct), built by folding ``n-1`` shifted-slice
+    ``zip_with`` concat passes: gram[i] = toks[i] ‖ sep ‖ … ‖
+    toks[i+n-1].  One O(len) pass per shift beats
+    ``transform(sequence(...), i -> join(slice(toks, i, n)))`` — an
+    O(n) slice+join per *index* under an interpreted lambda — by ~5× at
+    sf0.1.  Arrays shorter than ``n`` yield an empty array (guarded:
+    Spark's ``sequence(1, 0)`` would DESCEND, not empty; the slice
+    length is clamped at 0 so speculative evaluation stays legal)."""
+    n_grams = F.greatest(F.size(toks) - n + 1, F.lit(0))
+    acc = F.slice(toks, 1, n_grams)
+    for k in range(1, n):
+        acc = F.zip_with(
+            acc,
+            F.slice(toks, 1 + k, n_grams),
+            lambda a, b: F.concat(a, F.lit(sep), b),
+        )
+    return F.when(F.size(toks) >= n, acc).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def word_ngrams(col: Column | str, n: int = 5) -> Column:
     """Distinct word n-grams of a document as an array<string> — one
     higher-order-function expression, no explode until the caller
-    chooses to.  Docs shorter than ``n`` tokens yield an empty array
-    (guarded: Spark's ``sequence(1, 0)`` would DESCEND, not empty)."""
-    toks = tokens(col)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - n + 1),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
-    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
+    chooses to.  Docs shorter than ``n`` tokens yield an empty array."""
+    return F.array_distinct(ngram_fold(tokens(col), n))
 
 
 def contamination_check(
@@ -515,12 +530,9 @@ def repetition_stats(
     lambdas and double-evaluated array exprs lose to Tungsten's
     compiled hash aggregate).  Docs shorter than ``n`` tokens score 0.
 
-    Gram construction folds ``n-1`` shifted-slice ``zip_with`` passes
-    (gram[i] = toks[i] ‖ toks[i+1] ‖ …) instead of
-    ``transform(sequence(...), i -> array_join(slice(toks, i, n)))`` —
-    one O(len) concat per pass versus an O(n) slice+join per *index*
-    under an interpreted lambda; measured 5× faster at sf0.1 with
-    identical output.
+    Gram construction uses the shifted-slice ``zip_with`` fold
+    (``ngram_fold``) — see its docstring for why it beats the
+    index-lambda form ~5×.
 
     ``hash_grams=True`` is the 100 TB path: grams hash to int64 before
     the shuffle (xxhash64), shrinking shuffle width ~2× and measuring
@@ -533,19 +545,7 @@ def repetition_stats(
     dup_line_frac = F.round(
         1 - F.size(F.array_distinct(lines)) / F.size(lines), 4
     )
-    # gram count when size >= n; clamped at 0 so the slice length stays
-    # legal even if the short-doc branch is speculatively evaluated
-    n_grams = F.greatest(F.size(toks) - n + 1, F.lit(0))
-    acc = F.slice(toks, 1, n_grams)
-    for k in range(1, n):
-        acc = F.zip_with(
-            acc,
-            F.slice(toks, 1 + k, n_grams),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        )
-    grams = F.when(F.size(toks) >= n, acc).otherwise(
-        F.array().cast("array<string>")
-    )
+    grams = ngram_fold(toks, n)
     base = df.select(
         F.col(id_col), dup_line_frac.alias("dup_line_frac"), grams.alias("_grams")
     )
