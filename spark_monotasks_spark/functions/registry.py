@@ -172,6 +172,21 @@ HIVE_BUILTIN_MAP: dict[str, Callable[..., Column]] = {
     "unbase64": F.unbase64,
     "ascii": F.ascii,
     "monotonically_increasing_id": F.monotonically_increasing_id,
+    # URL / XML / map-string builtins (Hive GenericUDFParseUrl,
+    # UDFXPath* family, GenericUDFStringToMap, GenericUDFSentences —
+    # exercised by the reference's HiveCompatibilitySuite.scala:888
+    # udf_parse_url, :938-945 udf_xpath*)
+    "parse_url": F.parse_url,
+    "xpath": F.xpath,
+    "xpath_string": F.xpath_string,
+    "xpath_boolean": F.xpath_boolean,
+    "xpath_int": F.xpath_int,
+    "xpath_long": F.xpath_long,
+    "xpath_short": F.xpath_short,
+    "xpath_float": F.xpath_float,
+    "xpath_double": F.xpath_double,
+    "str_to_map": F.str_to_map,
+    "sentences": F.sentences,
 }
 
 

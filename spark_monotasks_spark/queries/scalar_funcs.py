@@ -270,3 +270,136 @@ def string_distance_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.initcap(F.lower("c_mktsegment")).alias("seg_title"),
         F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("cust_num"),
     )
+
+
+@register(
+    "url_parse_funcs",
+    oracle="""
+    WITH u AS (
+      SELECT o_orderkey,
+             'https://shop.example.com/orders/' || o_orderkey
+               || '/items?status=' || o_orderstatus
+               || '&prio=' || replace(o_orderpriority, ' ', '_') AS url
+      FROM orders WHERE o_orderkey <= 2000
+    )
+    SELECT o_orderkey,
+           'https'                                        AS protocol,
+           'shop.example.com'                             AS host,
+           '/orders/' || o_orderkey || '/items'           AS path,
+           'status=' || (SELECT o_orderstatus FROM orders oo
+                         WHERE oo.o_orderkey = u.o_orderkey)
+             || '&prio=' || (SELECT replace(o_orderpriority, ' ', '_')
+                             FROM orders oo
+                             WHERE oo.o_orderkey = u.o_orderkey) AS query,
+           (SELECT replace(o_orderpriority, ' ', '_') FROM orders oo
+            WHERE oo.o_orderkey = u.o_orderkey)           AS prio
+    FROM u
+    """,
+)
+def url_parse_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_url (Hive GenericUDFParseUrl; reference
+    HiveCompatibilitySuite.scala:888 udf_parse_url): PROTOCOL / HOST /
+    PATH / QUERY / QUERY:key extraction.  The URL is constructed from
+    order columns, so the oracle states the expected parts
+    independently — the parser must give back exactly what was
+    assembled."""
+    t = _t(spark, sf_dir)
+    o = t["orders"].filter(F.col("o_orderkey") <= 2000)
+    url = F.concat(
+        F.lit("https://shop.example.com/orders/"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("/items?status="),
+        F.col("o_orderstatus"),
+        F.lit("&prio="),
+        # space in '4-NOT SPECIFIED' makes the whole URI invalid ->
+        # parse_url returns NULL for every part; sanitize it first
+        F.translate(F.col("o_orderpriority"), " ", "_"),
+    )
+    return o.select(
+        "o_orderkey",
+        F.parse_url(url, F.lit("PROTOCOL")).alias("protocol"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("prio")).alias("prio"),
+    )
+
+
+@register(
+    "xpath_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey                                   AS xp_key,
+           o_orderpriority                              AS xp_prio,
+           round(CAST(o_totalprice AS DOUBLE), 2)       AS xp_price,
+           o_orderkey || ',' || o_orderstatus           AS xp_texts,
+           o_orderstatus = 'O'                          AS xp_is_open
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+def xpath_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XPath extraction family (Hive UDFXPath*; reference
+    HiveCompatibilitySuite.scala:938-945 udf_xpath..udf_xpath_string):
+    xpath_int / xpath_string / xpath_double / node-list xpath /
+    xpath_boolean over an XML document assembled from order columns —
+    the oracle states the expected values straight from the source
+    columns, so the XML build+parse roundtrip is fully value-checked."""
+    t = _t(spark, sf_dir)
+    o = t["orders"].filter(F.col("o_orderkey") <= 2000)
+    xml = F.concat(
+        F.lit("<order><key>"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("</key><status>"),
+        F.col("o_orderstatus"),
+        F.lit("</status><prio>"),
+        F.col("o_orderpriority"),
+        F.lit("</prio><price>"),
+        F.round(F.col("o_totalprice").cast("double"), 2).cast("string"),
+        F.lit("</price></order>"),
+    )
+    return o.select(
+        "o_orderkey",
+        F.xpath_int(xml, F.lit("/order/key")).alias("xp_key"),
+        F.xpath_string(xml, F.lit("/order/prio")).alias("xp_prio"),
+        F.round(F.xpath_double(xml, F.lit("/order/price")), 2).alias("xp_price"),
+        F.array_join(
+            F.xpath(xml, F.lit("/order/key/text()|/order/status/text()")), ","
+        ).alias("xp_texts"),
+        F.xpath_boolean(xml, F.lit("/order/status='O'")).alias("xp_is_open"),
+    )
+
+
+@register(
+    "str_to_map_funcs",
+    oracle="""
+    SELECT c_custkey,
+           c_mktsegment                   AS seg,
+           CAST(c_nationkey AS VARCHAR)   AS nat,
+           'nat,seg'                      AS keys_sorted,
+           2                              AS n_entries
+    FROM customer WHERE c_custkey <= 300
+    """,
+)
+def str_to_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """str_to_map (Hive GenericUDFStringToMap, reached by name through
+    the reference's Hive registry): parse 'k:v,k:v' strings into a map,
+    then typed value access + key enumeration + cardinality — the
+    round-trip from columns through a serialized kv-string back to the
+    same values, stated independently by the oracle.  Output stays
+    scalar-only (map values extracted, keys joined)."""
+    t = _t(spark, sf_dir)
+    c = t["customer"].filter(F.col("c_custkey") <= 300)
+    kv = F.concat(
+        F.lit("seg:"),
+        F.col("c_mktsegment"),
+        F.lit(",nat:"),
+        F.col("c_nationkey").cast("string"),
+    )
+    m = F.str_to_map(kv, F.lit(","), F.lit(":"))
+    return c.select(
+        "c_custkey",
+        m.getItem("seg").alias("seg"),
+        m.getItem("nat").alias("nat"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+        F.size(m).alias("n_entries"),
+    )

@@ -246,6 +246,24 @@ def test_registry_resolves_hive_names(spark):
         resolve_function("definitely_not_a_function")
 
 
+def test_registry_url_xml_map_names(spark):
+    """parse_url / xpath* / str_to_map reached by Hive-era name
+    (HiveCompatibilitySuite udf_parse_url, udf_xpath*)."""
+    df = spark.createDataFrame(
+        [("https://h.example/p?a=1", "<r><v>7</v></r>", "a:1,b:2")],
+        "url string, xml string, kv string",
+    )
+    purl = resolve_function("parse_url")
+    assert df.select(purl("url", F.lit("HOST")).alias("h")).first().h == "h.example"
+    xint = resolve_function("XPATH_INT")
+    assert df.select(xint("xml", F.lit("/r/v")).alias("v")).first().v == 7
+    s2m = resolve_function("str_to_map")
+    got = df.select(
+        s2m("kv", F.lit(","), F.lit(":")).getItem("b").alias("b")
+    ).first()
+    assert got.b == "2"
+
+
 def test_registry_date_functions(spark):
     df = spark.createDataFrame([Row(d="2024-03-15")]).select(
         F.col("d").cast("date").alias("d")
