@@ -1,0 +1,151 @@
+"""Count-min sketch as plain DataFrame aggregation — mergeable
+frequency summaries for heavy-hitter queries at corpus scale.
+
+The reference's sketch surface was HyperLogLog count-distinct (SURVEY
+§2.4 ApproxCountDistinct); the modern training-data pipeline also needs
+*frequency* estimation — which tokens/domains/urls dominate a 100 TB
+corpus — without shuffling a full (key, count) table.  A count-min
+sketch (Cormode & Muthukrishnan 2005) is the standard answer: ``depth``
+hash rows × ``width`` counters, est(key) = min over rows of
+counter[h_i(key)], always ≥ the true count, within εN with ε = e/width
+at probability 1 - e^-depth.
+
+Everything here is plain DataFrame ops — no UDF, no binary blobs:
+
+- the sketch IS a DataFrame of (row, bucket, cnt): trivially mergeable
+  (union + sum — counts are decomposable), persistable as parquet,
+  inspectable, and joinable;
+- the row hashes are the engine-portable md5 family used across the
+  pipeline (first 48 bits of md5(key ‖ '#' ‖ i), mod width), so an
+  external engine (the DuckDB oracle) reproduces every counter and
+  every estimate byte-for-byte.
+
+Scale shape: the build explodes each input row into ``depth`` (row,
+bucket) pairs, but the hash aggregate collapses them map-side to at
+most depth×width rows per partition — the shuffle carries bounded
+sketch fragments, never the key stream.  Estimation broadcasts the
+(≤ depth×width row) sketch to the keys side.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def cms_bucket(key: Column, i: int, width: int) -> Column:
+    """Row-``i`` bucket of ``key``: first 48 bits of md5(key ‖ '#i'),
+    mod ``width`` — non-negative, reproducible in any engine with md5
+    and hex parsing."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(key.cast("string"), F.lit(f"#{i}")).cast("binary")),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return h % width
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 8192,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Build a count-min sketch over ``key_col`` as a sparse
+    (row int, bucket bigint, cnt bigint) DataFrame (absent buckets are
+    zero).  ``weight_col`` aggregates a measure instead of occurrence
+    counts (e.g. bytes per domain).  NULL keys are skipped, matching
+    count(col) semantics."""
+    if depth < 1 or width < 1:
+        raise ValueError(f"depth ({depth}) and width ({width}) must be >= 1")
+    key = F.col(key_col)
+    w = (F.col(weight_col) if weight_col else F.lit(1)).cast("long")
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("row"),
+                cms_bucket(key, i, width).alias("bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.filter(key.isNotNull())
+        .select(F.explode(pairs).alias("rb"), w.alias("_w"))
+        .groupBy(
+            F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket")
+        )
+        .agg(F.sum("_w").alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge sketches built with the SAME depth/width: union + sum.
+    Counter-wise addition is exact (no information loss relative to
+    building once over the concatenated inputs) — the property that
+    lets per-shard / per-day sketches roll up without rescanning."""
+    if not sketches:
+        raise ValueError("cms_merge needs at least one sketch")
+    u = reduce(DataFrame.unionAll, sketches)
+    return u.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 8192,
+) -> DataFrame:
+    """Point-query estimates for every row of ``keys``: min over the
+    ``depth`` rows of that key's counter (0 if a bucket is absent —
+    the sketch is sparse).  Returns ``keys``' columns plus ``est``.
+
+    The sketch side is ≤ depth×width rows by construction — broadcast
+    it so the keys side (possibly corpus-sized) never shuffles.
+    """
+    key = F.col(key_col)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("row"),
+                cms_bucket(key, i, width).alias("bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+    exploded = keys.select(*keys.columns, F.explode(pairs).alias("rb")).select(
+        *keys.columns,
+        F.col("rb.row").alias("row"),
+        F.col("rb.bucket").alias("bucket"),
+    )
+    joined = exploded.join(F.broadcast(sketch), on=["row", "bucket"], how="left")
+    return joined.groupBy(*keys.columns).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est")
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    k: int = 20,
+    depth: int = 4,
+    width: int = 8192,
+) -> DataFrame:
+    """Top-``k`` keys by sketch estimate: build the sketch, estimate
+    every distinct key, TakeOrdered the top k (est desc, key asc
+    tiebreak).  The distinct-key pass is the candidate enumerator; in a
+    streaming/rollup setting the sketch would instead be probed with an
+    externally-tracked candidate set, which is why build/estimate stay
+    separate functions."""
+    sketch = cms_build(df, key_col, depth, width)
+    cand = df.filter(F.col(key_col).isNotNull()).select(key_col).distinct()
+    est = cms_estimate(sketch, cand, key_col, depth, width)
+    return est.orderBy(F.col("est").desc(), F.col(key_col)).limit(k)

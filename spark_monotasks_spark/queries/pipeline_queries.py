@@ -1466,3 +1466,38 @@ def jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("doc_id").alias("media_id"))
     media = multimodal.media_from_ids(ids)
     return multimodal.image_pixel_stats(media)
+
+
+@register(
+    "cms_heavy_hitters",
+    oracle="""
+    WITH b AS (
+      SELECT l_suppkey, i,
+             CAST(('0x' || substr(md5(CAST(l_suppkey AS VARCHAR) || '#' || i),
+                                  1, 12)) AS BIGINT) % 1024 AS bucket
+      FROM lineitem CROSS JOIN (SELECT unnest(range(4)) AS i) r
+      WHERE l_suppkey IS NOT NULL
+    ),
+    cnt AS (SELECT i, bucket, count(*) AS c FROM b GROUP BY i, bucket),
+    kb AS (SELECT DISTINCT l_suppkey, i, bucket FROM b),
+    est AS (
+      SELECT l_suppkey, min(c) AS est
+      FROM kb JOIN cnt USING (i, bucket) GROUP BY l_suppkey
+    )
+    SELECT l_suppkey, est FROM est ORDER BY est DESC, l_suppkey LIMIT 20
+    """,
+)
+def cms_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters (pipeline.sketches): top-20
+    l_suppkey by sketch estimate, depth 4 × width 1024.  The md5 row
+    hashes are engine-portable, so the oracle rebuilds the SAME sketch
+    (per-(row,bucket) counters, min over rows) and must land on the
+    same estimates — the full CMS algorithm is value-audited, not just
+    bounded.  Mergeability (union+sum == single build) is asserted in
+    tests/test_pipeline.py."""
+    from spark_monotasks_spark.pipeline import sketches
+
+    t = _t(spark, sf_dir)
+    return sketches.cms_heavy_hitters(
+        t["lineitem"], "l_suppkey", k=20, depth=4, width=1024
+    )

@@ -1072,3 +1072,60 @@ def test_jpeg_decode_stats_bounded_error(spark, tables):
         assert abs(r.mean_r - expect) < 1.5
         assert abs(r.mean_g - (expect + 1)) < 1.5
         assert abs(r.mean_b - (expect + 2)) < 1.5
+
+
+# --- count-min sketch (pipeline/sketches.py) -------------------------------
+
+def test_cms_estimate_overestimates_and_exact_when_wide(spark):
+    """CMS never underestimates; with width >> distinct keys and no
+    collisions the estimate equals the exact count."""
+    from spark_monotasks_spark.pipeline import sketches
+
+    rows = [(f"k{i % 7}",) for i in range(200)] + [("hot",)] * 50
+    df = spark.createDataFrame(rows, "key string")
+    exact = {r.key: r.n for r in df.groupBy("key").count()
+             .withColumnRenamed("count", "n").collect()}
+    sk = sketches.cms_build(df, "key", depth=4, width=4096)
+    est = {r.key: r.est for r in sketches.cms_estimate(
+        sk, df.select("key").distinct(), "key", depth=4, width=4096).collect()}
+    assert set(est) == set(exact)
+    assert all(est[k] >= exact[k] for k in exact)
+    # 8 keys into 4096 buckets x 4 rows: a collision in EVERY row is
+    # (8/4096)^4-improbable; the planted counts must come back exact
+    assert est == exact
+
+
+def test_cms_merge_equals_single_build(spark):
+    """union+sum of shard sketches == one sketch over the whole input
+    (counter addition is exact), so per-shard rollups lose nothing."""
+    from spark_monotasks_spark.pipeline import sketches
+
+    df = spark.createDataFrame(
+        [(i % 13, i % 3) for i in range(300)], "key int, shard int"
+    )
+    whole = sketches.cms_build(df, "key", depth=3, width=512)
+    parts = [
+        sketches.cms_build(df.filter(F.col("shard") == s), "key",
+                           depth=3, width=512)
+        for s in (0, 1, 2)
+    ]
+    merged = sketches.cms_merge(*parts)
+    a = {(r.row, r.bucket): r.cnt for r in whole.collect()}
+    b = {(r.row, r.bucket): r.cnt for r in merged.collect()}
+    assert a == b
+
+
+def test_cms_weighted_and_guards(spark):
+    from spark_monotasks_spark.pipeline import sketches
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 5), ("b", 7), (None, 99)], "key string, w int"
+    )
+    sk = sketches.cms_build(df, "key", depth=2, width=256, weight_col="w")
+    est = {r.key: r.est for r in sketches.cms_estimate(
+        sk, df.filter(F.col("key").isNotNull()).select("key").distinct(),
+        "key", depth=2, width=256).collect()}
+    assert est == {"a": 15, "b": 7}  # NULL key skipped, weights summed
+    with _pytest.raises(ValueError):
+        sketches.cms_build(df, "key", depth=0)
