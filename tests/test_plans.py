@@ -386,3 +386,64 @@ def test_session_window_single_shuffle(spark):
     df = QUERY_REGISTRY["session_window_sql"](spark, SF)
     plan = plan_of(df)
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_runtime_bloom_filter_join_pruning(spark):
+    """Runtime bloom-filter join pruning (InjectRuntimeFilter): for a
+    fact-fact shuffle join where one side carries a selective filter,
+    the optimizer builds a bloom filter over the selective side's join
+    keys (bloom_filter_agg) and prunes the big side's rows BEFORE the
+    shuffle (might_contain) — at 100 TB this cuts the probe-side
+    exchange by the filter's selectivity.  Locally the application side
+    is under the 10 GiB applicationSideScanSizeThreshold that gates the
+    rewrite (it exists so small scans skip the extra aggregate), so the
+    test lowers it to simulate the at-scale decision; broadcast is
+    disabled because a broadcast join already hash-prunes and needs no
+    bloom filter."""
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        == "true"
+    )
+    old_thr = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        from spark_monotasks_spark.tables import load_tables
+
+        t = load_tables(spark, SF)
+        sel = t["orders"].filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_totalprice") > 200000)
+        )
+        j = t["lineitem"].join(
+            sel, F.col("l_orderkey") == F.col("o_orderkey")
+        ).groupBy("o_orderpriority").agg(F.sum("l_extendedprice").alias("rev"))
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in opt, opt
+        assert "might_contain" in opt, opt
+        # the rewrite must not change results: revenue equals the plain
+        # join's revenue with the filter applied post-hoc
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            old_thr,
+        )
+        plain = t["lineitem"].join(
+            sel, F.col("l_orderkey") == F.col("o_orderkey")
+        ).groupBy("o_orderpriority").agg(F.sum("l_extendedprice").alias("rev"))
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        assert j.collect() == plain.collect()
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            old_thr,
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
