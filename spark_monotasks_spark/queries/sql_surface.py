@@ -516,3 +516,66 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"lim": 250000.0, "status": "F"},
     )
+
+
+@register(
+    "analyze_table_stats",
+    oracle="""
+    SELECT 'c_acctbal' AS column_name,
+           (SELECT count(*) FROM customer)                          AS row_count,
+           (SELECT count(*) - count(c_acctbal) FROM customer)       AS num_nulls,
+           (SELECT round(CAST(min(c_acctbal) AS DOUBLE), 2) FROM customer)
+             AS min_value,
+           (SELECT round(CAST(max(c_acctbal) AS DOUBLE), 2) FROM customer)
+             AS max_value
+    """,
+)
+def analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE end-to-end (the reference's Hive ANALYZE path —
+    HiveQl 'analyze' → Hive table/column statistics; modern CBO feeds
+    on the same stats): save customer as a managed table, ANALYZE
+    COMPUTE STATISTICS FOR COLUMNS, then read min/max/null-count and
+    the table row count BACK from the catalog (DESCRIBE EXTENDED).
+    The oracle computes the same stats straight from the data, so a
+    match proves the stats the optimizer will plan with are the true
+    ones.  distinct_count is excluded (HLL++-approximate by design —
+    same reason approx_count_distinct is rows-only)."""
+    import hashlib
+    import shutil
+    from urllib.parse import urlparse
+
+    from spark_monotasks_spark.tables import load_tables
+
+    t = load_tables(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    table = f"customer_stats_{tag}"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    if not spark.catalog.tableExists(table):
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        shutil.rmtree(f"{wh}/{table}", ignore_errors=True)
+    t["customer"].select("c_custkey", "c_acctbal", "c_mktsegment").write.saveAsTable(
+        table
+    )
+    spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR COLUMNS c_acctbal")
+    col = (
+        spark.sql(f"DESCRIBE EXTENDED {table} c_acctbal")
+        .groupBy()
+        .pivot("info_name", ["min", "max", "num_nulls"])
+        .agg(F.first("info_value"))
+    )
+    rows = (
+        spark.sql(f"DESCRIBE EXTENDED {table}")
+        .filter(F.col("col_name") == "Statistics")
+        .select(
+            F.regexp_extract("data_type", r"(\d+) rows", 1)
+            .cast("long")
+            .alias("row_count")
+        )
+    )
+    return rows.crossJoin(col).select(
+        F.lit("c_acctbal").alias("column_name"),
+        "row_count",
+        F.col("num_nulls").cast("long").alias("num_nulls"),
+        F.round(F.col("min").cast("double"), 2).alias("min_value"),
+        F.round(F.col("max").cast("double"), 2).alias("max_value"),
+    )

@@ -447,3 +447,30 @@ def test_runtime_bloom_filter_join_pruning(spark):
             old_thr,
         )
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+
+
+def test_cbo_rowcount_from_analyzed_stats(spark, tmp_path):
+    """Cost-based planning consumes ANALYZE stats: with CBO on, the
+    optimized plan of an analyzed table carries the exact rowCount the
+    scan command computed — the number every join-reorder/broadcast
+    decision keys off.  Without ANALYZE the estimate is size-derived
+    only (no rowCount)."""
+    df = spark.range(0, 1234).selectExpr("id", "id % 7 AS g")
+    name = "cbo_stats_probe"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{wh}/{name}", ignore_errors=True)
+    df.write.saveAsTable(name)
+    old = spark.conf.get("spark.sql.cbo.enabled")
+    try:
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+        stats = spark.table(name)._jdf.queryExecution().optimizedPlan().stats()
+        assert stats.rowCount().isDefined(), stats.toString()
+        assert int(str(stats.rowCount().get())) == 1234, stats.toString()
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", old)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
