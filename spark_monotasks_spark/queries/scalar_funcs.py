@@ -403,3 +403,46 @@ def str_to_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
         F.size(m).alias("n_entries"),
     )
+
+
+@register(
+    "sentences_split",
+    oracle="""
+    SELECT o_orderkey,
+           2                                            AS n_sentences,
+           'Order ' || o_orderkey || ' is ' || o_orderstatus AS first_tokens,
+           'Priority ' || replace(replace(o_orderpriority, ' ', ''), '-', ' ')
+             AS second_tokens
+    FROM orders WHERE o_orderkey <= 1000
+    """,
+)
+def sentences_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sentences (Hive GenericUDFSentences, reached by name through the
+    reference's Hive registry; HiveCompatibilitySuite udf_sentences):
+    locale-aware sentence/word segmentation.  The text is assembled
+    from order columns with unambiguous '.'-terminated sentences, so
+    the expected segmentation is stated independently by the oracle —
+    BreakIterator must find exactly the two sentences that were
+    assembled and tokenize them back to the source words (hyphens are
+    word boundaries: '1-URGENT' → '1 URGENT', which the oracle states).
+    Output is scalar-only (token arrays re-joined with spaces)."""
+    t = _t(spark, sf_dir)
+    o = t["orders"].filter(F.col("o_orderkey") <= 1000)
+    txt = F.concat(
+        F.lit("Order "),
+        F.col("o_orderkey").cast("string"),
+        F.lit(" is "),
+        F.col("o_orderstatus"),
+        F.lit(". Priority "),
+        # '4-NOT SPECIFIED' would split into two words; collapse spaces
+        # so each sentence's token list is closed-form
+        F.translate(F.col("o_orderpriority"), " ", ""),
+        F.lit("."),
+    )
+    s = F.sentences(txt)
+    return o.select(
+        "o_orderkey",
+        F.size(s).alias("n_sentences"),
+        F.array_join(s.getItem(0), " ").alias("first_tokens"),
+        F.array_join(s.getItem(1), " ").alias("second_tokens"),
+    )
