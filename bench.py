@@ -82,6 +82,10 @@ HEADLINE = [
     # top-k) and the entropy-level decode path
     "bm25_rank_query",
     "jpeg_decode_stats",
+    # added r3 (fifth batch): mergeable frequency sketch (bounded-shuffle
+    # build + broadcast estimate) and the ANALYZE stats roundtrip
+    "cms_heavy_hitters",
+    "analyze_table_stats",
 ]
 
 
