@@ -35,20 +35,34 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def cms_bucket(key: Column, i: int, width: int) -> Column:
-    """Row-``i`` bucket of ``key``: first 48 bits of md5(key ‖ '#i'),
-    mod ``width`` — non-negative, reproducible in any engine with md5
-    and hex parsing."""
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(key.cast("string"), F.lit(f"#{i}")).cast("binary")),
-            1,
-            12,
-        ),
-        16,
-        10,
-    ).cast("long")
-    return h % width
+def cms_bucket(
+    key: Column, i: int, width: int, hash_family: str = "md5"
+) -> Column:
+    """Row-``i`` bucket of ``key``.
+
+    ``md5`` (default): first 48 bits of md5(key ‖ '#i'), mod ``width`` —
+    non-negative, reproducible in any engine with md5 and hex parsing
+    (the oracle/audit family).  ``xxhash64``: one seeded 64-bit hash —
+    ~3× cheaper per row, Spark-private bits (the 100 TB build path; use
+    it when no external engine needs to re-derive the buckets).  A
+    sketch is only meaningful against estimates from the SAME family.
+    """
+    if hash_family == "md5":
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(key.cast("string"), F.lit(f"#{i}")).cast("binary")
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return h % width
+    if hash_family == "xxhash64":
+        return F.pmod(F.xxhash64(key.cast("string"), F.lit(i)), F.lit(width))
+    raise ValueError(f"unknown hash_family {hash_family!r} (md5 | xxhash64)")
 
 
 def cms_build(
@@ -57,6 +71,7 @@ def cms_build(
     depth: int = 4,
     width: int = 8192,
     weight_col: str | None = None,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """Build a count-min sketch over ``key_col`` as a sparse
     (row int, bucket bigint, cnt bigint) DataFrame (absent buckets are
@@ -71,7 +86,7 @@ def cms_build(
         *[
             F.struct(
                 F.lit(i).cast("int").alias("row"),
-                cms_bucket(key, i, width).alias("bucket"),
+                cms_bucket(key, i, width, hash_family).alias("bucket"),
             )
             for i in range(depth)
         ]
@@ -103,6 +118,7 @@ def cms_estimate(
     key_col: str,
     depth: int = 4,
     width: int = 8192,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """Point-query estimates for every row of ``keys``: min over the
     ``depth`` rows of that key's counter (0 if a bucket is absent —
@@ -116,7 +132,7 @@ def cms_estimate(
         *[
             F.struct(
                 F.lit(i).cast("int").alias("row"),
-                cms_bucket(key, i, width).alias("bucket"),
+                cms_bucket(key, i, width, hash_family).alias("bucket"),
             )
             for i in range(depth)
         ]
@@ -138,6 +154,7 @@ def cms_heavy_hitters(
     k: int = 20,
     depth: int = 4,
     width: int = 8192,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """Top-``k`` keys by sketch estimate: build the sketch, estimate
     every distinct key, TakeOrdered the top k (est desc, key asc
@@ -145,7 +162,7 @@ def cms_heavy_hitters(
     streaming/rollup setting the sketch would instead be probed with an
     externally-tracked candidate set, which is why build/estimate stay
     separate functions."""
-    sketch = cms_build(df, key_col, depth, width)
+    sketch = cms_build(df, key_col, depth, width, hash_family=hash_family)
     cand = df.filter(F.col(key_col).isNotNull()).select(key_col).distinct()
-    est = cms_estimate(sketch, cand, key_col, depth, width)
+    est = cms_estimate(sketch, cand, key_col, depth, width, hash_family)
     return est.orderBy(F.col("est").desc(), F.col(key_col)).limit(k)

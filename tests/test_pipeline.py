@@ -1129,3 +1129,25 @@ def test_cms_weighted_and_guards(spark):
     assert est == {"a": 15, "b": 7}  # NULL key skipped, weights summed
     with _pytest.raises(ValueError):
         sketches.cms_build(df, "key", depth=0)
+
+
+def test_cms_xxhash64_family_same_guarantees(spark):
+    """The xxhash64 scale family obeys the same sketch guarantees as
+    the portable md5 family (overestimate bound; exact in the
+    collision-free regime), just without cross-engine reproducibility."""
+    from spark_monotasks_spark.pipeline import sketches
+
+    df = spark.createDataFrame(
+        [(f"k{i % 11}",) for i in range(330)], "key string"
+    )
+    exact = {r.key: r.n for r in df.groupBy("key").count()
+             .withColumnRenamed("count", "n").collect()}
+    sk = sketches.cms_build(df, "key", depth=4, width=4096,
+                            hash_family="xxhash64")
+    est = {r.key: r.est for r in sketches.cms_estimate(
+        sk, df.select("key").distinct(), "key", depth=4, width=4096,
+        hash_family="xxhash64").collect()}
+    assert est == exact
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sketches.cms_bucket(F.col("key"), 0, 16, "fnv")
