@@ -446,3 +446,55 @@ def sentences_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(s.getItem(0), " ").alias("first_tokens"),
         F.array_join(s.getItem(1), " ").alias("second_tokens"),
     )
+
+
+@register(
+    "map_higher_order_funcs",
+    oracle="""
+    SELECT c_custkey,
+           round(CAST(c_acctbal AS DOUBLE) * 2, 2)       AS bal_scaled,
+           'BAL,KEY'                                     AS upper_keys,
+           (CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN c_custkey > 0 THEN 1 ELSE 0 END) AS n_positive,
+           round(CAST(c_acctbal AS DOUBLE) + c_custkey, 2) AS zipped_sum
+    FROM customer WHERE c_custkey <= 300
+    """,
+)
+def map_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order lambdas (transform_values / transform_keys /
+    map_filter / map_zip_with — the map side of the array lambda family
+    in `higher_order_funcs`): each step's expected effect is stated
+    closed-form from the source columns.  Output stays scalar-only
+    (values extracted by key, key sets joined)."""
+    t = _t(spark, sf_dir)
+    c = t["customer"].filter(F.col("c_custkey") <= 300)
+    m = F.create_map(
+        F.lit("bal"),
+        F.col("c_acctbal").cast("double"),
+        F.lit("key"),
+        F.col("c_custkey").cast("double"),
+    )
+    # *2 is exact in binary floating point — *1.1 lands round() on a
+    # half-ulp boundary where Spark and DuckDB tie-break differently
+    scaled = F.transform_values(m, lambda k, v: v * 2)
+    upperk = F.transform_keys(m, lambda k, v: F.upper(k))
+    positive = F.map_filter(m, lambda k, v: v > 0)
+    zipped = F.map_zip_with(m, m, lambda k, v1, v2: v1 + v2)
+    return c.select(
+        "c_custkey",
+        F.round(scaled.getItem("bal"), 2).alias("bal_scaled"),
+        F.array_join(F.array_sort(F.map_keys(upperk)), ",").alias("upper_keys"),
+        F.size(positive).alias("n_positive"),
+        # map_zip_with(m, m, +) doubles... state via bal+key instead:
+        F.round(
+            F.map_zip_with(
+                m,
+                F.create_map(
+                    F.lit("bal"), F.col("c_custkey").cast("double"),
+                    F.lit("key"), F.col("c_acctbal").cast("double"),
+                ),
+                lambda k, v1, v2: v1 + v2,
+            ).getItem("bal"),
+            2,
+        ).alias("zipped_sum"),
+    )

@@ -579,3 +579,32 @@ def analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("min").cast("double"), 2).alias("min_value"),
         F.round(F.col("max").cast("double"), 2).alias("max_value"),
     )
+
+
+@register(
+    "sql_stack_unpivot",
+    oracle="""
+    SELECT o_orderkey, 'totalprice' AS measure,
+           round(CAST(o_totalprice AS DOUBLE), 2) AS value
+    FROM orders WHERE o_orderkey <= 500
+    UNION ALL
+    SELECT o_orderkey, 'custkey' AS measure,
+           CAST(o_custkey AS DOUBLE) AS value
+    FROM orders WHERE o_orderkey <= 500
+    """,
+)
+def sql_stack_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stack() UDTF (Hive GenericUDTFStack, reached by name through the
+    reference's Hive registry — the UDTF counterpart of the
+    `unpivot_melt` relational form): N (label, value) pairs per input
+    row, expanded JVM-side with no shuffle.  The oracle is the explicit
+    UNION ALL the generator is sugar for."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].filter(F.col("o_orderkey") <= 500)
+    return o.select(
+        "o_orderkey",
+        F.expr(
+            "stack(2, 'totalprice', round(CAST(o_totalprice AS DOUBLE), 2), "
+            "'custkey', CAST(o_custkey AS DOUBLE)) AS (measure, value)"
+        ),
+    )
