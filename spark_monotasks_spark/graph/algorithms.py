@@ -370,6 +370,8 @@ def strongly_connected_components(
     parts = []
     for _ in range(max_rounds):
         if verts.limit(1).count() == 0:
+            if not parts:  # empty graph: no vertices at all
+                return verts.select("id", F.col("id").alias("component"))
             result = parts[0]
             for p in parts[1:]:
                 result = result.unionAll(p)

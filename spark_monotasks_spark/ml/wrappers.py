@@ -54,6 +54,19 @@ def _drop_training_summary(model):
     return model
 
 
+def _require_rows(df: DataFrame, what: str) -> DataFrame:
+    """Iterative fits cannot train on zero rows — pyspark.ml surfaces
+    that as a deep Py4J stack; fail fast with an actionable message
+    instead.  isEmpty() reads at most one row (limit-1 job), noise next
+    to a multi-pass fit."""
+    if df.isEmpty():
+        raise ValueError(
+            f"cannot fit {what} on an empty DataFrame — every ml wrapper "
+            "needs at least one input row"
+        )
+    return df
+
+
 def _check_free(df: DataFrame, *names: str) -> None:
     """The wrappers introduce fixed intermediate/output columns; an
     input frame already carrying one would be silently clobbered or
@@ -79,7 +92,7 @@ def kmeans_fit_predict(
     """mllib clustering/KMeans.scala parity: fit k-means, return the
     input plus a ``cluster`` column."""
     _check_free(df, "_features", "prediction", "cluster")
-    feat = df.withColumn("_features", _vec(features_col))
+    feat = _require_rows(df, "KMeans").withColumn("_features", _vec(features_col))
     model = _drop_training_summary(
         KMeans(k=k, seed=seed, maxIter=max_iter, featuresCol="_features").fit(feat)
     )
@@ -99,7 +112,9 @@ def logistic_regression_fit(
     L-BFGS solver instead of SGD).  Returns predictions with
     ``prediction`` and ``probability`` columns."""
     _check_free(df, "_features", "prediction", "probability", "rawPrediction")
-    feat = df.withColumn("_features", _vec(features_col))
+    feat = _require_rows(df, "LogisticRegression").withColumn(
+        "_features", _vec(features_col)
+    )
     model = _drop_training_summary(
         LogisticRegression(
             maxIter=max_iter,
@@ -124,7 +139,9 @@ def linear_regression_fit(
     """mllib regression/LinearRegression.scala parity.  Returns
     (predictions DataFrame, coefficients list, intercept)."""
     _check_free(df, "_features", "prediction")
-    feat = df.withColumn("_features", _vec(features_col))
+    feat = _require_rows(df, "LinearRegression").withColumn(
+        "_features", _vec(features_col)
+    )
     model = LinearRegression(
         maxIter=max_iter,
         regParam=reg_param,
@@ -168,7 +185,7 @@ def als_recommend(
         ratingCol=rating_col,
         coldStartStrategy="drop",
     )
-    model = als.fit(ratings)
+    model = als.fit(_require_rows(ratings, "ALS"))
     recs = model.recommendForAllUsers(num_recs)
     return recs.select(
         F.col(user_col),
@@ -194,7 +211,9 @@ def decision_tree_fit(
     from pyspark.ml.classification import DecisionTreeClassifier
 
     _check_free(df, "_features", "prediction", "rawPrediction", "probability")
-    feat = df.withColumn("_features", _vec(features_col))
+    feat = _require_rows(df, "DecisionTree").withColumn(
+        "_features", _vec(features_col)
+    )
     model = DecisionTreeClassifier(
         maxDepth=max_depth,
         seed=seed,
@@ -211,7 +230,9 @@ def standardize(
     optionally zero-mean) scaling; output column ``scaled``
     (array<double>)."""
     _check_free(df, "_features", "_scaled", "scaled")
-    feat = df.withColumn("_features", _vec(features_col))
+    feat = _require_rows(df, "StandardScaler").withColumn(
+        "_features", _vec(features_col)
+    )
     model = StandardScaler(
         inputCol="_features", outputCol="_scaled", withMean=with_mean, withStd=True
     ).fit(feat)
@@ -266,7 +287,9 @@ def naive_bayes_fit(
     from pyspark.ml.classification import NaiveBayes
 
     _check_free(df, "_features", "prediction", "rawPrediction", "probability")
-    feat = df.withColumn("_features", _vec(features_col))
+    feat = _require_rows(df, "NaiveBayes").withColumn(
+        "_features", _vec(features_col)
+    )
     model = NaiveBayes(
         smoothing=smoothing, featuresCol="_features", labelCol=label_col
     ).fit(feat)
@@ -290,7 +313,9 @@ def tf_idf(
     from pyspark.ml.feature import IDF, HashingTF, Tokenizer
 
     _check_free(df, "_tokens", "_tf", "_tfidf", "tfidf")
-    toks = Tokenizer(inputCol=text_col, outputCol="_tokens").transform(df)
+    toks = Tokenizer(inputCol=text_col, outputCol="_tokens").transform(
+        _require_rows(df, "TF-IDF")
+    )
     tf = HashingTF(
         inputCol="_tokens", outputCol="_tf", numFeatures=num_features
     ).transform(toks)
@@ -319,7 +344,9 @@ def random_forest_fit(
     from pyspark.ml.classification import RandomForestClassifier
 
     _check_free(df, "_features", "prediction", "rawPrediction", "probability")
-    feat = df.withColumn("_features", _vec(features_col))
+    feat = _require_rows(df, "RandomForest").withColumn(
+        "_features", _vec(features_col)
+    )
     model = _drop_training_summary(
         RandomForestClassifier(
             numTrees=num_trees,
@@ -349,7 +376,9 @@ def gbt_fit(
     from pyspark.ml.classification import GBTClassifier
 
     _check_free(df, "_features", "prediction", "rawPrediction", "probability")
-    feat = df.withColumn("_features", _vec(features_col))
+    feat = _require_rows(df, "GBT").withColumn(
+        "_features", _vec(features_col)
+    )
     model = _drop_training_summary(
         GBTClassifier(
             maxIter=max_iter,

@@ -202,6 +202,11 @@ def ivf_index(
         "_features", array_to_vector(F.col(vec_col).cast("array<double>"))
     )
     n = feat.count()
+    if n == 0:
+        raise ValueError(
+            "cannot build an IVF index over an empty corpus — the k-means "
+            "cell fit needs at least one embedding row"
+        )
     if max_fit_rows and n > max_fit_rows:
         # fraction slightly over-target; the fit tolerates ±sampling noise
         fit_input = feat.sample(fraction=min(1.0, 1.1 * max_fit_rows / n), seed=seed)
