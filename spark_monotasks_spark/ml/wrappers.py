@@ -93,9 +93,16 @@ def kmeans_fit_predict(
     input plus a ``cluster`` column."""
     _check_free(df, "_features", "prediction", "cluster")
     feat = _require_rows(df, "KMeans").withColumn("_features", _vec(features_col))
-    model = _drop_training_summary(
-        KMeans(k=k, seed=seed, maxIter=max_iter, featuresCol="_features").fit(feat)
-    )
+    try:
+        fitted = KMeans(
+            k=k, seed=seed, maxIter=max_iter, featuresCol="_features"
+        ).fit(feat)
+    except Exception as e:  # k > distinct points fails deep in the JVM
+        raise ValueError(
+            f"KMeans fit failed for k={k}; the input must have at least k "
+            "distinct feature rows (pass a smaller k for tiny inputs)"
+        ) from e
+    model = _drop_training_summary(fitted)
     return model.transform(feat).withColumnRenamed("prediction", "cluster").drop(
         "_features"
     )

@@ -207,6 +207,9 @@ def ivf_index(
             "cannot build an IVF index over an empty corpus — the k-means "
             "cell fit needs at least one embedding row"
         )
+    # tiny corpus: fewer cells than requested is the sane index (a cell
+    # per point); k > n would fail inside the k-means fit
+    n_lists = min(n_lists, n)
     if max_fit_rows and n > max_fit_rows:
         # fraction slightly over-target; the fit tolerates ±sampling noise
         fit_input = feat.sample(fraction=min(1.0, 1.1 * max_fit_rows / n), seed=seed)
