@@ -474,3 +474,42 @@ def test_cbo_rowcount_from_analyzed_stats(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.cbo.enabled", old)
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_no_hidden_cartesians_across_catalog(spark):
+    """Catalog-wide anti-pattern gate: no query may plan a
+    CartesianProduct or BroadcastNestedLoopJoin EXCEPT the allowlisted
+    entries whose non-equi join is justified — a scalar (1-row
+    aggregate or literal query-vector) broadcast side, the explicitly
+    cartesian/theta entries, or ALS's blocked factor cross.  Any new
+    entry that accidentally drops its equi-condition (a cartesian in
+    disguise — O(n^2) at 100 TB) trips this gate at planning time."""
+    from spark_monotasks_spark.queries import QUERY_REGISTRY
+
+    allow = {
+        # explicit semantics: cross/theta joins ARE the operator
+        "join_cross", "join_theta",
+        # 1-row broadcast side (scalar aggregate / single query vector):
+        # BNLJ with a single-row build is a broadcast scalar, not O(n^2)
+        "ann_cosine_topk", "ann_ivf_topk",
+        "unigram_logprob_score", "tfidf_exact_scores", "bm25_rank_query",
+        "e2e_training_pipeline", "analyze_table_stats",
+        "tpch_q11_important_parts", "tpch_q22_idle_customers",
+        "funnel_conversion",
+        # blocked user x item factor cross IS the recommend-all algorithm
+        # (factor tables are rank-bounded, not corpus-sized)
+        "ml_als_recommend",
+    }
+    offenders = {}
+    for name, fn in QUERY_REGISTRY.items():
+        if name in allow:
+            continue
+        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        tags = [
+            t
+            for t in ("CartesianProduct", "BroadcastNestedLoopJoin")
+            if t in plan
+        ]
+        if tags:
+            offenders[name] = tags
+    assert not offenders, offenders
