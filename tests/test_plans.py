@@ -513,3 +513,40 @@ def test_no_hidden_cartesians_across_catalog(spark):
         if tags:
             offenders[name] = tags
     assert not offenders, offenders
+
+
+def test_no_row_python_udfs_across_catalog(spark):
+    """Catalog-wide slow-path gate: NO query may plan a row-at-a-time
+    Python UDF (BatchEvalPython — pickled per-row round trips), and
+    Arrow-batched Python stages (MapInPandas / MapInArrow /
+    ArrowEvalPython / FlatMapGroupsInPandas) may appear ONLY in the
+    allowlisted entries where Python is the point: binary codec decode
+    (media/image/audio/jpeg), the script-transform operator, and the
+    Arrow vector-preprocessing demo.  Everything else must stay inside
+    JVM codegen."""
+    from spark_monotasks_spark.queries import QUERY_REGISTRY
+
+    arrow_allow = {
+        "media_meta_extract", "image_pixel_stats", "audio_sample_stats",
+        "jpeg_decode_stats",      # binary codecs — numpy-vectorized
+        "bdb_q4_transform",       # SELECT TRANSFORM external script
+        "embedding_normalize_arrow",  # mapInArrow zero-copy demo
+        "udaf_weighted_mean",     # pandas grouped-agg UDAF parity demo
+        "cogroup_collect",        # pandas cogroup path where exercised
+    }
+    arrow_markers = (
+        "ArrowEvalPython", "MapInPandas", "PythonMapInArrow", "MapInArrow",
+        "FlatMapGroupsInPandas", "AggregateInPandas", "FlatMapCoGroupsInPandas",
+    )
+    offenders = {}
+    for name, fn in QUERY_REGISTRY.items():
+        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        if "BatchEvalPython" in plan:
+            offenders[name] = "BatchEvalPython (row-at-a-time!)"
+            continue
+        if name in arrow_allow:
+            continue
+        tags = [t for t in arrow_markers if t in plan]
+        if tags:
+            offenders[name] = ",".join(tags)
+    assert not offenders, offenders
