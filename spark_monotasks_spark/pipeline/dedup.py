@@ -684,3 +684,48 @@ def near_duplicate_clusters_portable(
         .join(comps, on="id", how="left")
         .select("id", F.coalesce("component", F.col("id")).alias("cluster"))
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup against a persistent fingerprint store
+# ---------------------------------------------------------------------------
+
+def incremental_exact_dedup(
+    batch: DataFrame,
+    store: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a NEW batch against itself AND a persistent fingerprint
+    store — the steady-state form of corpus dedup: history is never
+    rescanned, only its 16-byte-per-doc fingerprint index is consulted.
+
+    Returns ``(survivors, store_delta)``: ``survivors`` is the batch
+    rows that are first-seen (min-``id_col`` within the batch per
+    fingerprint, and fingerprint absent from ``store``);
+    ``store_delta`` is the (fp, keep_id) rows to append to the store so
+    the next batch dedups against this one too.  ``store`` is a
+    DataFrame with a ``fp`` column (extra columns ignored) or None for
+    the first batch.
+
+    Scale shape: the batch payload never shuffles — within-batch
+    survivor selection shuffles (fp, id) pairs only, and the final
+    payload recovery is a semi join on ``id_col``.  The store join
+    shuffles fingerprints on ``fp``; persist the store bucketed by
+    ``fp`` (``save_as_table(bucket_by=('fp', n))``) and successive
+    batches co-locate against it without re-shuffling history.
+    Append-only store + min-id-per-batch survivor choice make the
+    operation idempotent: re-running a batch against the updated store
+    yields zero survivors.
+    """
+    fp = F.md5(F.col(text_col).cast("binary"))
+    pairs = batch.select(F.col(id_col).alias("_bid"), fp.alias("fp"))
+    winners = pairs.groupBy("fp").agg(F.min("_bid").alias("keep_id"))
+    if store is not None:
+        winners = winners.join(
+            store.select("fp").distinct(), on="fp", how="left_anti"
+        )
+    survivors = batch.join(
+        winners.select(F.col("keep_id").alias(id_col)), on=id_col, how="left_semi"
+    )
+    return survivors, winners.select("fp", "keep_id")

@@ -1501,3 +1501,38 @@ def cms_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.cms_heavy_hitters(
         t["lineitem"], "l_suppkey", k=20, depth=4, width=1024
     )
+
+
+@register(
+    "incremental_dedup_batch",
+    oracle="""
+    WITH hist AS (
+      SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id < 2500
+    ),
+    batch AS (
+      SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id >= 2500
+    ),
+    winners AS (
+      SELECT fp, min(doc_id) AS keep_id FROM batch GROUP BY fp
+    )
+    SELECT w.keep_id AS doc_id, w.fp
+    FROM winners w LEFT JOIN hist h ON w.fp = h.fp
+    WHERE h.fp IS NULL
+    """,
+)
+def incremental_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup (pipeline.dedup.incremental_exact_dedup):
+    the steady-state corpus-ingest shape — a new batch (doc_id >= 2500)
+    dedups against itself and against the HISTORY's fingerprint store
+    (doc_id < 2500) without rescanning history payloads.  The oracle
+    re-derives the survivor set: min-id per fingerprint within the
+    batch, fingerprint unseen in history."""
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    history = docs.filter(F.col("doc_id") < 2500)
+    batch = docs.filter(F.col("doc_id") >= 2500)
+    _, store = dedup.incremental_exact_dedup(history, None)
+    survivors, _delta = dedup.incremental_exact_dedup(batch, store)
+    return survivors.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("fp")
+    )

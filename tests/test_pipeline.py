@@ -1151,3 +1151,33 @@ def test_cms_xxhash64_family_same_guarantees(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         sketches.cms_bucket(F.col("key"), 0, 16, "fnv")
+
+
+# --- incremental dedup (dedup.incremental_exact_dedup) ---------------------
+
+def test_incremental_dedup_cross_batch_and_idempotence(spark):
+    from spark_monotasks_spark.pipeline import dedup
+
+    first = spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text"), (3, "alpha text")],
+        "doc_id long, text string",
+    )
+    surv1, store1 = dedup.incremental_exact_dedup(first, None)
+    assert sorted(r.doc_id for r in surv1.collect()) == [1, 2]  # 3 dups 1
+
+    second = spark.createDataFrame(
+        [(10, "beta text"),    # dup of history -> dropped
+         (11, "gamma text"),   # new -> kept
+         (12, "gamma text"),   # within-batch dup of 11 -> dropped
+         (13, "delta text")],  # new -> kept
+        "doc_id long, text string",
+    )
+    surv2, delta2 = dedup.incremental_exact_dedup(second, store1)
+    assert sorted(r.doc_id for r in surv2.collect()) == [11, 13]
+    # delta carries exactly the first-seen fingerprints of this batch
+    assert sorted(r.keep_id for r in delta2.collect()) == [11, 13]
+
+    # idempotence: appending the delta and replaying the batch yields 0
+    store2 = store1.select("fp").unionAll(delta2.select("fp"))
+    surv_replay, _ = dedup.incremental_exact_dedup(second, store2)
+    assert surv_replay.count() == 0
