@@ -608,3 +608,50 @@ def sql_stack_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "'custkey', CAST(o_custkey AS DOUBLE)) AS (measure, value)"
         ),
     )
+
+
+@register(
+    "versioned_time_travel",
+    oracle="""
+    SELECT 1 AS version, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders WHERE o_orderkey <= 1000
+    UNION ALL
+    SELECT 2 AS version, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+def versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned snapshot table (sources/versioned.py): commit orders
+    ≤1000 as v1, append (1000, 2000] as v2, then aggregate BOTH
+    versions through time-travel reads.  The oracle states each
+    snapshot's expected contents from the source parquet, so a match
+    proves manifest-resolved reads return exactly the committed data —
+    v1 unchanged by the later commit."""
+    import tempfile
+
+    from spark_monotasks_spark.sources import versioned as V
+
+    t = load_tables(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="versioned_tt_")
+    o = t["orders"].select("o_orderkey", "o_totalprice")
+    V.write_version(o.filter(F.col("o_orderkey") <= 1000), path)
+    V.write_version(
+        o.filter(
+            (F.col("o_orderkey") > 1000) & (F.col("o_orderkey") <= 2000)
+        ),
+        path,
+        mode="append",
+    )
+
+    def _agg(df: DataFrame, v: int) -> DataFrame:
+        return df.agg(
+            F.lit(v).alias("version"),
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        ).select("version", "n_orders", "total_price")
+
+    return _agg(V.read_version(spark, path, 1), 1).unionAll(
+        _agg(V.read_version(spark, path, 2), 2)
+    )

@@ -1,0 +1,111 @@
+"""Versioned snapshot tables: manifest-committed parquet with time
+travel — the minimal lakehouse layout.
+
+The reference's sinks overwrite or append files in place
+(sources/interfaces.scala SaveMode semantics); at 100 TB that couples
+readers to in-flight writes and makes "what data trained this run"
+unanswerable.  The standard fix (Delta/Iceberg's core idea) is tiny:
+data files are immutable, and a VERSION is a manifest listing exactly
+the directories that belong to it.  Readers resolve a manifest first,
+so they see a consistent snapshot no matter what a writer is doing;
+the manifest rename is the single atomic commit point; old versions
+stay readable (time travel) until vacuumed.
+
+Layout::
+
+    table/
+      data/v1/part-*.parquet     (immutable once committed)
+      data/v2/part-*.parquet
+      _versions/v1.json          {"version":1,"dirs":["data/v1"],...}
+      _versions/v2.json          {"version":2,"dirs":["data/v1","data/v2"]}
+
+Scale notes: the manifest holds directory names, not file lists — the
+per-version metadata is O(commits), and Spark's parquet reader lists
+splits inside each directory in parallel.  A crashed writer leaves an
+orphan ``data/`` directory but NO manifest, so it is invisible to every
+reader (write data first, fsync-rename the manifest last).  Readers of
+version N never list directories created after N, so concurrent
+append+read needs no locking.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _versions_dir(path: str) -> str:
+    return os.path.join(path, "_versions")
+
+
+def list_versions(path: str) -> list[int]:
+    """Committed versions, ascending (a version exists iff its manifest
+    does — data dirs without a manifest are invisible orphans)."""
+    vdir = _versions_dir(path)
+    if not os.path.isdir(vdir):
+        return []
+    out = []
+    for f in os.listdir(vdir):
+        if f.startswith("v") and f.endswith(".json"):
+            try:
+                out.append(int(f[1:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _read_manifest(path: str, version: int) -> dict:
+    with open(os.path.join(_versions_dir(path), f"v{version}.json")) as f:
+        return json.load(f)
+
+
+def write_version(
+    df: DataFrame, path: str, mode: str = "append"
+) -> int:
+    """Commit ``df`` as the next version of the table at ``path``.
+
+    ``append``: the new version sees all previous data plus ``df``.
+    ``overwrite``: the new version sees only ``df`` (older versions
+    still time-travel to the pre-overwrite data — nothing is deleted).
+    Returns the committed version number.
+
+    Commit protocol: write the immutable data directory, then create
+    the manifest via atomic rename — a writer that dies mid-way leaves
+    no manifest, so readers never see partial data.
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    versions = list_versions(path)
+    new_v = (versions[-1] + 1) if versions else 1
+    rel_dir = f"data/v{new_v}"
+    df.write.mode("errorifexists").parquet(os.path.join(path, rel_dir))
+    dirs = [rel_dir]
+    if mode == "append" and versions:
+        dirs = _read_manifest(path, versions[-1])["dirs"] + dirs
+    manifest = {"version": new_v, "mode": mode, "dirs": dirs}
+    vdir = _versions_dir(path)
+    os.makedirs(vdir, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=vdir, suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(manifest, f)
+    os.rename(tmp, os.path.join(vdir, f"v{new_v}.json"))  # commit point
+    return new_v
+
+
+def read_version(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read: resolve the manifest (latest if ``version`` is
+    None), scan exactly its directories.  Time travel = pass an older
+    version number."""
+    versions = list_versions(path)
+    if not versions:
+        raise ValueError(f"no committed versions at {path!r}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"version {v} not in committed versions {versions}")
+    dirs = [os.path.join(path, d) for d in _read_manifest(path, v)["dirs"]]
+    return spark.read.parquet(*dirs)
