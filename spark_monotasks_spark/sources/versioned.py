@@ -109,3 +109,77 @@ def read_version(
         raise ValueError(f"version {v} not in committed versions {versions}")
     dirs = [os.path.join(path, d) for d in _read_manifest(path, v)["dirs"]]
     return spark.read.parquet(*dirs)
+
+
+def read_changes(
+    spark: SparkSession, path: str, since_version: int
+) -> DataFrame:
+    """Incremental read: rows added AFTER ``since_version`` — resolved
+    purely from manifests (each version's NEW directories are the ones
+    absent from its predecessor), so "read only new data since the last
+    run" costs zero data listing of history.  This is the ingest-side
+    complement of pipeline.dedup.incremental_exact_dedup.
+
+    Overwrite commits restart lineage: their directory is new by
+    definition, so a consumer that checkpoints ``since_version`` sees
+    exactly the post-overwrite table once — the same contract as a
+    stream reader observing a truncate+reload.
+    """
+    versions = list_versions(path)
+    if since_version not in versions:
+        raise ValueError(
+            f"since_version {since_version} not in committed {versions}"
+        )
+    seen = set(_read_manifest(path, since_version)["dirs"])
+    new_dirs: list[str] = []
+    for v in versions:
+        if v <= since_version:
+            continue
+        for d in _read_manifest(path, v)["dirs"]:
+            if d not in seen:
+                seen.add(d)
+                new_dirs.append(d)
+    if not new_dirs:
+        return read_version(spark, path, since_version).limit(0)
+    return spark.read.parquet(*[os.path.join(path, d) for d in new_dirs])
+
+
+def vacuum(path: str, keep_versions: int = 1) -> list[str]:
+    """Delete data directories unreachable from the newest
+    ``keep_versions`` manifests (and drop the older manifests) —
+    time travel shrinks to the kept window; current reads are
+    untouched.  Returns the deleted directory names."""
+    import shutil
+
+    if keep_versions < 1:
+        raise ValueError("keep_versions must be >= 1")
+    versions = list_versions(path)
+    kept = versions[-keep_versions:]
+    live: set[str] = set()
+    for v in kept:
+        live.update(_read_manifest(path, v)["dirs"])
+    removed = []
+    data_root = os.path.join(path, "data")
+    for d in sorted(os.listdir(data_root)) if os.path.isdir(data_root) else []:
+        rel = f"data/{d}"
+        if rel not in live:
+            shutil.rmtree(os.path.join(data_root, d), ignore_errors=True)
+            removed.append(rel)
+    for v in versions:
+        if v not in kept:
+            os.remove(os.path.join(_versions_dir(path), f"v{v}.json"))
+    return removed
+
+
+def compact(
+    spark: SparkSession, path: str, target_partitions: int
+) -> int:
+    """Commit a new OVERWRITE version holding the latest snapshot's
+    rows rewritten into ``target_partitions`` files — the small-files
+    fix after many appends.  History (pre-compaction versions) stays
+    time-travelable until vacuumed; readers see either the old file
+    set or the new one, never a mix (manifest atomicity)."""
+    latest = read_version(spark, path)
+    return write_version(
+        latest.repartition(target_partitions), path, mode="overwrite"
+    )

@@ -474,3 +474,37 @@ def test_versioned_crash_leaves_no_visible_version(spark, tmp_path):
         V.write_version(spark.range(3).withColumn("b", F.lit(2)), path)
     with _pytest.raises(ValueError):
         V.read_version(spark, path, 7)
+
+
+def test_versioned_changes_vacuum_compact(spark, tmp_path):
+    """read_changes is a manifest-resolved incremental read; vacuum
+    prunes only unreachable data; compact rewrites the snapshot without
+    changing its rows."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from spark_monotasks_spark.sources import versioned as V
+
+    path = str(tmp_path / "tbl")
+    V.write_version(spark.range(0, 10).withColumn("b", F.lit(1)), path)
+    V.write_version(spark.range(10, 14).withColumn("b", F.lit(2)), path,
+                    mode="append")
+    V.write_version(spark.range(14, 16).withColumn("b", F.lit(3)), path,
+                    mode="append")
+    # incremental: everything after v1 = exactly batches 2+3
+    got = sorted(r.id for r in V.read_changes(spark, path, 1).collect())
+    assert got == list(range(10, 16))
+    assert V.read_changes(spark, path, 3).count() == 0
+
+    # compact latest into 1 partition: same rows, new version
+    v4 = V.compact(spark, path, target_partitions=1)
+    assert v4 == 4
+    assert V.read_version(spark, path).count() == 16
+
+    # vacuum to the compacted version only: old dirs gone, v4 intact,
+    # time travel to v1 now impossible
+    removed = V.vacuum(path, keep_versions=1)
+    assert removed and V.list_versions(path) == [4]
+    assert V.read_version(spark, path).count() == 16
+    assert not os.path.exists(os.path.join(path, "data", "v1"))
