@@ -63,7 +63,7 @@ def _read_manifest(path: str, version: int) -> dict:
 
 
 def write_version(
-    df: DataFrame, path: str, mode: str = "append"
+    df: DataFrame, path: str, mode: str = "append", batch_id: int | None = None
 ) -> int:
     """Commit ``df`` as the next version of the table at ``path``.
 
@@ -75,6 +75,10 @@ def write_version(
     Commit protocol: write the immutable data directory, then create
     the manifest via atomic rename — a writer that dies mid-way leaves
     no manifest, so readers never see partial data.
+
+    ``batch_id`` stamps the manifest with a streaming micro-batch id —
+    ``last_committed_batch_id`` then lets an exactly-once sink skip
+    replayed batches (see streaming.dstream.versioned_append_sink).
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
@@ -86,6 +90,8 @@ def write_version(
     if mode == "append" and versions:
         dirs = _read_manifest(path, versions[-1])["dirs"] + dirs
     manifest = {"version": new_v, "mode": mode, "dirs": dirs}
+    if batch_id is not None:
+        manifest["batch_id"] = batch_id
     vdir = _versions_dir(path)
     os.makedirs(vdir, exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=vdir, suffix=".tmp")
@@ -93,6 +99,17 @@ def write_version(
         json.dump(manifest, f)
     os.rename(tmp, os.path.join(vdir, f"v{new_v}.json"))  # commit point
     return new_v
+
+
+def last_committed_batch_id(path: str) -> int:
+    """Largest ``batch_id`` stamped on any committed manifest, or -1 —
+    the streaming sink's replay watermark."""
+    best = -1
+    for v in list_versions(path):
+        b = _read_manifest(path, v).get("batch_id")
+        if b is not None and b > best:
+            best = b
+    return best
 
 
 def read_version(

@@ -600,3 +600,25 @@ def start_file_sink(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def versioned_append_sink(
+    stream: DataFrame, table_path: str, checkpoint: str
+) -> DataStreamWriter:
+    """Exactly-once streaming ingest into a versioned snapshot table
+    (sources/versioned.py): each micro-batch commits as one append
+    version stamped with its batch_id, and replayed batches (foreachBatch
+    is at-least-once after recovery) are skipped when their batch_id is
+    already committed — the manifest store doubles as the sink's
+    transaction log, so downstream consumers get snapshot-isolated,
+    time-travelable, incrementally-readable (read_changes) output."""
+    from spark_monotasks_spark.sources import versioned as V
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch_id <= V.last_committed_batch_id(table_path):
+            return  # replay after recovery — already committed
+        V.write_version(batch, table_path, mode="append", batch_id=batch_id)
+
+    return stream.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint
+    )

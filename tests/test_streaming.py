@@ -579,3 +579,39 @@ def test_streaming_upsert_sink_converges_to_latest(spark, tmp_path):
     assert snap[1] == ("a", 1) and snap[3] == ("c", 1)
     assert snap[4] == ("d", 2)
     assert snap[2][1] == 2  # key 2 replaced by the later batch
+
+
+def test_versioned_append_sink_exactly_once(spark, chunked_events, tmp_path):
+    """Each micro-batch commits one append version stamped with its
+    batch_id; restarting with no new data adds nothing, and a replayed
+    batch (at-least-once foreachBatch) is skipped by the batch_id
+    watermark — exactly-once versioned ingest."""
+    from spark_monotasks_spark.sources import versioned as V
+
+    path, events = chunked_events
+    table = str(tmp_path / "vtable")
+    stream = dstream.file_stream(spark, path, events.schema)
+    q = dstream.versioned_append_sink(
+        stream, table, checkpoint=str(tmp_path / "ck")
+    ).trigger(availableNow=True).start()
+    _await(q)
+    versions = V.list_versions(table)
+    assert len(versions) == 4  # one per micro-batch
+    assert V.read_version(spark, table).count() == events.count()
+    assert V.last_committed_batch_id(table) == 3
+
+    # restart from the same checkpoint, no new files: nothing commits
+    q2 = dstream.versioned_append_sink(
+        dstream.file_stream(spark, path, events.schema),
+        table,
+        checkpoint=str(tmp_path / "ck"),
+    ).trigger(availableNow=True).start()
+    _await(q2)
+    assert V.list_versions(table) == versions
+
+    # incremental consumer: changes since v2 == batches 3 and 4
+    assert (
+        V.read_changes(spark, table, 2).count()
+        == V.read_version(spark, table).count()
+        - V.read_version(spark, table, 2).count()
+    )
