@@ -86,6 +86,10 @@ HEADLINE = [
     # build + broadcast estimate) and the ANALYZE stats roundtrip
     "cms_heavy_hitters",
     "analyze_table_stats",
+    # added r3 (sixth batch): steady-state ingest — batch dedup against
+    # the history fingerprint store, and manifest-committed time travel
+    "incremental_dedup_batch",
+    "versioned_time_travel",
 ]
 
 
