@@ -40,24 +40,23 @@ def cms_bucket(
 ) -> Column:
     """Row-``i`` bucket of ``key``.
 
-    ``md5`` (default): first 48 bits of md5(key ‖ '#i'), mod ``width`` —
-    non-negative, reproducible in any engine with md5 and hex parsing
-    (the oracle/audit family).  ``xxhash64``: one seeded 64-bit hash —
-    ~3× cheaper per row, Spark-private bits (the 100 TB build path; use
-    it when no external engine needs to re-derive the buckets).  A
-    sketch is only meaningful against estimates from the SAME family.
+    ``md5`` (default): the i-th 32-bit hex chunk of md5(key) (one
+    digest yields four independent row hashes; rows beyond 4 salt the
+    key with a round tag), mod ``width`` — non-negative, reproducible
+    in any engine with md5 and hex parsing (the oracle/audit family),
+    and only ceil(depth/4) digests per key instead of depth.
+    ``xxhash64``: one seeded 64-bit hash — cheaper still, Spark-private
+    bits (the 100 TB build path; use it when no external engine needs
+    to re-derive the buckets).  A sketch is only meaningful against
+    estimates from the SAME family.
     """
     if hash_family == "md5":
+        round_, chunk = divmod(i, 4)
+        src = key.cast("string")
+        if round_ > 0:
+            src = F.concat(src, F.lit(f"#r{round_}"))
         h = F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(key.cast("string"), F.lit(f"#{i}")).cast("binary")
-                ),
-                1,
-                12,
-            ),
-            16,
-            10,
+            F.substring(F.md5(src.cast("binary")), 1 + 8 * chunk, 8), 16, 10
         ).cast("long")
         return h % width
     if hash_family == "xxhash64":

@@ -1473,8 +1473,9 @@ def jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH b AS (
       SELECT l_suppkey, i,
-             CAST(('0x' || substr(md5(CAST(l_suppkey AS VARCHAR) || '#' || i),
-                                  1, 12)) AS BIGINT) % 1024 AS bucket
+             CAST(('0x' || substr(md5(CAST(l_suppkey AS VARCHAR)),
+                                  1 + 8 * CAST(i AS INT), 8))
+                  AS BIGINT) % 1024 AS bucket
       FROM lineitem CROSS JOIN (SELECT unnest(range(4)) AS i) r
       WHERE l_suppkey IS NOT NULL
     ),
@@ -1490,7 +1491,8 @@ def jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cms_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch heavy hitters (pipeline.sketches): top-20
     l_suppkey by sketch estimate, depth 4 × width 1024.  The md5 row
-    hashes are engine-portable, so the oracle rebuilds the SAME sketch
+    hashes (four 32-bit chunks of one digest) are engine-portable, so
+    the oracle rebuilds the SAME sketch
     (per-(row,bucket) counters, min over rows) and must land on the
     same estimates — the full CMS algorithm is value-audited, not just
     bounded.  Mergeability (union+sum == single build) is asserted in
