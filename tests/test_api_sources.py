@@ -508,3 +508,43 @@ def test_versioned_changes_vacuum_compact(spark, tmp_path):
     assert removed and V.list_versions(path) == [4]
     assert V.read_version(spark, path).count() == 16
     assert not os.path.exists(os.path.join(path, "data", "v1"))
+
+
+def test_versioned_concurrent_writers_conflict_cleanly(spark, tmp_path):
+    """Two writers racing for the same version number: the loser fails
+    on the immutable data directory (errorifexists) BEFORE any manifest
+    exists, so the table stays consistent and the loser can retry —
+    optimistic concurrency, no partial commits."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from spark_monotasks_spark.sources import versioned as V
+
+    path = str(tmp_path / "tbl")
+    V.write_version(spark.range(3).withColumn("b", F.lit(1)), path)
+    # simulate the race: writer A wrote data/v2 but has not committed;
+    # writer B (same target version) must fail cleanly
+    spark.range(7).withColumn("b", F.lit(2)).write.parquet(
+        str(tmp_path / "tbl" / "data" / "v2")
+    )
+    with _pytest.raises(Exception):
+        V.write_version(spark.range(9).withColumn("b", F.lit(3)), path)
+    assert V.list_versions(path) == [1]
+    assert V.read_version(spark, path).count() == 3
+
+
+def test_metadata_provenance_columns(spark):
+    """Hidden _metadata struct (file provenance at scan time): every
+    row can carry its source file path/size without any join — the
+    lineage primitive a 100 TB ingest audit needs."""
+    import pyspark.sql.functions as F
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id",
+        F.col("_metadata.file_path").alias("src_path"),
+        F.col("_metadata.file_size").alias("src_bytes"),
+    )
+    rows = df.limit(5).collect()
+    assert rows and all(r.src_path.endswith(".parquet") for r in rows)
+    assert all(r.src_bytes > 0 for r in rows)
+    assert all("documents.parquet" in r.src_path for r in rows)
