@@ -1,14 +1,17 @@
-"""Count-min sketch as plain DataFrame aggregation — mergeable
-frequency summaries for heavy-hitter queries at corpus scale.
+"""Mergeable sketch states as plain DataFrame aggregation: count-min
+(frequency) and fixed-width histograms (quantiles), completing the
+family the HLL rollup starts (distinct).
 
 The reference's sketch surface was HyperLogLog count-distinct (SURVEY
 §2.4 ApproxCountDistinct); the modern training-data pipeline also needs
 *frequency* estimation — which tokens/domains/urls dominate a 100 TB
-corpus — without shuffling a full (key, count) table.  A count-min
-sketch (Cormode & Muthukrishnan 2005) is the standard answer: ``depth``
+corpus — and *distribution* estimation (length/score percentiles per
+shard), both without shuffling full key/value tables.  A count-min
+sketch (Cormode & Muthukrishnan 2005) answers the first: ``depth``
 hash rows × ``width`` counters, est(key) = min over rows of
 counter[h_i(key)], always ≥ the true count, within εN with ε = e/width
-at probability 1 - e^-depth.
+at probability 1 - e^-depth.  A fixed-width histogram answers the
+second with error ≤ bin_width.
 
 Everything here is plain DataFrame ops — no UDF, no binary blobs:
 
@@ -165,3 +168,77 @@ def cms_heavy_hitters(
     cand = df.filter(F.col(key_col).isNotNull()).select(key_col).distinct()
     est = cms_estimate(sketch, cand, key_col, depth, width, hash_family)
     return est.orderBy(F.col("est").desc(), F.col(key_col)).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# histogram quantile sketch (the quantile member of the mergeable family:
+# HLL = distinct, CMS = frequency, histogram = distribution)
+# ---------------------------------------------------------------------------
+
+def histogram_build(
+    df: DataFrame, value_col: str, bin_width: float
+) -> DataFrame:
+    """Fixed-width histogram state over ``value_col``: a sparse
+    (bin bigint, cnt bigint) DataFrame with bin = floor(value /
+    bin_width).  Deterministic binning makes it engine-portable
+    (DuckDB reproduces every counter), and counts are decomposable, so
+    shard/day histograms merge by union+sum exactly like CMS sketches.
+    The shuffle carries ≤ |distinct bins| rows after map-side partials
+    — at 100 TB the state is range/bin_width counters, not the data.
+    NULLs are skipped (count(col) semantics)."""
+    if bin_width <= 0:
+        raise ValueError(f"bin_width must be > 0, got {bin_width}")
+    v = F.col(value_col)
+    return (
+        df.filter(v.isNotNull())
+        .groupBy(F.floor(v / F.lit(bin_width)).alias("bin"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def histogram_merge(*hists: DataFrame) -> DataFrame:
+    """Union+sum of histogram states with the SAME bin_width — exact."""
+    if not hists:
+        raise ValueError("histogram_merge needs at least one histogram")
+    u = reduce(DataFrame.unionAll, hists)
+    return u.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def histogram_quantiles(
+    hist: DataFrame, quantiles: list[float], bin_width: float
+) -> DataFrame:
+    """Quantile estimates from a histogram state: for each q, the upper
+    edge of the first bin whose cumulative count reaches q×N — error
+    bounded by bin_width by construction (deterministic, so an
+    external engine lands on identical values).  Returns (q, value).
+
+    The cumulative-sum window runs over the BIN TABLE (range/bin_width
+    rows), not the data — a single-partition sort of a bounded frame,
+    same story as vocabulary ranking."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "bin",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total"),
+    )
+    parts = []
+    for q in quantiles:
+        parts.append(
+            cum.filter(F.col("cum") >= F.ceil(F.col("total") * F.lit(q)))
+            .orderBy("bin")
+            .limit(1)
+            .select(
+                F.lit(q).alias("q"),
+                ((F.col("bin") + 1) * F.lit(bin_width)).alias("value"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

@@ -1538,3 +1538,38 @@ def incremental_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.select(
         "doc_id", F.md5(F.col("text").cast("binary")).alias("fp")
     )
+
+
+@register(
+    "histogram_quantile_rollup",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS bin,
+             count(*) AS cnt
+      FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1
+    ),
+    c AS (
+      SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum,
+             sum(cnt) OVER () AS total
+      FROM h
+    ),
+    qs(q) AS (VALUES (0.25), (0.5), (0.9), (0.99))
+    SELECT CAST(q AS DOUBLE) AS q,
+           (SELECT min((bin + 1) * 1000.0) FROM c
+            WHERE cum >= ceil(total * q)) AS value
+    FROM qs
+    """,
+)
+def histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram quantiles (pipeline.sketches.histogram_*):
+    l_extendedprice percentiles from a fixed-width (1000) bin state.
+    The binning is deterministic, so the oracle rebuilds the SAME
+    counters and lands on identical quantile edges — unlike
+    percentile_approx's engine-private sketch, this distribution state
+    is value-audited AND re-aggregatable (merge == single build,
+    asserted in tests)."""
+    from spark_monotasks_spark.pipeline import sketches
+
+    t = _t(spark, sf_dir)
+    h = sketches.histogram_build(t["lineitem"], "l_extendedprice", 1000.0)
+    return sketches.histogram_quantiles(h, [0.25, 0.5, 0.9, 0.99], 1000.0)

@@ -1181,3 +1181,31 @@ def test_incremental_dedup_cross_batch_and_idempotence(spark):
     store2 = store1.select("fp").unionAll(delta2.select("fp"))
     surv_replay, _ = dedup.incremental_exact_dedup(second, store2)
     assert surv_replay.count() == 0
+
+
+# --- histogram quantile sketch (pipeline/sketches.py) ----------------------
+
+def test_histogram_quantiles_bounded_error_and_merge(spark):
+    from spark_monotasks_spark.pipeline import sketches
+
+    vals = [float(i) for i in range(1000)]  # uniform 0..999
+    df = spark.createDataFrame([(v, int(v) % 3) for v in vals],
+                               "v double, shard int")
+    h = sketches.histogram_build(df, "v", bin_width=10.0)
+    got = {r.q: r.value for r in sketches.histogram_quantiles(
+        h, [0.5, 0.9, 0.99], bin_width=10.0).collect()}
+    # true p50=499.5 -> bin 49 -> upper edge 500; error <= bin_width
+    assert abs(got[0.5] - 500.0) < 1e-9
+    assert abs(got[0.9] - 900.0) < 1e-9
+    assert abs(got[0.99] - 990.0) < 1e-9
+
+    # shard histograms merge to exactly the whole-input histogram
+    parts = [sketches.histogram_build(df.filter(F.col("shard") == s), "v", 10.0)
+             for s in (0, 1, 2)]
+    merged = sketches.histogram_merge(*parts)
+    a = {(r.bin): r.cnt for r in h.collect()}
+    b = {(r.bin): r.cnt for r in merged.collect()}
+    assert a == b
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sketches.histogram_build(df, "v", 0)
