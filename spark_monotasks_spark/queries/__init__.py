@@ -41,9 +41,10 @@ from spark_monotasks_spark.queries import events_analytics  # noqa: E402,F401
 _PRIORITY = (
     # scans / filter / project / predicates / DSL (§2.1-2.2)
     "scan_filter_project", "predicate_ops", "case_when", "between_like",
-    # aggregation families (§2.4; percentile_ops moved just outside in r3
-    # to make room — udaf/first_last still cover advanced aggs)
-    "tpch_q1_pricing", "agg_distinct", "cube_agg", "group_having",
+    # aggregation families (§2.4; percentile_ops and cube_agg moved just
+    # outside in r3 — udaf/first_last/distinct keep advanced aggs
+    # in-window, and cms_heavy_hitters below adds the sketch side)
+    "tpch_q1_pricing", "agg_distinct", "group_having",
     "first_last_agg", "udaf_weighted_mean", "decimal_agg",
     # join families (§2.3; tpch_q18 moved just outside in r3 — q3 + the
     # subquery block keep multiway shapes in-window)
@@ -52,7 +53,7 @@ _PRIORITY = (
     "tpch_q3_shipping",
     # subquery shapes (correlated scalar / EXISTS+NOT EXISTS / CTE+max /
     # outer-join count distribution — tpch_extra.py)
-    "tpch_q17_small_qty", "tpch_q21_waiting", "tpch_q13_order_counts",
+    "tpch_q17_small_qty", "tpch_q21_waiting",
     # sort / top-k / distribute (§2.6)
     "order_by_multi", "topk_orders",
     # set ops (§2.7)
@@ -62,10 +63,13 @@ _PRIORITY = (
     # conditional_funcs moved just outside in r3 (case_when keeps
     # If/CaseWhen in-window) to make room for the merge/upsert surface)
     "arithmetic_ops", "string_funcs", "cast_matrix",
-    "complex_types_ops", "datetime_funcs", "json_extract",
-    # table maintenance (merge/upsert — modern completion of the Hive
-    # INSERT write surface, added r3)
-    "merge_upsert_orders",
+    "complex_types_ops", "datetime_funcs",
+    # table maintenance (merge/upsert + manifest-committed time travel +
+    # steady-state incremental ingest dedup + value-audited frequency
+    # sketch — added r3; displaced cube_agg/json_extract/tpch_q13, whose
+    # families stay represented in-window)
+    "merge_upsert_orders", "versioned_time_travel",
+    "incremental_dedup_batch", "cms_heavy_hitters",
     # window / sessionize / pivot (§2.5, beyond-reference)
     "window_topn_per_group", "events_sessionize", "pivot_segment_status",
     # df utilities / scripts / UDTF (§2.9, §2.11)
