@@ -767,3 +767,73 @@ def stratified_sample_k(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: str = "w1",
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    A-Res): each row draws u ∈ (0,1) as a pure function of
+    md5(seed ‖ id) and scores key = u^(1/w); the k largest keys are the
+    sample — inclusion probability rises with weight, selection is
+    deterministic (same seed ⇒ same sample on any cluster layout), and
+    a new epoch is just a new seed.  The quality-weighted subsampling
+    primitive: w = quality score ⇒ better documents survive downsizing
+    more often, without a sort by score (which would bias content).
+
+    Rows with NULL or non-positive weight cannot be drawn (excluded,
+    like NULL keys in aggregation).  Plan shape: one narrow projection
+    + TakeOrderedAndProject — no shuffle beyond the bounded top-k.
+
+    Rows-only in the catalog: key = u^(1/w) is transcendental, and
+    libm pow may differ in the last ulp across engines, which could
+    flip an order at the boundary — the selection properties are
+    asserted in tests instead (equal weights reduce EXACTLY to the
+    integer md5 ranking; determinism; weight monotonicity).
+    """
+    u_int = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit(seed + "#"), F.col(id_col).cast("string")).cast(
+                    "binary"
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (u_int + 1.0) / float((1 << 48) + 2)  # strictly inside (0,1)
+    w = F.col(weight_col).cast("double")
+    key = F.pow(u, 1.0 / w)
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .withColumn("_skey", key)
+        .orderBy(F.col("_skey").desc(), F.col(id_col))
+        .limit(k)
+        .drop("_skey")
+    )
+
+
+def deterministic_shuffle(
+    df: DataFrame, id_col: str = "doc_id", seed: str = "epoch1"
+) -> DataFrame:
+    """Reproducible global shuffle: order by md5(seed ‖ id) — the
+    training-loader epoch permutation.  A pure function of ids, so any
+    engine (and any rerun, any partitioning) produces the identical
+    order; the next epoch is just the next seed.  Adds ``shuffle_pos``
+    (1-based).  At scale this is Spark's range-partitioned sample-based
+    sort on a 16-byte key — the one global sort a training pipeline
+    actually needs."""
+    from pyspark.sql import Window
+
+    h = F.md5(
+        F.concat(F.lit(seed + "#"), F.col(id_col).cast("string")).cast("binary")
+    )
+    w = Window.orderBy(h.asc(), F.col(id_col).asc())
+    return df.withColumn("shuffle_pos", F.row_number().over(w))

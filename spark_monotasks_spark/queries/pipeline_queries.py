@@ -1573,3 +1573,43 @@ def histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     h = sketches.histogram_build(t["lineitem"], "l_extendedprice", 1000.0)
     return sketches.histogram_quantiles(h, [0.25, 0.5, 0.9, 0.99], 1000.0)
+
+
+@register("weighted_sample_docs")  # rows-only: u^(1/w) is transcendental —
+# libm pow ulp differences across engines could flip a boundary rank; the
+# selection law is asserted exactly in tests (equal weights == integer md5
+# ranking, determinism, weight monotonicity)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted subsampling (pipeline.text.weighted_sample_k,
+    Efraimidis–Spirakis A-Res): sample 200 documents with inclusion
+    probability rising in n_chars, deterministically (pure function of
+    md5(seed ‖ doc_id))."""
+    t = _t(spark, sf_dir)
+    return text.weighted_sample_k(
+        t["documents"], 200, "n_chars", seed="r3"
+    ).select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "deterministic_shuffle_order",
+    oracle="""
+    SELECT doc_id,
+           row_number() OVER (ORDER BY md5('ep1#' || doc_id), doc_id)
+             AS shuffle_pos
+    FROM documents
+    QUALIFY shuffle_pos <= 500
+    ORDER BY shuffle_pos
+    """,
+)
+def deterministic_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible epoch shuffle (pipeline.text.deterministic_shuffle):
+    the training loader's global permutation as ORDER BY md5(seed ‖ id)
+    — a pure function of ids, so DuckDB lands on the identical
+    permutation (first 500 positions checked)."""
+    t = _t(spark, sf_dir)
+    out = text.deterministic_shuffle(t["documents"], seed="ep1")
+    return (
+        out.filter(F.col("shuffle_pos") <= 500)
+        .select("doc_id", "shuffle_pos")
+        .orderBy("shuffle_pos")
+    )

@@ -1209,3 +1209,64 @@ def test_histogram_quantiles_bounded_error_and_merge(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         sketches.histogram_build(df, "v", 0)
+
+
+# --- weighted sampling + deterministic shuffle -----------------------------
+
+def test_weighted_sample_equal_weights_is_md5_ranking(spark):
+    """With equal weights, u^(1/w) is monotone in u, so the sample must
+    be EXACTLY the top-k rows by the integer md5 draw — checkable
+    without any float comparison."""
+    import hashlib
+
+    from spark_monotasks_spark.pipeline import text as T
+
+    df = spark.createDataFrame(
+        [(i, 1.0) for i in range(200)], "doc_id long, w double"
+    )
+    got = sorted(
+        r.doc_id for r in T.weighted_sample_k(df, 20, "w", seed="s1").collect()
+    )
+    draws = {
+        i: int(hashlib.md5(f"s1#{i}".encode()).hexdigest()[:12], 16)
+        for i in range(200)
+    }
+    expect = sorted(sorted(draws, key=lambda i: (-draws[i], i))[:20])
+    assert got == expect
+
+
+def test_weighted_sample_determinism_and_weight_pull(spark):
+    from spark_monotasks_spark.pipeline import text as T
+
+    rows = [(i, 1.0) for i in range(500)] + [(1000, 1e9), (1001, None),
+                                             (1002, 0.0)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    a = sorted(r.doc_id for r in T.weighted_sample_k(df, 25, "w").collect())
+    b = sorted(r.doc_id for r in T.weighted_sample_k(df, 25, "w").collect())
+    assert a == b  # deterministic
+    assert 1000 in a  # the 1e9-weight row is effectively certain
+    assert 1001 not in a and 1002 not in a  # NULL/zero weight undrawable
+    c = sorted(r.doc_id
+               for r in T.weighted_sample_k(df, 25, "w", seed="other").collect())
+    assert a != c  # a new seed is a new epoch
+
+
+def test_deterministic_shuffle_is_engine_stable(spark):
+    import hashlib
+
+    from spark_monotasks_spark.pipeline import text as T
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    got = {r.doc_id: r.shuffle_pos
+           for r in T.deterministic_shuffle(df, seed="ep2").collect()}
+    order = sorted(
+        range(100),
+        key=lambda i: (hashlib.md5(f"ep2#{i}".encode()).hexdigest(), i),
+    )
+    expect = {doc: pos + 1 for pos, doc in enumerate(order)}
+    assert got == expect
+    # repartitioning must not change the permutation
+    got2 = {r.doc_id: r.shuffle_pos
+            for r in T.deterministic_shuffle(
+                df.repartition(7), seed="ep2").collect()}
+    assert got2 == expect
