@@ -6,4 +6,10 @@ analysis, and multimodal-column plumbing — each designed for the 100 TB
 tier (linear passes, bounded shuffles, LSH instead of all-pairs).
 """
 
-from spark_monotasks_spark.pipeline import dedup, multimodal, similarity, text  # noqa: F401
+from spark_monotasks_spark.pipeline import (  # noqa: F401
+    dedup,
+    multimodal,
+    similarity,
+    sketches,
+    text,
+)

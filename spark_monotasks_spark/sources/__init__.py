@@ -1,1 +1,1 @@
-from spark_monotasks_spark.sources import io  # noqa: F401
+from spark_monotasks_spark.sources import io, versioned  # noqa: F401
