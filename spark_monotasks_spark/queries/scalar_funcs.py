@@ -498,3 +498,41 @@ def map_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("zipped_sum"),
     )
+
+
+@register(
+    "from_xml_typed",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey        AS x_key,
+           o_orderstatus     AS x_status,
+           round(CAST(o_totalprice AS DOUBLE), 2) AS x_price
+    FROM orders WHERE o_orderkey <= 1000
+    """,
+)
+def from_xml_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_xml typed struct parsing (Spark 4 native XML — the schema-
+    ful successor of the xpath extraction family in `xpath_funcs`): an
+    XML document assembled from order columns parses back into a typed
+    struct whose fields must equal the source columns (stated by the
+    oracle).  Scalar-only output (struct fields projected)."""
+    t = _t(spark, sf_dir)
+    o = t["orders"].filter(F.col("o_orderkey") <= 1000)
+    xml = F.concat(
+        F.lit("<o><key>"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("</key><status>"),
+        F.col("o_orderstatus"),
+        F.lit("</status><price>"),
+        F.round(F.col("o_totalprice").cast("double"), 2).cast("string"),
+        F.lit("</price></o>"),
+    )
+    parsed = F.from_xml(
+        xml, "STRUCT<key: BIGINT, status: STRING, price: DOUBLE>"
+    )
+    return o.select(
+        "o_orderkey",
+        parsed.getField("key").alias("x_key"),
+        parsed.getField("status").alias("x_status"),
+        F.round(parsed.getField("price"), 2).alias("x_price"),
+    )
