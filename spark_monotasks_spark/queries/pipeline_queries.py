@@ -1509,10 +1509,10 @@ def cms_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "incremental_dedup_batch",
     oracle="""
     WITH hist AS (
-      SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id < 2500
+      SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id < 250
     ),
     batch AS (
-      SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id >= 2500
+      SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id >= 250
     ),
     winners AS (
       SELECT fp, min(doc_id) AS keep_id FROM batch GROUP BY fp
@@ -1524,15 +1524,17 @@ def cms_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def incremental_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental exact dedup (pipeline.dedup.incremental_exact_dedup):
-    the steady-state corpus-ingest shape — a new batch (doc_id >= 2500)
+    the steady-state corpus-ingest shape — a new batch (doc_id >= 250)
     dedups against itself and against the HISTORY's fingerprint store
-    (doc_id < 2500) without rescanning history payloads.  The oracle
+    (doc_id < 250; the documents table has 500 rows at the small SFs,
+    so both sides are non-trivial at every scale factor) without
+    rescanning history payloads.  The oracle
     re-derives the survivor set: min-id per fingerprint within the
     batch, fingerprint unseen in history."""
     t = _t(spark, sf_dir)
     docs = t["documents"]
-    history = docs.filter(F.col("doc_id") < 2500)
-    batch = docs.filter(F.col("doc_id") >= 2500)
+    history = docs.filter(F.col("doc_id") < 250)
+    batch = docs.filter(F.col("doc_id") >= 250)
     _, store = dedup.incremental_exact_dedup(history, None)
     survivors, _delta = dedup.incremental_exact_dedup(batch, store)
     return survivors.select(
