@@ -1279,7 +1279,8 @@ def near_dup_clusters_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT token, count(*) AS doc_freq,
            string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
              AS postings
-    FROM dt GROUP BY token HAVING count(*) >= 450
+    FROM dt GROUP BY token
+    HAVING count(*) >= 0.5 * (SELECT count(DISTINCT doc_id) FROM dt)
     """,
 )
 def inverted_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1287,8 +1288,12 @@ def inverted_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     structure a corpus search layer builds once and serves forever.
     One explode + distinct + token groupBy: the posting shuffle carries
     (token, doc_id) pairs only.  Restricted to near-stop-words here
-    (df ≥ 450 of 500 docs) so posting strings stay bounded for the
-    value hash; the real structure would write postings as arrays."""
+    (df ≥ half the corpus — RELATIVE, so the demo stays non-degenerate
+    at every scale factor; an absolute cutoff silently went 0-row at
+    sf0.01) so posting strings stay bounded for the value hash; the
+    real structure would write postings as arrays.  The doc-count
+    threshold is a 1-row broadcast (same scalar pattern as the
+    tfidf/bm25 corpus stats)."""
     t = _t(spark, sf_dir)
     dt = (
         t["documents"]
@@ -1299,6 +1304,7 @@ def inverted_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("token") != "")
         .distinct()
     )
+    nd = dt.agg(F.count_distinct("doc_id").alias("_ndocs"))
     return (
         dt.groupBy("token")
         .agg(
@@ -1311,7 +1317,9 @@ def inverted_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ",",
             ).alias("postings"),
         )
-        .filter(F.col("doc_freq") >= 450)
+        .crossJoin(F.broadcast(nd))
+        .filter(F.col("doc_freq") >= 0.5 * F.col("_ndocs"))
+        .drop("_ndocs")
     )
 
 
