@@ -65,6 +65,11 @@ def test_query_parity(spark, name):
     spark_rows = [tuple(r) for r in sdf.collect()]
     spark_cols = sdf.columns
 
+    # non-degeneracy: a 0-row result is a vacuously-green check (two
+    # absolute-threshold demos silently went empty at sf0.01 in r3) —
+    # every catalog entry must demonstrate real rows at the gate SF
+    assert spark_rows, f"{name}: degenerate 0-row result at {SF_ORACLE_DIR}"
+
     if name not in ORACLE_REGISTRY:
         # rows-only check (mirrors the driver's weak gate)
         assert isinstance(spark_rows, list)
