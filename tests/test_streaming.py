@@ -615,3 +615,63 @@ def test_versioned_append_sink_exactly_once(spark, chunked_events, tmp_path):
         == V.read_version(spark, table).count()
         - V.read_version(spark, table, 2).count()
     )
+
+
+def test_stream_stream_left_outer_emits_nulls_after_watermark(
+    spark, tmp_path
+):
+    """Stream-stream LEFT OUTER join: unmatched left rows are held in
+    state while they might still match, then emitted with a NULL right
+    side once the watermark passes their event time — the state-timeout
+    semantics an inner join never exercises.  The second availableNow
+    run (same checkpoint) carries a far-future row on both sides, so
+    the global watermark jumps and the pending NULLs flush."""
+    import datetime as _dt
+
+    t0 = _dt.datetime(2024, 1, 1, 12, 0, 0)
+    ldir, rdir = str(tmp_path / "L"), str(tmp_path / "R")
+    left1 = spark.createDataFrame(
+        [(i, t0, float(i)) for i in range(10)],
+        "l_id long, l_ts timestamp, l_value double",
+    )
+    right1 = spark.createDataFrame(
+        [(i, t0, f"t{i}") for i in range(5)],  # matches for 0..4 only
+        "r_id long, r_ts timestamp, r_type string",
+    )
+    left1.coalesce(1).write.parquet(ldir + "/f1")
+    right1.coalesce(1).write.parquet(rdir + "/f1")
+
+    def run_once():
+        ls = dstream.file_stream(spark, ldir + "/*", left1.schema)
+        rs = dstream.file_stream(spark, rdir + "/*", right1.schema)
+        j = dstream.stream_stream_join(
+            ls, rs, "l_id", "r_id", "l_ts", "r_ts",
+            watermark="10 minutes", max_skew="5 minutes", how="left_outer",
+        ).select("l_id", "l_value", "r_type")
+        q = dstream.start_file_sink(
+            j, str(tmp_path / "out"), str(tmp_path / "ckpt")
+        )
+        _await(q)
+
+    run_once()
+    got1 = spark.read.parquet(str(tmp_path / "out"))
+    matched = {r.l_id for r in got1.filter(F.col("r_type").isNotNull()).collect()}
+    assert matched == set(range(5))
+
+    # watermark-advancing rows on BOTH sides (global watermark = min)
+    far = t0 + _dt.timedelta(days=2)
+    spark.createDataFrame(
+        [(999, far, 0.0)], left1.schema
+    ).coalesce(1).write.parquet(ldir + "/f2")
+    spark.createDataFrame(
+        [(999, far, "flush")], right1.schema
+    ).coalesce(1).write.parquet(rdir + "/f2")
+    run_once()
+
+    got2 = spark.read.parquet(str(tmp_path / "out"))
+    nulls = {r.l_id for r in got2.filter(F.col("r_type").isNull()).collect()}
+    assert nulls == set(range(5, 10)), nulls  # expired unmatched rows
+    # matched rows were emitted exactly once, never also as NULL
+    again = {r.l_id
+             for r in got2.filter(F.col("r_type").isNotNull()).collect()}
+    assert set(range(5)) <= again and not (nulls & set(range(5)))
