@@ -1,0 +1,77 @@
+"""Property-based sketch guarantees (pipeline/sketches.py).
+
+The CMS bound (estimate ≥ true count, for EVERY key and any
+depth/width) and histogram merge associativity must hold on arbitrary
+inputs, not just the planted fixtures — randomized keys maximize
+bucket-collision coverage at tiny widths, where the bound is actually
+exercised (wide sketches never collide).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from spark_monotasks_spark.pipeline import sketches
+
+_SETTINGS = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_keys = st.lists(st.sampled_from(["a", "b", "c", "d", "e", "f"]), min_size=1,
+                 max_size=30)
+
+
+@pytest.mark.parametrize("hash_family", ["md5", "xxhash64"])
+@given(keys=_keys, depth=st.integers(1, 6), width=st.integers(2, 8))
+@_SETTINGS
+def test_cms_never_underestimates(spark, keys, depth, width, hash_family):
+    """For any input multiset and any (depth, width) — including widths
+    tiny enough to force collisions — est(key) >= count(key)."""
+    df = spark.createDataFrame([(k,) for k in keys], "key string")
+    sk = sketches.cms_build(df, "key", depth=depth, width=width,
+                            hash_family=hash_family)
+    est = {
+        r.key: r.est
+        for r in sketches.cms_estimate(
+            sk, df.select("key").distinct(), "key", depth, width, hash_family
+        ).collect()
+    }
+    exact = Counter(keys)
+    assert set(est) == set(exact)
+    for k, n in exact.items():
+        assert est[k] >= n, (k, est[k], n)
+
+
+@given(
+    vals=st.lists(st.floats(min_value=-50, max_value=50,
+                            allow_nan=False, allow_infinity=False),
+                  min_size=1, max_size=30),
+    split=st.integers(0, 2),
+    bin_width=st.sampled_from([0.5, 1.0, 7.0]),
+)
+@_SETTINGS
+def test_histogram_merge_associative(spark, vals, split, bin_width):
+    """Histogram of the whole == merge of arbitrary shard histograms,
+    counter for counter (negative values and fractional bins included)."""
+    rows = [(v, i % (split + 1)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "v double, shard int")
+    whole = {
+        r.bin: r.cnt
+        for r in sketches.histogram_build(df, "v", bin_width).collect()
+    }
+    parts = [
+        sketches.histogram_build(
+            df.filter(df.shard == s), "v", bin_width
+        )
+        for s in range(split + 1)
+    ]
+    merged = {
+        r.bin: r.cnt for r in sketches.histogram_merge(*parts).collect()
+    }
+    assert whole == merged
