@@ -75,3 +75,28 @@ def test_histogram_merge_associative(spark, vals, split, bin_width):
         r.bin: r.cnt for r in sketches.histogram_merge(*parts).collect()
     }
     assert whole == merged
+
+
+@given(
+    n=st.integers(10, 40),
+    k=st.integers(1, 8),
+    boosted=st.integers(0, 9),
+    factor=st.sampled_from([2.0, 10.0, 1000.0]),
+)
+@_SETTINGS
+def test_weighted_sample_monotone_in_weight(spark, n, k, boosted, factor):
+    """A-Res law: raising ONE row's weight (others fixed) can never
+    evict it from the sample — its key u^(1/w) rises while every other
+    key is unchanged."""
+    from spark_monotasks_spark.pipeline import text as T
+
+    base = [(i, 1.0) for i in range(n)]
+    df1 = spark.createDataFrame(base, "doc_id long, w double")
+    got1 = {r.doc_id for r in T.weighted_sample_k(df1, k, "w").collect()}
+    rows2 = [(i, factor if i == boosted else 1.0) for i in range(n)]
+    df2 = spark.createDataFrame(rows2, "doc_id long, w double")
+    got2 = {r.doc_id for r in T.weighted_sample_k(df2, k, "w").collect()}
+    if boosted in got1:
+        assert boosted in got2, (boosted, got1, got2)
+    # and everything else is at most displaced by the boosted row
+    assert got1 - {boosted} >= got2 - {boosted} or got1 == got2
