@@ -717,13 +717,25 @@ def incremental_exact_dedup(
     Append-only store + min-id-per-batch survivor choice make the
     operation idempotent: re-running a batch against the updated store
     yields zero survivors.
+
+    NULL handling: rows with NULL ``text_col`` hash to a NULL
+    fingerprint, which groupBy treats as one group — they dedup as a
+    single "null document" across batches.  The store anti-join is
+    null-safe (``eqNullSafe``) so the NULL-fp winner is recognized on
+    later batches instead of surviving (and re-appending) forever.
     """
     fp = F.md5(F.col(text_col).cast("binary"))
     pairs = batch.select(F.col(id_col).alias("_bid"), fp.alias("fp"))
     winners = pairs.groupBy("fp").agg(F.min("_bid").alias("keep_id"))
     if store is not None:
+        # eqNullSafe (<=>) is still an equi-join to the planner — it
+        # hash-partitions both sides; NULL <=> NULL matches, so the
+        # null-fingerprint group stays idempotent across batches
+        store_fps = store.select(F.col("fp").alias("_store_fp")).distinct()
         winners = winners.join(
-            store.select("fp").distinct(), on="fp", how="left_anti"
+            store_fps,
+            on=F.col("fp").eqNullSafe(F.col("_store_fp")),
+            how="left_anti",
         )
     survivors = batch.join(
         winners.select(F.col("keep_id").alias(id_col)), on=id_col, how="left_semi"

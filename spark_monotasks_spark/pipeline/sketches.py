@@ -19,9 +19,11 @@ Everything here is plain DataFrame ops — no UDF, no binary blobs:
   (union + sum — counts are decomposable), persistable as parquet,
   inspectable, and joinable;
 - the row hashes are the engine-portable md5 family used across the
-  pipeline (first 48 bits of md5(key ‖ '#' ‖ i), mod width), so an
-  external engine (the DuckDB oracle) reproduces every counter and
-  every estimate byte-for-byte.
+  pipeline: row i uses the i%4-th 32-bit hex chunk of
+  md5(key ‖ '#r{i//4}' — no salt for the first four rows), mod
+  ``width`` (see ``cms_bucket``), so an external engine (the DuckDB
+  oracle) reproduces every counter and every estimate byte-for-byte
+  from one digest per key per four rows.
 
 Scale shape: the build explodes each input row into ``depth`` (row,
 bucket) pairs, but the hash aggregate collapses them map-side to at
@@ -215,6 +217,8 @@ def histogram_quantiles(
     The cumulative-sum window runs over the BIN TABLE (range/bin_width
     rows), not the data — a single-partition sort of a bounded frame,
     same story as vocabulary ranking."""
+    if not quantiles:
+        raise ValueError("quantiles must be non-empty")
     from pyspark.sql import Window
 
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)

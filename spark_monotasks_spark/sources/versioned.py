@@ -14,18 +14,29 @@ stay readable (time travel) until vacuumed.
 Layout::
 
     table/
-      data/v1/part-*.parquet     (immutable once committed)
-      data/v2/part-*.parquet
-      _versions/v1.json          {"version":1,"dirs":["data/v1"],...}
-      _versions/v2.json          {"version":2,"dirs":["data/v1","data/v2"]}
+      data/v1-3f2a9c1d/part-*.parquet   (immutable once committed)
+      data/v2-b04e77aa/part-*.parquet
+      _versions/v1.json   {"version":1,"dirs":["data/v1-3f2a9c1d"],...}
+      _versions/v2.json   {"version":2,"dirs":["data/v1-...","data/v2-..."]}
 
 Scale notes: the manifest holds directory names, not file lists — the
 per-version metadata is O(commits), and Spark's parquet reader lists
 splits inside each directory in parallel.  A crashed writer leaves an
 orphan ``data/`` directory but NO manifest, so it is invisible to every
-reader (write data first, fsync-rename the manifest last).  Readers of
-version N never list directories created after N, so concurrent
-append+read needs no locking.
+reader (write data first, fsync-rename the manifest last).  Data
+directories carry a per-attempt random suffix, so a retry after a
+mid-write crash stages into a FRESH directory instead of colliding
+with the orphan — the sink self-recovers with no manual cleanup, and
+``vacuum`` reaps manifest-less orphans as a side effect (don't run
+vacuum concurrently with an in-flight writer: it cannot tell an orphan
+from a not-yet-committed staging dir).  Readers of version N never
+list directories created after N, so concurrent append+read needs no
+locking.
+
+The streaming replay watermark (``max_batch_id``) is carried forward
+into EVERY manifest — append, overwrite, and compact alike — so
+``vacuum`` dropping old manifests can never regress it and re-admit a
+replayed micro-batch (see streaming.dstream.versioned_append_sink).
 """
 
 from __future__ import annotations
@@ -33,8 +44,15 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed the version this writer was targeting.
+    The table is consistent; the caller should simply retry (the retry
+    re-resolves the head and stages into a fresh data directory)."""
 
 
 def _versions_dir(path: str) -> str:
@@ -74,39 +92,71 @@ def write_version(
 
     Commit protocol: write the immutable data directory, then create
     the manifest via atomic rename — a writer that dies mid-way leaves
-    no manifest, so readers never see partial data.
+    no manifest, so readers never see partial data.  The data directory
+    name carries a random per-attempt suffix and the manifest records
+    the ACTUAL name, so a retry after a mid-write crash never collides
+    with the orphan (``errorifexists`` would otherwise fail every retry
+    forever); the orphan stays invisible and is reaped by ``vacuum``.
 
     ``batch_id`` stamps the manifest with a streaming micro-batch id —
     ``last_committed_batch_id`` then lets an exactly-once sink skip
     replayed batches (see streaming.dstream.versioned_append_sink).
+    The running max over all committed batch_ids is ALSO carried
+    forward into every manifest (``max_batch_id``) so the watermark
+    survives compact + vacuum dropping the stamped manifests.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     versions = list_versions(path)
+    prev = _read_manifest(path, versions[-1]) if versions else None
     new_v = (versions[-1] + 1) if versions else 1
-    rel_dir = f"data/v{new_v}"
+    rel_dir = f"data/v{new_v}-{uuid.uuid4().hex[:8]}"
     df.write.mode("errorifexists").parquet(os.path.join(path, rel_dir))
     dirs = [rel_dir]
-    if mode == "append" and versions:
-        dirs = _read_manifest(path, versions[-1])["dirs"] + dirs
+    if mode == "append" and prev is not None:
+        dirs = prev["dirs"] + dirs
     manifest = {"version": new_v, "mode": mode, "dirs": dirs}
+    carried = -1
+    if prev is not None:
+        carried = prev.get("max_batch_id", prev.get("batch_id", -1))
     if batch_id is not None:
         manifest["batch_id"] = batch_id
+        carried = max(carried, batch_id)
+    if carried >= 0:
+        manifest["max_batch_id"] = carried
     vdir = _versions_dir(path)
     os.makedirs(vdir, exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=vdir, suffix=".tmp")
     with os.fdopen(fd, "w") as f:
         json.dump(manifest, f)
-    os.rename(tmp, os.path.join(vdir, f"v{new_v}.json"))  # commit point
+    # commit point: hard-link is atomic AND exclusive (rename would
+    # silently overwrite a concurrent committer's manifest) — the loser
+    # of a same-version race fails here, its data dir becomes an
+    # invisible orphan for vacuum, and its retry targets the next
+    # version number.  Optimistic concurrency without a lock service.
+    final = os.path.join(vdir, f"v{new_v}.json")
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        os.unlink(tmp)
+        raise ConcurrentCommitError(
+            f"version {new_v} at {path!r} was committed by a concurrent "
+            "writer; re-run write_version to retry against the new head"
+        ) from None
+    os.unlink(tmp)
     return new_v
 
 
 def last_committed_batch_id(path: str) -> int:
-    """Largest ``batch_id`` stamped on any committed manifest, or -1 —
-    the streaming sink's replay watermark."""
+    """Largest batch id committed to the table, or -1 — the streaming
+    sink's replay watermark.  Reads the carried-forward ``max_batch_id``
+    (falling back to per-commit ``batch_id`` for manifests written
+    before the carry-forward existed), scanning all surviving manifests
+    so the answer is right even with a mixed-era history."""
     best = -1
     for v in list_versions(path):
-        b = _read_manifest(path, v).get("batch_id")
+        m = _read_manifest(path, v)
+        b = m.get("max_batch_id", m.get("batch_id"))
         if b is not None and b > best:
             best = b
     return best
@@ -165,7 +215,11 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
     """Delete data directories unreachable from the newest
     ``keep_versions`` manifests (and drop the older manifests) —
     time travel shrinks to the kept window; current reads are
-    untouched.  Returns the deleted directory names."""
+    untouched.  Manifest-less orphan directories (crashed writers) are
+    reaped too, so don't run vacuum while a writer is mid-commit.
+    The streaming replay watermark survives: every kept manifest
+    carries ``max_batch_id`` forward.  Returns the deleted directory
+    names."""
     import shutil
 
     if keep_versions < 1:

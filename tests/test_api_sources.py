@@ -449,9 +449,11 @@ def test_versioned_time_travel_and_isolation(spark, tmp_path):
     assert v1_reader.count() == 10
 
 
-def test_versioned_crash_leaves_no_visible_version(spark, tmp_path):
+def test_versioned_crash_retry_self_recovers(spark, tmp_path):
     """A data directory without a manifest (crashed writer) is invisible
-    to readers and does not block the next commit."""
+    to readers, does NOT block the retry (per-attempt unique staging
+    dirs — the retry never collides with the orphan), and vacuum reaps
+    the orphan."""
     import os
 
     import pyspark.sql.functions as F
@@ -461,19 +463,23 @@ def test_versioned_crash_leaves_no_visible_version(spark, tmp_path):
     path = str(tmp_path / "tbl")
     V.write_version(spark.range(5).withColumn("b", F.lit(1)), path)
     # simulate a writer that died after writing data, before committing
-    orphan = os.path.join(path, "data", "v2")
-    spark.range(99).write.parquet(orphan)
+    orphan = os.path.join(path, "data", "v2-deadcafe")
+    spark.range(99).withColumn("b", F.lit(99)).write.parquet(orphan)
     assert V.list_versions(path) == [1]
     assert V.read_version(spark, path).count() == 5
-    # next commit skips the orphan version number is fine — it must not
-    # surface the orphan's rows
+    # the retry commits v2 cleanly; the orphan's rows never surface
+    assert V.write_version(
+        spark.range(3).withColumn("b", F.lit(2)), path, mode="append"
+    ) == 2
+    assert V.read_version(spark, path).count() == 8
     import pytest as _pytest
-    with _pytest.raises(Exception):
-        # v2 data dir exists -> errorifexists write refuses, keeping the
-        # orphan inspectable rather than silently absorbing it
-        V.write_version(spark.range(3).withColumn("b", F.lit(2)), path)
     with _pytest.raises(ValueError):
         V.read_version(spark, path, 7)
+    # vacuum keeps both committed versions but reaps the orphan dir
+    removed = V.vacuum(path, keep_versions=2)
+    assert "data/v2-deadcafe" in removed
+    assert not os.path.exists(orphan)
+    assert V.read_version(spark, path).count() == 8
 
 
 def test_versioned_changes_vacuum_compact(spark, tmp_path):
@@ -507,14 +513,18 @@ def test_versioned_changes_vacuum_compact(spark, tmp_path):
     removed = V.vacuum(path, keep_versions=1)
     assert removed and V.list_versions(path) == [4]
     assert V.read_version(spark, path).count() == 16
-    assert not os.path.exists(os.path.join(path, "data", "v1"))
+    # only the kept (compacted) version's data directory survives
+    live = set(V._read_manifest(path, 4)["dirs"])
+    on_disk = {f"data/{d}" for d in os.listdir(os.path.join(path, "data"))}
+    assert on_disk == live
 
 
-def test_versioned_concurrent_writers_conflict_cleanly(spark, tmp_path):
+def test_versioned_concurrent_writers_conflict_cleanly(spark, tmp_path, monkeypatch):
     """Two writers racing for the same version number: the loser fails
-    on the immutable data directory (errorifexists) BEFORE any manifest
-    exists, so the table stays consistent and the loser can retry —
-    optimistic concurrency, no partial commits."""
+    at the manifest hard-link (atomic + exclusive commit point), the
+    winner's version is untouched, and the loser's staged data becomes
+    an invisible orphan it can vacuum later — optimistic concurrency,
+    no partial commits, no silent overwrite."""
     import pyspark.sql.functions as F
     import pytest as _pytest
 
@@ -522,15 +532,52 @@ def test_versioned_concurrent_writers_conflict_cleanly(spark, tmp_path):
 
     path = str(tmp_path / "tbl")
     V.write_version(spark.range(3).withColumn("b", F.lit(1)), path)
-    # simulate the race: writer A wrote data/v2 but has not committed;
-    # writer B (same target version) must fail cleanly
-    spark.range(7).withColumn("b", F.lit(2)).write.parquet(
-        str(tmp_path / "tbl" / "data" / "v2")
-    )
-    with _pytest.raises(Exception):
-        V.write_version(spark.range(9).withColumn("b", F.lit(3)), path)
-    assert V.list_versions(path) == [1]
-    assert V.read_version(spark, path).count() == 3
+    # simulate the race: writer B resolves the head (sees only v1) while
+    # writer A commits v2 — B must fail at the commit point, not clobber
+    real_list = V.list_versions
+    monkeypatch.setattr(V, "list_versions", lambda p: [1])
+    V_a_data = spark.range(7).withColumn("b", F.lit(2))
+    # writer A commits v2 for real (bypassing the stale view)
+    monkeypatch.setattr(V, "list_versions", real_list)
+    assert V.write_version(V_a_data, path, mode="append") == 2
+    # writer B, holding the stale head, now targets v2 too
+    monkeypatch.setattr(V, "list_versions", lambda p: [1])
+    with _pytest.raises(V.ConcurrentCommitError):
+        V.write_version(spark.range(9).withColumn("b", F.lit(3)), path,
+                        mode="append")
+    monkeypatch.setattr(V, "list_versions", real_list)
+    assert V.list_versions(path) == [1, 2]
+    # the winner's v2 rows are intact (3 + 7, not the loser's 9)
+    assert V.read_version(spark, path).count() == 10
+
+
+def test_versioned_replay_watermark_survives_compact_vacuum(spark, tmp_path):
+    """The exactly-once replay watermark must not regress when compact
+    writes an unstamped overwrite manifest and vacuum then drops the
+    stamped ones — max_batch_id is carried forward into every commit."""
+    import pyspark.sql.functions as F
+
+    from spark_monotasks_spark.sources import versioned as V
+
+    path = str(tmp_path / "tbl")
+    V.write_version(spark.range(3).withColumn("b", F.lit(1)), path,
+                    batch_id=0)
+    V.write_version(spark.range(2).withColumn("b", F.lit(2)), path,
+                    mode="append", batch_id=1)
+    assert V.last_committed_batch_id(path) == 1
+
+    # compact (no batch_id of its own) + vacuum away the stamped history
+    V.compact(spark, path, target_partitions=1)
+    V.vacuum(path, keep_versions=1)
+    assert V.list_versions(path) == [3]
+    # the watermark survives — a replayed micro-batch 1 stays skipped
+    assert V.last_committed_batch_id(path) == 1
+    # and later batches keep advancing it through overwrites too
+    V.write_version(spark.range(1).withColumn("b", F.lit(3)), path,
+                    mode="overwrite", batch_id=5)
+    V.compact(spark, path, target_partitions=1)
+    V.vacuum(path, keep_versions=1)
+    assert V.last_committed_batch_id(path) == 5
 
 
 def test_metadata_provenance_columns(spark):

@@ -1209,6 +1209,35 @@ def test_histogram_quantiles_bounded_error_and_merge(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         sketches.histogram_build(df, "v", 0)
+    with _pytest.raises(ValueError):
+        sketches.histogram_quantiles(h, [], bin_width=10.0)
+
+
+def test_incremental_dedup_null_text_is_one_group(spark):
+    """NULL-text rows hash to a NULL fingerprint; the null-safe store
+    anti-join must recognize it so the null group dedups across batches
+    instead of surviving (and re-appending a store row) every batch."""
+    from spark_monotasks_spark.pipeline import dedup
+
+    first = spark.createDataFrame(
+        [(1, None), (2, "real text"), (3, None)], "doc_id long, text string"
+    )
+    surv1, store1 = dedup.incremental_exact_dedup(first, None)
+    # within-batch: the two NULL rows collapse to the min id
+    assert sorted(r.doc_id for r in surv1.collect()) == [1, 2]
+
+    second = spark.createDataFrame(
+        [(10, None), (11, "other")], "doc_id long, text string"
+    )
+    surv2, delta2 = dedup.incremental_exact_dedup(second, store1)
+    # cross-batch: the NULL group is already in the store -> dropped
+    assert [r.doc_id for r in surv2.collect()] == [11]
+    assert [r.keep_id for r in delta2.collect()] == [11]
+
+    # idempotence holds for the NULL group too
+    store2 = store1.select("fp").unionAll(delta2.select("fp"))
+    surv_replay, delta_replay = dedup.incremental_exact_dedup(first, store2)
+    assert surv_replay.count() == 0 and delta_replay.count() == 0
 
 
 # --- weighted sampling + deterministic shuffle -----------------------------
