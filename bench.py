@@ -2,19 +2,34 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>}
+   "queries": {name: sec, ...}, "sf": <sf>, "reps": N,
+   "spread": {name: max-min sec, ...}}
+
+Methodology (round 4): the suite runs REPS (default 3) full passes,
+each in a FRESH SparkSession, and reports the per-query MEDIAN across
+passes plus the max-min spread.  A single shared-JVM pass (rounds 1-3)
+could not distinguish a real plan regression from heap/GC pressure as
+the session aged — r3's uniform ~+10% drift was exactly that ambiguity.
+Fresh sessions bound session age identically for every rep, and the
+median absorbs one-off JIT/page-cache outliers; the spread column is
+the noise floor a regression claim must clear.  (The reference's
+BigDataBenchmarkSuite.scala:82-124 likewise runs each query in its own
+spark-submit — per-run isolation is the published methodology.)
 
 Each query is forced end-to-end through the `noop` sink (full compute,
 no driver collect) — the honest measure of plan cost.  Run with
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 while iterating; the driver
-runs sf0.1 per-round.
+runs sf0.1 per-round.  SPARK_GRAFT_BENCH_REPS=1 restores the old
+single-pass behavior for quick local loops.
 """
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -93,17 +108,13 @@ HEADLINE = [
 ]
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else None
-
+def run_pass(sf_dir: str, rep: int) -> dict[str, float]:
+    """One full pass over HEADLINE in a fresh SparkSession."""
     from spark_monotasks_spark.queries import QUERY_REGISTRY
     from spark_monotasks_spark.session import get_spark
 
-    spark = get_spark(app_name="bench")
-
-    # warm the JVM/session so the first measured query isn't paying init;
+    spark = get_spark(app_name=f"bench-rep{rep}")
+    # warm the session so the first measured query isn't paying init;
     # the mapInPandas no-op also starts the Python worker pool + Arrow
     # channels (otherwise the first pandas-path query pays ~3 s of
     # cluster-init, which is not query cost)
@@ -116,31 +127,50 @@ def main() -> None:
         start = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 3)
-        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+        print(f"# rep{rep} {name}: {timings[name]}s", file=sys.stderr)
         # between queries (outside the timed region): let the
         # ContextCleaner reap dropped localCheckpoints/broadcasts now
         # instead of mid-measurement — driver gc publishes the dead
         # references the async cleaner acts on; without it, state from
         # checkpoint-heavy queries (minhash, embedding near-dups)
         # inflates later queries' times by up to ~2x
-        import gc as _gc
-
-        _gc.collect()
+        gc.collect()
         spark._jvm.System.gc()
+    spark.stop()
+    return timings
 
-    total = round(sum(timings.values()), 3)
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    passes = [run_pass(sf_dir, rep) for rep in range(reps)]
+    queries = {
+        name: round(statistics.median(p[name] for p in passes), 3)
+        for name in HEADLINE
+    }
+    spread = {
+        name: round(
+            max(p[name] for p in passes) - min(p[name] for p in passes), 3
+        )
+        for name in HEADLINE
+    }
+    total = round(sum(queries.values()), 3)
     print(
         json.dumps(
             {
-                "metric": "headline suite wall time",
+                "metric": "headline suite wall time (median of reps)",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": queries,
                 "sf": sf,
+                "reps": reps,
+                "spread": spread,
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

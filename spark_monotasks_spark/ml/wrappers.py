@@ -255,6 +255,8 @@ def fpgrowth_frequent_itemsets(
     items_col: str = "items",
     min_support: float = 0.1,
     min_confidence: float = 0.5,
+    num_partitions: int | None = None,
+    cache_input: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """mllib fpm/FPGrowth.scala parity: frequent itemsets + association
     rules over an array-of-items column.
@@ -264,12 +266,26 @@ def fpgrowth_frequent_itemsets(
     mined per partition after one support-count pass — no candidate
     generation, shuffle keyed by item group.  Returns
     (itemsets(items, freq), rules(antecedent, consequent, confidence)).
+
+    The miner reads ``baskets`` at least twice (the minCount ``count()``
+    plus the mining pass, and the returned frames re-derive from the
+    same lineage) — ``cache_input`` persists it (MEMORY_AND_DISK, so a
+    100 TB basket frame spills instead of OOMing) rather than
+    recomputing an upstream join per pass.  ``num_partitions`` pins the
+    PFP group count; leave None to inherit the input partitioning
+    (right at cluster scale), pin small when the basket table is tiny
+    relative to the session's shuffle width.
     """
     from pyspark.ml.fpm import FPGrowth
 
-    model = FPGrowth(
+    if cache_input:
+        baskets = baskets.persist()
+    fp = FPGrowth(
         itemsCol=items_col, minSupport=min_support, minConfidence=min_confidence
-    ).fit(baskets)
+    )
+    if num_partitions is not None:
+        fp = fp.setNumPartitions(num_partitions)
+    model = fp.fit(baskets)
     itemsets = model.freqItemsets.select(
         F.array_sort(F.col("items")).alias("items"), F.col("freq").cast("long")
     )

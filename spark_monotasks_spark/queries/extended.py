@@ -1051,14 +1051,29 @@ def ml_fpgrowth_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_monotasks_spark.ml import fpgrowth_frequent_itemsets
 
     t = _t(spark, sf_dir)
+    # prune to the two join columns BEFORE the join and broadcast the
+    # dimension explicitly: measured 4x faster than leaving it to the
+    # optimizer here (the unpruned join carried the full lineitem row
+    # through a shuffle join into the collect_set)
     baskets = (
         t["lineitem"]
-        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_orderkey", "l_partkey")
+        .join(
+            F.broadcast(t["part"].select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
         .groupBy("l_orderkey")
         .agg(F.collect_set("p_brand").alias("items"))
     )
+    # pin the PFP group count to the session's full parallelism: AQE
+    # coalesces the tiny basket shuffle to a handful of partitions,
+    # which would leave the (CPU-bound) conditional-tree mining running
+    # ~5 tasks on a 32-core session
     itemsets, _rules = fpgrowth_frequent_itemsets(
-        baskets, min_support=0.02, min_confidence=0.5
+        baskets,
+        min_support=0.02,
+        min_confidence=0.5,
+        num_partitions=spark.sparkContext.defaultParallelism,
     )
     # itemset serialized sorted+comma-joined: scalar-only catalog contract
     return itemsets.filter(F.size("items") <= 2).select(
