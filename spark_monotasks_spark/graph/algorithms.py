@@ -8,10 +8,13 @@ Spark-first design: vertices and edges are plain DataFrames
 (``src``/``dst`` columns); one Pregel superstep = one join + one
 groupBy — both shuffle on the vertex id, so co-partitioning carries
 across iterations and AQE coalesces as frontiers shrink.  Each
-iteration's result is ``localCheckpoint()``-ed: that truncates the
-lineage (an N-iteration loop otherwise builds an N-deep plan that
-Catalyst re-analyzes quadratically) — the standard pattern for
-iterative DataFrame algorithms at scale.
+iteration's result passes through :func:`spark_monotasks_spark.barrier
+.barrier`, which truncates the lineage (an N-iteration loop otherwise
+builds an N-deep plan that Catalyst re-analyzes quadratically) — the
+standard pattern for iterative DataFrame algorithms at scale.  Every
+algorithm takes ``reliable: bool = False``: the default localCheckpoint
+is executor-local (fast, not fault-tolerant); pass ``reliable=True``
+with a configured checkpoint dir on clusters with executor churn.
 
 ``aggregate_messages`` mirrors GraphOps.aggregateMessages as the
 building block; PageRank and CC are the two reference algorithms
@@ -22,6 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from spark_monotasks_spark.barrier import barrier
 
 
 def degrees(edges: DataFrame) -> DataFrame:
@@ -60,6 +65,7 @@ def pagerank(
     num_iters: int = 10,
     reset_prob: float = 0.15,
     round_to: int | None = 6,
+    reliable: bool = False,
 ) -> DataFrame:
     """lib/PageRank.scala (static, num-iterations variant):
     rank = reset + (1-reset) * Σ incoming rank/out_degree.
@@ -80,10 +86,10 @@ def pagerank(
     # contribution edge list: src, dst, 1/out_degree — static across
     # iterations, so compute once and cache (the reference caches the
     # Graph for the same reason)
-    contrib_edges = (
+    contrib_edges = barrier(
         edges.join(out_deg.withColumnRenamed("id", "src"), on="src")
-        .select("src", "dst", (F.lit(1.0) / F.col("out_degree")).alias("weight"))
-        .localCheckpoint()
+        .select("src", "dst", (F.lit(1.0) / F.col("out_degree")).alias("weight")),
+        reliable,
     )
     ranks = verts.select("id", F.lit(1.0).alias("rank"))
     for _ in range(num_iters):
@@ -96,7 +102,7 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("msg").alias("msg"))
         )
-        ranks = (
+        ranks = barrier(
             verts.join(msgs, on="id", how="left")
             .select(
                 "id",
@@ -104,8 +110,8 @@ def pagerank(
                     F.lit(reset_prob)
                     + F.lit(1.0 - reset_prob) * F.coalesce(F.col("msg"), F.lit(0.0))
                 ).alias("rank"),
-            )
-            .localCheckpoint()
+            ),
+            reliable,
         )
     if round_to is not None:
         ranks = ranks.select("id", F.round("rank", round_to).alias("rank"))
@@ -113,7 +119,10 @@ def pagerank(
 
 
 def shortest_paths(
-    edges: DataFrame, landmarks: list[int], max_iters: int = 50
+    edges: DataFrame,
+    landmarks: list[int],
+    max_iters: int = 50,
+    reliable: bool = False,
 ) -> DataFrame:
     """lib/ShortestPaths.scala: unweighted hop distance from every
     vertex to each landmark (undirected, like the reference's
@@ -124,9 +133,12 @@ def shortest_paths(
     Returns (id, landmark, distance) — unreachable pairs are absent,
     matching the reference's empty-map entries.
     """
-    sym = edges.select("src", "dst").unionAll(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().localCheckpoint()
+    sym = barrier(
+        edges.select("src", "dst").unionAll(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct(),
+        reliable,
+    )
     verts = sym.select(F.col("src").alias("id")).distinct()
     dist = verts.join(
         F.broadcast(
@@ -136,9 +148,9 @@ def shortest_paths(
         ),
         on=F.col("id") == F.col("landmark"),
     ).select("id", "landmark", F.lit(0).cast("int").alias("distance"))
-    dist = dist.localCheckpoint()
+    dist = barrier(dist, reliable)
     for _ in range(max_iters):
-        relaxed = (
+        relaxed = barrier(
             sym.join(dist.withColumnRenamed("id", "dst"), on="dst")
             .select(
                 F.col("src").alias("id"),
@@ -147,8 +159,8 @@ def shortest_paths(
             )
             .unionAll(dist)
             .groupBy("id", "landmark")
-            .agg(F.min("distance").alias("distance"))
-            .localCheckpoint()
+            .agg(F.min("distance").alias("distance")),
+            reliable,
         )
         if relaxed.count() == dist.count():
             # relaxation adds (vertex, landmark) pairs monotonically;
@@ -170,7 +182,9 @@ def shortest_paths(
     )
 
 
-def label_propagation(edges: DataFrame, max_iters: int = 5) -> DataFrame:
+def label_propagation(
+    edges: DataFrame, max_iters: int = 5, reliable: bool = False
+) -> DataFrame:
     """lib/LabelPropagation.scala: community detection — each round a
     vertex adopts the most frequent label among its neighbors AND its
     own (ties → smallest label, deterministic where the reference's
@@ -178,9 +192,12 @@ def label_propagation(edges: DataFrame, max_iters: int = 5) -> DataFrame:
     classic 2-clique label swap oscillating forever).  Runs a fixed
     ``max_iters`` rounds like the reference (LPA need not converge).
     Returns (id, label)."""
-    sym = edges.select("src", "dst").unionAll(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().localCheckpoint()
+    sym = barrier(
+        edges.select("src", "dst").unionAll(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct(),
+        reliable,
+    )
     verts = sym.select(F.col("src").alias("id")).distinct()
     labels = verts.select("id", F.col("id").alias("label"))
     for _ in range(max_iters):
@@ -193,11 +210,14 @@ def label_propagation(edges: DataFrame, max_iters: int = 5) -> DataFrame:
             .agg(F.count("*").alias("n"))
         )
         # argmax by (n desc, label asc) via max_by on a sortable struct
-        labels = counts.groupBy("id").agg(
-            F.max_by(
-                "label", F.struct(F.col("n"), (-F.col("label")).alias("neg"))
-            ).alias("label")
-        ).localCheckpoint()
+        labels = barrier(
+            counts.groupBy("id").agg(
+                F.max_by(
+                    "label", F.struct(F.col("n"), (-F.col("label")).alias("neg"))
+                ).alias("label")
+            ),
+            reliable,
+        )
     return labels
 
 
@@ -240,7 +260,9 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     )
 
 
-def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
+def connected_components(
+    edges: DataFrame, max_iters: int = 50, reliable: bool = False
+) -> DataFrame:
     """lib/ConnectedComponents.scala: label every vertex with the
     smallest vertex id reachable from it.
 
@@ -255,7 +277,7 @@ def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
     sym = edges.select("src", "dst").unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    sym = sym.distinct().localCheckpoint()
+    sym = barrier(sym.distinct(), reliable)
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()
@@ -267,15 +289,15 @@ def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("component").alias("nbr_min"))
         )
-        new_labels = (
+        new_labels = barrier(
             labels.join(neighbor_min, on="id", how="left")
             .select(
                 "id",
                 F.least(
                     F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
                 ).alias("component"),
-            )
-            .localCheckpoint()
+            ),
+            reliable,
         )
         changed = (
             new_labels.alias("n")
@@ -295,7 +317,7 @@ def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
 
 
 def _directed_min_label(
-    edges: DataFrame, verts: DataFrame, max_iters: int
+    edges: DataFrame, verts: DataFrame, max_iters: int, reliable: bool = False
 ) -> DataFrame:
     """Fixpoint of forward min-label propagation along DIRECTED edges:
     label(v) = min vertex id that can reach v (including v itself).
@@ -308,15 +330,15 @@ def _directed_min_label(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("label").alias("in_min"))
         )
-        new_labels = (
+        new_labels = barrier(
             labels.join(incoming, on="id", how="left")
             .select(
                 "id",
                 F.least(
                     F.col("label"), F.coalesce(F.col("in_min"), F.col("label"))
                 ).alias("label"),
-            )
-            .localCheckpoint()
+            ),
+            reliable,
         )
         changed = (
             new_labels.alias("n")
@@ -335,7 +357,10 @@ def _directed_min_label(
 
 
 def strongly_connected_components(
-    edges: DataFrame, max_iters: int = 50, max_rounds: int = 20
+    edges: DataFrame,
+    max_iters: int = 50,
+    max_rounds: int = 20,
+    reliable: bool = False,
 ) -> DataFrame:
     """lib/StronglyConnectedComponents.scala parity: SCC id = smallest
     vertex id in each strongly connected component.
@@ -355,17 +380,17 @@ def strongly_connected_components(
     vertices leave the working set, so later rounds touch only the
     unresolved subgraph.  Returns (id, component).
     """
-    edges = (
+    edges = barrier(
         edges.select("src", "dst")
         .filter(F.col("src") != F.col("dst"))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        reliable,
     )
-    verts = (
+    verts = barrier(
         edges.select(F.col("src").alias("id"))
         .unionAll(edges.select(F.col("dst").alias("id")))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        reliable,
     )
     parts = []
     for _ in range(max_rounds):
@@ -376,28 +401,31 @@ def strongly_connected_components(
             for p in parts[1:]:
                 result = result.unionAll(p)
             return result
-        fwd = _directed_min_label(edges, verts, max_iters)
+        fwd = _directed_min_label(edges, verts, max_iters, reliable)
         rev = edges.select(
             F.col("dst").alias("src"), F.col("src").alias("dst")
         )
-        bwd = _directed_min_label(rev, verts, max_iters).withColumnRenamed(
+        bwd = _directed_min_label(rev, verts, max_iters, reliable).withColumnRenamed(
             "label", "blabel"
         )
         both = fwd.join(bwd, on="id")
-        assigned = both.filter(F.col("label") == F.col("blabel")).select(
-            "id", F.col("label").alias("component")
-        ).localCheckpoint()
+        assigned = barrier(
+            both.filter(F.col("label") == F.col("blabel")).select(
+                "id", F.col("label").alias("component")
+            ),
+            reliable,
+        )
         parts.append(assigned)
-        verts = (
-            verts.join(assigned.select("id"), on="id", how="left_anti")
-            .localCheckpoint()
+        verts = barrier(
+            verts.join(assigned.select("id"), on="id", how="left_anti"),
+            reliable,
         )
         # prune edges whose endpoints were assigned (semi-join both ends)
-        edges = (
+        edges = barrier(
             edges.join(verts.withColumnRenamed("id", "src"), on="src", how="left_semi")
             .join(verts.withColumnRenamed("id", "dst"), on="dst", how="left_semi")
-            .select("src", "dst")
-            .localCheckpoint()
+            .select("src", "dst"),
+            reliable,
         )
     raise RuntimeError(
         f"strongly_connected_components did not finish within {max_rounds} "

@@ -24,6 +24,8 @@ import re
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from spark_monotasks_spark.barrier import barrier
+
 #: seed for the MinHash affine rehash family — fixed so signatures are
 #: deterministic across runs/sessions (a near-dup index built yesterday
 #: stays joinable with today's).
@@ -170,6 +172,7 @@ def minhash_near_duplicates(
     num_hashes: int = 64,
     num_bands: int = 16,
     jaccard_threshold: float = 0.5,
+    reliable: bool = False,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
 
@@ -196,7 +199,7 @@ def minhash_near_duplicates(
     # self-join.  localCheckpoint stores |docs| rows of id + 64 longs —
     # the same bytes the pre-rewrite version shuffled anyway.
     sigs = minhash_signatures(df, id_col, text_col, shingle_k, num_hashes)
-    sigs = sigs.localCheckpoint(eager=True)
+    sigs = barrier(sigs, reliable)
     base = sigs.select(
         "id",
         minhash_bands(F.col("sig"), num_bands, rows_per_band).alias("bands"),
@@ -218,7 +221,7 @@ def minhash_near_duplicates(
     )
     # candidate pairs are used twice below (id filter + verification
     # join); checkpoint so the banding self-join runs exactly once
-    cand = cand.localCheckpoint(eager=True)
+    cand = barrier(cand, reliable)
     # shingle sets are computed ONLY for docs that appear in a candidate
     # pair (broadcast semi-join prune): at 100 TB the corpus is scanned
     # once with a broadcast id filter instead of shingling every doc —
@@ -297,6 +300,7 @@ def simhash_near_duplicates(
     text_col: str = "text",
     max_hamming: int = 3,
     num_bands: int = 4,
+    reliable: bool = False,
 ) -> DataFrame:
     """SimHash near-dup pairs: band the 64-bit signature into
     ``num_bands`` 16-bit chunks (pigeonhole: hamming ≤ bands-1 ⇒ some
@@ -319,7 +323,7 @@ def simhash_near_duplicates(
     # expression would be substituted into every band chunk and both
     # self-join sides (see minhash_near_duplicates); id + one bigint
     # per doc is cheaper than any shuffle of the same rows
-    base = simhash_signatures(df, id_col, text_col).localCheckpoint(eager=True)
+    base = barrier(simhash_signatures(df, id_col, text_col), reliable)
     banded = base.select(
         "id",
         "sig",
@@ -368,14 +372,24 @@ def ngram_jaccard_pairs(
     block_col: str | None = None,
     n: int = 3,
     threshold: float = 0.3,
+    allow_unblocked: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard over pairs within a blocking key.
 
     ``block_col`` bounds the quadratic term (all-pairs only within a
     block — at scale, pass a coarse cluster/bucket id, e.g. an LSH
-    band or language+length bucket).  With block_col=None a single
-    global block is used (only sane for small/test inputs).
+    band or language+length bucket).  ``block_col=None`` raises unless
+    the caller explicitly opts into the all-pairs plan with
+    ``allow_unblocked=True`` (tiny/test inputs only) — the API must not
+    silently plan O(n²), same contract as fuzzy_pairs_levenshtein.
     """
+    if block_col is None and not allow_unblocked:
+        raise ValueError(
+            "ngram_jaccard_pairs requires a bounded blocking column; an "
+            "unblocked self-join is all-pairs O(n^2).  Pass a "
+            "content-derived block_col (e.g. a 1-band MinHash bucket), or "
+            "allow_unblocked=True for small/test inputs only"
+        )
     sh = shingles(F.col(text_col), k=n)
     blk = F.col(block_col) if block_col else F.lit(0)
     base = df.select(F.col(id_col).alias("id"), blk.alias("blk"), sh.alias("sh"))
@@ -409,6 +423,7 @@ def near_duplicate_clusters(
     num_hashes: int = 64,
     num_bands: int = 16,
     jaccard_threshold: float = 0.5,
+    reliable: bool = False,
 ) -> DataFrame:
     """Cluster near-duplicates: MinHash pairs -> connected components.
 
@@ -426,10 +441,11 @@ def near_duplicate_clusters(
     from spark_monotasks_spark.graph.algorithms import connected_components
 
     pairs = minhash_near_duplicates(
-        df, id_col, text_col, shingle_k, num_hashes, num_bands, jaccard_threshold
+        df, id_col, text_col, shingle_k, num_hashes, num_bands,
+        jaccard_threshold, reliable=reliable,
     )
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    comps = connected_components(edges)
+    comps = connected_components(edges, reliable=reliable)
     return (
         df.select(F.col(id_col).alias("id"))
         .join(comps, on="id", how="left")
@@ -445,6 +461,7 @@ def drop_near_duplicates(
     num_hashes: int = 64,
     num_bands: int = 16,
     jaccard_threshold: float = 0.5,
+    reliable: bool = False,
 ) -> DataFrame:
     """Keep one representative (min id) per near-duplicate cluster.
 
@@ -453,7 +470,8 @@ def drop_near_duplicates(
     payload-never-shuffles discipline as drop_exact_duplicates.
     """
     clusters = near_duplicate_clusters(
-        df, id_col, text_col, shingle_k, num_hashes, num_bands, jaccard_threshold
+        df, id_col, text_col, shingle_k, num_hashes, num_bands,
+        jaccard_threshold, reliable=reliable,
     )
     keep = clusters.groupBy("cluster").agg(F.min("id").alias(id_col))
     return df.join(keep.select(id_col), on=id_col, how="left_semi")
@@ -636,6 +654,7 @@ def near_duplicate_clusters_portable(
     shingle_k: int = 3,
     num_hashes: int = 8,
     min_matches: int = 4,
+    reliable: bool = False,
 ) -> DataFrame:
     """Near-dup clustering on the ENGINE-PORTABLE MinHash family:
     candidate pairs share ≥ ``min_matches`` of ``num_hashes`` md5-family
@@ -678,7 +697,7 @@ def near_duplicate_clusters_portable(
         .filter(F.col("n_match") >= min_matches)
         .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
-    comps = connected_components(edges)
+    comps = connected_components(edges, reliable=reliable)
     return (
         df.select(F.col(id_col).alias("id"))
         .join(comps, on="id", how="left")

@@ -235,3 +235,88 @@ def test_scc_planted_cycles_and_dag(spark):
     # contrast: undirected CC merges the bridged cycles and the tail
     cc = {r.id: r.component for r in connected_components(edges).collect()}
     assert cc[20] == cc[1] == cc[10]
+
+
+# --- barrier durability (spark_monotasks_spark/barrier.py) -----------------
+
+def test_barrier_local_vs_reliable(spark, tmp_path):
+    """reliable=False truncates lineage executor-locally; reliable=True
+    refuses without a checkpoint dir, and with one writes real
+    checkpoint files (survives executor loss) while producing the same
+    rows."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from spark_monotasks_spark.barrier import barrier
+
+    df = spark.range(100).select("id", (F.col("id") * 2).alias("v"))
+
+    local = barrier(df, reliable=False)
+    # lineage is cut: the plan bottoms out at a materialized RDD scan,
+    # not the original Range
+    assert "Range" not in local._jdf.queryExecution().optimizedPlan().toString()
+    assert sorted(r.v for r in local.collect()) == sorted(
+        r.v for r in df.collect()
+    )
+
+    # reliable without a configured dir must refuse loudly
+    if spark.sparkContext.getCheckpointDir() is None:
+        with _pytest.raises(ValueError, match="setCheckpointDir"):
+            barrier(df, reliable=True)
+
+    ckdir = str(tmp_path / "ck")
+    spark.sparkContext.setCheckpointDir(ckdir)
+    rel = barrier(df, reliable=True)
+    assert "Range" not in rel._jdf.queryExecution().optimizedPlan().toString()
+    assert sorted(r.v for r in rel.collect()) == sorted(
+        r.v for r in df.collect()
+    )
+    # eager checkpoint materialized real files under the configured dir
+    files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(ckdir)
+        for f in fs
+    ]
+    assert files, "reliable barrier wrote no checkpoint files"
+
+
+def test_iterative_algorithms_reliable_path_same_answer(spark, tmp_path):
+    """The reliable-checkpoint path is a pure durability swap: the
+    iterative operators return identical results either way."""
+    from spark_monotasks_spark.graph.algorithms import connected_components
+    from spark_monotasks_spark.pipeline import dedup
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ck2"))
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 20)], "src long, dst long"
+    )
+    a = {r.id: r.component for r in connected_components(edges).collect()}
+    b = {
+        r.id: r.component
+        for r in connected_components(edges, reliable=True).collect()
+    }
+    assert a == b
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog tonight"),
+            (3, "completely different text with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    p_local = sorted(
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_near_duplicates(
+            docs, jaccard_threshold=0.3
+        ).collect()
+    )
+    p_rel = sorted(
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_near_duplicates(
+            docs, jaccard_threshold=0.3, reliable=True
+        ).collect()
+    )
+    assert p_local == p_rel == [(1, 2)]

@@ -92,10 +92,15 @@ def test_ngram_jaccard_exact_values(spark):
         [(1, "a b c d"), (2, "a b c e"), (3, "x y z w")],
         "doc_id long, text string",
     )
-    pairs = dedup.ngram_jaccard_pairs(df, n=1, threshold=0.0).collect()
+    pairs = dedup.ngram_jaccard_pairs(
+        df, n=1, threshold=0.0, allow_unblocked=True
+    ).collect()
     jac = {(r.id_a, r.id_b): r.jaccard for r in pairs}
     assert jac[(1, 2)] == pytest.approx(3 / 5)  # {a,b,c} / {a,b,c,d,e}
     assert jac[(1, 3)] == 0.0
+    # the unblocked all-pairs plan must be an explicit opt-in
+    with pytest.raises(ValueError, match="blocking column"):
+        dedup.ngram_jaccard_pairs(df, n=1, threshold=0.0)
 
 
 def test_ngram_jaccard_catalog_blocks_bounded(spark, tables):
