@@ -1,6 +1,7 @@
 from spark_monotasks_spark.graph.algorithms import (  # noqa: F401
     aggregate_messages,
     connected_components,
+    connected_components_star,
     degrees,
     label_propagation,
     pagerank,

@@ -438,14 +438,17 @@ def near_duplicate_clusters(
     extra left join at the end to give singletons their own cluster id.
     Returns (id, cluster) where cluster = min doc id in the component.
     """
-    from spark_monotasks_spark.graph.algorithms import connected_components
+    from spark_monotasks_spark.graph.algorithms import connected_components_star
 
     pairs = minhash_near_duplicates(
         df, id_col, text_col, shingle_k, num_hashes, num_bands,
         jaccard_threshold, reliable=reliable,
     )
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    comps = connected_components(edges, reliable=reliable)
+    # large-star/small-star: O(log n) rounds regardless of chain length
+    # (a near-dup chain A~B~C~... is exactly the high-diameter shape
+    # min-label propagation is worst at); same (id, min-id) labels
+    comps = connected_components_star(edges, reliable=reliable)
     return (
         df.select(F.col(id_col).alias("id"))
         .join(comps, on="id", how="left")
@@ -669,7 +672,7 @@ def near_duplicate_clusters_portable(
     near_duplicate_clusters: the match join ships (hash, id) pairs, the
     component iteration runs on the pair graph only, and the corpus is
     touched once at the end for singleton ids."""
-    from spark_monotasks_spark.graph.algorithms import connected_components
+    from spark_monotasks_spark.graph.algorithms import connected_components_star
 
     sigs = minhash_signatures_portable(
         df, id_col, text_col, shingle_k=shingle_k, num_hashes=num_hashes
@@ -697,7 +700,7 @@ def near_duplicate_clusters_portable(
         .filter(F.col("n_match") >= min_matches)
         .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
-    comps = connected_components(edges, reliable=reliable)
+    comps = connected_components_star(edges, reliable=reliable)
     return (
         df.select(F.col(id_col).alias("id"))
         .join(comps, on="id", how="left")

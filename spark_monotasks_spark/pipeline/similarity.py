@@ -173,6 +173,30 @@ def lsh_bucket_topk(
 # IVF (inverted-file) ANN — the centroid-partitioned scale path
 # ---------------------------------------------------------------------------
 
+def _bounded_fit_sample(
+    feat: DataFrame, max_fit_rows: int, seed: int
+) -> DataFrame:
+    """Bounded-read fit input: ``limit(4×max_fit_rows)`` (early-
+    terminating prefix scan — never a full corpus pass) then a seeded
+    ~1/4 sample to decorrelate row order within the prefix.  Corpora
+    smaller than the prefix pass through whole (the sample keeps every
+    row only when the prefix is under-full, so we sample conditionally:
+    a corpus ≤ max_fit_rows must fit on ALL its rows, which the plain
+    fraction-sample cannot promise).  No Aggregate anywhere — the plan
+    is Scan → LocalLimit → [Sample], asserted in tests."""
+    if not max_fit_rows:
+        return feat
+    prefix = feat.limit(4 * max_fit_rows)
+    # the prefix row count is bounded (≤ 4×max_fit_rows), so this count
+    # is a bounded job, not a corpus pass
+    n_prefix = prefix.count()
+    if n_prefix <= max_fit_rows:
+        return prefix
+    return prefix.sample(
+        fraction=min(1.0, 1.1 * max_fit_rows / n_prefix), seed=seed
+    )
+
+
 def ivf_index(
     embeddings: DataFrame,
     n_lists: int = 16,
@@ -193,28 +217,32 @@ def ivf_index(
     The k-means FIT runs on a bounded sample (``max_fit_rows``, seeded)
     — centroid quality converges long before 1e5 rows for realistic
     ``n_lists``, and a full-corpus iterative fit at 100 TB would be the
-    index build's bottleneck.  ASSIGNMENT is always full-corpus (one
-    linear ``transform`` pass)."""
+    index build's bottleneck.  The sample is drawn WITHOUT a full
+    corpus ``count()`` (which would be one extra 100 TB pass just to
+    compute a fraction): a ``limit(4 × max_fit_rows)`` prefix scan
+    early-terminates after a bounded number of rows, and the seeded
+    sample decorrelates within that prefix.  The prefix-vs-whole-corpus
+    bias is the deliberate tradeoff; callers with pathologically
+    file-ordered corpora can pre-shuffle or raise ``max_fit_rows``.
+    ASSIGNMENT is always full-corpus (one linear ``transform`` pass) —
+    the only full scan the build plans."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     feat = embeddings.withColumn(
         "_features", array_to_vector(F.col(vec_col).cast("array<double>"))
     )
-    n = feat.count()
-    if n == 0:
+    fit_input = _bounded_fit_sample(feat, max_fit_rows, seed)
+    # count of the BOUNDED prefix/sample (≤ ~max_fit_rows rows), needed
+    # to clamp k; tiny corpus: fewer cells than requested is the sane
+    # index (a cell per point) — k > n would fail inside the fit
+    n_fit = fit_input.count()
+    if n_fit == 0:
         raise ValueError(
             "cannot build an IVF index over an empty corpus — the k-means "
             "cell fit needs at least one embedding row"
         )
-    # tiny corpus: fewer cells than requested is the sane index (a cell
-    # per point); k > n would fail inside the k-means fit
-    n_lists = min(n_lists, n)
-    if max_fit_rows and n > max_fit_rows:
-        # fraction slightly over-target; the fit tolerates ±sampling noise
-        fit_input = feat.sample(fraction=min(1.0, 1.1 * max_fit_rows / n), seed=seed)
-    else:
-        fit_input = feat
+    n_lists = min(n_lists, n_fit)
     model = KMeans(
         k=n_lists, seed=seed, maxIter=max_iter, featuresCol="_features"
     ).fit(fit_input)

@@ -320,3 +320,58 @@ def test_iterative_algorithms_reliable_path_same_answer(spark, tmp_path):
         ).collect()
     )
     assert p_local == p_rel == [(1, 2)]
+
+
+# --- large-star/small-star connected components ----------------------------
+
+def test_cc_star_matches_minlabel_on_random_graphs(spark):
+    """Same (id -> min-id) labeling as the reference-matching min-label
+    variant, across random graph shapes (Erdos-Renyi-ish sparse, dense
+    clusters, isolated self-loop vertices)."""
+    import random as _random
+
+    from spark_monotasks_spark.graph.algorithms import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = _random.Random(2024)
+    for trial in range(4):
+        n = rng.randrange(20, 60)
+        m = rng.randrange(n // 2, 2 * n)
+        pairs = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ] + [(99, 99)]  # self-loop-only vertex keeps its own label
+        edges = spark.createDataFrame(pairs, "src long, dst long")
+        a = {
+            r.id: r.component
+            for r in connected_components(edges, max_iters=100).collect()
+        }
+        b = {
+            r.id: r.component
+            for r in connected_components_star(edges).collect()
+        }
+        assert a == b, f"trial {trial}: star != min-label"
+
+
+def test_cc_star_converges_on_high_diameter_path(spark):
+    """A 61-vertex path graph has diameter 60: min-label needs >50
+    rounds (the default max_iters raises), star converges in O(log n)
+    rounds and still labels everything with the path's minimum."""
+    import pytest as _pytest
+
+    from spark_monotasks_spark.graph.algorithms import (
+        connected_components,
+        connected_components_star,
+    )
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "src long, dst long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(path)  # default max_iters=50 < diameter
+
+    got = {
+        r.id: r.component for r in connected_components_star(path).collect()
+    }
+    assert got == {i: 0 for i in range(61)}

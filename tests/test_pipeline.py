@@ -447,6 +447,35 @@ def test_ivf_sampled_fit_still_assigns_full_corpus(spark):
     assert [r.vec_id for r in got] == [0, 999]
 
 
+def test_ivf_fit_sample_plans_no_corpus_pass(spark):
+    """The fit-input plan must be Scan -> Limit [-> Sample] — bounded
+    early-terminating read, with NO Aggregate (the old full count()
+    was one extra 100 TB pass just to compute a sample fraction)."""
+    df = spark.range(1000).selectExpr(
+        "id as vec_id", "array(cast(id as float), 1.0f) as embedding"
+    )
+    # oversized corpus path: limit + sample, no aggregate
+    fit = similarity._bounded_fit_sample(df, max_fit_rows=100, seed=1)
+    plan = fit._jdf.queryExecution().optimizedPlan().toString()
+    assert "GlobalLimit" in plan or "LocalLimit" in plan
+    assert "Sample" in plan
+    assert "Aggregate" not in plan
+    # the sampled fit input is bounded near the target
+    n = fit.count()
+    assert 0 < n <= 4 * 100
+    # small-corpus path: every row reaches the fit (prefix under-full)
+    small = df.limit(50)
+    fit_small = similarity._bounded_fit_sample(small, max_fit_rows=100, seed=1)
+    assert fit_small.count() == 50
+    assert "Aggregate" not in (
+        fit_small._jdf.queryExecution().optimizedPlan().toString()
+    )
+    # empty corpus still raises the explicit error downstream
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="empty corpus"):
+        similarity.ivf_index(df.limit(0), n_lists=2)
+
+
 def test_ivf_probe_bounds_scan(spark, tables):
     emb = tables["embeddings"]
     assigned, cents = similarity.ivf_index(emb, n_lists=8, max_iter=5)
