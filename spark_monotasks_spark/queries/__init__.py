@@ -39,8 +39,10 @@ from spark_monotasks_spark.queries import events_analytics  # noqa: E402,F401
 #: path, and the LLM-pipeline operators — so any prefix window sees a
 #: representative of each.  Remaining entries follow in module order.
 _PRIORITY = (
-    # scans / filter / project / predicates / DSL (§2.1-2.2)
-    "scan_filter_project", "predicate_ops", "case_when", "between_like",
+    # scans / filter / project / predicates / DSL (§2.1-2.2;
+    # between_like rotated just outside in r4 — predicate_ops/case_when
+    # keep the predicate family in-window)
+    "scan_filter_project", "predicate_ops", "case_when",
     # aggregation families (§2.4; percentile_ops and cube_agg moved just
     # outside in r3 — udaf/first_last/distinct keep advanced aggs
     # in-window, and cms_heavy_hitters below adds the sketch side)
@@ -54,8 +56,9 @@ _PRIORITY = (
     # subquery shapes (correlated scalar / EXISTS+NOT EXISTS / CTE+max /
     # outer-join count distribution — tpch_extra.py)
     "tpch_q17_small_qty", "tpch_q21_waiting",
-    # sort / top-k / distribute (§2.6)
-    "order_by_multi", "topk_orders",
+    # sort / top-k / distribute (§2.6; order_by_multi rotated just
+    # outside in r4 — topk_orders keeps the sort/limit family in-window)
+    "topk_orders",
     # set ops (§2.7)
     "union_all_op", "except_reference_op",
     # scalar expression families (§2.8; string_promotion/decimal_agg sit
@@ -70,8 +73,15 @@ _PRIORITY = (
     # families stay represented in-window)
     "merge_upsert_orders", "versioned_time_travel",
     "incremental_dedup_batch", "cms_heavy_hitters",
-    # window / sessionize / pivot (§2.5, beyond-reference)
-    "window_topn_per_group", "events_sessionize", "pivot_segment_status",
+    # window / sessionize (§2.5, beyond-reference; pivot_segment_status
+    # rotated just outside in r4 — topn/sessionize keep the window
+    # family in-window)
+    "window_topn_per_group", "events_sessionize",
+    # r3-new families rotated INTO the window in r4 so the external
+    # gate exercises the newest operator surfaces: SQL session_window
+    # (gap-sessionization in the parser path), funnel analytics over
+    # events, and the mergeable histogram-quantile sketch rollup
+    "session_window_sql", "funnel_conversion", "histogram_quantile_rollup",
     # df utilities / scripts / UDTF (§2.9, §2.11)
     "na_fill_drop", "bdb_q4_transform", "udtf_posexplode_tokens",
     # streaming / graph (§2.10, §2.12)
