@@ -1,0 +1,79 @@
+"""Empirical scale-shape gate: the local stand-in for "would this plan
+survive a 100× scale-up?".
+
+For a sample of catalog queries spanning the runtime-dominant families,
+run the SAME query end-to-end (noop sink — full compute, no collect) at
+sf0.01 and sf0.1 (10× the data) and assert the wall-time ratio stays far
+below quadratic.  A linear plan on 10× data with per-query fixed costs
+(plan compile, stage launch) lands well under ratio ~6 at this scale; an
+accidentally quadratic plan (unblocked self-join, all-pairs verify,
+driver-side loop over groups) lands at 30-100× and fails loudly.  The
+generous bounds make the test robust to timer noise while still being
+impossible for an O(n²) regression to sneak under.
+
+Known super-linear entries get explicitly wider bounds with their
+expected exponents documented — see SCALE.md "Scaling shape of the
+bench suite".  Runtime budget: well under 5 minutes (each measurement
+is min-of-2 of sub-second-to-few-second queries).
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+SF_SMALL = "/root/testdata/sf0.01"
+SF_BIG = "/root/testdata/sf0.1"
+
+#: (query, max wall-time ratio for 10x data, expected asymptote note)
+#: linear-plan entries: scan+agg, groupBy dedup, window sessionize,
+#: bounded-shuffle sketch, packing window, pure-projection quality rules
+LINEAR = [
+    ("scan_filter_project", 8.0, "O(n) scan+filter"),
+    ("tpch_q1_pricing", 8.0, "O(n) scan + bounded-group agg"),
+    ("dedup_exact_groups", 8.0, "O(n) fingerprint groupBy"),
+    ("token_stats", 8.0, "O(tokens) projection"),
+    ("quality_filter_rules", 8.0, "O(n) codegen projection"),
+    ("pack_sequences", 8.0, "O(n) per-shard running-sum window"),
+    ("events_sessionize", 8.0, "O(n) one shuffle on user_id"),
+    ("cms_heavy_hitters", 8.0, "O(n) build collapsing to depth*width"),
+    ("e2e_training_pipeline", 8.0, "O(n) filter->dedup->split"),
+]
+
+#: super-linear entries: bounded above by documented exponents, still
+#: far below quadratic.  minhash: candidate pairs grow with within-
+#: bucket collisions (~n^1.2 on this corpus); contamination: 5-gram
+#: join output grows with n-gram overlap (~n log n).
+SUPERLINEAR = [
+    ("minhash_near_dups", 18.0, "~n^1.2 banding collisions"),
+    ("contamination_check", 18.0, "~n log n n-gram join"),
+]
+
+
+def _run_secs(spark, name: str, sf_dir: str) -> float:
+    from spark_monotasks_spark.queries import QUERY_REGISTRY
+
+    fn = QUERY_REGISTRY[name]
+    best = float("inf")
+    for _ in range(2):  # min-of-2 absorbs one-off JIT/page-cache cost
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+@pytest.mark.parametrize(
+    "name,bound,note", LINEAR + SUPERLINEAR, ids=lambda v: str(v)
+)
+def test_wall_time_scales_subquadratically(spark, name, bound, note):
+    small = _run_secs(spark, name, SF_SMALL)
+    big = _run_secs(spark, name, SF_BIG)
+    # floor the denominator: sub-100ms timings are all fixed cost and
+    # would make the ratio meaninglessly jumpy
+    ratio = big / max(small, 0.1)
+    assert ratio < bound, (
+        f"{name} ({note}): 10x data took {ratio:.1f}x the time "
+        f"({small:.3f}s -> {big:.3f}s), bound {bound}x — plan has gone "
+        "super-linear beyond its documented shape (accidental quadratic?)"
+    )
