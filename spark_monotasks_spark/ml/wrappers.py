@@ -412,3 +412,266 @@ def gbt_fit(
         ).fit(feat)
     )
     return model.transform(feat).drop("_features", "rawPrediction", "probability")
+
+
+def word2vec_embed(
+    df: DataFrame,
+    text_col: str = "text",
+    vector_size: int = 16,
+    min_count: int = 1,
+    max_iter: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """mllib feature/Word2Vec.scala parity: skip-gram word embeddings
+    (the reference's hierarchical-softmax skip-gram; pyspark.ml keeps
+    the same algorithm and its per-partition train/average design).
+    Tokenizes ``text_col`` on whitespace, fits, and returns the input
+    plus ``w2v`` (array<double>) — the per-document average of its
+    token vectors, which is also what the reference's transform on a
+    sentence does.  Iterative by nature: max_iter passes over the
+    token corpus."""
+    from pyspark.ml.feature import Word2Vec
+
+    _check_free(df, "_toks", "_w2v", "w2v")
+    toks = _require_rows(df, "Word2Vec").withColumn(
+        "_toks", F.split(F.col(text_col), r"\s+")
+    )
+    model = Word2Vec(
+        vectorSize=vector_size,
+        minCount=min_count,
+        maxIter=max_iter,
+        seed=seed,
+        inputCol="_toks",
+        outputCol="_w2v",
+    ).fit(toks)
+    return (
+        model.transform(toks)
+        .withColumn("w2v", vector_to_array("_w2v"))
+        .drop("_toks", "_w2v")
+    )
+
+
+def lda_topics(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 4,
+    vocab_size: int = 1 << 12,
+    max_iter: int = 10,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """mllib clustering/LDA.scala parity: latent Dirichlet allocation
+    over per-doc term counts (the reference's EM-on-the-term-graph
+    optimizer; pyspark.ml defaults to the online variational optimizer
+    — same model, bounded-memory streaming fit).  Term counts come
+    from hashingTF (feature/HashingTF.scala — hashing keeps the
+    pipeline vocabulary-free, the 100 TB-safe choice vs a
+    CountVectorizer vocab broadcast).
+
+    Returns (docs + ``topic`` = argmax topic index,
+    topics(topic, termIndices array-as-string, termWeights rounded))."""
+    from pyspark.ml.clustering import LDA
+    from pyspark.ml.feature import HashingTF
+
+    _check_free(df, "_toks", "_tf", "topicDistribution", "topic")
+    toks = _require_rows(df, "LDA").withColumn(
+        "_toks", F.split(F.col(text_col), r"\s+")
+    )
+    tf = HashingTF(
+        inputCol="_toks", outputCol="_tf", numFeatures=vocab_size
+    ).transform(toks)
+    model = LDA(
+        k=k, maxIter=max_iter, seed=seed, featuresCol="_tf"
+    ).fit(tf)
+    docs = (
+        model.transform(tf)
+        .withColumn("_dist", vector_to_array("topicDistribution"))
+        .withColumn(
+            "topic",
+            F.expr(
+                "array_position(_dist, array_max(_dist)) - 1"
+            ).cast("int"),
+        )
+        .drop("_toks", "_tf", "topicDistribution", "_dist")
+    )
+    topics = model.describeTopics(5).select(
+        F.col("topic"),
+        F.array_join(F.col("termIndices").cast("array<string>"), ",").alias(
+            "term_indices"
+        ),
+        F.transform(
+            "termWeights", lambda w: F.round(w, 6)
+        ).alias("term_weights"),
+    )
+    return docs, topics
+
+
+def gaussian_mixture_fit(
+    df: DataFrame,
+    features_col: str = "embedding",
+    k: int = 3,
+    max_iter: int = 20,
+    seed: int = 42,
+) -> DataFrame:
+    """mllib clustering/GaussianMixture.scala parity: EM over a mixture
+    of multivariate Gaussians (same aggregateByKey E/M step shape).
+    Returns the input plus ``cluster`` (argmax component) and
+    ``cluster_prob`` (that component's responsibility, rounded)."""
+    from pyspark.ml.clustering import GaussianMixture
+
+    _check_free(df, "_features", "prediction", "probability", "cluster",
+                "cluster_prob")
+    feat = _require_rows(df, "GaussianMixture").withColumn(
+        "_features", _vec(features_col)
+    )
+    model = _drop_training_summary(
+        GaussianMixture(
+            k=k, maxIter=max_iter, seed=seed, featuresCol="_features"
+        ).fit(feat)
+    )
+    out = model.transform(feat).withColumn("_p", vector_to_array("probability"))
+    return (
+        out.withColumnRenamed("prediction", "cluster")
+        .withColumn(
+            "cluster_prob", F.round(F.expr("_p[cluster]"), 4)
+        )
+        .drop("_features", "probability", "_p")
+    )
+
+
+def svm_fit(
+    df: DataFrame,
+    label_col: str,
+    features_col: str = "embedding",
+    max_iter: int = 20,
+    reg_param: float = 0.0,
+) -> DataFrame:
+    """mllib classification/SVM.scala parity: linear SVM on the hinge
+    loss (the reference trained SVMWithSGD; LinearSVC optimizes the
+    same hinge objective with OWLQN — same decision function, better
+    solver).  Binary labels 0/1; returns input + ``prediction``."""
+    from pyspark.ml.classification import LinearSVC
+
+    _check_free(df, "_features", "prediction", "rawPrediction")
+    feat = _require_rows(df, "LinearSVC").withColumn(
+        "_features", _vec(features_col)
+    )
+    model = _drop_training_summary(
+        LinearSVC(
+            maxIter=max_iter,
+            regParam=reg_param,
+            featuresCol="_features",
+            labelCol=label_col,
+        ).fit(feat)
+    )
+    return model.transform(feat).drop("_features", "rawPrediction")
+
+
+def ridge_fit(
+    df: DataFrame,
+    label_col: str,
+    features_col: str = "embedding",
+    max_iter: int = 20,
+    reg_param: float = 0.1,
+):
+    """mllib regression/RidgeRegression.scala parity: least squares
+    with L2 regularization = LinearRegression(elasticNetParam=0).
+    Returns (predictions, coefficients, intercept)."""
+    return _regularized_linear(
+        df, label_col, features_col, max_iter, reg_param, elastic_net=0.0,
+        what="Ridge",
+    )
+
+
+def lasso_fit(
+    df: DataFrame,
+    label_col: str,
+    features_col: str = "embedding",
+    max_iter: int = 20,
+    reg_param: float = 0.1,
+):
+    """mllib regression/Lasso.scala parity: least squares with L1
+    regularization = LinearRegression(elasticNetParam=1) — same
+    soft-thresholding sparsity the reference's L1Updater applied.
+    Returns (predictions, coefficients, intercept)."""
+    return _regularized_linear(
+        df, label_col, features_col, max_iter, reg_param, elastic_net=1.0,
+        what="Lasso",
+    )
+
+
+def _regularized_linear(
+    df, label_col, features_col, max_iter, reg_param, elastic_net, what
+):
+    _check_free(df, "_features", "prediction")
+    feat = _require_rows(df, what).withColumn("_features", _vec(features_col))
+    model = LinearRegression(
+        maxIter=max_iter,
+        regParam=reg_param,
+        elasticNetParam=elastic_net,
+        featuresCol="_features",
+        labelCol=label_col,
+    ).fit(feat)
+    coefficients, intercept = list(model.coefficients), float(model.intercept)
+    _drop_training_summary(model)
+    return model.transform(feat).drop("_features"), coefficients, intercept
+
+
+def chi_square_independence(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """mllib stat/test/ChiSqTest.scala (Pearson independence) as PURE
+    DataFrame aggregation — fully engine-portable, so the catalog can
+    oracle-check it in SQL (the ml.stat.ChiSquareTest twin below is
+    cross-checked against this in tests).
+
+    Pearson statistic over the ``col_a`` × ``col_b`` contingency table:
+    sum over cells of (observed - expected)² / expected with
+    expected = row_total × col_total / N; dof = (R-1)(C-1).  Scale
+    shape: one groupBy on the pair (bounded by category product), then
+    broadcast-sized marginal joins — the key stream shuffles once.
+    Returns one row (statistic, dof)."""
+    cells = df.groupBy(col_a, col_b).agg(F.count("*").alias("obs"))
+    row_tot = cells.groupBy(col_a).agg(F.sum("obs").alias("row_tot"))
+    col_tot = cells.groupBy(col_b).agg(F.sum("obs").alias("col_tot"))
+    n = cells.agg(F.sum("obs").alias("n"))
+    joined = (
+        cells.join(F.broadcast(row_tot), on=col_a)
+        .join(F.broadcast(col_tot), on=col_b)
+        .crossJoin(F.broadcast(n))
+    )
+    exp = F.col("row_tot") * F.col("col_tot") / F.col("n")
+    # zero-count cells never appear in the groupBy output, but each
+    # contributes (0 - e)²/e = e to the statistic; since the expected
+    # counts total N, Σ_missing e = N - Σ_observed e — fold that in as
+    # Σ_observed((o-e)²/e - e) + N instead of densifying the table
+    contrib = (F.col("obs") - exp) * (F.col("obs") - exp) / exp - exp
+    r = row_tot.count()
+    c = col_tot.count()
+    return joined.agg(
+        F.round(F.sum(contrib) + F.first("n"), 4).alias("statistic"),
+        F.lit((r - 1) * (c - 1)).cast("long").alias("dof"),
+    )
+
+
+def chi_square_test_ml(
+    df: DataFrame, label_col: str, features_col: str = "embedding"
+) -> DataFrame:
+    """mllib stat/test/ChiSqTest.scala via pyspark.ml.stat.ChiSquareTest:
+    per-feature Pearson independence of (feature value, label).
+    Returns (feature_idx, statistic, dof, p_value) — one row per
+    feature dimension."""
+    from pyspark.ml.stat import ChiSquareTest
+
+    feat = _require_rows(df, "ChiSquareTest").withColumn(
+        "_features", _vec(features_col)
+    )
+    res = ChiSquareTest.test(feat, "_features", label_col).first()
+    rows = [
+        (int(i), round(float(s), 4), int(d), round(float(p), 6))
+        for i, (s, d, p) in enumerate(
+            zip(res.statistics, res.degreesOfFreedom, res.pValues)
+        )
+    ]
+    return df.sparkSession.createDataFrame(
+        rows, "feature_idx int, statistic double, dof int, p_value double"
+    )

@@ -33,6 +33,7 @@ def script_transform(
     output_schema: T.StructType | str,
     input_cols: Sequence[str] | None = None,
     field_sep: str = "\t",
+    split_output: bool = True,
 ) -> DataFrame:
     """TRANSFORM(cols) USING 'command' AS (schema).
 
@@ -40,7 +41,10 @@ def script_transform(
     (one row per line) and must emit ``field_sep``-joined output rows on
     stdout.  Output fields are cast to ``output_schema`` types.  Row
     count may differ from input (the script is a generator, like the
-    reference's UDTF-shaped TRANSFORM).
+    reference's UDTF-shaped TRANSFORM).  ``split_output=False`` keeps
+    each stdout line whole as the single output column (the raw
+    RDD.pipe contract — see operators.rdd_bridge.pipe_lines) instead of
+    field-splitting it.
     """
     cols = list(input_cols or df.columns)
     schema = (
@@ -50,6 +54,11 @@ def script_transform(
     )
     names = [f.name for f in schema.fields]
     n_out = len(names)
+    if not split_output and n_out != 1:
+        raise ValueError(
+            "split_output=False keeps whole lines, so output_schema must "
+            f"declare exactly one column (got {n_out})"
+        )
     cmd = list(command)
     #: integral input columns: Arrow→pandas widens int-with-nulls to
     #: float64, which would serialize as '3.0'/'nan' — re-narrow first
@@ -112,7 +121,12 @@ def script_transform(
             line = line.rstrip("\n")
             if not line:
                 continue
-            records.append((line.split(field_sep) + [None] * n_out)[:n_out])
+            if split_output:
+                records.append(
+                    (line.split(field_sep) + [None] * n_out)[:n_out]
+                )
+            else:
+                records.append([line])
             if len(records) >= out_batch_rows:
                 yield pd.DataFrame(records, columns=names)
                 records = []

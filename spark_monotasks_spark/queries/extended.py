@@ -1862,3 +1862,141 @@ def array_setops_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         arr_str(F.array_intersect("hi", "lo")).alias("common_p"),
         arr_str(F.array_except("hi", "lo")).alias("only_hi"),
     )
+
+
+@register(
+    "stat_chisq_independence",
+    oracle="""
+    WITH cells AS (
+      SELECT lang, source, count(*) AS obs
+      FROM documents GROUP BY lang, source
+    ), rt AS (SELECT lang, sum(obs) AS row_tot FROM cells GROUP BY lang),
+    ct AS (SELECT source, sum(obs) AS col_tot FROM cells GROUP BY source),
+    nn AS (SELECT CAST(sum(obs) AS DOUBLE) AS n FROM cells),
+    j AS (
+      SELECT obs, row_tot * col_tot / nn.n AS e
+      FROM cells JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN nn
+    )
+    SELECT round(sum((obs - e) * (obs - e) / e - e) + (SELECT n FROM nn), 4)
+             AS statistic,
+           CAST(((SELECT count(*) FROM rt) - 1)
+                * ((SELECT count(*) FROM ct) - 1) AS BIGINT) AS dof
+    FROM j
+    """,
+)
+def stat_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib stat/test/ChiSqTest.scala parity (Pearson independence) as
+    pure DataFrame aggregation over the lang × source contingency table
+    of documents — engine-portable, so the statistic and dof are
+    value-audited in SQL (tests additionally cross-check the same math
+    against pyspark.ml.stat.ChiSquareTest).  Zero-count cells are
+    folded in algebraically (Σ_missing e = N - Σ_observed e), so the
+    plan never densifies the table."""
+    from spark_monotasks_spark.ml import chi_square_independence
+
+    t = _t(spark, sf_dir)
+    return chi_square_independence(t["documents"], "lang", "source")
+
+
+@register("ml_word2vec_embed")  # seeded iterative skip-gram fit — rows-only
+def ml_word2vec_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib feature/Word2Vec.scala parity: skip-gram embeddings over
+    document text; per-doc observables are the vector arity and the
+    rounded L2 norm of the averaged doc vector (float internals are
+    solver-specific — invariants tested locally)."""
+    from spark_monotasks_spark.ml import word2vec_embed
+
+    t = _t(spark, sf_dir)
+    docs = word2vec_embed(
+        t["documents"].select("doc_id", "text"), vector_size=8, seed=42
+    )
+    return docs.select(
+        "doc_id",
+        F.size("w2v").alias("dims"),
+        F.round(
+            F.sqrt(F.aggregate("w2v", F.lit(0.0), lambda a, x: a + x * x)), 4
+        ).alias("l2_norm"),
+    )
+
+
+@register("ml_lda_doc_topics")  # variational-EM fit — rows-only
+def ml_lda_doc_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib clustering/LDA.scala parity: topic model over document
+    term counts; the observable is the per-topic document count (k
+    bounded rows)."""
+    from spark_monotasks_spark.ml import lda_topics
+
+    t = _t(spark, sf_dir)
+    docs, _topics = lda_topics(
+        t["documents"].select("doc_id", "text"), k=4, max_iter=5, seed=42
+    )
+    return docs.groupBy("topic").agg(F.count("*").alias("n_docs")).orderBy("topic")
+
+
+@register("ml_gaussian_mixture")  # EM fit — rows-only
+def ml_gaussian_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib clustering/GaussianMixture.scala parity: EM mixture over
+    the embeddings table; per-component size and mean responsibility
+    are the observables."""
+    from spark_monotasks_spark.ml import gaussian_mixture_fit
+
+    t = _t(spark, sf_dir)
+    got = gaussian_mixture_fit(
+        t["embeddings"].select("vec_id", "embedding"), k=3, seed=42
+    )
+    return (
+        got.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("cluster_prob"), 3).alias("avg_resp"),
+        )
+        .orderBy("cluster")
+    )
+
+
+@register("ml_svm_predictions")  # OWLQN hinge fit — rows-only
+def ml_svm_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib classification/SVM.scala parity: linear hinge-loss
+    classifier on the embeddings' binary label parity; confusion
+    counts are the observable."""
+    from spark_monotasks_spark.ml import svm_fit
+
+    t = _t(spark, sf_dir)
+    df = t["embeddings"].select(
+        "vec_id", "embedding", (F.col("label") % 2).cast("double").alias("y")
+    )
+    preds = svm_fit(df, label_col="y")
+    return (
+        preds.groupBy("y", "prediction")
+        .agg(F.count("*").alias("n"))
+        .orderBy("y", "prediction")
+    )
+
+
+@register("ml_ridge_lasso_fit")  # regularized iterative solvers — rows-only
+def ml_ridge_lasso_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib regression/{RidgeRegression,Lasso}.scala parity: L2- and
+    L1-regularized least squares predicting n_chars from cheap text
+    stats; per-model prediction RMSE (rounded coarse — solver floats)
+    is the observable."""
+    from spark_monotasks_spark.ml import lasso_fit, ridge_fit
+
+    t = _t(spark, sf_dir)
+    df = t["documents"].select(
+        "doc_id",
+        F.array(
+            F.size(F.split("text", " ")).cast("double"),
+            F.length("text").cast("double"),
+        ).alias("feats"),
+        F.col("n_chars").cast("double").alias("y"),
+    )
+    out = []
+    for name, fit in (("ridge", ridge_fit), ("lasso", lasso_fit)):
+        preds, _, _ = fit(df, "y", features_col="feats", reg_param=0.1)
+        rmse = preds.agg(
+            F.round(
+                F.sqrt(F.avg(F.pow(F.col("prediction") - F.col("y"), 2))), 1
+            ).alias("rmse")
+        ).withColumn("model", F.lit(name))
+        out.append(rmse.select("model", "rmse"))
+    return out[0].unionAll(out[1])

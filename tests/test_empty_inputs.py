@@ -32,6 +32,12 @@ FIT_REQUIRED = {
     "ml_naive_bayes",
     "ml_tfidf_norm",
     "ann_ivf_topk",
+    # r4 MLlib tail — all iterative fits behind _require_rows
+    "ml_word2vec_embed",
+    "ml_lda_doc_topics",
+    "ml_gaussian_mixture",
+    "ml_svm_predictions",
+    "ml_ridge_lasso_fit",
 }
 
 

@@ -242,3 +242,123 @@ def test_model_persistence_roundtrip(spark, tmp_path):
     got = {r.id: r.prediction
            for r in loaded.transform(df).select("id", "prediction").collect()}
     assert got == orig and len(got) == 60
+
+
+# --- r4 MLlib tail: Word2Vec / LDA / GMM / SVM / Lasso+Ridge / ChiSq -------
+
+def test_word2vec_similar_contexts_close(spark):
+    """Tokens appearing in identical contexts get nearby vectors; the
+    doc embedding is the average of its token vectors (reference
+    feature/Word2Vec.scala transform semantics)."""
+    from spark_monotasks_spark.ml import word2vec_embed
+
+    rows = [(i, "cat sat on the mat") for i in range(10)] + [
+        (100 + i, "dog ran in the park") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = word2vec_embed(df, vector_size=8, seed=7).collect()
+    assert all(len(r.w2v) == 8 for r in got)
+    # identical sentences -> identical averaged doc vectors
+    cat = [tuple(r.w2v) for r in got if r.id < 100]
+    assert len(set(cat)) == 1
+
+
+def test_lda_assigns_topics_and_describes(spark):
+    from spark_monotasks_spark.ml import lda_topics
+
+    rows = [(i, "spark shuffle partition executor task") for i in range(15)]
+    rows += [(100 + i, "gene protein cell dna rna") for i in range(15)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    docs, topics = lda_topics(df, k=2, max_iter=20, seed=3)
+    got = docs.collect()
+    assert all(r.topic in (0, 1) for r in got)
+    # the two planted corpora should mostly land in different topics
+    spark_topics = [r.topic for r in got if r.id < 100]
+    gene_topics = [r.topic for r in got if r.id >= 100]
+    maj = lambda xs: max(set(xs), key=xs.count)  # noqa: E731
+    assert maj(spark_topics) != maj(gene_topics)
+    t = topics.collect()
+    assert len(t) == 2 and all(len(r.term_weights) == 5 for r in t)
+
+
+def test_gaussian_mixture_separates_blobs(spark, two_blobs):
+    from spark_monotasks_spark.ml import gaussian_mixture_fit
+
+    got = gaussian_mixture_fit(two_blobs, k=2, seed=5).collect()
+    by_cluster: dict[int, set[int]] = {}
+    for r in got:
+        by_cluster.setdefault(r.cluster, set()).add(r.id)
+        assert 0.0 <= r.cluster_prob <= 1.0
+    assert len(by_cluster) == 2
+    sizes = sorted(len(v) for v in by_cluster.values())
+    assert sizes == [20, 20]
+    # well-separated blobs: responsibilities are confident
+    assert all(r.cluster_prob > 0.9 for r in got)
+
+
+def test_svm_separates_blobs(spark, two_blobs):
+    from spark_monotasks_spark.ml import svm_fit
+
+    got = svm_fit(two_blobs, label_col="label").collect()
+    assert all(r.prediction == r.label for r in got)
+
+
+def test_ridge_shrinks_and_lasso_zeroes(spark):
+    """y = 3*x0 with two pure-noise features: ridge shrinks all
+    coefficients smoothly; lasso at the same penalty drives the noise
+    coefficients to exactly zero (L1 soft-thresholding — the
+    reference's L1Updater behavior)."""
+    import random as _random
+
+    from spark_monotasks_spark.ml import lasso_fit, linear_regression_fit, ridge_fit
+
+    rng = _random.Random(17)
+    rows = []
+    for i in range(200):
+        x0 = rng.uniform(-1, 1)
+        rows.append(
+            (i, [x0, rng.uniform(-1, 1), rng.uniform(-1, 1)], 3.0 * x0)
+        )
+    df = spark.createDataFrame(rows, "id long, embedding array<float>, y double")
+
+    _, ols, _ = linear_regression_fit(df, "y")
+    _, ridge, _ = ridge_fit(df, "y", reg_param=0.5)
+    _, lasso, _ = lasso_fit(df, "y", reg_param=0.5)
+    assert abs(ols[0] - 3.0) < 0.05
+    # ridge shrinks the true coefficient toward (not to) zero
+    assert 0.0 < ridge[0] < ols[0]
+    # lasso zeroes the noise coefficients exactly, keeps signal nonzero
+    assert lasso[0] > 0.5
+    assert lasso[1] == 0.0 and lasso[2] == 0.0
+
+
+def test_chi_square_df_matches_ml_and_detects_dependence(spark):
+    """The pure-DataFrame Pearson statistic equals ml.stat.ChiSquareTest
+    on the same (feature, label) pairs, and independence vs dependence
+    land on the expected sides."""
+    from spark_monotasks_spark.ml import chi_square_independence, chi_square_test_ml
+
+    # dependent: b == a (perfect association); independent: c uniform
+    rows = []
+    for i in range(120):
+        a = float(i % 3)
+        rows.append((i, a, a, float((i // 3) % 2)))
+    df = spark.createDataFrame(rows, "id long, a double, b double, c double")
+
+    dep = chi_square_independence(df, "a", "b").first()
+    indep = chi_square_independence(df, "a", "c").first()
+    assert dep.dof == 4 and indep.dof == 2
+    # perfect association: statistic = N * (min(R,C)-1) = 120*2
+    assert abs(dep.statistic - 240.0) < 1e-6
+    assert indep.statistic < 1e-6  # exactly balanced -> 0
+
+    feat = df.selectExpr(
+        "id", "array(cast(b as double), cast(c as double)) as embedding",
+        "a as label"
+    )
+    ml_res = {r.feature_idx: r for r in chi_square_test_ml(feat, "label").collect()}
+    assert abs(ml_res[0].statistic - dep.statistic) < 1e-6
+    assert ml_res[0].dof == dep.dof
+    assert abs(ml_res[1].statistic - indep.statistic) < 1e-6
+    assert ml_res[1].p_value > 0.99  # no evidence against independence
+    assert ml_res[0].p_value < 1e-6  # perfect dependence

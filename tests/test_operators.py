@@ -720,3 +720,56 @@ def test_hll_sketch_rollup_close_to_exact_and_union_consistent(spark, tables):
         .collect()
     }
     assert got == direct
+
+
+# --- RDD-passthrough facades (operators/rdd_bridge.py) ---------------------
+
+def test_glom_partitions_preserves_rows(spark):
+    from spark_monotasks_spark.operators import rdd_bridge
+
+    df = spark.range(100).repartition(4)
+    got = rdd_bridge.glom_partitions(df).collect()
+    assert sum(r.n_rows for r in got) == 100
+    assert all(len(r.rows) == r.n_rows for r in got)
+    ids = sorted(x.id for r in got for x in r.rows)
+    assert ids == list(range(100))
+
+
+def test_take_sample_without_replacement_exact_and_deterministic(spark):
+    from spark_monotasks_spark.operators import rdd_bridge
+
+    df = spark.range(500)
+    a = sorted(r.id for r in rdd_bridge.take_sample(df, 20, seed=7).collect())
+    b = sorted(r.id for r in rdd_bridge.take_sample(df, 20, seed=7).collect())
+    assert len(a) == 20 and a == b           # exact size, seed-stable
+    assert len(set(a)) == 20                 # no duplicates
+    c = sorted(r.id for r in rdd_bridge.take_sample(df, 20, seed=8).collect())
+    assert a != c                            # seed actually matters
+
+
+def test_take_sample_with_replacement_allows_duplicates(spark):
+    from spark_monotasks_spark.operators import rdd_bridge
+
+    df = spark.range(5)
+    got = [r.id for r in
+           rdd_bridge.take_sample(df, 40, with_replacement=True, seed=3).collect()]
+    assert len(got) == 40                    # exact size > population
+    assert set(got) <= set(range(5))
+    assert len(set(got)) < 40                # pigeonhole: duplicates exist
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="negative"):
+        rdd_bridge.take_sample(df, -1)
+    assert rdd_bridge.take_sample(df, 0).count() == 0
+    assert rdd_bridge.take_sample(df.limit(0), 3,
+                                  with_replacement=True).count() == 0
+
+
+def test_pipe_lines_roundtrip_through_cat(spark):
+    from spark_monotasks_spark.operators import rdd_bridge
+
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "k int, v string"
+    )
+    got = sorted(r.line for r in rdd_bridge.pipe_lines(df, ["cat"]).collect())
+    assert got == ["1\talpha", "2\tbeta"]

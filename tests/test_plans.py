@@ -497,6 +497,10 @@ def test_no_hidden_cartesians_across_catalog(spark):
         "e2e_training_pipeline", "analyze_table_stats",
         "tpch_q11_important_parts", "tpch_q22_idle_customers",
         "funnel_conversion",
+        # chi-square: crossJoin(broadcast(1-row N aggregate)) — the
+        # contingency cells are bounded by the category product, and
+        # the broadcast side is a single scalar row
+        "stat_chisq_independence",
         # blocked user x item factor cross IS the recommend-all algorithm
         # (factor tables are rank-bounded, not corpus-sized)
         "ml_als_recommend",
