@@ -105,6 +105,14 @@ HEADLINE = [
     # the history fingerprint store, and manifest-committed time travel
     "incremental_dedup_batch",
     "versioned_time_travel",
+    # added r4: families rotated into the driver window (SQL session
+    # windows, funnel analytics, histogram-quantile sketch), the
+    # single-pass chi-square contingency test, and iterative graph CC
+    "session_window_sql",
+    "funnel_conversion",
+    "histogram_quantile_rollup",
+    "stat_chisq_independence",
+    "graph_connected_components",
 ]
 
 

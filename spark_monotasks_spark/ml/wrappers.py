@@ -627,10 +627,18 @@ def chi_square_independence(
     Pearson statistic over the ``col_a`` × ``col_b`` contingency table:
     sum over cells of (observed - expected)² / expected with
     expected = row_total × col_total / N; dof = (R-1)(C-1).  Scale
-    shape: one groupBy on the pair (bounded by category product), then
-    broadcast-sized marginal joins — the key stream shuffles once.
+    shape: ONE corpus pass — the pair groupBy collapses to the bounded
+    contingency table (≤ R×C rows), which is materialized once
+    (localCheckpoint; it's tiny by definition) so the marginals, N, and
+    dof all derive from it without re-reading the corpus; everything
+    downstream is broadcast-sized.  dof rides the same single aggregate
+    (count_distinct over the cells), so no extra driver jobs either.
     Returns one row (statistic, dof)."""
-    cells = df.groupBy(col_a, col_b).agg(F.count("*").alias("obs"))
+    from spark_monotasks_spark.barrier import barrier
+
+    cells = barrier(
+        df.groupBy(col_a, col_b).agg(F.count("*").alias("obs"))
+    )
     row_tot = cells.groupBy(col_a).agg(F.sum("obs").alias("row_tot"))
     col_tot = cells.groupBy(col_b).agg(F.sum("obs").alias("col_tot"))
     n = cells.agg(F.sum("obs").alias("n"))
@@ -645,11 +653,11 @@ def chi_square_independence(
     # counts total N, Σ_missing e = N - Σ_observed e — fold that in as
     # Σ_observed((o-e)²/e - e) + N instead of densifying the table
     contrib = (F.col("obs") - exp) * (F.col("obs") - exp) / exp - exp
-    r = row_tot.count()
-    c = col_tot.count()
     return joined.agg(
         F.round(F.sum(contrib) + F.first("n"), 4).alias("statistic"),
-        F.lit((r - 1) * (c - 1)).cast("long").alias("dof"),
+        (
+            (F.countDistinct(col_a) - 1) * (F.countDistinct(col_b) - 1)
+        ).cast("long").alias("dof"),
     )
 
 
