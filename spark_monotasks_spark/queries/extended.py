@@ -2000,3 +2000,48 @@ def ml_ridge_lasso_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).withColumn("model", F.lit(name))
         out.append(rmse.select("model", "rmse"))
     return out[0].unionAll(out[1])
+
+
+@register(
+    "graph_cc_star_chains",
+    oracle="""
+    SELECT CAST(o_orderkey AS BIGINT) AS id,
+           CAST(min(o_orderkey) OVER (PARTITION BY o_custkey) AS BIGINT)
+             AS component
+    FROM orders
+    """,
+)
+def graph_cc_star_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """connected_components_star (large-star/small-star, the r4 default
+    engine for near-dup clustering) value-audited on per-customer
+    ORDERKEY CHAINS: each customer's orders sorted and linked pairwise —
+    a path graph, exactly the high-diameter shape min-label propagation
+    is worst at (O(chain length) rounds) and star converges on in
+    O(log n).  Closed form the oracle can state: component = min
+    orderkey within the customer."""
+    from spark_monotasks_spark.graph import connected_components_star
+
+    t = _t(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    chain = (
+        t["orders"]
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.lead("o_orderkey").over(w).alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            F.col("o_orderkey").cast("long").alias("src"),
+            F.col("nxt").cast("long").alias("dst"),
+        )
+    )
+    comps = connected_components_star(chain)
+    # single-order customers produce no edge: they are their own
+    # component, recovered by the left join + coalesce
+    return (
+        t["orders"]
+        .select(F.col("o_orderkey").cast("long").alias("id"))
+        .join(comps, on="id", how="left")
+        .select("id", F.coalesce("component", F.col("id")).alias("component"))
+    )
