@@ -9,3 +9,7 @@ from spark_monotasks_spark.graph.algorithms import (  # noqa: F401
     strongly_connected_components,
     triangle_count,
 )
+from spark_monotasks_spark.graph.svdpp import (  # noqa: F401
+    svd_plus_plus,
+    svdpp_predict,
+)

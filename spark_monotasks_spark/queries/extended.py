@@ -2045,3 +2045,39 @@ def graph_cc_star_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(comps, on="id", how="left")
         .select("id", F.coalesce("component", F.col("id")).alias("component"))
     )
+
+
+@register("graph_svdpp_train")  # iterative float factorization — rows-only
+def graph_svdpp_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SVD++ (graphx lib/SVDPlusPlus.scala — the last §2.12 algorithm
+    row) trained on a bounded lineitem-derived rating graph: users =
+    small suppkeys, items = offset part buckets, rating = linenumber
+    1-5.  Observables: prediction count, clip-respecting min/max, and
+    the global mean (exact).  Factor floats are solver-order-specific →
+    rows-only; learning and t0-parity are asserted in tests."""
+    from spark_monotasks_spark.graph import svd_plus_plus, svdpp_predict
+
+    t = _t(spark, sf_dir)
+    ratings = (
+        t["lineitem"]
+        .filter(F.col("l_suppkey") < 50)
+        .select(
+            F.col("l_suppkey").cast("long").alias("src"),
+            (F.lit(1_000_000) + F.col("l_partkey") % 20).cast("long").alias("dst"),
+            ((F.col("l_linenumber") % 5) + 1).cast("double").alias("rating"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.avg("rating").alias("rating"))
+    )
+    verts, u = svd_plus_plus(
+        ratings, rank=2, max_iters=1, min_val=1.0, max_val=5.0
+    )
+    preds = svdpp_predict(
+        verts, u, ratings.select("src", "dst"), min_val=1.0, max_val=5.0
+    )
+    return preds.agg(
+        F.count("*").alias("n_preds"),
+        (F.min("pred") >= 1.0).alias("min_clipped"),
+        (F.max("pred") <= 5.0).alias("max_clipped"),
+        F.round(F.lit(u), 4).alias("global_mean"),
+    )

@@ -33,6 +33,7 @@ FIT_REQUIRED = {
     "ml_tfidf_norm",
     "ann_ivf_topk",
     # r4 MLlib tail — all iterative fits behind _require_rows
+    "graph_svdpp_train",
     "ml_word2vec_embed",
     "ml_lda_doc_topics",
     "ml_gaussian_mixture",

@@ -375,3 +375,64 @@ def test_cc_star_converges_on_high_diameter_path(spark):
         r.id: r.component for r in connected_components_star(path).collect()
     }
     assert got == {i: 0 for i in range(61)}
+
+
+# --- SVD++ (graph/svdpp.py, reference lib/SVDPlusPlus.scala) ---------------
+
+def test_svdpp_learns_planted_blocks_and_clips(spark):
+    """Training reduces RMSE on a planted two-block rating matrix, and
+    predictions honor the [min_val, max_val] clip — the reference's
+    sendMsgTestF contract."""
+    from pyspark.sql import functions as F
+
+    from spark_monotasks_spark.graph import svd_plus_plus, svdpp_predict
+
+    rows = []
+    for uid in range(20):
+        for it in range(100, 110):
+            hi = (it < 105) == (uid < 10)
+            rows.append((uid, it, 5.0 if hi else 1.0))
+    ratings = spark.createDataFrame(rows, "src long, dst long, rating double")
+
+    def rmse(iters):
+        v, u = svd_plus_plus(
+            ratings, rank=4, max_iters=iters, min_val=1.0, max_val=5.0
+        )
+        p = svdpp_predict(v, u, ratings.select("src", "dst", "rating"),
+                          1.0, 5.0)
+        agg = p.agg(
+            F.sqrt(F.avg((F.col("pred") - F.col("rating")) ** 2)).alias("r"),
+            F.min("pred").alias("mn"), F.max("pred").alias("mx"),
+            F.count("*").alias("n"),
+        ).first()
+        assert agg.n == len(rows)
+        assert agg.mn >= 1.0 - 1e-9 and agg.mx <= 5.0 + 1e-9
+        return agg.r
+
+    assert rmse(3) < rmse(0)  # training actually reduces training error
+
+
+def test_svdpp_bias_init_is_incident_mean(spark):
+    """t0 parity (SVDPlusPlus.scala:106-114): with zero iterations each
+    vertex's bias is the mean of its incident ratings and norm is
+    1/sqrt(degree)."""
+    import math
+
+    from spark_monotasks_spark.graph import svd_plus_plus
+
+    ratings = spark.createDataFrame(
+        [(1, 100, 4.0), (1, 101, 2.0), (2, 100, 5.0)],
+        "src long, dst long, rating double",
+    )
+    verts, u = svd_plus_plus(ratings, rank=2, max_iters=0)
+    assert abs(u - 11.0 / 3) < 1e-9
+    got = {r.id: r for r in verts.collect()}
+    assert abs(got[1].bias - 3.0) < 1e-9       # user 1: (4+2)/2
+    assert abs(got[100].bias - 4.5) < 1e-9     # item 100: (4+5)/2
+    assert abs(got[1].norm - 1 / math.sqrt(2)) < 1e-9
+    assert abs(got[101].norm - 1.0) < 1e-9
+    assert got[1].is_user and not got[100].is_user
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="empty"):
+        svd_plus_plus(ratings.limit(0))
