@@ -617,7 +617,7 @@ def _regularized_linear(
 
 
 def chi_square_independence(
-    df: DataFrame, col_a: str, col_b: str
+    df: DataFrame, col_a: str, col_b: str, reliable: bool = False
 ) -> DataFrame:
     """mllib stat/test/ChiSqTest.scala (Pearson independence) as PURE
     DataFrame aggregation — fully engine-portable, so the catalog can
@@ -637,7 +637,7 @@ def chi_square_independence(
     from spark_monotasks_spark.barrier import barrier
 
     cells = barrier(
-        df.groupBy(col_a, col_b).agg(F.count("*").alias("obs"))
+        df.groupBy(col_a, col_b).agg(F.count("*").alias("obs")), reliable
     )
     row_tot = cells.groupBy(col_a).agg(F.sum("obs").alias("row_tot"))
     col_tot = cells.groupBy(col_b).agg(F.sum("obs").alias("col_tot"))
