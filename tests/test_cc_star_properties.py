@@ -1,0 +1,63 @@
+"""Property-based equivalence of the two connected-components engines
+(graphx lib/ConnectedComponents.scala parity vs the r4
+large-star/small-star default) plus take_sample's distributed-exact
+contract — hypothesis drives the graph/population shapes, including the
+degenerate ones (self-loops, multi-edges, reversed duplicates, empty)
+where the two CC formulations could plausibly diverge.
+
+Iterative Spark jobs per example are not free: example counts are kept
+small and inputs tiny; the fixed-seed tests in test_graph_transform.py
+cover the larger planted shapes.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# edges over a small vertex universe: collisions, self-loops, and
+# reversed duplicates all likely
+_edge = st.tuples(st.integers(0, 12), st.integers(0, 12))
+_edges = st.lists(_edge, min_size=1, max_size=20)
+
+
+@given(pairs=_edges)
+@_SETTINGS
+def test_star_cc_equals_min_label_cc(spark, pairs):
+    from spark_monotasks_spark.graph.algorithms import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    a = {
+        r.id: r.component
+        for r in connected_components(edges, max_iters=100).collect()
+    }
+    b = {
+        r.id: r.component
+        for r in connected_components_star(edges).collect()
+    }
+    assert a == b
+
+
+@given(
+    n=st.integers(0, 30),
+    num=st.integers(0, 12),
+    seed=st.integers(0, 3),
+)
+@_SETTINGS
+def test_take_sample_exact_size_subset_no_dups(spark, n, num, seed):
+    from spark_monotasks_spark.operators import rdd_bridge
+
+    df = spark.range(n)
+    got = [r.id for r in rdd_bridge.take_sample(df, num, seed=seed).collect()]
+    assert len(got) == min(num, n)          # exact size, capped by population
+    assert len(set(got)) == len(got)        # no duplicates w/o replacement
+    assert set(got) <= set(range(n))        # a subset of the population
