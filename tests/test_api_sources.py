@@ -595,3 +595,53 @@ def test_metadata_provenance_columns(spark):
     assert rows and all(r.src_path.endswith(".parquet") for r in rows)
     assert all(r.src_bytes > 0 for r in rows)
     assert all("documents.parquet" in r.src_path for r in rows)
+
+
+def test_versioned_concurrent_appends_under_real_race(spark, tmp_path):
+    """Four writers append concurrently with retry-on-conflict: the
+    hard-link commit point must serialize them into a contiguous
+    version chain with every batch present exactly once — optimistic
+    concurrency end-to-end, not a simulated race."""
+    import threading
+
+    import pyspark.sql.functions as F
+
+    from spark_monotasks_spark.sources import versioned as V
+
+    path = str(tmp_path / "tbl")
+    V.write_version(spark.range(0, 1).withColumn("b", F.lit(0)), path)
+    errors: list[Exception] = []
+
+    def writer(tag: int) -> None:
+        df = spark.range(100 * tag, 100 * tag + 10).withColumn(
+            "b", F.lit(tag)
+        )
+        for _ in range(25):  # retry loop: re-resolve head and try again
+            try:
+                V.write_version(df, path, mode="append")
+                return
+            except V.ConcurrentCommitError:
+                continue
+            except Exception as e:  # pragma: no cover - diagnostics
+                errors.append(e)
+                return
+        errors.append(RuntimeError(f"writer {tag} starved"))
+
+    threads = [threading.Thread(target=writer, args=(t,)) for t in (1, 2, 3, 4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    # contiguous version chain, one commit per writer plus the seed
+    assert V.list_versions(path) == [1, 2, 3, 4, 5]
+    latest = V.read_version(spark, path)
+    assert latest.count() == 1 + 4 * 10
+    got = {r.b for r in latest.select("b").distinct().collect()}
+    assert got == {0, 1, 2, 3, 4}
+    # every batch appears exactly once (no double-commit on retry)
+    per_tag = {
+        r.b: r.n
+        for r in latest.groupBy("b").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_tag == {0: 1, 1: 10, 2: 10, 3: 10, 4: 10}
