@@ -436,3 +436,86 @@ def test_svdpp_bias_init_is_incident_mean(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="empty"):
         svd_plus_plus(ratings.limit(0))
+
+
+def test_svdpp_one_iteration_matches_hand_computation(spark):
+    """Exact update-rule parity (sendMsgTrainF, SVDPlusPlus.scala:117-139
+    + the two outerJoin applications): fetch the deterministic init
+    state (max_iters=0), replay ONE iteration by hand in Python —
+    phase-1 user slot, per-edge clipped error, p/q/y/bias deltas with
+    the gamma rates — and require the trained vertices to match to
+    float tolerance."""
+    import math
+
+    from spark_monotasks_spark.graph import svd_plus_plus
+
+    G1, G2, G6, G7 = 0.02, 0.03, 0.01, 0.05
+    MINV, MAXV = 1.0, 5.0
+    edges = [(1, 100, 4.0), (1, 101, 2.0), (2, 100, 5.0)]
+    ratings = spark.createDataFrame(edges, "src long, dst long, rating double")
+
+    init, u = svd_plus_plus(
+        ratings, rank=2, max_iters=0, min_val=MINV, max_val=MAXV,
+        gamma1=G1, gamma2=G2, gamma6=G6, gamma7=G7,
+    )
+    v0 = {r.id: r.asDict() for r in init.collect()}
+
+    # --- hand replay of one iteration -------------------------------
+    state = {
+        i: {
+            "p": list(d["p"]), "y": list(d["y"]),
+            "bias": d["bias"], "norm": d["norm"],
+        }
+        for i, d in v0.items()
+    }
+    # phase 1: each user's second slot <- p_u + norm_u * sum(y_items)
+    items_of = {1: [100, 101], 2: [100]}
+    for uid, its in items_of.items():
+        s = [sum(state[i]["y"][d] for i in its) for d in range(2)]
+        state[uid]["y"] = [
+            state[uid]["p"][d] + state[uid]["norm"] * s[d] for d in range(2)
+        ]
+    # phase 2: per-edge deltas, summed per vertex, applied once
+    dp = {i: [0.0, 0.0] for i in state}
+    dy = {i: [0.0, 0.0] for i in state}
+    db = {i: 0.0 for i in state}
+    for src, dst, r in edges:
+        usr, itm = state[src], state[dst]
+        q, u2 = itm["p"], usr["y"]
+        pred = u + usr["bias"] + itm["bias"] + sum(
+            q[d] * u2[d] for d in range(2)
+        )
+        pred = min(max(pred, MINV), MAXV)
+        err = r - pred
+        for d in range(2):
+            dp[src][d] += (q[d] * err - usr["p"][d] * G7) * G2
+            dp[dst][d] += (u2[d] * err - q[d] * G7) * G2
+            upd_y = (q[d] * err * usr["norm"] - itm["y"][d] * G7) * G2
+            dy[src][d] += upd_y
+            dy[dst][d] += upd_y
+        db[src] += (err - G6 * usr["bias"]) * G1
+        db[dst] += (err - G6 * itm["bias"]) * G1
+    expected = {
+        i: {
+            "p": [state[i]["p"][d] + dp[i][d] for d in range(2)],
+            "y": [state[i]["y"][d] + dy[i][d] for d in range(2)],
+            "bias": state[i]["bias"] + db[i],
+        }
+        for i in state
+    }
+
+    got, _ = svd_plus_plus(
+        ratings, rank=2, max_iters=1, min_val=MINV, max_val=MAXV,
+        gamma1=G1, gamma2=G2, gamma6=G6, gamma7=G7,
+    )
+    for r in got.collect():
+        e = expected[r.id]
+        assert all(
+            math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-12)
+            for a, b in zip(r.p, e["p"])
+        ), (r.id, "p", list(r.p), e["p"])
+        assert all(
+            math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-12)
+            for a, b in zip(r.y, e["y"])
+        ), (r.id, "y", list(r.y), e["y"])
+        assert math.isclose(r.bias, e["bias"], rel_tol=1e-9)
