@@ -2081,3 +2081,24 @@ def graph_svdpp_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("pred") <= 5.0).alias("max_clipped"),
         F.round(F.lit(u), 4).alias("global_mean"),
     )
+
+
+@register("rdd_take_sample")  # seeded xxhash64 draw engine-private — rows-only
+def rdd_take_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """takeSample (RDD.scala:664) via the distributed exact-size facade
+    (operators.rdd_bridge.take_sample): seeded-hash top-k without
+    replacement stays a TakeOrderedAndProject plan.  The sampled SET is
+    hash-engine-private (rows-only); the exact-size/no-duplicate/subset
+    contract — asserted here as count aggregates and property-tested in
+    tests/test_cc_star_properties.py — is the stable observable."""
+    from spark_monotasks_spark.operators import rdd_bridge
+
+    t = _t(spark, sf_dir)
+    s = rdd_bridge.take_sample(
+        t["orders"].select("o_orderkey"), num=100, seed=7
+    )
+    return s.agg(
+        F.count("*").alias("n"),
+        F.count_distinct("o_orderkey").alias("n_distinct"),
+        (F.min("o_orderkey") >= 0).alias("in_domain"),
+    )
