@@ -1,0 +1,112 @@
+"""Distributed contiguous row indexing — the RDD.zipWithIndex shape
+(reference core/rdd/RDD.scala:1371) re-expressed JVM-side.
+
+The reference computes zipWithIndex in two passes: a count per
+partition, then a cumulative-offset broadcast added to each row's
+partition-local position.  The naive DataFrame translation —
+``row_number() OVER (ORDER BY key)`` with no PARTITION BY — shuffles
+the ENTIRE input to a single task (Catalyst plans an un-partitioned
+window as a one-partition Exchange + Sort), which is a straight
+scale-killer at 100 TB.  This module keeps the reference's two-pass
+shape instead, fully distributed and fully JVM-side:
+
+1. (ordered form) range-repartition + sort-within-partitions on the
+   order keys, so partition *i*'s keys all precede partition *i+1*'s
+   and within-partition order is deterministic;
+2. ``monotonically_increasing_id()`` — documented public behavior:
+   partition id in the upper bits, a contiguous 0-based record number
+   within each partition in the lower 33 bits — decomposed with
+   shift/mask into ``(_pid, _lrank)`` without any Python round-trip;
+3. a per-partition count aggregate (map-side combine collapses each
+   task to ONE row, so the shuffle moves ≤ num_partitions rows);
+4. a bounded cumulative-sum window over those ≤ num_partitions count
+   rows (the one place an un-partitioned window is legitimate: its
+   input is an already-collapsed aggregate, never a raw scan — the
+   catalog-wide plan gate in tests/test_plans.py enforces exactly
+   this distinction);
+5. a broadcast join of the offsets back onto the big side —
+   ``idx = offset + _lrank``.
+
+Total data movement: ONE range exchange of the input (ordered form)
+or ZERO exchanges of the input (partition-order form); everything
+else ships ≤ num_partitions rows.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: monotonically_increasing_id puts the within-partition record number
+#: in the low 33 bits (MonotonicallyIncreasingID.scala — documented
+#: public contract of the expression).
+_RECORD_BITS = 33
+_RECORD_MASK = (1 << _RECORD_BITS) - 1
+
+
+def _with_partition_position(df: DataFrame) -> DataFrame:
+    """Attach (_pid, _lrank): partition id and contiguous 0-based
+    position within the partition, decomposed from
+    monotonically_increasing_id — no shuffle, no Python."""
+    mid = F.monotonically_increasing_id()
+    return df.withColumns(
+        {
+            "_pid": F.shiftrightunsigned(mid, _RECORD_BITS),
+            "_lrank": mid.bitwiseAND(F.lit(_RECORD_MASK)),
+        }
+    )
+
+
+def _add_offsets(positioned: DataFrame, index_col: str) -> DataFrame:
+    """counts → cumulative offsets → broadcast join → offset + _lrank."""
+    counts = positioned.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    # bounded input: one row per partition (an aggregate, never a raw
+    # scan), so the un-partitioned running-sum window is O(partitions)
+    w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_cnt").over(w), F.lit(0)).alias("_off")
+    )
+    out_cols = [c for c in positioned.columns if c not in ("_pid", "_lrank")]
+    return positioned.join(F.broadcast(offsets), on="_pid").select(
+        *out_cols,
+        (F.col("_off") + F.col("_lrank")).cast("long").alias(index_col),
+    )
+
+
+def zip_with_index(
+    df: DataFrame,
+    order_cols: Sequence[str | Column] | None = None,
+    index_col: str = "idx",
+) -> DataFrame:
+    """Contiguous 0-based row index as a new column, distributed.
+
+    ``order_cols=None`` — RDD.zipWithIndex parity: the index reflects
+    the current partition layout (partition-major, arrival order
+    within a partition); zero exchanges of the input.  Like the RDD
+    form, the assignment is only deterministic if the upstream
+    partitioning/order is.
+
+    ``order_cols`` given — total-order index: equals
+    ``row_number() OVER (ORDER BY order_cols) - 1`` but planned as a
+    sampled range Exchange + partition-local sort (Spark's global-sort
+    machinery, skew-robust) instead of a one-task global window.
+    Deterministic when the keys are unique; ties are broken
+    arbitrarily-but-consistently within a run, exactly like
+    ``row_number`` itself.
+    """
+    if order_cols:
+        # explicit partition count: AQE never re-coalesces a
+        # user-specified repartition, so the counts branch and the row
+        # branch of the plan are guaranteed the same partitioning even
+        # if the exchange were recomputed instead of reused
+        spark = df.sparkSession
+        try:
+            n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            n = spark.sparkContext.defaultParallelism
+        df = df.repartitionByRange(n, *order_cols).sortWithinPartitions(
+            *order_cols
+        )
+    return _add_offsets(_with_partition_position(df), index_col)

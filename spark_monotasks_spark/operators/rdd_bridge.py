@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -18,21 +18,53 @@ def glom_partitions(df: DataFrame) -> DataFrame:
     """RDD.glom (RDD.scala:782): coalesce each partition's rows into one
     array.  Returns (partition_id, rows array<struct>, n_rows).
 
-    By definition this materializes whole partitions as single values —
+    Genuinely ZERO shuffle: one Arrow-batched pass builds each
+    partition's array locally (mapInArrow — one output row per
+    non-empty partition), so no data ever leaves its task.  (The r4
+    groupBy(spark_partition_id) form claimed zero-shuffle but Catalyst
+    cannot know rows sharing a pid are co-located — it planned a hash
+    Exchange whose "partial aggregates" carried the entire partition
+    contents; fixed r5 per ADVICE.)
+
+    By definition glom materializes whole partitions as single values —
     useful for partition-skew inspection (the n_rows histogram), not as
     a processing step; at scale keep ``spark.sql.files.maxPartitionBytes``
-    sized so a glommed partition fits in one task's memory.  Zero
-    shuffle: spark_partition_id is map-side and the groupBy key IS the
-    partitioning, so AQE keeps it local."""
-    cols = df.columns
-    return (
-        df.withColumn("_pid", F.spark_partition_id())
-        .groupBy(F.col("_pid").alias("partition_id"))
-        .agg(
-            F.collect_list(F.struct(*cols)).alias("rows"),
-            F.count("*").alias("n_rows"),
-        )
+    sized so a glommed partition fits in one task's memory."""
+    import pyarrow as pa
+    from pyspark.sql.types import (
+        ArrayType, IntegerType, LongType, StructField, StructType,
     )
+
+    out_schema = StructType(
+        [
+            StructField("partition_id", IntegerType()),
+            StructField("rows", ArrayType(StructType(df.schema.fields))),
+            StructField("n_rows", LongType()),
+        ]
+    )
+
+    def _glom(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        collected = list(batches)
+        if not collected:  # empty partition: no row, like the groupBy form
+            return
+        tbl = pa.Table.from_batches(collected)
+        structs = tbl.to_struct_array().combine_chunks()
+        rows = pa.ListArray.from_arrays(
+            pa.array([0, len(structs)], pa.int32()), structs
+        )
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array([pid], pa.int32()),
+                rows,
+                pa.array([len(structs)], pa.int64()),
+            ],
+            names=["partition_id", "rows", "n_rows"],
+        )
+
+    return df.mapInArrow(_glom, out_schema)
 
 
 def take_sample(
@@ -45,10 +77,12 @@ def take_sample(
     Without replacement: deterministic rank by a seeded hash draw and
     keep the top ``num`` — plans as TakeOrderedAndProject (bounded
     per-partition heap, no global sort).  With replacement: ``num``
-    independent draws realized as a broadcast range join against
-    row_number-indexed rows (two shuffles of (index, row) pairs; the
+    independent draws realized as a broadcast join against rows
+    indexed by the distributed two-pass zipWithIndex shape
+    (operators/indexing.py — range exchange + per-partition counts +
+    broadcast offsets; never an un-partitioned global window).  The
     one extra count() pass is inherent to exact-size replacement
-    sampling — prefer ``df.sample()`` when approximate size is fine).
+    sampling — prefer ``df.sample()`` when approximate size is fine.
     """
     if num < 0:
         raise ValueError("cannot take a negative number of sample rows")
@@ -62,12 +96,16 @@ def take_sample(
             .limit(num)
             .drop("_draw")
         )
+    from spark_monotasks_spark.operators.indexing import zip_with_index
+
     spark = df.sparkSession
     n = df.count()
     if n == 0:
         return df.limit(0)
-    w = Window.orderBy(F.xxhash64(F.struct(*df.columns), F.lit(seed)))
-    indexed = df.withColumn("_idx", F.row_number().over(w) - 1)
+    draw = F.xxhash64(F.struct(*df.columns), F.lit(seed))
+    indexed = zip_with_index(
+        df.withColumn("_draw", draw), order_cols=["_draw"], index_col="_idx"
+    ).drop("_draw")
     picks = spark.range(num).select(
         F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(n)).alias("_idx")
     )

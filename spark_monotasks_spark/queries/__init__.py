@@ -44,13 +44,16 @@ _PRIORITY = (
     # keep the predicate family in-window)
     "scan_filter_project", "predicate_ops", "case_when",
     # aggregation families (§2.4; percentile_ops and cube_agg moved just
-    # outside in r3 — udaf/first_last/distinct keep advanced aggs
-    # in-window, and cms_heavy_hitters below adds the sketch side)
+    # outside in r3, first_last_agg just outside in r5 — udaf/distinct
+    # keep advanced aggs in-window, and cms_heavy_hitters below adds
+    # the sketch side)
     "tpch_q1_pricing", "agg_distinct", "group_having",
-    "first_last_agg", "udaf_weighted_mean", "decimal_agg",
+    "udaf_weighted_mean", "decimal_agg",
     # join families (§2.3; tpch_q18 moved just outside in r3 — q3 + the
-    # subquery block keep multiway shapes in-window)
-    "join_inner", "join_full_outer", "join_left_semi", "join_left_anti",
+    # subquery block keep multiway shapes in-window; join_inner rotated
+    # just outside in r5: the equi-inner shape stays covered by
+    # join_broadcast_dims + tpch_q3_shipping)
+    "join_full_outer", "join_left_semi", "join_left_anti",
     "join_theta", "join_broadcast_dims", "cogroup_collect",
     "tpch_q3_shipping",
     # subquery shapes (correlated scalar / EXISTS+NOT EXISTS / CTE+max /
@@ -59,8 +62,9 @@ _PRIORITY = (
     # sort / top-k / distribute (§2.6; order_by_multi rotated just
     # outside in r4 — topk_orders keeps the sort/limit family in-window)
     "topk_orders",
-    # set ops (§2.7)
-    "union_all_op", "except_reference_op",
+    # set ops (§2.7; union_all_op rotated just outside in r5 — except
+    # keeps the reference-hybrid set-op semantics in-window)
+    "except_reference_op",
     # scalar expression families (§2.8; string_promotion/decimal_agg sit
     # just outside the window — cast_matrix + the agg block cover them;
     # conditional_funcs moved just outside in r3 (case_when keeps
@@ -82,6 +86,12 @@ _PRIORITY = (
     # (gap-sessionization in the parser path), funnel analytics over
     # events, and the mergeable histogram-quantile sketch rollup
     "session_window_sql", "funnel_conversion", "histogram_quantile_rollup",
+    # r4-new families rotated INTO the window in r5 (displacing
+    # join_inner/first_last_agg/union_all_op, whose families stay
+    # represented): chi-square independence (statistics path),
+    # sequence-gapfill interpolation (time-series path), and
+    # schema-evolution merge (heterogeneous-scan path)
+    "stat_chisq_independence", "timeseries_gapfill", "schema_evolution_merge",
     # df utilities / scripts / UDTF (§2.9, §2.11)
     "na_fill_drop", "bdb_q4_transform", "udtf_posexplode_tokens",
     # streaming / graph (§2.10, §2.12)

@@ -1008,13 +1008,19 @@ def pivot_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def zip_with_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zipWithIndex (RDD.scala:1371) — deterministic variant: index by
-    a total order, not partition arrival.  row_number over a window is
-    the scalable form (monotonically_increasing_id gives the
-    partition-local non-contiguous equivalent)."""
+    a total order (unique o_orderkey), planned as the reference's own
+    two-pass shape (per-partition counts -> broadcast cumulative
+    offsets -> partition-local position + offset,
+    operators/indexing.py) over a sampled range Exchange.  NEVER an
+    un-partitioned row_number window: that shuffles the whole table to
+    one task (the r4 implementation did exactly that — fixed r5)."""
+    from spark_monotasks_spark.operators.indexing import (
+        zip_with_index as _zwi,
+    )
+
     t = _t(spark, sf_dir)
-    w = Window.orderBy("o_orderkey")
-    return t["orders"].select(
-        "o_orderkey", (F.row_number().over(w) - 1).cast("long").alias("idx")
+    return _zwi(
+        t["orders"].select("o_orderkey"), order_cols=["o_orderkey"]
     )
 
 

@@ -773,3 +773,45 @@ def test_pipe_lines_roundtrip_through_cat(spark):
     )
     got = sorted(r.line for r in rdd_bridge.pipe_lines(df, ["cat"]).collect())
     assert got == ["1\talpha", "2\tbeta"]
+
+
+# --- distributed zipWithIndex (operators/indexing.py) ----------------------
+
+def test_zip_with_index_ordered_matches_row_number(spark):
+    from pyspark.sql import functions as F
+
+    from spark_monotasks_spark.operators.indexing import zip_with_index
+
+    df = spark.range(1000).select((F.col("id") * 7 % 1000).alias("k"))
+    got = {r.k: r.idx for r in zip_with_index(df, order_cols=["k"]).collect()}
+    assert got == {k: k for k in range(1000)}  # unique keys -> idx == rank
+
+
+def test_zip_with_index_partition_layout_contiguous(spark):
+    from spark_monotasks_spark.operators.indexing import zip_with_index
+
+    df = spark.range(500).repartition(7)
+    idxs = sorted(r.idx for r in zip_with_index(df).collect())
+    assert idxs == list(range(500))  # contiguous 0-based, no collisions
+
+
+def test_zip_with_index_no_single_partition_exchange_on_big_side(spark):
+    """The r4 regression class: the INPUT must never shuffle to one
+    task.  The only SinglePartition exchange allowed is beneath the
+    per-partition-counts aggregate (<= num_partitions rows)."""
+    from spark_monotasks_spark.operators.indexing import zip_with_index
+
+    df = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    plan = (
+        zip_with_index(df.select("o_orderkey"), order_cols=["o_orderkey"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            # its direct child (next line) must be the per-partition
+            # counts aggregate — never a scan/sort of the raw input
+            assert "HashAggregate" in lines[i + 1], plan
+
+    empty = zip_with_index(df.limit(0), order_cols=["o_orderkey"])
+    assert empty.count() == 0  # empty input stays empty, no crash

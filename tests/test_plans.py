@@ -555,3 +555,66 @@ def test_no_row_python_udfs_across_catalog(spark):
         if tags:
             offenders[name] = ",".join(tags)
     assert not offenders, offenders
+
+
+def _logical_nodes(plan):
+    """Depth-first walk of a JVM logical plan via py4j."""
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        yield node
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+
+
+def _is_collapsed(plan) -> bool:
+    """True iff every leaf-to-root path in this subtree passes through a
+    cardinality-collapsing node (Aggregate / Limit / Distinct) or ends
+    at an inherently bounded relation — i.e. the subtree can never be
+    corpus-sized no matter how big the input tables get."""
+    cls = plan.getClass().getSimpleName()
+    if cls in (
+        "Aggregate", "GlobalLimit", "LocalLimit", "Deduplicate",
+        "LocalRelation", "OneRowRelation",
+    ):
+        return True
+    children = plan.children()
+    n = children.size()
+    if n == 0:
+        return False  # a raw leaf relation (file scan etc.) — unbounded
+    return all(_is_collapsed(children.apply(i)) for i in range(n))
+
+
+def test_no_unpartitioned_windows_over_unbounded_inputs(spark):
+    """Catalog-wide scale gate (r5 — generalizes the r4 zip_with_index /
+    take_sample findings into a class that cannot recur): a Window with
+    an EMPTY partitionSpec plans as Exchange SinglePartition — the whole
+    input shuffles to ONE task.  That is only acceptable when the
+    window's input is already collapsed (an aggregate / limit / bounded
+    relation), e.g. the cumulative-offset pass over per-partition
+    counts in operators/indexing.py (<= num_partitions rows) or a
+    histogram's bin table.  Any un-partitioned window whose input
+    subtree reaches a raw scan without passing through a collapsing
+    node is a 100 TB scale-killer and fails here at planning time."""
+    from spark_monotasks_spark.queries import QUERY_REGISTRY
+
+    allow = set()  # no exceptions today; add ONLY with a boundedness proof
+    offenders = {}
+    for name, fn in QUERY_REGISTRY.items():
+        if name in allow:
+            continue
+        plan = fn(spark, SF)._jdf.queryExecution().optimizedPlan()
+        bad = [
+            node.getClass().getSimpleName()
+            for node in _logical_nodes(plan)
+            if node.getClass().getSimpleName() == "Window"
+            and node.partitionSpec().size() == 0
+            and not _is_collapsed(node.child())
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        f"un-partitioned Window over unbounded input (single-task "
+        f"shuffle at scale): {offenders}"
+    )

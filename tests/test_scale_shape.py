@@ -39,6 +39,12 @@ LINEAR = [
     ("events_sessionize", 8.0, "O(n) one shuffle on user_id"),
     ("cms_heavy_hitters", 8.0, "O(n) build collapsing to depth*width"),
     ("e2e_training_pipeline", 8.0, "O(n) filter->dedup->split"),
+    # join families (r5): union-window as-of, bucketed range join, and
+    # the two-stage salted skew agg are all one-to-few-shuffle linear
+    # shapes — they must never degrade to an all-pairs comparison
+    ("asof_join_events", 8.0, "O(n) union + per-key window"),
+    ("range_join_sessions", 8.0, "O(n) bucketed equi-join"),
+    ("salted_agg_skew", 8.0, "O(n) two-stage salted agg"),
 ]
 
 #: super-linear entries: bounded above by documented exponents, still
