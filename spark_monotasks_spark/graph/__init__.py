@@ -12,4 +12,5 @@ from spark_monotasks_spark.graph.algorithms import (  # noqa: F401
 from spark_monotasks_spark.graph.svdpp import (  # noqa: F401
     svd_plus_plus,
     svdpp_predict,
+    svdpp_t0,
 )

@@ -90,6 +90,37 @@ def _vector_sum(df: DataFrame, key: str, vec: str, rank: int) -> DataFrame:
     )
 
 
+def svdpp_t0(edges: DataFrame, rank: int = 4, seed: int = 42) -> DataFrame:
+    """The t0 vertex state of SVD++ (SVDPlusPlus.scala:106-114): per
+    vertex, incident (count, sum) of ratings → ``bias`` = incident mean,
+    ``norm`` = 1/sqrt(degree), plus the seeded-hash ``p``/``y`` factor
+    vectors and the user/item flag.  ``edges`` is (src, dst, rating)
+    with disjoint user/item id spaces.
+
+    bias/norm/is_user are exact relational quantities (union of the two
+    edge endpoints → one groupBy) — the SQL-expressible observable that
+    oracle-backs the otherwise solver-order-specific SVD++ training
+    (catalog entry ``graph_svdpp_t0``).  Empty edges yield an empty
+    state (training itself requires rows and raises)."""
+    incident = edges.select(
+        F.col("src").alias("id"), "rating"
+    ).unionAll(edges.select(F.col("dst").alias("id"), "rating"))
+    degrees = incident.groupBy("id").agg(
+        F.count("*").alias("_deg"), F.avg("rating").alias("bias")
+    )
+    users = edges.select(F.col("src").alias("id")).distinct()
+    return degrees.join(
+        users.withColumn("_isu", F.lit(True)), on="id", how="left"
+    ).select(
+        "id",
+        F.coalesce("_isu", F.lit(False)).alias("is_user"),
+        _hash_unit_vector(F.col("id"), rank, "p", seed).alias("p"),
+        _hash_unit_vector(F.col("id"), rank, "y", seed).alias("y"),
+        "bias",
+        (F.lit(1.0) / F.sqrt("_deg")).alias("norm"),
+    )
+
+
 def svd_plus_plus(
     ratings: DataFrame,
     rank: int = 4,
@@ -120,26 +151,7 @@ def svd_plus_plus(
         raise ValueError("cannot train SVD++ on an empty ratings DataFrame")
     u = float(row["u"])
 
-    # t0 (SVDPlusPlus.scala:106-114): per-vertex incident (count, sum) →
-    # bias = incident mean, norm = 1/sqrt(degree)
-    incident = edges.select(
-        F.col("src").alias("id"), "rating"
-    ).unionAll(edges.select(F.col("dst").alias("id"), "rating"))
-    degrees = incident.groupBy("id").agg(
-        F.count("*").alias("_deg"), F.avg("rating").alias("bias")
-    )
-    users = edges.select(F.col("src").alias("id")).distinct()
-    verts = degrees.join(
-        users.withColumn("_isu", F.lit(True)), on="id", how="left"
-    ).select(
-        "id",
-        F.coalesce("_isu", F.lit(False)).alias("is_user"),
-        _hash_unit_vector(F.col("id"), rank, "p", seed).alias("p"),
-        _hash_unit_vector(F.col("id"), rank, "y", seed).alias("y"),
-        "bias",
-        (F.lit(1.0) / F.sqrt("_deg")).alias("norm"),
-    )
-    verts = barrier(verts, reliable)
+    verts = barrier(svdpp_t0(edges, rank=rank, seed=seed), reliable)
 
     for _ in range(max_iters):
         # phase 1: user second slot ← p_u + norm_u · Σ y_items

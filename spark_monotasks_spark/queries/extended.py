@@ -2089,6 +2089,62 @@ def graph_svdpp_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "graph_svdpp_t0",
+    oracle="""
+    WITH ratings AS (
+      SELECT CAST(l_suppkey AS BIGINT) AS src,
+             CAST(1000000 + l_partkey % 20 AS BIGINT) AS dst,
+             avg((l_linenumber % 5) + 1) AS rating
+      FROM lineitem
+      WHERE l_suppkey < 50
+      GROUP BY 1, 2
+    ), incident AS (
+      SELECT src AS id, rating FROM ratings
+      UNION ALL
+      SELECT dst AS id, rating FROM ratings
+    ), degrees AS (
+      SELECT id, count(*) AS deg, avg(rating) AS bias
+      FROM incident GROUP BY id
+    ), users AS (SELECT DISTINCT src AS id FROM ratings)
+    SELECT d.id AS id,
+           (u.id IS NOT NULL) AS is_user,
+           round(d.bias, 4) AS bias,
+           round(1.0 / sqrt(d.deg), 4) AS norm
+    FROM degrees d LEFT JOIN users u ON d.id = u.id
+    """,
+)
+def graph_svdpp_t0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SVD++ t0 vertex state (SVDPlusPlus.scala:106-114 via
+    graph.svdpp.svdpp_t0) on the same bounded rating graph as
+    graph_svdpp_train: bias = incident rating mean, norm = 1/sqrt(deg),
+    is_user flag — the exact relational observables of the otherwise
+    solver-order-specific factorization, value-checked against a plain
+    SQL twin (closes the last rows-only GraphX row with an oracle)."""
+    from spark_monotasks_spark.graph import svdpp_t0
+
+    t = _t(spark, sf_dir)
+    ratings = (
+        t["lineitem"]
+        .filter(F.col("l_suppkey") < 50)
+        .select(
+            F.col("l_suppkey").cast("long").alias("src"),
+            (F.lit(1_000_000) + F.col("l_partkey") % 20)
+            .cast("long")
+            .alias("dst"),
+            ((F.col("l_linenumber") % 5) + 1).cast("double").alias("rating"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.avg("rating").alias("rating"))
+    )
+    return svdpp_t0(ratings, rank=2).select(
+        "id",
+        "is_user",
+        F.round("bias", 4).alias("bias"),
+        F.round("norm", 4).alias("norm"),
+    )
+
+
 @register("rdd_take_sample")  # seeded xxhash64 draw engine-private — rows-only
 def rdd_take_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """takeSample (RDD.scala:664) via the distributed exact-size facade
