@@ -268,24 +268,33 @@ def fpgrowth_frequent_itemsets(
     (itemsets(items, freq), rules(antecedent, consequent, confidence)).
 
     The miner reads ``baskets`` at least twice (the minCount ``count()``
-    plus the mining pass, and the returned frames re-derive from the
-    same lineage) — ``cache_input`` persists it (MEMORY_AND_DISK, so a
-    100 TB basket frame spills instead of OOMing) rather than
-    recomputing an upstream join per pass.  ``num_partitions`` pins the
-    PFP group count; leave None to inherit the input partitioning
-    (right at cluster scale), pin small when the basket table is tiny
-    relative to the session's shuffle width.
+    plus the mining pass) — ``cache_input`` persists it
+    (MEMORY_AND_DISK, so a 100 TB basket frame spills instead of
+    OOMing) rather than recomputing an upstream join per pass, and
+    unpersists it as soon as ``fit()`` returns: the fitted model
+    materializes freqItemsets/associationRules itself and never
+    re-reads the basket lineage, so holding the cached blocks for the
+    session lifetime would only crowd executor storage.
+    ``num_partitions`` pins the PFP group count; leave None to inherit
+    the input partitioning (right at cluster scale), pin small when the
+    basket table is tiny relative to the session's shuffle width.
     """
     from pyspark.ml.fpm import FPGrowth
 
     if cache_input:
         baskets = baskets.persist()
-    fp = FPGrowth(
-        itemsCol=items_col, minSupport=min_support, minConfidence=min_confidence
-    )
-    if num_partitions is not None:
-        fp = fp.setNumPartitions(num_partitions)
-    model = fp.fit(baskets)
+    try:
+        fp = FPGrowth(
+            itemsCol=items_col,
+            minSupport=min_support,
+            minConfidence=min_confidence,
+        )
+        if num_partitions is not None:
+            fp = fp.setNumPartitions(num_partitions)
+        model = fp.fit(baskets)
+    finally:
+        if cache_input:
+            baskets.unpersist()
     itemsets = model.freqItemsets.select(
         F.array_sort(F.col("items")).alias("items"), F.col("freq").cast("long")
     )

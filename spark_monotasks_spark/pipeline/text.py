@@ -405,6 +405,38 @@ def ngram_fold(toks: Column, n: int, sep: str = " ") -> Column:
     )
 
 
+def ngram_hash_fold(toks: Column, n: int) -> Column:
+    """int64 fingerprints of overlapping word n-grams — the same
+    shifted-slice ``zip_with`` fold as :func:`ngram_fold` but
+    accumulating a chained ``xxhash64`` instead of a concatenated
+    string: hash[i] = xxhash64(…xxhash64(toks[i], toks[i+1])…,
+    toks[i+n-1]).  No gram string is ever materialized, and the
+    downstream explode/shuffle carries 8-byte longs instead of
+    arbitrary-width text — the 100 TB path for repetition screening.
+    Distinct grams keep distinct hashes up to 64-bit collisions
+    (~grams²/2⁶⁴); the chained form also avoids the separator-aliasing
+    concern of hashing a joined string.  Arrays shorter than ``n``
+    yield an empty array."""
+    n_grams = F.greatest(F.size(toks) - n + 1, F.lit(0))
+    if n == 1:
+        acc = F.transform(toks, lambda t: F.xxhash64(t))
+    else:
+        acc = F.zip_with(
+            F.slice(toks, 1, n_grams),
+            F.slice(toks, 2, n_grams),
+            lambda a, b: F.xxhash64(a, b),
+        )
+        for k in range(2, n):
+            acc = F.zip_with(
+                acc,
+                F.slice(toks, 1 + k, n_grams),
+                lambda h, t: F.xxhash64(h, t),
+            )
+    return F.when(F.size(toks) >= n, acc).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
 def word_ngrams(col: Column | str, n: int = 5) -> Column:
     """Distinct word n-grams of a document as an array<string> — one
     higher-order-function expression, no explode until the caller
@@ -518,65 +550,62 @@ def repetition_stats(
     ``n``-grams, and the share of the single most frequent n-gram.
     Machine-generated and boilerplate text scores high on all three.
 
-    Shape: line stats are a narrow projection; n-gram stats explode to
-    (doc, gram) rows and aggregate twice — both groupBys hash on doc-
-    prefixed keys, so partial aggregation collapses each doc's grams
-    map-side and the shuffle carries ~distinct-grams-per-doc rows, not
-    the corpus token stream.  Deriving dup/top fractions from the agg
-    COUNTS (ints) keeps every array expression single-evaluation; three
-    "zero-shuffle" row-local alternatives measured SLOWER at sf0.1
-    (struct-fold longest-run ~1.3×, per-index element_at run bounds
-    ~10×, array_distinct-in-projection ~1.7× — interpreted higher-order
-    lambdas and double-evaluated array exprs lose to Tungsten's
-    compiled hash aggregate).  Docs shorter than ``n`` tokens score 0.
+    Shape (r5 — ONE pass): a single scan explodes to (doc, gram) rows
+    with the per-doc line fraction riding along, then aggregates twice
+    — both groupBys hash on doc-prefixed keys, so partial aggregation
+    collapses each doc's grams map-side and the shuffle carries
+    ~distinct-grams-per-doc rows, not the corpus token stream.
+    ``explode_outer`` keeps gram-less docs (shorter than ``n`` tokens
+    score 0) so no second scan + join-back is needed; the r4 two-branch
+    form re-scanned the corpus for the line stats and paid a join
+    exchange — the one-pass shape measured ~10% faster (string grams)
+    and ~25% faster (hashed) at sf0.1.  Deriving dup/top fractions from
+    the agg COUNTS (ints) keeps every array expression
+    single-evaluation; three "zero-shuffle" row-local alternatives
+    measured SLOWER at sf0.1 (struct-fold longest-run ~1.3×, per-index
+    element_at run bounds ~10×, array_distinct-in-projection ~1.7× —
+    interpreted higher-order lambdas and double-evaluated array exprs
+    lose to Tungsten's compiled hash aggregate).
 
-    Gram construction uses the shifted-slice ``zip_with`` fold
-    (``ngram_fold``) — see its docstring for why it beats the
-    index-lambda form ~5×.
-
-    ``hash_grams=True`` is the 100 TB path: grams hash to int64 before
-    the shuffle (xxhash64), shrinking shuffle width ~2× and measuring
-    ~2.3× faster at sf0.1.  Counts can merge on a 64-bit collision
+    ``hash_grams=True`` is the 100 TB path: grams become int64 BEFORE
+    the shuffle via the chained-``xxhash64`` fold (``ngram_hash_fold``
+    — no gram string is ever built), shrinking shuffle width ~2× and
+    measuring ~1.36× faster end-to-end at sf0.1 (median 1.41s vs 1.91s,
+    fresh-session isolation).  Counts can merge on a 64-bit collision
     (probability ~grams²/2⁶⁴ per doc — ~1e-12 for 10⁴-gram docs), so
-    the exact string form stays the default and the oracle target.
+    the exact string form stays the default and the oracle target;
+    tests assert both forms agree on the corpus.
     """
     toks = tokens(F.col(text_col))
     lines = F.split(F.col(text_col), "\n")
     dup_line_frac = F.round(
         1 - F.size(F.array_distinct(lines)) / F.size(lines), 4
     )
-    grams = ngram_fold(toks, n)
-    base = df.select(
-        F.col(id_col), dup_line_frac.alias("dup_line_frac"), grams.alias("_grams")
+    grams = ngram_hash_fold(toks, n) if hash_grams else ngram_fold(toks, n)
+    rows = df.select(
+        F.col(id_col),
+        dup_line_frac.alias("_dlf"),
+        F.explode_outer(grams).alias("_gram"),
     )
-    gram_stream = (
-        F.explode(F.transform("_grams", lambda g: F.xxhash64(g)))
-        if hash_grams
-        else F.explode("_grams")
+    per_gram = rows.groupBy(id_col, "_gram").agg(
+        F.count("*").alias("_c"), F.first("_dlf").alias("_dlf")
     )
-    per_gram = (
-        base.select(id_col, gram_stream.alias("_gram"))
-        .groupBy(id_col, "_gram")
-        .agg(F.count("*").alias("_c"))
-    )
+    gram_row = F.col("_gram").isNotNull()
     agg = per_gram.groupBy(id_col).agg(
-        F.sum("_c").alias("_total"),
-        F.count("*").alias("_distinct"),
-        F.max("_c").alias("_top"),
+        F.first("_dlf").alias("dup_line_frac"),
+        F.sum(F.when(gram_row, F.col("_c"))).alias("_total"),
+        F.count("_gram").alias("_distinct"),
+        F.max(F.when(gram_row, F.col("_c"))).alias("_top"),
     )
-    return (
-        base.select(id_col, "dup_line_frac")
-        .join(agg, on=id_col, how="left")
-        .select(
-            id_col,
-            "dup_line_frac",
-            F.coalesce(
-                F.round(1 - F.col("_distinct") / F.col("_total"), 4), F.lit(0.0)
-            ).alias(f"dup_{n}gram_frac"),
-            F.coalesce(
-                F.round(F.col("_top") / F.col("_total"), 4), F.lit(0.0)
-            ).alias(f"top_{n}gram_frac"),
-        )
+    return agg.select(
+        id_col,
+        "dup_line_frac",
+        F.coalesce(
+            F.round(1 - F.col("_distinct") / F.col("_total"), 4), F.lit(0.0)
+        ).alias(f"dup_{n}gram_frac"),
+        F.coalesce(
+            F.round(F.col("_top") / F.col("_total"), 4), F.lit(0.0)
+        ).alias(f"top_{n}gram_frac"),
     )
 
 

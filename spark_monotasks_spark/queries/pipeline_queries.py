@@ -756,10 +756,15 @@ def quality_filter_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-doc repetition screen (pipeline.text.repetition_stats):
     duplicate-line fraction, duplicate-2gram fraction, and most-frequent-
-    2gram share — the Gopher repetition-filter family, fully
-    oracle-checked."""
+    2gram share — the Gopher repetition-filter family.  Runs the
+    ``hash_grams`` 100 TB path (int64 gram fingerprints, ~1.36× faster):
+    the oracle still enumerates exact STRING grams, so this entry
+    value-proves the hashed fractions equal the exact ones on the corpus
+    (a 64-bit in-doc collision — probability ~1e-12 — would fail the
+    gate loudly; the string form is the library default and is
+    equivalence-tested in tests/test_pipeline.py)."""
     t = _t(spark, sf_dir)
-    return text.repetition_stats(t["documents"])
+    return text.repetition_stats(t["documents"], hash_grams=True)
 
 
 @register(

@@ -163,6 +163,11 @@ def test_fpgrowth_hand_baskets(spark):
         for r in rules.collect()
     }
     assert got_rules[(("a",), ("b",))] == 1.0
+    # the input cache is released as soon as fit() returns (r5 ADVICE):
+    # results above still collect fine because the fitted model
+    # materializes its own frames; no basket RDD blocks may linger
+    assert baskets.storageLevel.useMemory is False
+    assert baskets.storageLevel.useDisk is False
 
 
 def test_naive_bayes_separates_counts(spark):
