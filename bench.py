@@ -113,6 +113,13 @@ HEADLINE = [
     "histogram_quantile_rollup",
     "stat_chisq_independence",
     "graph_connected_components",
+    # added r5: the de-scale-killed row indexing (two-pass zipWithIndex
+    # shape), sequence gapfill + schema-evolution scan families rotated
+    # into the gate window, and the SVD++ t0 relational state
+    "zip_with_index",
+    "timeseries_gapfill",
+    "schema_evolution_merge",
+    "graph_svdpp_t0",
 ]
 
 

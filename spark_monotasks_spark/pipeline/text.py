@@ -850,19 +850,49 @@ def weighted_sample_k(
 
 
 def deterministic_shuffle(
-    df: DataFrame, id_col: str = "doc_id", seed: str = "epoch1"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: str = "epoch1",
+    top_k: int | None = None,
 ) -> DataFrame:
     """Reproducible global shuffle: order by md5(seed ‖ id) — the
     training-loader epoch permutation.  A pure function of ids, so any
     engine (and any rerun, any partitioning) produces the identical
     order; the next epoch is just the next seed.  Adds ``shuffle_pos``
-    (1-based).  At scale this is Spark's range-partitioned sample-based
-    sort on a 16-byte key — the one global sort a training pipeline
-    actually needs."""
-    from pyspark.sql import Window
+    (1-based).
 
+    Two scale-safe shapes (r5 — the old single shape was an
+    un-partitioned ``row_number`` window, a one-task sort of the corpus
+    whenever no rank filter followed it, and its docstring wrongly
+    claimed range partitioning):
+
+    * ``top_k=None`` (full permutation): the distributed two-pass
+      zipWithIndex (operators/indexing.py) — a genuine sampled
+      range-partitioned sort on the hash key plus broadcast offsets.
+    * ``top_k=k`` (permutation prefix): ``row_number`` window + rank
+      filter, which Catalyst's LimitPushDownThroughWindow rewrites to a
+      bounded TakeOrderedAndProject heap BELOW the window — only k rows
+      ever reach one task; the right plan when k ≪ corpus.
+    """
     h = F.md5(
         F.concat(F.lit(seed + "#"), F.col(id_col).cast("string")).cast("binary")
     )
-    w = Window.orderBy(h.asc(), F.col(id_col).asc())
-    return df.withColumn("shuffle_pos", F.row_number().over(w))
+    if top_k is not None:
+        from pyspark.sql import Window
+
+        w = Window.orderBy(h.asc(), F.col(id_col).asc())
+        return (
+            df.withColumn("shuffle_pos", F.row_number().over(w))
+            .filter(F.col("shuffle_pos") <= top_k)
+        )
+    from spark_monotasks_spark.operators.indexing import zip_with_index
+
+    indexed = zip_with_index(
+        df.withColumn("_h", h),
+        order_cols=[F.col("_h"), F.col(id_col)],
+        index_col="_idx",
+    )
+    return indexed.select(
+        *[c for c in df.columns],
+        (F.col("_idx") + 1).alias("shuffle_pos"),
+    )

@@ -1620,11 +1620,10 @@ def deterministic_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible epoch shuffle (pipeline.text.deterministic_shuffle):
     the training loader's global permutation as ORDER BY md5(seed ‖ id)
     — a pure function of ids, so DuckDB lands on the identical
-    permutation (first 500 positions checked)."""
+    permutation (first 500 positions checked).  ``top_k=500`` picks the
+    rank-filter shape, which Catalyst lowers to a bounded
+    TakeOrderedAndProject heap below the window; the full-permutation
+    path (top_k=None) runs the distributed zipWithIndex shape instead."""
     t = _t(spark, sf_dir)
-    out = text.deterministic_shuffle(t["documents"], seed="ep1")
-    return (
-        out.filter(F.col("shuffle_pos") <= 500)
-        .select("doc_id", "shuffle_pos")
-        .orderBy("shuffle_pos")
-    )
+    out = text.deterministic_shuffle(t["documents"], seed="ep1", top_k=500)
+    return out.select("doc_id", "shuffle_pos").orderBy("shuffle_pos")

@@ -61,3 +61,38 @@ def test_take_sample_exact_size_subset_no_dups(spark, n, num, seed):
     assert len(got) == min(num, n)          # exact size, capped by population
     assert len(set(got)) == len(got)        # no duplicates w/o replacement
     assert set(got) <= set(range(n))        # a subset of the population
+
+
+@given(
+    keys=st.lists(st.integers(-1000, 1000), min_size=0, max_size=40,
+                  unique=True),
+    nparts=st.integers(1, 7),
+)
+@_SETTINGS
+def test_zip_with_index_ordered_contract(spark, keys, nparts):
+    """operators/indexing.zip_with_index (ordered form) must equal
+    row_number() OVER (ORDER BY k) - 1 for ANY unique key multiset and
+    ANY upstream partitioning — the distributed two-pass shape may
+    never leak partition-arrival artifacts into the index."""
+    from spark_monotasks_spark.operators.indexing import zip_with_index
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long").repartition(
+        nparts
+    )
+    got = {r.k: r.idx for r in zip_with_index(df, order_cols=["k"]).collect()}
+    assert got == {k: i for i, k in enumerate(sorted(keys))}
+
+
+@given(
+    n=st.integers(0, 60),
+    nparts=st.integers(1, 7),
+)
+@_SETTINGS
+def test_zip_with_index_layout_contract(spark, n, nparts):
+    """Partition-order form: a contiguous 0-based bijection rows->idx
+    regardless of partition count (RDD.zipWithIndex parity)."""
+    from spark_monotasks_spark.operators.indexing import zip_with_index
+
+    df = spark.range(n).repartition(nparts)
+    idxs = sorted(r.idx for r in zip_with_index(df).collect())
+    assert idxs == list(range(n))

@@ -1333,3 +1333,9 @@ def test_deterministic_shuffle_is_engine_stable(spark):
             for r in T.deterministic_shuffle(
                 df.repartition(7), seed="ep2").collect()}
     assert got2 == expect
+    # the top_k rank-filter shape agrees with the full permutation's
+    # prefix (different plan — bounded TakeOrdered heap — same values)
+    got_k = {r.doc_id: r.shuffle_pos
+             for r in T.deterministic_shuffle(
+                 df, seed="ep2", top_k=10).collect()}
+    assert got_k == {d: p for d, p in expect.items() if p <= 10}
