@@ -516,10 +516,13 @@ def duplicate_segment_positions(
     form doubled the shuffle width the docstring claimed (32 chars vs
     16 bytes) and measured ~1.4× slower at sf0.1; md5's 128 bits stay
     birthday-safe at corpus scale where a 64-bit hash would collide
-    (~4·10⁹ distinct segments).  A concat-free dual-seeded chained
-    xxhash64 pair was measured and REJECTED (~2.1× slower: the
-    per-index ``element_at`` lambda it requires is interpreted per
-    token, losing far more than the md5+concat it saves)."""
+    (~4·10⁹ distinct segments).  Two alternatives measured and
+    REJECTED at sf0.1: a concat-free dual-seeded chained xxhash64 pair
+    (~2.1× slower — the per-index ``element_at`` lambda it needs is
+    interpreted per token, losing far more than the md5+concat it
+    saves) and a collect_list+array_sort+slice aggregation in place of
+    the rank window (~1.13× slower — the hash agg's per-group array
+    builds cost more than the partition sort they avoid)."""
     from pyspark.sql import Window
 
     occ = df.select(
