@@ -760,6 +760,36 @@ def test_repetition_stats_hashed_matches_exact(spark, tables):
     assert exact == hashed
 
 
+def test_repetition_stats_edge_docs_both_paths(spark):
+    """Degenerate docs — empty, single-token (no grams), all-identical
+    tokens, a planted half-duplicate — must score identically on the
+    string and hashed paths AND match hand-computed fractions, for the
+    default bigram and a trigram screen (exercises the n>2 chained
+    xxhash fold)."""
+    rows = [
+        (1, ""),                      # 0 tokens
+        (2, "solo"),                  # 1 token, no bigrams
+        (3, "a a a a"),               # one distinct bigram, 3 copies
+        (4, "p q p q r"),             # 4 bigrams: pq qp pq qr -> 1 dup
+        (5, "x y z"),                 # all distinct
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for n, expect in [
+        (2, {1: (0.0, 0.0), 2: (0.0, 0.0), 3: (round(2 / 3, 4), 1.0),
+             4: (0.25, 0.5), 5: (0.0, 0.5)}),
+        (3, {1: (0.0, 0.0), 2: (0.0, 0.0), 3: (0.5, 1.0),
+             4: (0.0, round(1 / 3, 4)), 5: (0.0, 1.0)}),
+    ]:
+        for hashed in (False, True):
+            got = {
+                r.doc_id: (r[f"dup_{n}gram_frac"], r[f"top_{n}gram_frac"])
+                for r in text.repetition_stats(
+                    df, n=n, hash_grams=hashed
+                ).collect()
+            }
+            assert got == expect, (n, hashed, got)
+
+
 # --- corpus-wide segment dedup (C4-style) ---------------------------------
 
 def test_segment_dedup_planted(spark):
