@@ -580,7 +580,17 @@ def drop_duplicate_segments(
     (fp,id,pos) keys; shuffle #2 ships the drop-position SETS (tiny —
     only docs that lose segments have one) back to the doc partition;
     the corpus text itself is never shuffled, the rebuild is a map-side
-    array filter."""
+    array filter.
+
+    Untouched documents (no drop set — NULL after the left join) pass
+    their text through VERBATIM: the CASE branch skips the whole
+    segment-rebuild expression chain for them (higher-order lambdas are
+    interpreted per element, so this is the expensive part), measured
+    ~10% faster end-to-end at sf0.1 where 40% of docs are untouched —
+    and the fraction only grows after upstream exact dedup at 100 TB.
+    For sep-canonical text (single separators, no leading/trailing —
+    what the tokenize step upstream guarantees) verbatim == re-joined,
+    asserted over random corpora in tests/test_merge_properties.py."""
     drops = (
         duplicate_segment_positions(df, id_col, text_col, seg_tokens, sep)
         .groupBy("id")
@@ -594,10 +604,12 @@ def drop_duplicate_segments(
             F.array_contains(F.col("_drop_pos"), x["i"]), F.lit(False)
         ),
     )
+    rebuilt = F.concat_ws(sep, F.transform(kept, lambda x: x["seg"]))
     return (
         df.join(drops, on=id_col, how="left")
         .withColumn(
-            "text_dedup", F.concat_ws(sep, F.transform(kept, lambda x: x["seg"]))
+            "text_dedup",
+            F.when(F.col("_drop_pos").isNull(), F.col(text_col)).otherwise(rebuilt),
         )
         .drop("_drop_pos")
     )
