@@ -896,3 +896,102 @@ def deterministic_shuffle(
         *[c for c in df.columns],
         (F.col("_idx") + 1).alias("shuffle_pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text cleaning + URL/domain curation (C4 / RefinedWeb-style web filters)
+# ---------------------------------------------------------------------------
+
+#: C0 control characters (minus \t \n \r, which are whitespace) + DEL.
+#: Literal-class pattern runs identically under java.util.regex (Spark)
+#: and RE2 (DuckDB oracle) — no engine-specific escapes.
+CONTROL_CHARS_RE = "[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+
+#: zero-width space/joiners + BOM — invisible codepoints that survive
+#: naive scraping and poison tokenizers; literal chars, engine-portable.
+ZERO_WIDTH_RE = "[​‌‍﻿]"
+
+
+def clean_text(col: Column | str, collapse_whitespace: bool = True) -> Column:
+    """Web-scrape text normalization: strip control + zero-width
+    characters, then (optionally) collapse whitespace runs to single
+    spaces and trim.
+
+    Reference analogy: none — the reference has no text-curation layer;
+    beyond-reference brief item (the C4 §2.1 cleanup step every corpus
+    build runs before dedup/quality passes).  Scale shape: three
+    chained ``regexp_replace`` in ONE codegen projection — no Python,
+    no extra pass per rule, no shuffle; at 100 TB this fuses into the
+    scan stage."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, CONTROL_CHARS_RE, "")
+    c = F.regexp_replace(c, ZERO_WIDTH_RE, "")
+    if collapse_whitespace:
+        c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return c
+
+
+#: scheme://… up to whitespace or common HTML delimiters; identical
+#: semantics in java.util.regex and RE2 (no lookaround, no backrefs).
+URL_RE = r"""https?://[^\s<>"']+"""
+
+#: capture the host: skip optional userinfo, stop at port/path/end.
+URL_HOST_RE = r"""https?://(?:[^/@\s<>"']+@)?([^/:\s<>"']+)"""
+
+
+def extract_urls(col: Column | str) -> Column:
+    """All http(s) URLs in a document as ``array<string>`` (JVM-side
+    ``regexp_extract_all`` — one pass, no explode until the caller
+    decides granularity)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(URL_RE), 0)
+
+
+def url_domain(col: Column | str) -> Column:
+    """Lower-cased host of a URL (scheme/userinfo/port/path stripped)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.regexp_extract(c, URL_HOST_RE, 1))
+
+
+def domain_counts(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Per-domain URL frequency across the corpus: ``(domain, n_urls,
+    n_docs)`` — the curation signal behind domain-level quality and
+    blocklist decisions (RefinedWeb §3.1 URL filtering).
+
+    Scale shape: the explode emits (domain, id) pairs ONLY — document
+    text never leaves the scan stage; one hash aggregate with map-side
+    partials on a low-cardinality key."""
+    pairs = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(extract_urls(text_col)).alias("_url"),
+    ).select(url_domain(F.col("_url")).alias("domain"), "_id")
+    return pairs.groupBy("domain").agg(
+        F.count("*").alias("n_urls"),
+        F.countDistinct("_id").alias("n_docs"),
+    )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocked_domains: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop every document containing at least one URL whose domain is
+    in ``blocked_domains`` (a 1-column ``domain`` DataFrame).
+
+    Scale shape: the blocklist (thousands of rows) is explicitly
+    broadcast; matching is a broadcast LEFT SEMI over exploded
+    (id, domain) pairs — text never shuffles — and the surviving-doc
+    set comes back as a broadcast-able anti-join on ids."""
+    pairs = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode_outer(extract_urls(text_col)).alias("_url"),
+    ).select("_id", url_domain(F.col("_url")).alias("domain"))
+    hit_ids = (
+        pairs.join(F.broadcast(blocked_domains), on="domain", how="left_semi")
+        .select(F.col("_id").alias(id_col))
+        .distinct()
+    )
+    return df.join(hit_ids, on=id_col, how="left_anti")

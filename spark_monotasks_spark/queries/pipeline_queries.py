@@ -1627,3 +1627,144 @@ def deterministic_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     out = text.deterministic_shuffle(t["documents"], seed="ep1", top_k=500)
     return out.select("doc_id", "shuffle_pos").orderBy("shuffle_pos")
+
+
+@register(
+    "clean_text_normalize",
+    oracle="""
+    WITH noisy AS (
+      SELECT doc_id,
+             concat('  ', chr(9), text, chr(7), chr(8203), '  end', chr(9), ' ')
+               AS raw
+      FROM documents
+    ), c AS (
+      SELECT doc_id, raw,
+             trim(regexp_replace(regexp_replace(regexp_replace(raw,
+                 '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+                 '[\\x{200b}-\\x{200d}\\x{feff}]', '', 'g'),
+                 '[\\t\\n\\f\\r ]+', ' ', 'g')) AS cleaned
+      FROM noisy
+    )
+    SELECT doc_id, cleaned, length(raw) - length(cleaned) AS n_removed
+    FROM c
+    """,
+)
+def clean_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-scrape text normalization (pipeline.text.clean_text): strip
+    control + zero-width codepoints, collapse whitespace runs, trim —
+    the C4-style cleanup pass that precedes dedup/quality filtering.
+    The testdata corpus is already clean, so the entry assembles a
+    deterministically noisy twin in BOTH dialects (TAB padding, a BEL
+    control, a zero-width space) and value-checks the cleaned text plus
+    the removed-character count.  One codegen projection, no shuffle."""
+    t = _t(spark, sf_dir)
+    raw = F.concat(F.lit("  \t"), F.col("text"), F.lit("\x07​  end\t "))
+    cleaned = text.clean_text(raw)
+    return t["documents"].select(
+        "doc_id",
+        cleaned.alias("cleaned"),
+        (F.length(raw) - F.length(cleaned)).alias("n_removed"),
+    )
+
+
+def _urlified_docs(docs: DataFrame) -> DataFrame:
+    """documents with synthetic but deterministic URLs woven into the
+    text (the corpus has none): every doc links its source's site; every
+    third doc adds a mirror link with userinfo + port to exercise host
+    extraction."""
+    page = F.concat(
+        F.col("text"),
+        F.lit(" see https://"),
+        F.col("source"),
+        F.lit(".example.com/p/"),
+        F.col("doc_id").cast("string"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" and http://user@mirror."),
+                F.col("source"),
+                F.lit(".example.com:8080/x"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", "source", page.alias("text"))
+
+
+#: shared oracle CTE: the same synthetic pages + URL/host extraction in
+#: DuckDB's dialect (regexp_extract_all + unnest vs posexplode).
+_URL_ORACLE_CTE = """
+    WITH pages AS (
+      SELECT doc_id, source,
+             concat(text, ' see https://', source, '.example.com/p/',
+                    CAST(doc_id AS VARCHAR),
+                    CASE WHEN doc_id % 3 = 0
+                         THEN concat(' and http://user@mirror.', source,
+                                     '.example.com:8080/x')
+                         ELSE '' END) AS page
+      FROM documents
+    ), urls AS (
+      SELECT doc_id, unnest(regexp_extract_all(page,
+               'https?://[^\\s<>"'']+')) AS url
+      FROM pages
+    ), doms AS (
+      SELECT doc_id,
+             lower(regexp_extract(url,
+               'https?://(?:[^/@\\s<>"'']+@)?([^/:\\s<>"'']+)', 1)) AS domain
+      FROM urls
+    )
+"""
+
+
+@register(
+    "url_domain_curation",
+    oracle=_URL_ORACLE_CTE
+    + """
+    SELECT domain, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs,
+           starts_with(domain, 'mirror.') AS blocked
+    FROM doms GROUP BY domain
+    """,
+)
+def url_domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain URL frequency (pipeline.text.extract_urls/url_domain/
+    domain_counts) — the RefinedWeb §3.1 URL-filtering signal: which
+    domains a corpus links to, how often, across how many documents,
+    and whether each hits the blocklist.  Host extraction strips
+    scheme, userinfo and port (the every-third-doc mirror link
+    exercises all three).  Scale shape: only (domain, id) pairs leave
+    the scan stage; one low-cardinality hash aggregate."""
+    t = _t(spark, sf_dir)
+    pages = _urlified_docs(t["documents"])
+    return text.domain_counts(pages, text_col="text").withColumn(
+        "blocked", F.col("domain").startswith("mirror.")
+    )
+
+
+@register(
+    "url_blocklist_filter",
+    oracle=_URL_ORACLE_CTE
+    + """
+    , hit AS (
+      SELECT DISTINCT doc_id FROM doms WHERE starts_with(domain, 'mirror.')
+    )
+    SELECT d.source AS source, count(*) AS n_docs_kept
+    FROM documents d ANTI JOIN hit USING (doc_id)
+    GROUP BY d.source
+    """,
+)
+def url_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist document filter (pipeline.text.blocklist_filter):
+    drop every document containing a URL whose host is on the blocklist
+    (here: the per-source mirror domains), then count survivors per
+    source.  The blocklist is explicitly broadcast; matching is a
+    broadcast LEFT SEMI over exploded (id, domain) pairs and the
+    surviving set comes back as an id anti-join — document text never
+    shuffles."""
+    t = _t(spark, sf_dir)
+    pages = _urlified_docs(t["documents"])
+    blocked = pages.select(
+        F.concat(F.lit("mirror."), F.col("source"), F.lit(".example.com")).alias(
+            "domain"
+        )
+    ).distinct()
+    kept = text.blocklist_filter(pages, blocked, text_col="text")
+    return kept.groupBy("source").agg(F.count("*").alias("n_docs_kept"))

@@ -1369,3 +1369,89 @@ def test_deterministic_shuffle_is_engine_stable(spark):
              for r in T.deterministic_shuffle(
                  df, seed="ep2", top_k=10).collect()}
     assert got_k == {d: p for d, p in expect.items() if p <= 10}
+
+
+# --- text cleaning + URL/domain curation -----------------------------------
+
+def test_clean_text_strips_and_collapses(spark):
+    rows = [
+        (0, "plain text stays"),
+        (1, "tab\tand\nnewline   runs"),
+        (2, "bell\x07control\x00chars\x1fgone"),
+        (3, "zero​width‌joiners‍and﻿bom"),
+        (4, "  padded  both  ends  "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.c
+           for r in df.select("doc_id",
+                              text.clean_text("text").alias("c")).collect()}
+    assert got[0] == "plain text stays"
+    assert got[1] == "tab and newline runs"
+    assert got[2] == "bellcontrolcharsgone"
+    assert got[3] == "zerowidthjoinersandbom"
+    assert got[4] == "padded both ends"
+    # idempotent: cleaning clean text is identity
+    df2 = spark.createDataFrame([(k, v) for k, v in got.items()],
+                                "doc_id long, text string")
+    again = {r.doc_id: r.c
+             for r in df2.select("doc_id",
+                                 text.clean_text("text").alias("c")).collect()}
+    assert again == got
+
+
+def test_clean_text_no_collapse_keeps_whitespace(spark):
+    df = spark.createDataFrame([(0, "a  b\x07c")], "doc_id long, text string")
+    (r,) = df.select(
+        text.clean_text("text", collapse_whitespace=False).alias("c")
+    ).collect()
+    assert r.c == "a  bc"
+
+
+def test_extract_urls_and_domains(spark):
+    rows = [
+        (0, "see https://EN.Example.com/Path?q=1 and http://user:pw@host.org:8080/x"),
+        (1, "no links here"),
+        (2, "trailing http://a.b.c stop ftp://not.matched http://last.one"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.urls
+           for r in df.select("doc_id",
+                              text.extract_urls("text").alias("urls")).collect()}
+    assert got[0] == ["https://EN.Example.com/Path?q=1",
+                      "http://user:pw@host.org:8080/x"]
+    assert got[1] == []
+    assert got[2] == ["http://a.b.c", "http://last.one"]
+    doms = [r.d for r in
+            spark.createDataFrame([(u,) for u in got[0]], "url string")
+            .select(text.url_domain("url").alias("d")).collect()]
+    # host lower-cased; userinfo and port stripped
+    assert doms == ["en.example.com", "host.org"]
+
+
+def test_domain_counts(spark):
+    rows = [
+        (0, "x http://a.com/1 y http://a.com/2 z https://b.com"),
+        (1, "only https://A.COM/3"),
+        (2, "nothing"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.domain: (r.n_urls, r.n_docs)
+           for r in text.domain_counts(df).collect()}
+    assert got == {"a.com": (3, 2), "b.com": (1, 1)}
+
+
+def test_blocklist_filter(spark):
+    rows = [
+        (0, "links http://bad.com/x"),
+        (1, "links http://good.com/x"),
+        (2, "no urls at all"),
+        (3, "both http://good.com and https://u@BAD.com:443/y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    blocked = spark.createDataFrame([("bad.com",)], "domain string")
+    kept = sorted(r.doc_id for r in
+                  text.blocklist_filter(df, blocked).collect())
+    assert kept == [1, 2]  # 0 and 3 hit the blocklist; 2 (no URLs) survives
+    # empty blocklist keeps everything
+    empty = spark.createDataFrame([], "domain string")
+    assert text.blocklist_filter(df, empty).count() == 4
