@@ -120,6 +120,10 @@ HEADLINE = [
     "timeseries_gapfill",
     "schema_evolution_merge",
     "graph_svdpp_t0",
+    # added r5 (second batch): web-curation ops — regex cleanup
+    # projection and the broadcast-semi domain-blocklist filter
+    "clean_text_normalize",
+    "url_blocklist_filter",
 ]
 
 
