@@ -45,6 +45,10 @@ LINEAR = [
     ("asof_join_events", 8.0, "O(n) union + per-key window"),
     ("range_join_sessions", 8.0, "O(n) bucketed equi-join"),
     ("salted_agg_skew", 8.0, "O(n) two-stage salted agg"),
+    # web-curation ops (r5): a pure regex projection and the broadcast
+    # domain-blocklist semi/anti — both must stay one-pass linear
+    ("clean_text_normalize", 8.0, "O(n) codegen regex projection"),
+    ("url_blocklist_filter", 8.0, "O(urls) explode + broadcast semi/anti"),
 ]
 
 #: super-linear entries: bounded above by documented exponents, still
