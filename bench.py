@@ -124,6 +124,9 @@ HEADLINE = [
     # projection and the broadcast-semi domain-blocklist filter
     "clean_text_normalize",
     "url_blocklist_filter",
+    # added r5 (third batch): steady-state near-dup ingest against the
+    # persistent signature store (history text never rescanned)
+    "incremental_minhash_batch",
 ]
 
 

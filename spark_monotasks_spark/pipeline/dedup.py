@@ -813,3 +813,150 @@ def incremental_exact_dedup(
         winners.select(F.col("keep_id").alias(id_col)), on=id_col, how="left_semi"
     )
     return survivors, winners.select("fp", "keep_id")
+
+
+# ---------------------------------------------------------------------------
+# incremental NEAR-dup dedup against a persistent signature store
+# ---------------------------------------------------------------------------
+
+def melted_minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 8,
+    family: str = "xxhash64",
+) -> DataFrame:
+    """Per-doc MinHash signature in join-ready melted form
+    ``(id, fam, h)`` — one row per hash family.  ``family`` picks
+    ``"xxhash64"`` (the zero-shuffle scale path,
+    :func:`minhash_signatures`) or ``"md5"`` (the engine-portable audit
+    family, :func:`minhash_signatures_portable`, reproducible by the
+    DuckDB oracle byte-for-byte)."""
+    if family == "xxhash64":
+        sigs = minhash_signatures(
+            df, id_col, text_col, shingle_k=shingle_k, num_hashes=num_hashes
+        )
+        return sigs.select("id", F.posexplode("sig").alias("fam", "h"))
+    if family == "md5":
+        sigs = minhash_signatures_portable(
+            df, id_col, text_col, shingle_k=shingle_k, num_hashes=num_hashes
+        )
+        fh = F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("fam"), F.col(f"h{i}").alias("h"))
+                    for i in range(num_hashes)
+                ]
+            )
+        )
+        return sigs.select("id", fh.alias("fh")).select(
+            "id", F.col("fh.fam").alias("fam"), F.col("fh.h").alias("h")
+        )
+    raise ValueError(f"unknown minhash family {family!r}")
+
+
+def incremental_minhash_dedup(
+    batch: DataFrame,
+    store: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 8,
+    min_matches: int = 4,
+    family: str = "xxhash64",
+    reliable: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """NEAR-dup dedup of a new batch against itself AND a persistent
+    MinHash signature store — the steady-state ingest form of
+    :func:`near_duplicate_clusters`: history text is NEVER rescanned,
+    only its melted signature index ``(fam, h, id)`` is consulted.
+
+    Semantics (deterministic, transitive-consistent):
+
+    * a batch doc is a HISTORY HIT if it shares ≥ ``min_matches`` of
+      ``num_hashes`` family minima with any store doc (estimated
+      Jaccard ≥ min_matches/num_hashes — the same rule the one-shot
+      clusterers use);
+    * within-batch candidate pairs (same rule) collapse transitively
+      via large-star/small-star connected components;
+    * a whole cluster is CONTAMINATED if ANY member is a history hit —
+      its members are all transitively near history content, so none
+      survive (the convention that keeps batch-order invariance: a doc
+      never survives merely because its history-matching twin was
+      processed in the same batch instead of an earlier one);
+    * otherwise the min-``id_col`` member of each clean cluster
+      (singletons included) survives.
+
+    Returns ``(survivors, store_delta)``: the surviving batch rows and
+    their melted signatures to append to the store.  Append-only store
+    + min-id survivor choice make the operation idempotent: re-running
+    a batch against the updated store yields zero survivors (every
+    previous survivor now self-matches all ``num_hashes`` families in
+    the store; every previous casualty is dropped for the same reason
+    it was before, or by its surviving cluster-mate's signatures).
+
+    Scale shape: batch text is read once for signatures (zero-shuffle
+    projection on the xxhash64 path); the store join ships melted
+    ``(fam, h)`` keys + ids only — persist the store bucketed by
+    ``(fam, h)`` (``save_as_table(bucket_by=...)``) and successive
+    batches co-locate against it without re-shuffling history, which at
+    1 B docs × 8 families is the difference between a ~200 GB shuffle
+    per batch and none.  The within-batch CC runs on the candidate-pair
+    graph only (O(log n) star rounds; ``reliable=True`` for durable
+    checkpoints)."""
+    from spark_monotasks_spark.graph.algorithms import connected_components_star
+
+    melted = melted_minhash_signatures(
+        batch, id_col, text_col, shingle_k, num_hashes, family
+    )
+    # materialized once: the melted index feeds the history probe, BOTH
+    # sides of the within-batch self-join, and the store delta — without
+    # a barrier each consumer would re-scan the batch and re-hash every
+    # shingle (same rationale as minhash_near_duplicates' barrier)
+    melted = barrier(melted, reliable)
+    if store is not None:
+        hits = (
+            melted.join(
+                store.select("fam", "h", F.col("id").alias("_sid")),
+                on=["fam", "h"],
+            )
+            .groupBy("id", "_sid")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") >= min_matches)
+            .select("id")
+            .distinct()
+        )
+    else:
+        hits = melted.select("id").limit(0)
+    a = melted.select(F.col("id").alias("id_a"), "fam", "h")
+    b = melted.select(F.col("id").alias("id_b"), "fam", "h")
+    edges = (
+        a.join(b, on=["fam", "h"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") >= min_matches)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    comps = connected_components_star(edges, reliable=reliable)
+    clustered = (
+        batch.select(F.col(id_col).alias("id"))
+        .join(comps, on="id", how="left")
+        .select("id", F.coalesce("component", F.col("id")).alias("cluster"))
+        .join(hits.withColumn("_hit", F.lit(True)), on="id", how="left")
+    )
+    clean_keepers = (
+        clustered.groupBy("cluster")
+        .agg(
+            F.min("id").alias("keep_id"),
+            F.max(F.coalesce(F.col("_hit"), F.lit(False))).alias("_contaminated"),
+        )
+        .filter(~F.col("_contaminated"))
+        .select(F.col("keep_id").alias(id_col))
+    )
+    survivors = batch.join(clean_keepers, on=id_col, how="left_semi")
+    store_delta = melted.join(
+        clean_keepers.withColumnRenamed(id_col, "id"), on="id", how="left_semi"
+    ).select("fam", "h", "id")
+    return survivors, store_delta

@@ -1768,3 +1768,85 @@ def url_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     kept = text.blocklist_filter(pages, blocked, text_col="text")
     return kept.groupBy("source").agg(F.count("*").alias("n_docs_kept"))
+
+
+@register(
+    "incremental_minhash_batch",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(t) >= 3
+               THEN list_transform(range(1, len(t) - 1),
+                                   i -> array_to_string(t[i:i+2], ' '))
+               ELSE [array_to_string(t, ' ')] END) AS s
+      FROM toks
+    ), melt AS (
+      SELECT doc_id, CAST(f.i AS INT) AS fam,
+             list_min(list_transform(s, x ->
+               CAST(('0x' || substr(md5(x || '#' || CAST(f.i AS VARCHAR)),
+                                    1, 12)) AS BIGINT))) AS h
+      FROM sh, UNNEST(range(0, 8)) AS f(i)
+    ), hist AS (
+      SELECT * FROM melt WHERE doc_id < 250
+    ), bat AS (
+      SELECT * FROM melt WHERE doc_id >= 250
+    ), hitpairs AS (
+      SELECT b.doc_id AS bid, h.doc_id AS hid, count(*) AS n
+      FROM bat b JOIN hist h ON b.fam = h.fam AND b.h = h.h
+      GROUP BY 1, 2
+    ), hits AS (
+      SELECT DISTINCT bid AS doc_id FROM hitpairs WHERE n >= 4
+    ), edges AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM bat a JOIN bat b
+        ON a.fam = b.fam AND a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 4
+    ), sym AS (
+      SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+    ), walk AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT w.src, s.dst FROM walk w JOIN sym s ON w.dst = s.src
+    ), comp AS (
+      SELECT src AS id, min(dst) AS mn FROM walk GROUP BY src
+    ), clustered AS (
+      SELECT d.doc_id AS id,
+             least(coalesce(c.mn, d.doc_id), d.doc_id) AS cluster,
+             (ht.doc_id IS NOT NULL) AS hit
+      FROM documents d
+      LEFT JOIN comp c ON c.id = d.doc_id
+      LEFT JOIN hits ht ON ht.doc_id = d.doc_id
+      WHERE d.doc_id >= 250
+    ), cl AS (
+      SELECT cluster, min(id) AS keep_id, bool_or(hit) AS contaminated
+      FROM clustered GROUP BY cluster
+    )
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d JOIN cl ON d.doc_id = cl.keep_id
+    WHERE NOT cl.contaminated
+    """,
+)
+def incremental_minhash_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state NEAR-dup ingest (pipeline.dedup.
+    incremental_minhash_dedup): the second half of the corpus arrives
+    as a batch and dedups against (a) itself, transitively, and (b) the
+    persistent melted-signature store of the first half — history text
+    is never rescanned.  Run on the engine-portable md5 MinHash family
+    so the oracle replays EVERYTHING: signatures, the ≥4-of-8 match
+    rule against the store, the within-batch transitive closure
+    (recursive CTE), contaminated-cluster elimination, and min-id
+    survivor choice.  The xxhash64 family is the scale path
+    (family='xxhash64', default)."""
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    history = docs.filter(F.col("doc_id") < 250)
+    batch = docs.filter(F.col("doc_id") >= 250)
+    store = dedup.melted_minhash_signatures(
+        history, shingle_k=3, num_hashes=8, family="md5"
+    )
+    survivors, _delta = dedup.incremental_minhash_dedup(
+        batch, store, shingle_k=3, num_hashes=8, min_matches=4, family="md5"
+    )
+    return survivors.select("doc_id", "lang", "n_chars")

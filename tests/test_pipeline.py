@@ -1455,3 +1455,63 @@ def test_blocklist_filter(spark):
     # empty blocklist keeps everything
     empty = spark.createDataFrame([], "domain string")
     assert text.blocklist_filter(df, empty).count() == 4
+
+
+# --- incremental near-dup dedup vs a persistent signature store ------------
+
+@pytest.fixture(scope="module")
+def inc_minhash_corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river"
+    hist = spark.createDataFrame(
+        [(0, base + " bank"),
+         (1, "completely unrelated historical text about query engines")],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, base + " bend"),          # near-dup of history doc 0
+         (11, "fresh content on shuffle partitioning and skew salting plans"),
+         (12, "fresh content on shuffle partitioning and skew salting maps"),
+         # 12 ~ 11 within batch; 11 (min id) survives
+         (13, "entirely novel document with no relatives anywhere at all")],
+        "doc_id long, text string")
+    return hist, batch
+
+
+@pytest.mark.parametrize("family", ["xxhash64", "md5"])
+def test_incremental_minhash_dedup(spark, inc_minhash_corpus, family):
+    hist, batch = inc_minhash_corpus
+    store = dedup.melted_minhash_signatures(hist, family=family)
+    surv, delta = dedup.incremental_minhash_dedup(
+        batch, store, min_matches=4, family=family)
+    assert sorted(r.doc_id for r in surv.collect()) == [11, 13]
+    # delta carries exactly the survivors' melted signatures
+    assert sorted(set(r.id for r in delta.collect())) == [11, 13]
+    # idempotence: replaying the batch against the updated store
+    # yields zero survivors (previous survivors now self-match all
+    # families; previous casualties die as before)
+    store2 = store.unionByName(delta.select("id", "fam", "h"))
+    surv2, _ = dedup.incremental_minhash_dedup(
+        batch, store2, min_matches=4, family=family)
+    assert surv2.count() == 0
+
+
+def test_incremental_minhash_first_batch_no_store(spark, inc_minhash_corpus):
+    _, batch = inc_minhash_corpus
+    surv, delta = dedup.incremental_minhash_dedup(batch, None, min_matches=4)
+    # no history: within-batch transitive dedup only
+    assert sorted(r.doc_id for r in surv.collect()) == [10, 11, 13]
+    assert delta.count() == 3 * 8  # 8 families per survivor
+
+
+def test_incremental_minhash_contaminated_cluster(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    hist = spark.createDataFrame([(0, base + " one")],
+                                 "doc_id long, text string")
+    # 20 ~ history; 21 ~ 20 but NOT directly ~ history text: the whole
+    # cluster is contaminated, so neither survives
+    batch = spark.createDataFrame(
+        [(20, base + " two"), (21, base + " three"),
+         (22, "untouched standalone content about broadcast join planning")],
+        "doc_id long, text string")
+    store = dedup.melted_minhash_signatures(hist)
+    surv, _ = dedup.incremental_minhash_dedup(batch, store, min_matches=4)
+    assert sorted(r.doc_id for r in surv.collect()) == [22]
