@@ -995,3 +995,62 @@ def blocklist_filter(
         .distinct()
     )
     return df.join(hit_ids, on=id_col, how="left_anti")
+
+
+def top_fraction_per_group(
+    df: DataFrame,
+    score_col: str,
+    frac: float,
+    group_cols: list[str] | tuple[str, ...] = ("lang",),
+    id_col: str = "doc_id",
+    exact: bool = True,
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """Quantile-calibrated filter: keep the top ``frac`` fraction of
+    rows per group by ``score_col`` — the "keep the best X% per
+    language" curation step, where the threshold is learned from the
+    data instead of hand-tuned.
+
+    Two shapes:
+
+    * ``exact=True`` (the audit path): partitioned ``row_number`` rank
+      ≤ ceil(n·frac), deterministic under the (score desc, id) order
+      and exactly reproducible by any engine — the catalog oracle.
+      One shuffle on the group key; each group sorts within its
+      partition, so a group holding half the corpus funnels into one
+      task — fine for bounded groups (languages, sources), wrong for
+      high-skew keys at 100 TB.
+    * ``exact=False`` (the scale path): per-group
+      ``approx_percentile(score, 1-frac)`` — a tiny mergeable-sketch
+      aggregate — broadcast back as thresholds, then a map-side
+      ``score >= thr`` filter.  Linear, skew-immune, two passes over
+      the data and no per-group sort; the kept fraction is approximate
+      within the sketch's ``relative_error`` (and ties at the
+      threshold all survive).
+    """
+    if not 0.0 < frac <= 1.0:
+        raise ValueError(f"frac must be in (0, 1], got {frac}")
+    gcols = list(group_cols)
+    if exact:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*gcols).orderBy(
+            F.col(score_col).desc(), F.col(id_col)
+        )
+        n = Window.partitionBy(*gcols)
+        return (
+            df.withColumn("_rk", F.row_number().over(w))
+            .withColumn("_n", F.count("*").over(n))
+            .filter(F.col("_rk") <= F.ceil(F.col("_n") * frac))
+            .drop("_rk", "_n")
+        )
+    thr = df.groupBy(*gcols).agg(
+        F.percentile_approx(
+            score_col, 1.0 - frac, int(1.0 / relative_error)
+        ).alias("_thr")
+    )
+    return (
+        df.join(F.broadcast(thr), on=gcols)
+        .filter(F.col(score_col) >= F.col("_thr"))
+        .drop("_thr")
+    )

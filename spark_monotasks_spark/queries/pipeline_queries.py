@@ -1850,3 +1850,43 @@ def incremental_minhash_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch, store, shingle_k=3, num_hashes=8, min_matches=4, family="md5"
     )
     return survivors.select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "quality_quantile_calibrate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, text, string_split(text, ' ') AS t FROM documents
+    ), m AS (
+      SELECT doc_id, lang,
+             round((length(text) - (len(t) - 1)) * 1.0 / len(t), 4)
+               AS mean_word_len
+      FROM toks
+    ), r AS (
+      SELECT doc_id, lang, mean_word_len,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY mean_word_len DESC, doc_id) AS rk,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM m
+    )
+    SELECT doc_id, lang, mean_word_len
+    FROM r WHERE rk <= ceil(n * 0.5)
+    """,
+)
+def quality_quantile_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-calibrated quality threshold (pipeline.text.
+    top_fraction_per_group): keep the top 50% of documents per language
+    by mean word length — the curation step where the cutoff is learned
+    from the corpus distribution instead of hand-tuned, composed from
+    gopher_quality_rules' portable measurement.  Runs the exact
+    windowed-rank shape so the oracle reproduces the survivor set
+    row-for-row; ``exact=False`` is the skew-immune 100 TB path
+    (approx-percentile thresholds broadcast back, map-side filter)."""
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    meas = text.gopher_quality_rules(docs).select("doc_id", "mean_word_len")
+    scored = meas.join(docs.select("doc_id", "lang"), on="doc_id")
+    out = text.top_fraction_per_group(
+        scored, "mean_word_len", 0.5, group_cols=["lang"]
+    )
+    return out.select("doc_id", "lang", "mean_word_len")

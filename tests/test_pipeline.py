@@ -1515,3 +1515,41 @@ def test_incremental_minhash_contaminated_cluster(spark):
     store = dedup.melted_minhash_signatures(hist)
     surv, _ = dedup.incremental_minhash_dedup(batch, store, min_matches=4)
     assert sorted(r.doc_id for r in surv.collect()) == [22]
+
+
+# --- quantile-calibrated quality filter ------------------------------------
+
+def test_top_fraction_exact_matches_model(spark):
+    rows = [(i, "g" + str(i % 2), float(i)) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, score double")
+    kept = sorted(
+        (r.grp, r.doc_id)
+        for r in text.top_fraction_per_group(
+            df, "score", 0.3, group_cols=["grp"]).collect())
+    # each group has 10 members, ceil(10*0.3)=3 → top-3 scores per group
+    expect = sorted([("g0", i) for i in (18, 16, 14)]
+                    + [("g1", i) for i in (19, 17, 15)])
+    assert kept == expect
+
+
+def test_top_fraction_approx_contains_exact(spark):
+    rows = [(i, "g", float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, score double")
+    exact = {r.doc_id for r in text.top_fraction_per_group(
+        df, "score", 0.2, group_cols=["grp"], exact=True).collect()}
+    approx = {r.doc_id for r in text.top_fraction_per_group(
+        df, "score", 0.2, group_cols=["grp"], exact=False).collect()}
+    # the sketch threshold is an actual data element at/below the
+    # quantile and ties at it survive, so approx keeps AT LEAST the
+    # top frac — a superset of exact with bounded slack on tight data
+    assert approx >= exact
+    assert len(approx) <= len(exact) + 1
+
+
+def test_top_fraction_frac_one_keeps_all_and_validates(spark):
+    df = spark.createDataFrame([(0, "g", 1.0)],
+                               "doc_id long, grp string, score double")
+    assert text.top_fraction_per_group(
+        df, "score", 1.0, group_cols=["grp"]).count() == 1
+    with pytest.raises(ValueError):
+        text.top_fraction_per_group(df, "score", 0.0, group_cols=["grp"])
