@@ -1054,3 +1054,66 @@ def top_fraction_per_group(
         .filter(F.col(score_col) >= F.col("_thr"))
         .drop("_thr")
     )
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    alpha: float = 0.5,
+    target_fraction: float = 0.5,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    n_buckets: int = 10_000,
+) -> DataFrame:
+    """Temperature-based mixture sampling: keep a deterministic subset
+    whose per-group allocation follows p_g ∝ n_g^alpha (the multilingual
+    up-sampling recipe — alpha=1 preserves natural proportions, alpha→0
+    flattens toward uniform, boosting small groups), scaled so the
+    expected total is ``target_fraction`` of the corpus; per-group
+    rates cap at 1 (a group can't be sampled above its size).
+
+    Unlike :func:`mixture_sample`, the fractions are LEARNED from the
+    corpus distribution — no hand-tuned dict, no driver round-trip: the
+    group counts are a tiny aggregate, the weight normalization is a
+    window over those few rows, and the rates broadcast back onto a
+    map-side md5-bucket filter (same pure-function-of-id membership as
+    mixture_sample: stable under corpus growth, reproducible by any
+    engine).
+
+    Bit-exact portability: weights are floored to integers
+    (floor(n^alpha·1000)) before normalizing, so the only float ops an
+    external engine must reproduce are one division and one
+    multiply-chain on identical inputs — and for alpha=0.5 the power
+    is IEEE-exact ``sqrt``, making the whole rate computation
+    bit-identical across engines (the catalog oracle's configuration).
+    Other alphas go through ``pow``, which engines may round off by an
+    ulp — fine for sampling, not for value audits."""
+    from pyspark.sql import Window
+
+    if not 0.0 <= target_fraction <= 1.0:
+        raise ValueError(f"target_fraction must be in [0,1], got {target_fraction}")
+    if alpha < 0.0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    counts = df.groupBy(group_col).agg(F.count("*").alias("n_g"))
+    wexpr = F.sqrt("n_g") if alpha == 0.5 else F.pow("n_g", F.lit(alpha))
+    w = counts.withColumn("wg", F.floor(wexpr * 1000).cast("long"))
+    # the window's input is the bounded group-count aggregate (a few
+    # dozen rows), not the corpus — the unbounded-window plan gate
+    # recognizes the Aggregate child
+    wall = Window.partitionBy()
+    q = w.withColumn("W", F.sum("wg").over(wall)).withColumn(
+        "N", F.sum("n_g").over(wall)
+    )
+    rate = F.least(
+        F.lit(1.0),
+        F.lit(float(target_fraction))
+        * F.col("N")
+        * (F.col("wg") / F.col("W"))
+        / F.col("n_g"),
+    )
+    rates = q.select(group_col, rate.alias("_rate"))
+    bound = F.floor(F.col("_rate") * n_buckets).cast("long")
+    return (
+        df.join(F.broadcast(rates), on=group_col)
+        .filter(split_bucket(id_col, n_buckets) < bound)
+        .drop("_rate")
+    )

@@ -1890,3 +1890,42 @@ def quality_quantile_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored, "mean_word_len", 0.5, group_cols=["lang"]
     )
     return out.select("doc_id", "lang", "mean_word_len")
+
+
+@register(
+    "temperature_mixture",
+    oracle="""
+    WITH n AS (
+      SELECT source, count(*) AS n_g FROM documents GROUP BY source
+    ), w AS (
+      SELECT source, n_g,
+             CAST(floor(sqrt(n_g) * 1000) AS BIGINT) AS wg
+      FROM n
+    ), q AS (
+      SELECT source, n_g, wg,
+             sum(wg) OVER () AS W, sum(n_g) OVER () AS N
+      FROM w
+    ), r AS (
+      SELECT source,
+             least(1.0, 0.5 * N * (wg * 1.0 / W) / n_g) AS rate
+      FROM q
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN r USING (source)
+    WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            % 10000
+          < CAST(floor(rate * 10000) AS BIGINT)
+    """,
+)
+def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture sampling (pipeline.text.
+    temperature_mixture_sample, alpha=0.5, target 50%): per-source
+    rates learned from the corpus as p_g ∝ sqrt(n_g) — the multilingual
+    up-sampling recipe — with membership a pure md5-bucket function of
+    the id.  alpha=0.5 keeps the whole rate computation bit-identical
+    across engines (integer-floored sqrt weights; sqrt is IEEE-exact,
+    pow is not), so DuckDB reproduces the exact row set."""
+    t = _t(spark, sf_dir)
+    return text.temperature_mixture_sample(
+        t["documents"], alpha=0.5, target_fraction=0.5
+    ).select("doc_id", "source")

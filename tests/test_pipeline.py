@@ -1553,3 +1553,50 @@ def test_top_fraction_frac_one_keeps_all_and_validates(spark):
         df, "score", 1.0, group_cols=["grp"]).count() == 1
     with pytest.raises(ValueError):
         text.top_fraction_per_group(df, "score", 0.0, group_cols=["grp"])
+
+
+# --- temperature mixture sampling ------------------------------------------
+
+def test_temperature_mixture_alpha1_is_uniform_rate(spark):
+    import hashlib
+    rows = [(i, "big" if i < 80 else "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = sorted(r.doc_id for r in text.temperature_mixture_sample(
+        df, alpha=1.0, target_fraction=0.25).collect())
+    # alpha=1 → every group keeps the same 25% rate; membership is the
+    # md5 bucket rule, reproducible driver-side
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 10000
+    expect = sorted(i for i in range(100) if bucket(i) < 2500)
+    assert got == expect
+
+
+def test_temperature_mixture_low_alpha_boosts_small_groups(spark):
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = text.temperature_mixture_sample(
+        df, alpha=0.0, target_fraction=0.3).groupBy("source").count().collect()
+    by_src = {r.source: r["count"] for r in kept}
+    # alpha=0 splits the 300-row budget evenly: ~150 from each group,
+    # so the small group's keep RATE far exceeds the big group's
+    assert by_src["small"] / 100 > by_src["big"] / 900
+    # and the overall take is in the neighborhood of the target
+    assert 150 <= sum(by_src.values()) <= 450
+
+
+def test_temperature_mixture_rate_caps_at_group_size(spark):
+    # tiny group + alpha=0: uncapped rate would exceed 1; every member
+    # of the tiny group must simply survive
+    rows = [(i, "big") for i in range(500)] + [(1000, "tiny")]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = text.temperature_mixture_sample(
+        df, alpha=0.0, target_fraction=0.5)
+    assert kept.filter(F.col("source") == "tiny").count() == 1
+
+
+def test_temperature_mixture_validates(spark):
+    df = spark.createDataFrame([(0, "a")], "doc_id long, source string")
+    with pytest.raises(ValueError):
+        text.temperature_mixture_sample(df, target_fraction=1.5)
+    with pytest.raises(ValueError):
+        text.temperature_mixture_sample(df, alpha=-0.1)
