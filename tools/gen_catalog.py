@@ -1,0 +1,45 @@
+"""Regenerate CATALOG.md from the live query registry.
+
+Usage:  python tools/gen_catalog.py          # rewrites CATALOG.md in place
+
+Keeps the existing 14-line header (which documents the gate-window
+rotation state — update it by hand when rotating _PRIORITY), then one
+row per registry entry: position, name, oracle/rows-only, and the
+docstring flattened to 152 chars.
+"""
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from spark_monotasks_spark.queries import ORACLE_REGISTRY, QUERY_REGISTRY  # noqa: E402
+
+HEADER_LINES = 14
+
+
+def summary(fn) -> str:
+    flat = re.sub(r"\s+", " ", (fn.__doc__ or "").strip())
+    return flat[:152] + "..." if len(flat) > 152 else flat
+
+
+def main() -> None:
+    path = os.path.join(REPO, "CATALOG.md")
+    with open(path) as f:
+        header = [next(f) for _ in range(HEADER_LINES)]
+    rows = [
+        f"| {i} | `{name}` | "
+        f"{'oracle' if name in ORACLE_REGISTRY else 'rows-only'} | {summary(fn)} |\n"
+        for i, (name, fn) in enumerate(QUERY_REGISTRY.items(), 1)
+    ]
+    with open(path, "w") as f:
+        f.writelines(header)
+        f.writelines(rows)
+    print(f"wrote {len(rows)} rows to CATALOG.md")
+
+
+if __name__ == "__main__":
+    main()
