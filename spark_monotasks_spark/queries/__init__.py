@@ -47,7 +47,10 @@ _PRIORITY = (
     # outside in r3, first_last_agg just outside in r5 — udaf/distinct
     # keep advanced aggs in-window, and cms_heavy_hitters below adds
     # the sketch side)
-    "tpch_q1_pricing", "agg_distinct", "group_having",
+    # (agg_distinct rotated just outside in r5 second batch — the
+    # distinct-agg shape stays covered locally; tpch_q1/group_having/
+    # udaf/decimal keep the family in-window)
+    "tpch_q1_pricing", "group_having",
     "udaf_weighted_mean", "decimal_agg",
     # join families (§2.3; tpch_q18 moved just outside in r3 — q3 + the
     # subquery block keep multiway shapes in-window; join_inner rotated
@@ -68,8 +71,10 @@ _PRIORITY = (
     # scalar expression families (§2.8; string_promotion/decimal_agg sit
     # just outside the window — cast_matrix + the agg block cover them;
     # conditional_funcs moved just outside in r3 (case_when keeps
-    # If/CaseWhen in-window) to make room for the merge/upsert surface)
-    "arithmetic_ops", "string_funcs", "cast_matrix",
+    # If/CaseWhen in-window); arithmetic_ops + string_funcs rotated
+    # just outside in r5 second batch — cast_matrix/complex_types/
+    # datetime keep the scalar families in-window)
+    "cast_matrix",
     "complex_types_ops", "datetime_funcs",
     # table maintenance (merge/upsert + manifest-committed time travel +
     # steady-state incremental ingest dedup + value-audited frequency
@@ -107,6 +112,13 @@ _PRIORITY = (
     # represent the pipeline families)
     "dedup_exact_groups", "token_stats", "ann_cosine_topk",
     "pack_sequences", "contamination_check",
+    # r5-new families rotated INTO the window (displacing agg_distinct/
+    # arithmetic_ops/string_funcs, whose families stay represented):
+    # steady-state near-dup ingest vs the persistent signature store,
+    # temperature-based mixture sampling, and the quantile-calibrated
+    # quality filter
+    "incremental_minhash_batch", "temperature_mixture",
+    "quality_quantile_calibrate",
 )
 
 

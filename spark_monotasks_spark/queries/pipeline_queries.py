@@ -1789,9 +1789,9 @@ def url_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     1, 12)) AS BIGINT))) AS h
       FROM sh, UNNEST(range(0, 8)) AS f(i)
     ), hist AS (
-      SELECT * FROM melt WHERE doc_id < 250
+      SELECT * FROM melt WHERE doc_id % 2 = 0
     ), bat AS (
-      SELECT * FROM melt WHERE doc_id >= 250
+      SELECT * FROM melt WHERE doc_id % 2 = 1
     ), hitpairs AS (
       SELECT b.doc_id AS bid, h.doc_id AS hid, count(*) AS n
       FROM bat b JOIN hist h ON b.fam = h.fam AND b.h = h.h
@@ -1818,7 +1818,7 @@ def url_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents d
       LEFT JOIN comp c ON c.id = d.doc_id
       LEFT JOIN hits ht ON ht.doc_id = d.doc_id
-      WHERE d.doc_id >= 250
+      WHERE d.doc_id % 2 = 1
     ), cl AS (
       SELECT cluster, min(id) AS keep_id, bool_or(hit) AS contaminated
       FROM clustered GROUP BY cluster
@@ -1830,10 +1830,10 @@ def url_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def incremental_minhash_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Steady-state NEAR-dup ingest (pipeline.dedup.
-    incremental_minhash_dedup): the second half of the corpus arrives
+    incremental_minhash_dedup): the odd-id half of the corpus arrives
     as a batch and dedups against (a) itself, transitively, and (b) the
-    persistent melted-signature store of the first half — history text
-    is never rescanned.  Run on the engine-portable md5 MinHash family
+    persistent melted-signature store of the even-id half (a split that
+    stays ~50/50 at every SF) — history text is never rescanned.  Run on the engine-portable md5 MinHash family
     so the oracle replays EVERYTHING: signatures, the ≥4-of-8 match
     rule against the store, the within-batch transitive closure
     (recursive CTE), contaminated-cluster elimination, and min-id
@@ -1841,8 +1841,8 @@ def incremental_minhash_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     (family='xxhash64', default)."""
     t = _t(spark, sf_dir)
     docs = t["documents"]
-    history = docs.filter(F.col("doc_id") < 250)
-    batch = docs.filter(F.col("doc_id") >= 250)
+    history = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
     store = dedup.melted_minhash_signatures(
         history, shingle_k=3, num_hashes=8, family="md5"
     )
