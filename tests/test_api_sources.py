@@ -645,3 +645,43 @@ def test_versioned_concurrent_appends_under_real_race(spark, tmp_path):
         for r in latest.groupBy("b").agg(F.count("*").alias("n")).collect()
     }
     assert per_tag == {0: 1, 1: 10, 2: 10, 3: 10, 4: 10}
+
+
+def test_incremental_minhash_bucketed_store_skips_history_shuffle(spark):
+    """incremental_minhash_dedup's 100 TB claim, plan-proven: with the
+    signature store persisted bucketed by (fam, h), the history side of
+    the probe join reads WITHOUT an Exchange — only the (small) batch
+    side shuffles.  An unbucketed store re-shuffles history every
+    batch."""
+    from spark_monotasks_spark.pipeline import dedup
+
+    hist = spark.createDataFrame(
+        [(i, f"historical document number {i} with several tokens")
+         for i in range(50)],
+        "doc_id long, text string")
+    batch_melted = dedup.melted_minhash_signatures(
+        spark.createDataFrame(
+            [(100, "a fresh batch document with several tokens")],
+            "doc_id long, text string"))
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        sio.save_as_table(
+            dedup.melted_minhash_signatures(hist),
+            "sig_store", mode="overwrite", bucket_by=(4, ["fam", "h"]))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        store = spark.table("sig_store")
+        probe = batch_melted.join(
+            store.select("fam", "h", F.col("id").alias("_sid")),
+            on=["fam", "h"])
+        probe.collect()
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        # AQE prints the final plan then echoes the initial one — score
+        # only the final section
+        final = plan.split("== Initial Plan ==")[0]
+        # exactly one exchange: the batch side; the bucketed store scan
+        # feeds the join directly
+        assert final.lower().count("exchange") == 1, final
+        assert "Bucketed: true" in final, final
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS sig_store")
