@@ -265,3 +265,118 @@ def histogram_quantiles(
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (membership) — the third mergeable sketch in the family
+# ---------------------------------------------------------------------------
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    m_words: int = 256,
+    k: int = 4,
+    hash_family: str = "md5",
+) -> DataFrame:
+    """Build a Bloom filter over ``key_col`` as a sparse (word int,
+    bits bigint) DataFrame — the bitmap split into 32-bit words (words
+    whose bits are all zero are absent).  m = 32·m_words bits, ``k``
+    hash rows; false-positive rate ≈ (1 - e^{-kn/m})^k, zero false
+    negatives.
+
+    The classic 100 TB dedup PRE-filter: probe a new batch against the
+    (tiny, broadcastable) filter of all history fingerprints and only
+    the "might contain" survivors pay the exact anti-join against the
+    full history store.  Completes the mergeable-sketch family (CMS =
+    frequency, histogram = distribution, HLL = distinct, Bloom =
+    membership).
+
+    Bit positions come from the SAME engine-portable md5 chunk family
+    as :func:`cms_bucket` (row i → chunk i of md5(key), mod m), so an
+    external engine reproduces every word byte-for-byte — the catalog
+    oracle rebuilds the filter in DuckDB and must land on identical
+    bitmaps.  32-bit words keep every mask positive in a signed 64-bit
+    lane (no sign-bit semantics to match across engines).
+
+    Scale shape: each key explodes into k (word, mask) pairs that the
+    hash aggregate collapses map-side to ≤ m_words rows per partition;
+    the shuffle carries bounded bitmap fragments, never the key
+    stream.  Merge = union + bit_or (:func:`bloom_merge`)."""
+    if m_words < 1 or k < 1:
+        raise ValueError(f"m_words ({m_words}) and k ({k}) must be >= 1")
+    key = F.col(key_col)
+    m_bits = 32 * m_words
+    pairs = F.array(
+        *[
+            F.struct(
+                F.floor(pos / 32).cast("int").alias("word"),
+                (pos % 32).cast("int").alias("bit"),
+            )
+            for pos in (
+                cms_bucket(key, i, m_bits, hash_family) for i in range(k)
+            )
+        ]
+    )
+    return (
+        df.filter(key.isNotNull())
+        .select(F.explode(pairs).alias("wb"))
+        .select(
+            F.col("wb.word").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), wb.bit)").alias("_mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("_mask").alias("bits"))
+    )
+
+
+def bloom_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge Bloom filters built with the SAME m_words/k/hash_family:
+    union + bitwise OR per word — exactly the filter a single build
+    over the concatenated inputs would produce."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    u = reduce(DataFrame.unionAll, sketches)
+    return u.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_contains(
+    df: DataFrame,
+    key_col: str,
+    sketch: DataFrame,
+    m_words: int = 256,
+    k: int = 4,
+    hash_family: str = "md5",
+    result_col: str = "might_contain",
+) -> DataFrame:
+    """Append ``result_col``: True iff all k bits of ``key_col`` are
+    set in ``sketch`` — never a false negative; a True may be a false
+    positive at the filter's design rate.
+
+    Scale shape: k broadcast hash joins of the (≤ m_words row) sketch
+    against the probe side — zero shuffles of the probe stream and no
+    per-key aggregation (each hash row is checked in its own joined
+    column, then ANDed in one projection)."""
+    if m_words < 1 or k < 1:
+        raise ValueError(f"m_words ({m_words}) and k ({k}) must be >= 1")
+    key = F.col(key_col)
+    m_bits = 32 * m_words
+    out = df
+    checks = []
+    for i in range(k):
+        pos = cms_bucket(key, i, m_bits, hash_family)
+        out = out.withColumn(
+            f"_w{i}", F.floor(pos / 32).cast("int")
+        ).withColumn(f"_b{i}", (pos % 32).cast("int"))
+        side = sketch.select(
+            F.col("word").alias(f"_w{i}"), F.col("bits").alias(f"_bits{i}")
+        )
+        out = out.join(F.broadcast(side), on=f"_w{i}", how="left")
+        checks.append(
+            F.expr(
+                f"(coalesce(_bits{i}, CAST(0 AS BIGINT)) & "
+                f"shiftleft(CAST(1 AS BIGINT), _b{i})) != 0"
+            )
+        )
+    cond = reduce(lambda a, b: a & b, checks)
+    helper = [c for i in range(k) for c in (f"_w{i}", f"_b{i}", f"_bits{i}")]
+    return out.withColumn(result_col, cond).drop(*helper)

@@ -1117,3 +1117,168 @@ def temperature_mixture_sample(
         .filter(split_bucket(id_col, n_buckets) < bound)
         .drop("_rate")
     )
+
+
+# ---------------------------------------------------------------------------
+# boilerplate line removal (CCNet §4.1 / RefinedWeb line-wise filtering)
+# ---------------------------------------------------------------------------
+
+def _line_occurrences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str | None,
+) -> DataFrame:
+    """(id[, group], pos, fp1, fp2) for every line of every document —
+    the 128-bit fingerprint pair of the TRIMMED line (leading/trailing
+    whitespace never distinguishes boilerplate); line text itself is
+    dropped before anything shuffles."""
+    gcols = [group_col] if group_col else []
+    occ = df.select(
+        F.col(id_col).alias("id"),
+        *gcols,
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "_line"),
+    )
+    key = F.trim(F.col("_line"))
+    return occ.select(
+        "id",
+        *gcols,
+        "pos",
+        F.xxhash64(key, F.lit(1)).alias("fp1"),
+        F.xxhash64(key, F.lit(2)).alias("fp2"),
+    )
+
+
+def boilerplate_line_fps(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str | None = "source",
+    min_docs: int = 3,
+) -> DataFrame:
+    """Fingerprints of boilerplate lines: lines whose trimmed form
+    appears in at least ``min_docs`` DISTINCT documents (within
+    ``group_col`` when given — per-domain headers/footers/nav bars are
+    boilerplate for *their* site, not globally).
+
+    Reference analogy: none — beyond-reference brief item (the CCNet
+    §4.1 / RefinedWeb §3.2 line-frequency signal behind "remove lines
+    repeated across pages of the same domain").
+
+    Scale shape: the shuffle key is ([group,] fp1, fp2) — 16 bytes of
+    line fingerprint, never line text; COUNT(DISTINCT id) plans the
+    standard two-phase expand aggregate with map-side partials.  Output
+    is the (small) boilerplate set only."""
+    if min_docs < 1:
+        raise ValueError(f"min_docs must be >= 1, got {min_docs}")
+    gcols = [group_col] if group_col else []
+    occ = _line_occurrences(df, id_col, text_col, group_col)
+    return (
+        occ.groupBy(*gcols, "fp1", "fp2")
+        .agg(F.countDistinct("id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def remove_boilerplate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str | None = "source",
+    min_docs: int = 3,
+) -> DataFrame:
+    """Strip boilerplate lines (every occurrence — unlike segment dedup
+    there is no first-survivor: a nav bar is noise in ALL its pages)
+    and reassemble each document from its surviving lines, appending
+    ``text_clean``, ``n_lines_kept`` and ``n_lines_removed``.
+
+    Scale shape (the drop-positions idiom of
+    :func:`~spark_monotasks_spark.pipeline.dedup.drop_duplicate_segments`):
+    shuffle #1 aggregates 16-byte line fingerprints into the (small)
+    boilerplate set; matching it back is a join on those fingerprints
+    carrying (id, pos) only; shuffle #2 ships per-doc drop-position
+    SETS to the doc partition; the rebuild is a map-side array filter
+    over the re-split original text, and untouched documents pass
+    their text through verbatim without entering the lambda chain."""
+    gcols = [group_col] if group_col else []
+    occ = _line_occurrences(df, id_col, text_col, group_col)
+    bp = boilerplate_line_fps(df, id_col, text_col, group_col, min_docs)
+    drops = (
+        occ.join(bp, on=[*gcols, "fp1", "fp2"], how="left_semi")
+        .groupBy("id")
+        .agg(F.collect_set("pos").alias("_drop_pos"))
+        .withColumnRenamed("id", id_col)
+    )
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(
+        F.transform(lines, lambda s, i: F.struct(s.alias("l"), i.alias("i"))),
+        lambda x: ~F.coalesce(
+            F.array_contains(F.col("_drop_pos"), x["i"]), F.lit(False)
+        ),
+    )
+    rebuilt = F.concat_ws("\n", F.transform(kept, lambda x: x["l"]))
+    n_total = F.size(lines)
+    n_drop = F.coalesce(F.size("_drop_pos"), F.lit(0))
+    return (
+        df.join(drops, on=id_col, how="left")
+        .withColumn(
+            "text_clean",
+            F.when(F.col("_drop_pos").isNull(), F.col(text_col)).otherwise(
+                rebuilt
+            ),
+        )
+        .withColumn("n_lines_kept", (n_total - n_drop).cast("long"))
+        .withColumn("n_lines_removed", n_drop.cast("long"))
+        .drop("_drop_pos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# overlapping-window document chunking (context-length preparation)
+# ---------------------------------------------------------------------------
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    sep: str = " ",
+) -> DataFrame:
+    """Split each document into overlapping fixed-width token windows —
+    the context-length preparation step for training/embedding
+    pipelines (chunk c covers tokens [c·stride, c·stride+chunk_tokens);
+    stride < chunk_tokens overlaps consecutive chunks so no boundary
+    loses context).  Output: (id, chunk_id, chunk_text, n_chunk_tokens).
+
+    Reference analogy: none — beyond-reference brief item.  Scale
+    shape: one map-side projection per document (split → bounded
+    ``sequence`` of starts → ``posexplode`` → ``slice``); zero
+    shuffles, fan-out ≤ ceil(n_tokens/stride) rows per doc, and the
+    slice re-derives chunk text from the doc row itself so nothing
+    wider than the document ever materializes.  The trailing partial
+    window is kept (its tokens appear in no later chunk); documents
+    shorter than one stride yield exactly one chunk.  The starts
+    sequence and the token array live in one exploded row, so the
+    explode and the slice stay in one codegen stage (no self-join)."""
+    import re as _re
+
+    if chunk_tokens < 1 or stride < 1:
+        raise ValueError(
+            f"chunk_tokens ({chunk_tokens}) and stride ({stride}) must be >= 1"
+        )
+    toks = F.split(F.col(text_col), _re.escape(sep))
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        toks.alias("_toks"),
+        F.posexplode(starts).alias("chunk_id", "_start"),
+    )
+    chunk = F.slice(F.col("_toks"), F.col("_start") + 1, chunk_tokens)
+    return exploded.select(
+        "id",
+        "chunk_id",
+        F.concat_ws(sep, chunk).alias("chunk_text"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+    )

@@ -1929,3 +1929,182 @@ def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.temperature_mixture_sample(
         t["documents"], alpha=0.5, target_fraction=0.5
     ).select("doc_id", "source")
+
+
+@register(
+    "boilerplate_strip",
+    oracle="""
+    WITH pages AS (
+      SELECT doc_id, source,
+             concat_ws(chr(10),
+               '(c) ' || source || ' syndication network',
+               CASE WHEN doc_id % 2 = 0
+                    THEN 'subscribe to our newsletter' END,
+               CASE WHEN doc_id % 7 = 0
+                    THEN 'lorem ipsum placeholder page' ELSE text END,
+               'all rights reserved') AS page
+      FROM documents
+    ), split AS (
+      SELECT doc_id, source, page, string_split(page, chr(10)) AS ls
+      FROM pages
+    ), lines AS (
+      SELECT doc_id, source,
+             unnest(ls) AS line,
+             unnest(range(1, len(ls) + 1)) AS pos
+      FROM split
+    ), freq AS (
+      SELECT source, trim(line) AS key
+      FROM lines GROUP BY source, trim(line)
+      HAVING count(DISTINCT doc_id) >= 3
+    ), kept AS (
+      SELECT l.doc_id, l.pos, l.line
+      FROM lines l LEFT JOIN freq f
+        ON f.source = l.source AND f.key = trim(l.line)
+      WHERE f.key IS NULL
+    ), rebuilt AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+             count(*) AS n_lines_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           coalesce(r.text_clean, '') AS text_clean,
+           coalesce(r.n_lines_kept, 0) AS n_lines_kept,
+           len(s.ls) - coalesce(r.n_lines_kept, 0) AS n_lines_removed
+    FROM split s LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate line removal (pipeline.text.remove_boilerplate) —
+    the CCNet §4.1 / RefinedWeb §3.2 line-wise filter: strip every
+    line whose trimmed form appears in ≥ 3 distinct documents of the
+    same source (site headers, nav bars, legal footers), keep the
+    unique prose.  The corpus is single-line, so the entry synthesizes
+    deterministic multi-line pages IN BOTH dialects: a per-source
+    (c)-header (~25 docs each → stripped), a newsletter promo on even
+    doc_ids (~12 per source → stripped), the body — unique prose
+    (kept), except every 7th doc carries a shared placeholder page
+    that the frequency rule strips wherever its source has ≥3 of them,
+    leaving those docs empty (the all-lines-removed edge) — and a
+    global rights footer.  Scale shape: the frequency aggregate and the match-back
+    join ship 16-byte line fingerprints, never line text; drop-position
+    sets come back per doc and the rebuild is a map-side array filter
+    (untouched docs pass verbatim)."""
+    t = _t(spark, sf_dir)
+    page = F.concat_ws(
+        "\n",
+        F.concat(F.lit("(c) "), F.col("source"), F.lit(" syndication network")),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("subscribe to our newsletter")),
+        F.when(
+            F.col("doc_id") % 7 == 0, F.lit("lorem ipsum placeholder page")
+        ).otherwise(F.col("text")),
+        F.lit("all rights reserved"),
+    )
+    pages = t["documents"].select("doc_id", "source", page.alias("text"))
+    out = text.remove_boilerplate(
+        pages, group_col="source", min_docs=3
+    )
+    return out.select("doc_id", "text_clean", "n_lines_kept", "n_lines_removed")
+
+
+@register(
+    "bloom_prefilter_membership",
+    oracle="""
+    WITH hist AS (
+      SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id < 250
+    ), hpos AS (
+      SELECT CAST(('0x' || substr(md5(fp), 1 + 8 * CAST(i AS INT), 8))
+                  AS BIGINT) % 1024 AS p
+      FROM hist CROSS JOIN (SELECT unnest(range(4)) AS i) r
+    ), words AS (
+      SELECT p // 32 AS word,
+             bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+      FROM hpos GROUP BY p // 32
+    ), batch AS (
+      SELECT doc_id, md5(text) AS fp FROM documents
+    ), bpos AS (
+      SELECT doc_id, fp,
+             CAST(('0x' || substr(md5(fp), 1 + 8 * CAST(i AS INT), 8))
+                  AS BIGINT) % 1024 AS p
+      FROM batch CROSS JOIN (SELECT unnest(range(4)) AS i) r
+    ), probe AS (
+      SELECT doc_id,
+             bool_and((coalesce(w.bits, 0)
+                       & (CAST(1 AS BIGINT) << CAST(p % 32 AS INT))) <> 0)
+               AS might_contain
+      FROM bpos LEFT JOIN words w ON w.word = bpos.p // 32
+      GROUP BY doc_id
+    )
+    SELECT b.doc_id, p.might_contain, h.fp IS NOT NULL AS present
+    FROM batch b JOIN probe p USING (doc_id) LEFT JOIN hist h USING (fp)
+    """,
+)
+def bloom_prefilter_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter dedup pre-filter (pipeline.sketches.bloom_build /
+    bloom_contains): the history's content fingerprints (doc_id < 250)
+    become a 1024-bit, 4-hash Bloom bitmap; EVERY document probes it —
+    history keys must come back True/True (the no-false-negative
+    contract, value-checked row by row against the exact ``present``
+    twin), and the deliberately tight 1024-bit sizing makes a
+    deterministic ~15% of absent keys land on all-set bits
+    (True/False), exercising the false-positive path both engines must
+    agree on bit for bit.  At ingest, "might contain" rows are the
+    only ones that pay the exact history anti-join.  The md5-chunk bit
+    positions are engine-portable: the oracle rebuilds the SAME bitmap
+    in DuckDB word for word.  Scale shape: the filter build shuffles
+    ≤ 32 bitmap words, the probe is 4 broadcast joins — at 100 TB the
+    batch stream never shuffles and history text is never rescanned."""
+    from spark_monotasks_spark.pipeline import sketches
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    fp = F.md5(F.col("text").cast("binary")).alias("fp")
+    hist = docs.filter(F.col("doc_id") < 250).select(fp).distinct()
+    batch = docs.select("doc_id", fp)
+    probed = sketches.bloom_contains(
+        batch, "fp", sketches.bloom_build(hist, "fp", m_words=32, k=4),
+        m_words=32, k=4,
+    )
+    return probed.join(
+        F.broadcast(hist.withColumn("_h", F.lit(1))), on="fp", how="left"
+    ).select(
+        "doc_id", "might_contain", F.col("_h").isNotNull().alias("present")
+    )
+
+
+@register(
+    "chunk_overlap_windows",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, toks,
+             unnest(range(0, greatest(len(toks), 1), 24)) AS start
+      FROM t
+    ), c AS (
+      SELECT doc_id, CAST(start // 24 AS INT) AS chunk_id,
+             toks[CAST(start + 1 AS INT):CAST(start + 32 AS INT)] AS chunk
+      FROM s
+    )
+    SELECT doc_id, chunk_id,
+           array_to_string(chunk, ' ') AS chunk_text,
+           CAST(len(chunk) AS BIGINT) AS n_chunk_tokens
+    FROM c
+    """,
+)
+def chunk_overlap_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window document chunking (pipeline.text.
+    chunk_documents, 32-token windows, stride 24): the context-length
+    preparation step for embedding/training pipelines — every token
+    appears in at least one chunk, consecutive chunks overlap by 8
+    tokens, the trailing partial window survives.  Zero shuffles: one
+    map-side split → sequence-of-starts → posexplode → slice
+    projection; fan-out ≤ ceil(n_tokens/24) rows per document and the
+    chunk text is re-derived from the doc row itself."""
+    t = _t(spark, sf_dir)
+    out = text.chunk_documents(
+        t["documents"], chunk_tokens=32, stride=24
+    )
+    return out.select(
+        F.col("id").alias("doc_id"), "chunk_id", "chunk_text",
+        "n_chunk_tokens",
+    )

@@ -1600,3 +1600,100 @@ def test_temperature_mixture_validates(spark):
         text.temperature_mixture_sample(df, target_fraction=1.5)
     with pytest.raises(ValueError):
         text.temperature_mixture_sample(df, alpha=-0.1)
+
+
+# ---------------------------------------------------------------------------
+# boilerplate line removal
+# ---------------------------------------------------------------------------
+
+def _bp_corpus(spark):
+    """3 docs of site A share header+footer; doc 13 is all boilerplate;
+    doc 20 (site B) has nothing frequent."""
+    rows = [
+        (10, "A", "HEAD\nalpha prose\nFOOT"),
+        (11, "A", "HEAD\nbeta prose\nFOOT"),
+        (12, "A", "  HEAD  \ngamma prose\nFOOT"),   # trimmed match
+        (13, "A", "HEAD\nFOOT"),                    # all lines boilerplate
+        (20, "B", "HEAD\ndelta prose\nFOOT"),       # freq 1 within B
+    ]
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_remove_boilerplate_strips_frequent_lines(spark):
+    from spark_monotasks_spark.pipeline import text as T
+
+    out = {
+        r.doc_id: r
+        for r in T.remove_boilerplate(_bp_corpus(spark), min_docs=3).collect()
+    }
+    assert out[10].text_clean == "alpha prose"
+    assert out[10].n_lines_kept == 1 and out[10].n_lines_removed == 2
+    # trimmed form matches — whitespace-padded header still stripped
+    assert out[12].text_clean == "gamma prose"
+    # all lines boilerplate -> empty doc
+    assert out[13].text_clean == "" and out[13].n_lines_kept == 0
+    # same lines under another source are NOT frequent there
+    assert out[20].text_clean == "HEAD\ndelta prose\nFOOT"
+    assert out[20].n_lines_removed == 0
+
+
+def test_remove_boilerplate_global_grouping(spark):
+    """group_col=None pools frequencies across sources: B's copy of the
+    header/footer now counts toward (and suffers) the global threshold."""
+    from spark_monotasks_spark.pipeline import text as T
+
+    out = {
+        r.doc_id: r
+        for r in T.remove_boilerplate(
+            _bp_corpus(spark), group_col=None, min_docs=3
+        ).collect()
+    }
+    assert out[20].text_clean == "delta prose"
+    assert out[20].n_lines_removed == 2
+
+
+def test_boilerplate_validates_min_docs(spark):
+    from spark_monotasks_spark.pipeline import text as T
+
+    with pytest.raises(ValueError, match="min_docs"):
+        T.boilerplate_line_fps(_bp_corpus(spark), min_docs=0)
+
+
+# ---------------------------------------------------------------------------
+# overlapping-window chunking
+# ---------------------------------------------------------------------------
+
+def test_chunk_documents_shape_and_coverage(spark):
+    from spark_monotasks_spark.pipeline import text as T
+
+    toks = [f"t{i}" for i in range(10)]
+    df = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, "solo")], "doc_id long, text string"
+    )
+    out = T.chunk_documents(df, chunk_tokens=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.id, {})[r.chunk_id] = r
+    # starts 0,3,6,9 -> 4 chunks; trailing partial kept
+    assert sorted(by_doc[1]) == [0, 1, 2, 3]
+    assert by_doc[1][0].chunk_text == "t0 t1 t2 t3"
+    assert by_doc[1][1].chunk_text == "t3 t4 t5 t6"
+    assert by_doc[1][3].chunk_text == "t9"
+    assert by_doc[1][3].n_chunk_tokens == 1
+    # every token index i appears in chunk floor(i/stride) at least
+    for i in range(10):
+        c = min(i // 3, 3)
+        assert f"t{i}" in by_doc[1][c].chunk_text.split()
+    # short doc: exactly one chunk, verbatim
+    assert sorted(by_doc[2]) == [0]
+    assert by_doc[2][0].chunk_text == "solo"
+
+
+def test_chunk_documents_validates(spark):
+    from spark_monotasks_spark.pipeline import text as T
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="chunk_tokens"):
+        T.chunk_documents(df, chunk_tokens=0)
+    with pytest.raises(ValueError, match="chunk_tokens"):
+        T.chunk_documents(df, stride=0)

@@ -100,3 +100,59 @@ def test_weighted_sample_monotone_in_weight(spark, n, k, boosted, factor):
         assert boosted in got2, (boosted, got1, got2)
     # and everything else is at most displaced by the boosted row
     assert got1 - {boosted} >= got2 - {boosted} or got1 == got2
+
+
+@pytest.mark.parametrize("hash_family", ["md5", "xxhash64"])
+@given(members=_keys, probes=_keys, m_words=st.integers(1, 4),
+       k=st.integers(1, 6))
+@_SETTINGS
+def test_bloom_no_false_negatives(spark, members, probes, m_words, k,
+                                  hash_family):
+    """For ANY member set, probe set and (m_words, k) — including
+    1-word filters where nearly every bit is set — a member key never
+    probes False.  (k > 4 exercises the salted md5 rounds.)"""
+    mdf = spark.createDataFrame([(x,) for x in members], "key string")
+    sk = sketches.bloom_build(mdf, "key", m_words=m_words, k=k,
+                              hash_family=hash_family)
+    pdf = spark.createDataFrame(
+        [(x,) for x in set(members) | set(probes)], "key string"
+    )
+    got = {
+        r.key: r.might_contain
+        for r in sketches.bloom_contains(
+            pdf, "key", sk, m_words=m_words, k=k, hash_family=hash_family
+        ).collect()
+    }
+    for x in set(members):
+        assert got[x] is True, f"false negative for member {x!r}"
+
+
+@given(members=_keys, split=st.integers(0, 29))
+@_SETTINGS
+def test_bloom_merge_equals_single_build(spark, members, split):
+    """union-then-OR of two partial filters == one build over the
+    concatenation, word for word (mergeability is exact)."""
+    cut = min(split, len(members))
+    a, b = members[:cut], members[cut:]
+    dfa = spark.createDataFrame([(x,) for x in a] or [("zz",)], "key string")
+    dfb = spark.createDataFrame([(x,) for x in b] or [("zz",)], "key string")
+    both = spark.createDataFrame(
+        [(x,) for x in (a or ["zz"]) + (b or ["zz"])], "key string"
+    )
+    merged = sketches.bloom_merge(
+        sketches.bloom_build(dfa, "key", m_words=2, k=3),
+        sketches.bloom_build(dfb, "key", m_words=2, k=3),
+    )
+    single = sketches.bloom_build(both, "key", m_words=2, k=3)
+    as_map = lambda df: {r.word: r.bits for r in df.collect()}  # noqa: E731
+    assert as_map(merged) == as_map(single)
+
+
+def test_bloom_validates(spark):
+    df = spark.createDataFrame([("a",)], "key string")
+    with pytest.raises(ValueError, match="m_words"):
+        sketches.bloom_build(df, "key", m_words=0)
+    with pytest.raises(ValueError, match="m_words"):
+        sketches.bloom_contains(df, "key", df, k=0)
+    with pytest.raises(ValueError, match="at least one"):
+        sketches.bloom_merge()
