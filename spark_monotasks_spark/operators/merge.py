@@ -50,6 +50,106 @@ def merge_upsert(
     return keep.unionByName(updates)
 
 
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    on: list[str],
+    tracked: list[str],
+    ts_col: str = "effective_ts",
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+    current_col: str = "is_current",
+    broadcast_updates: bool = True,
+) -> DataFrame:
+    """Slowly-changing-dimension Type 2: apply an update batch to a
+    versioned dimension, closing superseded versions instead of
+    overwriting them (the historical completion of ``merge_upsert`` —
+    reference write surface stops at overwrite,
+    hive/execution/InsertIntoHiveTable.scala).
+
+    ``dim`` carries ``on + tracked + [from_col, to_col, current_col]``;
+    ``updates`` carries ``on + tracked + [ts_col]``.  Per key:
+
+    - tracked attributes unchanged (null-safe) → NO new version (no-op
+      updates are filtered out, the usual SCD2 idempotency guarantee);
+    - changed → the current row closes (``to_col`` = update timestamp,
+      ``current_col`` = false) and a new open version inserts;
+    - brand-new key → one open version inserts.
+
+    Multiple updates for one key collapse to the latest ``ts_col``
+    first (window over the SMALL updates side only).  Scale shape: the
+    dimension is touched by one broadcast join (change detection
+    against current rows) + one broadcast anti-join + union — the
+    100 TB dimension never shuffles when the batch broadcasts."""
+    w = Window.partitionBy(*on).orderBy(F.col(ts_col).desc())
+    latest = (
+        updates.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    current = dim.filter(F.col(current_col))
+    # Change detection joins the SMALL side into the BIG side so the
+    # dimension never shuffles: broadcast the update batch against the
+    # current rows, not the reverse.
+    upd_b = F.broadcast(latest) if broadcast_updates else latest
+    matched = current.join(
+        upd_b.select(
+            *on, ts_col, *[F.col(c).alias(f"_new_{c}") for c in tracked]
+        ),
+        on=on,
+        how="inner",
+    )
+    cond = None
+    for c in tracked:
+        eq = F.col(c).eqNullSafe(F.col(f"_new_{c}"))
+        cond = eq if cond is None else (cond & eq)
+    changed = matched.filter(~cond)
+
+    # Rows of `current` being superseded, closed at the update ts.
+    closed = changed.select(
+        *on,
+        *tracked,
+        F.col(from_col),
+        F.col(ts_col).alias(to_col),
+        F.lit(False).alias(current_col),
+    )
+    # New open versions: changed keys (new attribute values) + keys with
+    # no current row at all.
+    new_keys = latest.join(
+        F.broadcast(current.select(*on)) if broadcast_updates else current.select(*on),
+        on=on,
+        how="left_anti",
+    )
+    opened = (
+        changed.select(
+            *on, *[F.col(f"_new_{c}").alias(c) for c in tracked], ts_col
+        )
+        .unionByName(new_keys.select(*on, *tracked, ts_col))
+        .select(
+            *on,
+            *tracked,
+            F.col(ts_col).alias(from_col),
+            F.lit(None).cast(dim.schema[to_col].dataType).alias(to_col),
+            F.lit(True).alias(current_col),
+        )
+    )
+    # Untouched dim rows: history rows always survive; current rows
+    # survive unless their key actually changed.
+    touched = changed.select(*on)
+    if broadcast_updates:
+        touched = F.broadcast(touched)
+    untouched_current = current.join(touched, on=on, how="left_anti")
+    history = dim.filter(~F.col(current_col))
+    cols = [*on, *tracked, from_col, to_col, current_col]
+    return (
+        history.select(*cols)
+        .unionByName(untouched_current.select(*cols))
+        .unionByName(closed)
+        .unionByName(opened)
+    )
+
+
 def apply_cdc(
     base: DataFrame,
     changes: DataFrame,

@@ -203,3 +203,83 @@ def zorder_layout_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = (F.col("o_custkey") % 65536).cast("long")
     b = (F.floor(sec / F.lit(86400)).cast("long") % 65536)
     return o.select("o_orderkey", zorder_key(a, b).alias("zkey"))
+
+
+from spark_monotasks_spark.operators.merge import scd2_apply
+
+
+@register(
+    "scd2_customer_dim",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS c_acctbal,
+           DATE '2020-01-01' AS valid_from,
+           CAST(NULL AS DATE) AS valid_to,
+           TRUE AS is_current
+    FROM customer WHERE c_custkey % 10 != 0
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, round(c_acctbal, 2),
+           DATE '2020-01-01', DATE '2024-06-01', FALSE
+    FROM customer WHERE c_custkey % 10 = 0
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, round(c_acctbal + 50.0, 2),
+           DATE '2024-06-01', NULL, TRUE
+    FROM customer WHERE c_custkey % 10 = 0
+    UNION ALL
+    SELECT c_custkey + 10000000, 'NEWSEG', 1.0,
+           DATE '2024-06-01', NULL, TRUE
+    FROM customer WHERE c_custkey % 10 = 7
+    """,
+)
+def scd2_customer_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension maintenance (operators.merge.scd2_apply):
+    customers become a versioned dimension (one open version each,
+    valid from 2020-01-01); an update batch then carries a REAL change
+    (keys ≡0 mod 10: acctbal +50), a NO-OP update (keys ≡3: identical
+    attributes — must NOT create a version), and brand-new keys
+    (≡7, shifted by 10M).  Changed keys close their old version at the
+    batch timestamp and open a new one; no-ops leave the dimension
+    byte-identical.  The oracle states the expected final versioned
+    table directly.  Scale shape: the dimension is touched only by one
+    broadcast inner join (change detection) + one broadcast anti-join
+    + union — at 100 TB the dim never shuffles."""
+    c = load_tables(spark, sf_dir)["customer"]
+    dim = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.lit("2020-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    changed = c.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        "c_mktsegment",
+        (F.col("c_acctbal") + 50.0).alias("c_acctbal"),
+    )
+    noop = c.filter(F.col("c_custkey") % 10 == 3).select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    fresh = c.filter(F.col("c_custkey") % 10 == 7).select(
+        (F.col("c_custkey") + 10000000).alias("c_custkey"),
+        F.lit("NEWSEG").alias("c_mktsegment"),
+        F.lit(1.0).alias("c_acctbal"),
+    )
+    updates = (
+        changed.unionByName(noop)
+        .unionByName(fresh)
+        .withColumn("effective_ts", F.lit("2024-06-01").cast("date"))
+    )
+    out = scd2_apply(
+        dim,
+        updates,
+        on=["c_custkey"],
+        tracked=["c_mktsegment", "c_acctbal"],
+    )
+    return out.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        "valid_from",
+        "valid_to",
+        "is_current",
+    )

@@ -148,3 +148,50 @@ def st_col_ts(name):
     from pyspark.sql import functions as F
 
     return F.col(name).cast("timestamp").alias("ts")
+
+
+_scd2_updates = st.lists(
+    st.tuples(_key, _val, st.integers(1, 9)),
+    max_size=6,
+    unique_by=lambda r: (r[0], r[2]),
+)
+
+
+@pytest.mark.slow
+@given(base=_base_rows, updates=_scd2_updates)
+@_SETTINGS
+def test_scd2_apply_matches_model(spark, base, updates):
+    """scd2_apply equals the obvious dict fold for ANY base/batch:
+    latest-ts-per-key wins, no-op updates create no version, changed
+    keys close-and-open, new keys open at their own ts."""
+    from spark_monotasks_spark.operators.merge import scd2_apply
+
+    dim = _df(
+        spark,
+        [(k, v, 0, None, True) for k, v in base],
+        "k int, v int, valid_from int, valid_to int, is_current boolean",
+    )
+    upd = _df(spark, updates, "k int, v int, effective_ts int")
+    out = scd2_apply(dim, upd, on=["k"], tracked=["v"], ts_col="effective_ts")
+    got = [(r.k, r.v, r.valid_from, r.valid_to, r.is_current) for r in out.collect()]
+
+    latest: dict[int, tuple[int, int]] = {}
+    for k, v, ts in updates:
+        if k not in latest or ts > latest[k][1]:
+            latest[k] = (v, ts)
+    exp = []
+    for k, v in base:
+        lv = latest.get(k)
+        if lv is not None and lv[0] != v:
+            exp.append((k, v, 0, lv[1], False))
+            exp.append((k, lv[0], lv[1], None, True))
+        else:
+            exp.append((k, v, 0, None, True))
+    base_keys = {k for k, _ in base}
+    exp += [
+        (k, v, ts, None, True)
+        for k, (v, ts) in latest.items()
+        if k not in base_keys
+    ]
+    norm = lambda t: (t[0], t[1], t[2], -1 if t[3] is None else t[3], t[4])
+    assert sorted(got, key=norm) == sorted(exp, key=norm)

@@ -316,6 +316,26 @@ def test_merge_upsert_catalog_plan_broadcast_anti(spark):
     assert "Exchange hashpartitioning" not in plan, plan
 
 
+def test_scd2_catalog_plan_dim_never_shuffles(spark):
+    """scd2_customer_dim: every dimension-side join (change detection,
+    new-key anti, untouched-current anti) must be broadcast — the only
+    hash Exchange allowed is the row_number window over the SMALL
+    update batch (latest-ts-per-key collapse)."""
+    df = QUERY_REGISTRY["scd2_customer_dim"](spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    # the update-batch window collapse is the sole permitted key-shuffle
+    # (it appears once per reuse in the union branches)
+    lines = plan.splitlines()
+    for i, l in enumerate(lines):
+        if "Exchange hashpartitioning" not in l:
+            continue
+        child = lines[i + 1] if i + 1 < len(lines) else ""
+        assert "valid_from" not in child and "is_current" not in child, (
+            l + "\n" + child
+        )
+
+
 def test_incremental_refresh_single_merge_shuffle(spark):
     """incremental_agg_refresh: delta aggregation + state merge must
     plan as partial/final HashAggregates with shuffles only on the
