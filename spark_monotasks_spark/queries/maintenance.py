@@ -283,3 +283,52 @@ def scd2_customer_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_to",
         "is_current",
     )
+
+
+from spark_monotasks_spark.operators.profile import profile_columns
+
+#: the profiled twin of orders used by data_profile_constraints — one
+#: guaranteed-unique column, one synthesized-nullable column (keys ≡0
+#: mod 5 null out), one plain double column.
+_PROFILE_ORACLE_COL = """
+    SELECT '{name}' AS column_name,
+           count(*) AS n_rows,
+           count({name}) AS n_nonnull,
+           count(DISTINCT {name}) AS n_distinct,
+           CAST(min({name}) AS DOUBLE) AS min_val,
+           CAST(max({name}) AS DOUBLE) AS max_val,
+           round(count({name}) * 1.0 / count(*), 6) AS completeness,
+           count({name}) = count(*) AS is_complete,
+           count(DISTINCT {name}) = count({name}) AS is_unique
+    FROM t
+"""
+
+
+@register(
+    "data_profile_constraints",
+    oracle="WITH t AS (SELECT o_orderkey, CASE WHEN o_orderkey % 5 != 0 "
+    "THEN o_custkey END AS cust_nullable, o_totalprice FROM orders)\n"
+    + " UNION ALL ".join(
+        _PROFILE_ORACLE_COL.format(name=n)
+        for n in ("o_orderkey", "cust_nullable", "o_totalprice")
+    ),
+)
+def data_profile_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style verification suite (operators.profile.profile_columns):
+    ONE aggregate pass over orders computes completeness, distinctness,
+    and min/max for three columns — a unique key (is_unique must come
+    back true), a synthesized 20%-null column (completeness < 1,
+    is_complete false), and a plain measure — then unpivots to one row
+    per column via stack, never touching the driver.  The oracle
+    recomputes each column's profile independently.  Scale shape: a
+    single scan with map-side partials; exact COUNT(DISTINCT) plans
+    via Expand (documented), and ``exact_distinct=False`` switches to
+    HLL++ sketches for the 100 TB path (no Expand, rows-only there)."""
+    o = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 != 0, F.col("o_custkey")).alias(
+            "cust_nullable"
+        ),
+        "o_totalprice",
+    )
+    return profile_columns(o, ["o_orderkey", "cust_nullable", "o_totalprice"])

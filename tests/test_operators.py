@@ -815,3 +815,44 @@ def test_zip_with_index_no_single_partition_exchange_on_big_side(spark):
 
     empty = zip_with_index(df.limit(0), order_cols=["o_orderkey"])
     assert empty.count() == 0  # empty input stays empty, no crash
+
+
+def test_profile_columns_exact_and_approx(spark):
+    """profile_columns: exact mode returns true counts/verdicts; approx
+    mode (HLL++) lands within rsd of the exact distinct count and keeps
+    every non-distinct measure identical."""
+    from spark_monotasks_spark.operators.profile import profile_columns
+
+    df = spark.range(0, 1000).select(
+        F.col("id"),
+        F.when(F.col("id") % 4 != 0, F.col("id") % 10).alias("mod_nullable"),
+    )
+    exact = {r.column_name: r for r in profile_columns(
+        df, ["id", "mod_nullable"]).collect()}
+    assert exact["id"].n_rows == 1000
+    assert exact["id"].n_nonnull == 1000
+    assert exact["id"].n_distinct == 1000
+    assert exact["id"].is_unique and exact["id"].is_complete
+    assert exact["id"].min_val == 0.0 and exact["id"].max_val == 999.0
+    m = exact["mod_nullable"]
+    assert m.n_nonnull == 750 and m.n_distinct == 10
+    assert not m.is_complete and not m.is_unique
+    assert m.completeness == 0.75
+
+    approx = {r.column_name: r for r in profile_columns(
+        df, ["id", "mod_nullable"], exact_distinct=False, rsd=0.05).collect()}
+    assert abs(approx["id"].n_distinct - 1000) <= 1000 * 0.05 * 3
+    assert approx["mod_nullable"].n_nonnull == 750
+    assert approx["mod_nullable"].completeness == 0.75
+
+
+def test_profile_columns_empty_and_arg_guard(spark):
+    from spark_monotasks_spark.operators.profile import profile_columns
+
+    empty = spark.range(0).select(F.col("id"))
+    rows = profile_columns(empty, ["id"]).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_rows == 0 and r.n_nonnull == 0 and r.completeness is None
+    with pytest.raises(ValueError):
+        profile_columns(empty, [])
