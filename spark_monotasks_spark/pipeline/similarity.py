@@ -370,3 +370,152 @@ def normalize_embeddings_arrow(
             )
 
     return df.select(id_col, vec_col).mapInArrow(run, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ) — compressed-vector ANN, the 100 TB memory path
+# ---------------------------------------------------------------------------
+
+def pq_codebook(
+    dim: int, n_sub: int = 4, n_cent: int = 8, seed: int = 7
+) -> list[list[list[float]]]:
+    """Deterministic DYADIC codebook: ``book[m][c]`` is the c-th centroid
+    of subspace m, every component a multiple of 1/8 in [-1, 1) drawn
+    from the same Park–Miller LCG as ``_hyperplanes``.  Dyadic values
+    are binary-exact in float32/float64 AND in any SQL literal parser,
+    so a DuckDB oracle replicates the encoding bit-for-bit (the
+    portability rules that back temperature_mixture).  A production
+    deployment would k-means-fit the codebook on a bounded sample
+    (``_bounded_fit_sample``) — the encode/search algebra is identical."""
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    sub_dim = dim // n_sub
+    state = (seed % 2147483646) + 1
+    book: list[list[list[float]]] = []
+    for _ in range(n_sub):
+        cents = []
+        for _ in range(n_cent):
+            vec = []
+            for _ in range(sub_dim):
+                state = (state * 48271) % 2147483647
+                vec.append(((state % 16) - 8) / 8.0)
+            cents.append(vec)
+        book.append(cents)
+    return book
+
+
+def pq_query_vector(dim: int, seed: int = 99) -> list[float]:
+    """Deterministic dyadic query vector (serving-path queries arrive
+    from outside the corpus as plain lists)."""
+    state = (seed % 2147483646) + 1
+    vec = []
+    for _ in range(dim):
+        state = (state * 48271) % 2147483647
+        vec.append(((state % 16) - 8) / 8.0)
+    return vec
+
+
+def _sq_dist(sub_col: Column, cent: list[float]) -> Column:
+    """Σ (xᵢ-cᵢ)² against a literal centroid — left-to-right double
+    fold, same shape as ``dot`` so DuckDB's list_sum matches it."""
+    arr = F.array(*[F.lit(x) for x in cent])
+    return F.aggregate(
+        F.zip_with(
+            sub_col,
+            arr,
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    dim: int,
+    n_sub: int = 4,
+    n_cent: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector to ``n_sub`` centroid codes (argmin squared
+    distance per subspace, smallest code on ties via array_sort's
+    struct ordering).  One linear scan, all JVM-side expressions; the
+    output is ``n_sub`` small ints per vector — at 64-dim float32 and
+    4×8 codes that is 256 bytes → 4 bytes, the compression that lets a
+    100 TB corpus's index live in cluster memory."""
+    book = pq_codebook(dim, n_sub, n_cent, seed)
+    sub_dim = dim // n_sub
+    cols = [F.col(id_col)]
+    for m, cents in enumerate(book):
+        sub = F.slice(F.col(vec_col), m * sub_dim + 1, sub_dim)
+        pairs = F.array(
+            *[
+                F.struct(_sq_dist(sub, cent).alias("d"), F.lit(c).alias("c"))
+                for c, cent in enumerate(cents)
+            ]
+        )
+        cols.append(
+            F.array_sort(pairs).getItem(0).getField("c").alias(f"code_{m}")
+        )
+    return df.select(*cols)
+
+
+def pq_adc_table(
+    query: list[float], dim: int, n_sub: int = 4, n_cent: int = 8, seed: int = 7
+) -> list[list[float]]:
+    """Asymmetric-distance lookup table: ``table[m][c]`` = squared
+    distance from the query's m-th subvector to centroid c.  Computed
+    once driver-side (the query is a literal), broadcast into the plan
+    as literals."""
+    book = pq_codebook(dim, n_sub, n_cent, seed)
+    sub_dim = dim // n_sub
+    table = []
+    for m, cents in enumerate(book):
+        row = []
+        for cent in cents:
+            t = 0.0
+            for j in range(sub_dim):
+                d = query[m * sub_dim + j] - cent[j]
+                t = t + d * d
+            row.append(t)
+        table.append(row)
+    return table
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    query: list[float],
+    k: int = 20,
+    dim: int = 64,
+    n_sub: int = 4,
+    n_cent: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Approximate top-k by PQ asymmetric distance: encode the corpus
+    (or read pre-encoded codes), then the per-row score is ``n_sub``
+    literal-array lookups — no vector arithmetic at query time.  Plans
+    as one scan + TakeOrderedAndProject; at scale the scan reads ONLY
+    the code columns (4 bytes/vector), never the raw embeddings."""
+    table = pq_adc_table(query, dim, n_sub, n_cent, seed)
+    codes = pq_encode(embeddings, dim, n_sub, n_cent, seed, id_col, vec_col)
+    est = None
+    for m in range(n_sub):
+        term = F.element_at(
+            F.array(*[F.lit(t) for t in table[m]]), F.col(f"code_{m}") + 1
+        )
+        est = term if est is None else est + term
+    ranked = codes.withColumn("_est", est)
+    return (
+        ranked.orderBy("_est", id_col)
+        .limit(k)
+        .select(
+            id_col,
+            *[f"code_{m}" for m in range(n_sub)],
+            F.round(F.col("_est"), round_to).alias("est_dist"),
+        )
+    )

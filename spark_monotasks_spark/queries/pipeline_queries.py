@@ -2108,3 +2108,77 @@ def chunk_overlap_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("doc_id"), "chunk_id", "chunk_text",
         "n_chunk_tokens",
     )
+
+
+def _pq_oracle_sql(
+    dim: int = 64,
+    n_sub: int = 4,
+    n_cent: int = 8,
+    seed: int = 7,
+    qseed: int = 99,
+    k: int = 20,
+) -> str:
+    """ann_pq_topk oracle: the dyadic PQ codebook and the Python-folded
+    ADC lookup table are rendered as DOUBLE literals, so DuckDB
+    replicates encode (argmin per subspace, smallest code on ties) and
+    the asymmetric-distance top-k exactly — every quantity is a dyadic
+    rational, so the arithmetic is EXACT in both engines, not merely
+    same-order."""
+    from spark_monotasks_spark.pipeline.similarity import (
+        pq_adc_table, pq_codebook, pq_query_vector,
+    )
+
+    book = pq_codebook(dim, n_sub, n_cent, seed)
+    sub_dim = dim // n_sub
+    table = pq_adc_table(pq_query_vector(dim, qseed), dim, n_sub, n_cent, seed)
+
+    d_exprs = []
+    for m in range(n_sub):
+        lo, hi = m * sub_dim + 1, (m + 1) * sub_dim
+        for c, cent in enumerate(book[m]):
+            lits = "CAST([" + ",".join(repr(x) for x in cent) + "] AS DOUBLE[])"
+            d_exprs.append(
+                f"list_sum(list_transform(list_zip(embedding[{lo}:{hi}], {lits}),"
+                " x -> (CAST(x[1] AS DOUBLE) - x[2])"
+                f" * (CAST(x[1] AS DOUBLE) - x[2]))) AS d_{m}_{c}"
+            )
+    case_exprs = []
+    for m in range(n_sub):
+        whens = []
+        for c in range(n_cent - 1):
+            rest = [f"d_{m}_{cc}" for cc in range(c + 1, n_cent)]
+            cmp = f"least({', '.join(rest)})" if len(rest) > 1 else rest[0]
+            whens.append(f"WHEN d_{m}_{c} <= {cmp} THEN {c}")
+        case_exprs.append(
+            "CASE " + " ".join(whens) + f" ELSE {n_cent - 1} END AS code_{m}"
+        )
+    lookup = " + ".join(
+        "(CAST(["
+        + ",".join(repr(t) for t in table[m])
+        + f"] AS DOUBLE[]))[code_{m} + 1]"
+        for m in range(n_sub)
+    )
+    codes = ", ".join(f"code_{m}" for m in range(n_sub))
+    return f"""
+    WITH d AS (SELECT vec_id, {', '.join(d_exprs)} FROM embeddings),
+    coded AS (SELECT vec_id, {', '.join(case_exprs)} FROM d),
+    est AS (SELECT vec_id, {codes}, {lookup} AS est_raw FROM coded)
+    SELECT vec_id, {codes}, round(est_raw, 6) AS est_dist
+    FROM est ORDER BY est_raw, vec_id LIMIT {k}
+    """
+
+
+@register("ann_pq_topk", oracle=_pq_oracle_sql())
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (similarity.pq_encode / pq_adc_topk):
+    vectors compress to 4 subspace codes (256 bytes → 4 — the
+    compression that lets a 100 TB corpus's index live in memory);
+    query-time scoring is 4 literal-array lookups per row (asymmetric
+    distance), never vector arithmetic.  Plans as one scan +
+    TakeOrderedAndProject.  The dyadic codebook makes every distance a
+    dyadic rational, so encode and ranking are EXACTLY reproduced by
+    the DuckDB oracle (_pq_oracle_sql)."""
+    t = _t(spark, sf_dir)
+    return similarity.pq_adc_topk(
+        t["embeddings"], similarity.pq_query_vector(64, 99), k=20, dim=64
+    )

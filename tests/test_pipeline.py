@@ -1697,3 +1697,49 @@ def test_chunk_documents_validates(spark):
         T.chunk_documents(df, chunk_tokens=0)
     with pytest.raises(ValueError, match="chunk_tokens"):
         T.chunk_documents(df, stride=0)
+
+
+def test_pq_encode_and_adc_match_numpy(spark, embeddings):
+    """PQ encode (argmin per subspace) and the ADC estimate must equal
+    an independent numpy recompute for EVERY corpus vector — validates
+    the argmin tie-break, the slice indexing, and the lookup-table
+    plumbing without going through the SQL oracle."""
+    import numpy as np
+
+    dim, n_sub, n_cent, seed, qseed = 64, 4, 8, 7, 99
+    book = np.array(similarity.pq_codebook(dim, n_sub, n_cent, seed))
+    q = similarity.pq_query_vector(dim, qseed)
+    table = similarity.pq_adc_table(q, dim, n_sub, n_cent, seed)
+    sub_dim = dim // n_sub
+
+    rows = similarity.pq_adc_topk(
+        embeddings, q, k=10_000, dim=dim, n_sub=n_sub, n_cent=n_cent, seed=seed
+    ).collect()
+    raw = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+           for r in embeddings.collect()}
+    assert len(rows) == len(raw)
+    for r in rows:
+        v = raw[r.vec_id]
+        est = 0.0
+        for m in range(n_sub):
+            sub = v[m * sub_dim:(m + 1) * sub_dim]
+            d = ((book[m] - sub) ** 2).sum(axis=1)
+            code = int(np.argmin(d))  # numpy argmin = first minimum = smallest c
+            assert getattr(r, f"code_{m}") == code, (r.vec_id, m)
+            est += table[m][code]
+        assert r.est_dist == round(est, 6), (r.vec_id, r.est_dist, est)
+
+
+def test_pq_planted_duplicate_ranks_first(spark):
+    """A vector equal to the query must get the minimal possible ADC
+    estimate (the query's own quantization error) and rank at the top
+    among vectors sharing its codes."""
+    q = similarity.pq_query_vector(16, seed=5)
+    far = [[-x for x in q], [x * 0.5 - 0.25 for x in q]]
+    df = spark.createDataFrame(
+        [(0, q)] + [(i + 1, v) for i, v in enumerate(far)],
+        "vec_id long, embedding array<float>",
+    )
+    top = similarity.pq_adc_topk(df, q, k=3, dim=16, n_sub=4, n_cent=8).collect()
+    assert top[0].vec_id == 0
+    assert top[0].est_dist <= min(r.est_dist for r in top[1:])
