@@ -127,6 +127,12 @@ HEADLINE = [
     # added r5 (third batch): steady-state near-dup ingest against the
     # persistent signature store (history text never rescanned)
     "incremental_minhash_batch",
+    # added r5 (fourth batch): warehouse-maintenance + compressed-ANN
+    # families — SCD2 versioning (broadcast close-and-open), single-pass
+    # constraint profiling (Expand distinct aggregates), PQ ADC top-k
+    "scd2_customer_dim",
+    "data_profile_constraints",
+    "ann_pq_topk",
 ]
 
 

@@ -776,6 +776,62 @@ def stream_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_dedup_keys",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming dedup end-to-end (dstream.stream_dedup →
+    dropDuplicatesWithinWatermark): exactly-once delivery of
+    at-least-once inputs, the §2.10 recovery-replay answer.  The whole
+    events file arrives as ONE micro-batch (single staged file), so the
+    watermark never expires state mid-stream and the emitted key set is
+    deterministic — hash-equal to batch DISTINCT, the same
+    batch-vs-stream equivalence claim stream_hourly_window pins.
+    Multi-batch expiry semantics (duplicates beyond the watermark are
+    NOT caught — bounded state is the contract) are covered in
+    tests/test_streaming.py."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from spark_monotasks_spark.streaming import dstream
+
+    tables.ensure_parity_confs(spark)
+    stage = tempfile.mkdtemp(prefix="stream_dedup_")
+    os.symlink(
+        os.path.abspath(os.path.join(sf_dir, "events.parquet")),
+        os.path.join(stage, "events.parquet"),
+    )
+    stream = dstream.file_stream(
+        spark,
+        stage,
+        spark.read.parquet(f"{sf_dir}/events.parquet").schema,
+        max_files_per_trigger=1,
+    )
+    stream = tables._fix_nanos(stream)
+    # watermarks demand TIMESTAMP, not TIMESTAMP_NTZ — identity cast
+    # under the UTC parity session
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    deduped = dstream.stream_dedup(
+        stream, keys=["user_id", "event_type"], ts_col="ts", watermark="1 hour"
+    ).select("user_id", "event_type")
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = dstream.start_memory_sink(deduped, name, output_mode="append")
+    try:
+        finished = q.awaitTermination(300)
+    finally:
+        q.stop()
+        shutil.rmtree(stage, ignore_errors=True)
+    if not finished:
+        raise TimeoutError(
+            "streaming dedup did not drain within 300s — refusing to return "
+            "a partial key set"
+        )
+    return spark.table(name)
+
+
 # --- UDAF / UDTF / percentile — SURVEY §2.11 ------------------------------
 
 @register(
