@@ -56,8 +56,11 @@ _PRIORITY = (
     # subquery block keep multiway shapes in-window; join_inner rotated
     # just outside in r5: the equi-inner shape stays covered by
     # join_broadcast_dims + tpch_q3_shipping)
+    # (join_theta rotated just outside in r5 third batch — the
+    # nested-loop/theta shape stays oracle-green locally; six join rows
+    # remain in-window)
     "join_full_outer", "join_left_semi", "join_left_anti",
-    "join_theta", "join_broadcast_dims", "cogroup_collect",
+    "join_broadcast_dims", "cogroup_collect",
     "tpch_q3_shipping",
     # subquery shapes (correlated scalar / EXISTS+NOT EXISTS / CTE+max /
     # outer-join count distribution — tpch_extra.py)
@@ -74,14 +77,19 @@ _PRIORITY = (
     # If/CaseWhen in-window); arithmetic_ops + string_funcs rotated
     # just outside in r5 second batch — cast_matrix/complex_types/
     # datetime keep the scalar families in-window)
+    # (datetime_funcs rotated just outside in r5 third batch — the date
+    # family stays covered locally by datetime_funcs/datetime_funcs2)
     "cast_matrix",
-    "complex_types_ops", "datetime_funcs",
+    "complex_types_ops",
     # table maintenance (merge/upsert + manifest-committed time travel +
     # steady-state incremental ingest dedup + value-audited frequency
     # sketch — added r3; displaced cube_agg/json_extract/tpch_q13, whose
     # families stay represented in-window)
-    "merge_upsert_orders", "versioned_time_travel",
-    "incremental_dedup_batch", "cms_heavy_hitters",
+    # (merge_upsert_orders and cms_heavy_hitters rotated just outside in
+    # r5 third batch — the merge family is now gated through the SCD2
+    # entry below, the sketch family through histogram_quantile_rollup)
+    "versioned_time_travel",
+    "incremental_dedup_batch",
     # window / sessionize (§2.5, beyond-reference; pivot_segment_status
     # rotated just outside in r4 — topn/sessionize keep the window
     # family in-window)
@@ -119,6 +127,14 @@ _PRIORITY = (
     # quality filter
     "incremental_minhash_batch", "temperature_mixture",
     "quality_quantile_calibrate",
+    # r5-new families (third batch) rotated INTO the window (displacing
+    # join_theta/datetime_funcs/merge_upsert_orders/cms_heavy_hitters,
+    # whose families stay represented): SCD Type-2 dimension versioning,
+    # the single-pass constraint-profiling suite, product-quantization
+    # ANN (exact dyadic oracle), and end-to-end watermarked streaming
+    # dedup (hash-equal to batch DISTINCT)
+    "scd2_customer_dim", "data_profile_constraints",
+    "ann_pq_topk", "stream_dedup_keys",
 )
 
 

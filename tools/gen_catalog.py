@@ -2,8 +2,9 @@
 
 Usage:  python tools/gen_catalog.py          # rewrites CATALOG.md in place
 
-Keeps the existing 14-line header (which documents the gate-window
-rotation state — update it by hand when rotating _PRIORITY), then one
+Keeps the existing hand-edited header — everything up to and including
+the `| # | entry ...` table-header line (it documents the gate-window
+rotation state; update it by hand when rotating _PRIORITY) — then one
 row per registry entry: position, name, oracle/rows-only, and the
 docstring flattened to 152 chars.
 """
@@ -18,9 +19,6 @@ sys.path.insert(0, REPO)
 
 from spark_monotasks_spark.queries import ORACLE_REGISTRY, QUERY_REGISTRY  # noqa: E402
 
-HEADER_LINES = 14
-
-
 def summary(fn) -> str:
     flat = re.sub(r"\s+", " ", (fn.__doc__ or "").strip())
     return flat[:152] + "..." if len(flat) > 152 else flat
@@ -28,8 +26,14 @@ def summary(fn) -> str:
 
 def main() -> None:
     path = os.path.join(REPO, "CATALOG.md")
+    header: list[str] = []
     with open(path) as f:
-        header = [next(f) for _ in range(HEADER_LINES)]
+        for line in f:
+            header.append(line)
+            if line.startswith("| # | entry"):
+                break
+        else:
+            raise RuntimeError("CATALOG.md table-header line not found")
     rows = [
         f"| {i} | `{name}` | "
         f"{'oracle' if name in ORACLE_REGISTRY else 'rows-only'} | {summary(fn)} |\n"
