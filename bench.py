@@ -133,6 +133,11 @@ HEADLINE = [
     "scd2_customer_dim",
     "data_profile_constraints",
     "ann_pq_topk",
+    # added r5 (fifth batch): distributed BPE merge learning (3 rounds,
+    # broadcast argmax, fold re-segmentation) and the Tukey-fence
+    # numeric outlier screen (single-Exchange rank + fence + count)
+    "bpe_merge_learning",
+    "iqr_outlier_orders",
 ]
 
 

@@ -337,11 +337,12 @@ def connected_components_star(
       m(u) — stars flatten so the next large-star sees them.
 
     Fixpoint = the edge set is a union of stars rooted at component
-    minima; detected by an (edge-count, hash-sum) signature staying
-    stable across a round (two independent 64-bit aggregates — a false
-    positive needs a simultaneous collision of both).  Returns
-    (id, component) with component = min vertex id, identical to
-    min-label's output.
+    minima; detected DIRECTLY (every leaf has exactly one root, no
+    vertex is both root and leaf — two limit(1) probes on the
+    checkpointed state) so the loop stops on the round that produces
+    the final state instead of paying a confirm round to watch a
+    signature stabilize.  Returns (id, component) with component = min
+    vertex id, identical to min-label's output.
     """
     verts = barrier(
         edges.select(F.col("src").alias("id"))
@@ -377,7 +378,6 @@ def connected_components_star(
         # no non-loop edges: every vertex is its own component
         return verts.select("id", F.col("id").alias("component"))
 
-    prev_sig = None
     for _ in range(max_iters):
         sym = _sym(e)
         mins = _mins(sym)
@@ -386,7 +386,16 @@ def connected_components_star(
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
-        e = barrier(_canon(large), reliable)
+        # Mid-round: no barrier and no distinct. The large-star result
+        # stays lazy (lineage is two star ops deep; the round-end
+        # checkpoint truncates it), and duplicate edges are harmless to
+        # the min-aggregations of the small-star half — the round-end
+        # _canon dedups the persisted state. Each saves a per-round
+        # stage, which dominates wall time on candidate-pair-sized
+        # graphs (dedup clustering: measured ~0.75s/round for 69 edges).
+        e = large.filter(F.col("u") != F.col("v")).select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
         sym = _sym(e)
         mins = _mins(sym)
         small = (
@@ -396,22 +405,46 @@ def connected_components_star(
             .unionAll(mins.select("u", F.col("m").alias("v")))
         )
         e = barrier(_canon(small), reliable)
-        row = e.agg(
-            F.count("*").alias("n"), F.sum(F.xxhash64("u", "v")).alias("h")
-        ).first()
-        sig = (row["n"], row["h"])
-        if sig == prev_sig:
-            roots = e.groupBy(F.col("v").alias("id")).agg(
-                F.min("u").alias("component")
-            )
-            return (
-                verts.join(roots, on="id", how="left")
-                .select(
-                    "id",
-                    F.coalesce("component", F.col("id")).alias("component"),
+        # Fixpoint test: the state is a union of min-rooted stars —
+        # (a) every leaf has exactly one root and (b) no vertex is both
+        # root and leaf (Kiveris et al. §3: the alternating rounds fix
+        # exactly these states). Detecting star-ness DIRECTLY stops on
+        # the round that PRODUCES the final state, where the previous
+        # (count, hash)-signature comparison always paid one extra
+        # confirm round — a whole round of shuffles on every call. Both
+        # probes are limit(1) actions over the just-checkpointed state
+        # (~0.1s vs ~0.7s for a round at candidate-graph size), and the
+        # multi-root probe short-circuits the common mid-convergence
+        # case.
+        multi_root = (
+            e.groupBy("v")
+            .agg(F.count_distinct("u").alias("k"))
+            .filter(F.col("k") > 1)
+            .limit(1)
+            .count()
+        )
+        if multi_root == 0:
+            root_is_leaf = (
+                e.select("v")
+                .join(
+                    e.select(F.col("u").alias("v")).distinct(),
+                    on="v",
+                    how="left_semi",
                 )
+                .limit(1)
+                .count()
             )
-        prev_sig = sig
+            if root_is_leaf == 0:
+                roots = e.groupBy(F.col("v").alias("id")).agg(
+                    F.min("u").alias("component")
+                )
+                return (
+                    verts.join(roots, on="id", how="left")
+                    .select(
+                        "id",
+                        F.coalesce("component", F.col("id")).alias("component"),
+                    )
+                )
     raise RuntimeError(
         f"connected_components_star did not converge within {max_iters} "
         "rounds — raise max_iters (expected O(log n); this indicates a "

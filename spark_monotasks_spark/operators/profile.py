@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -72,4 +72,73 @@ def profile_columns(
         F.round(F.col("n_nonnull") / F.col("n_rows"), 6).alias("completeness"),
         (F.col("n_nonnull") == F.col("n_rows")).alias("is_complete"),
         (F.col("n_distinct") == F.col("n_nonnull")).alias("is_unique"),
+    )
+
+
+def iqr_outlier_screen(
+    df: DataFrame,
+    value_col: str,
+    keys: Sequence[str],
+    id_col: str,
+    k: float = 1.5,
+) -> DataFrame:
+    """Tukey-fence outlier screen per group: values outside
+    ``[q1 - k*IQR, q3 + k*IQR]`` are outliers — the numeric
+    data-cleaning staple next to the text quality rules.
+
+    Quartiles are RANK-BASED order statistics (the value at rank
+    ``floor((n-1)*p) + 1``), never interpolated: each fence is then an
+    exact data value combined with the dyadic ``k`` through two IEEE
+    ops, so the boundary verdict is bit-deterministic and
+    oracle-checkable (interpolating quantiles differ at ulp level
+    between engines and can flip boundary rows).
+
+    Returns one row per group: q1, q3, lo, hi, n_rows, n_outliers.
+    Scale shape: ONE Exchange on the group keys serves the ranking
+    window, the quartile broadcast-back (window max of the
+    rank-selected value), and the final grouped aggregate — Catalyst
+    reuses the partitioning, so the whole screen is a single shuffle
+    of the (keys, value) projection."""
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    base = df.select(
+        *keys,
+        F.col(value_col).cast("double").alias("_v"),
+        F.col(id_col).alias("_id"),
+    )
+    w_rank = Window.partitionBy(*keys).orderBy("_v", "_id")
+    w_all = Window.partitionBy(*keys)
+    ranked = base.select(
+        *keys,
+        "_v",
+        F.row_number().over(w_rank).alias("_rn"),
+        F.count(F.lit(1)).over(w_all).alias("_n"),
+    )
+    q1_rank = F.floor((F.col("_n") - 1) * 0.25) + 1
+    q3_rank = F.floor((F.col("_n") - 1) * 0.75) + 1
+    with_q = ranked.select(
+        *keys,
+        "_v",
+        "_n",
+        F.max(F.when(F.col("_rn") == q1_rank, F.col("_v"))).over(w_all).alias("q1"),
+        F.max(F.when(F.col("_rn") == q3_rank, F.col("_v"))).over(w_all).alias("q3"),
+    )
+    lo = F.col("q1") - F.lit(k) * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + F.lit(k) * (F.col("q3") - F.col("q1"))
+    flagged = with_q.select(
+        *keys,
+        "q1",
+        "q3",
+        "_n",
+        lo.alias("lo"),
+        hi.alias("hi"),
+        ((F.col("_v") < lo) | (F.col("_v") > hi)).cast("long").alias("_out"),
+    )
+    return flagged.groupBy(*keys).agg(
+        F.first("q1").alias("q1"),
+        F.first("q3").alias("q3"),
+        F.first("lo").alias("lo"),
+        F.first("hi").alias("hi"),
+        F.first("_n").alias("n_rows"),
+        F.sum("_out").alias("n_outliers"),
     )

@@ -1282,3 +1282,121 @@ def chunk_documents(
         F.concat_ws(sep, chunk).alias("chunk_text"),
         F.size(chunk).cast("long").alias("n_chunk_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training — distributed merge learning
+# ---------------------------------------------------------------------------
+
+def bpe_word_freq(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """The ONE corpus pass of BPE training: lowercase, whitespace-split,
+    count word frequencies.  Everything after this operates on the
+    DISTINCT-word table (vocab-sized, not corpus-sized) — the property
+    that makes BPE training feasible at 100 TB: the 10^11-document scan
+    happens once, the merge loop touches ~10^8 distinct words."""
+    words = df.select(
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w")
+    ).filter(F.length("w") > 0)
+    return words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+
+
+def _sym_pairs(sym_col: Column) -> Column:
+    """Adjacent symbol pairs of a space-separated symbol string."""
+    syms = F.split(sym_col, " ")
+    return F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(syms) - 1, F.lit(1))),
+            lambda i: F.concat_ws(
+                " ", F.element_at(syms, i), F.element_at(syms, i + 1)
+            ),
+        ),
+        lambda p: p.contains(" "),
+    )
+
+
+def bpe_pair_counts(
+    df: DataFrame, text_col: str = "text", top_k: int = 20
+) -> DataFrame:
+    """The inner counting step of BPE training: corpus-weighted adjacent
+    CHARACTER-pair frequencies (the argmax pair is the next merge).
+    Word-freq aggregate first, pair explosion over distinct words only."""
+    wf = bpe_word_freq(df, text_col)
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.col("w").substr(i, F.lit(1)),
+    )
+    sym = F.concat_ws(" ", chars)
+    pairs = wf.select(
+        F.explode(_sym_pairs(sym)).alias("pair"), "freq"
+    )
+    counts = pairs.groupBy("pair").agg(F.sum("freq").alias("n"))
+    return counts.orderBy(F.col("n").desc(), "pair").limit(top_k)
+
+
+def bpe_learn_merges(
+    df: DataFrame, text_col: str = "text", n_merges: int = 3
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges, fully distributed — no
+    driver-side values anywhere: each round's best pair is a 1-row
+    DataFrame broadcast-cross-joined into the re-segmentation fold, so
+    the loop is pure plan construction (Sennrich et al.'s algorithm 1
+    re-expressed; production trainers batch the top-k pairs per round
+    — same algebra, fewer rounds).
+
+    Returns (step, pair_a, pair_b, n): the merge learned at each step
+    and its corpus-weighted frequency.  Re-segmentation is a greedy
+    left-to-right fold: the accumulator is the symbol string built so
+    far; when its last symbol equals pair_a and the next symbol equals
+    pair_b they fuse (``a b`` → ``ab``), else append — exactly BPE's
+    non-overlapping merge application."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    wf = bpe_word_freq(df, text_col)
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.col("w").substr(i, F.lit(1)),
+    )
+    seg = wf.select(F.concat_ws(" ", chars).alias("s"), "freq")
+
+    merge_rows = []
+    for step in range(1, n_merges + 1):
+        pair_counts = (
+            seg.select(F.explode(_sym_pairs(F.col("s"))).alias("pair"), "freq")
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("n"))
+        )
+        best = (
+            pair_counts.orderBy(F.col("n").desc(), "pair")
+            .limit(1)
+            .select(
+                F.lit(step).alias("step"),
+                F.split("pair", " ").getItem(0).alias("pair_a"),
+                F.split("pair", " ").getItem(1).alias("pair_b"),
+                "n",
+            )
+        )
+        merge_rows.append(best)
+        syms = F.split(F.col("s"), " ")
+        folded = F.aggregate(
+            F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(0))),
+            F.element_at(syms, 1),
+            lambda acc, x: F.when(
+                (F.regexp_extract(acc, "[^ ]+$", 0) == F.col("pair_a"))
+                & (x == F.col("pair_b")),
+                F.concat(
+                    F.regexp_replace(acc, "[^ ]+$", ""),
+                    F.col("pair_a"),
+                    F.col("pair_b"),
+                ),
+            ).otherwise(F.concat(acc, F.lit(" "), x)),
+        )
+        seg = (
+            seg.crossJoin(F.broadcast(best.select("pair_a", "pair_b")))
+            .select(folded.alias("s"), "freq")
+        )
+    out = merge_rows[0]
+    for b in merge_rows[1:]:
+        out = out.unionByName(b)
+    return out

@@ -332,3 +332,63 @@ def data_profile_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
     )
     return profile_columns(o, ["o_orderkey", "cust_nullable", "o_totalprice"])
+
+
+from spark_monotasks_spark.operators.profile import iqr_outlier_screen
+
+
+@register(
+    "iqr_outlier_orders",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE) AS v,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY CAST(o_totalprice AS DOUBLE),
+                                         o_orderkey) AS rn,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    ), q AS (
+      SELECT o_orderpriority,
+             max(CASE WHEN rn = CAST(floor((n-1)*0.25) AS BIGINT) + 1
+                      THEN v END) AS q1,
+             max(CASE WHEN rn = CAST(floor((n-1)*0.75) AS BIGINT) + 1
+                      THEN v END) AS q3,
+             max(n) AS n_rows
+      FROM ranked GROUP BY o_orderpriority
+    ), f AS (
+      SELECT o_orderpriority, q1, q3,
+             q1 - 1.5*(q3-q1) AS lo, q3 + 1.5*(q3-q1) AS hi, n_rows
+      FROM q
+    )
+    SELECT f.o_orderpriority,
+           round(f.q1, 2) AS q1, round(f.q3, 2) AS q3,
+           round(f.lo, 6) AS lo, round(f.hi, 6) AS hi,
+           f.n_rows,
+           CAST(sum(CASE WHEN r.v < f.lo OR r.v > f.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM f JOIN ranked r USING (o_orderpriority)
+    GROUP BY f.o_orderpriority, f.q1, f.q3, f.lo, f.hi, f.n_rows
+    """,
+)
+def iqr_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier screen (operators.profile.iqr_outlier_screen):
+    per order priority, rank-based quartiles of o_totalprice (order
+    statistics, never interpolated — the choice that keeps the fence
+    bit-deterministic across engines) and the count of rows outside
+    [q1 - 1.5·IQR, q3 + 1.5·IQR].  One Exchange on the group keys
+    serves ranking, quartile broadcast-back, and the final aggregate.
+    The oracle recomputes the same order statistics and fences
+    independently."""
+    o = load_tables(spark, sf_dir)["orders"]
+    out = iqr_outlier_screen(
+        o, "o_totalprice", ["o_orderpriority"], "o_orderkey", k=1.5
+    )
+    return out.select(
+        "o_orderpriority",
+        F.round("q1", 2).alias("q1"),
+        F.round("q3", 2).alias("q3"),
+        F.round("lo", 6).alias("lo"),
+        F.round("hi", 6).alias("hi"),
+        "n_rows",
+        "n_outliers",
+    )

@@ -2182,3 +2182,92 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_adc_topk(
         t["embeddings"], similarity.pq_query_vector(64, 99), k=20, dim=64
     )
+
+
+@register(
+    "bpe_top_pairs",
+    oracle=r"""
+    WITH wf AS (
+      SELECT w, count(*) AS freq FROM (
+        SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+        FROM documents
+      ) t WHERE length(w) > 0 GROUP BY w
+    ), pairs AS (
+      SELECT substring(w, i, 1) || ' ' || substring(w, i+1, 1) AS pair, freq
+      FROM wf, unnest(range(1, length(w))) AS t(i)
+    )
+    SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+    FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 20
+    """,
+)
+def bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training's inner counting step (pipeline.text.bpe_pair_counts):
+    corpus-weighted adjacent character-pair frequencies — the argmax is
+    the tokenizer's next merge.  One corpus pass builds the
+    word-frequency table; pair explosion runs over DISTINCT words only
+    (vocab-sized, the property that makes BPE training feasible at
+    100 TB).  Top-20 with a unique (n, pair) tiebreaker."""
+    t = _t(spark, sf_dir)
+    return text.bpe_pair_counts(t["documents"], top_k=20)
+
+
+def _bpe_merges_oracle_sql(n_merges: int = 3) -> str:
+    """bpe_merge_learning oracle: the same greedy fold re-segmentation
+    (list_reduce — last-symbol match fuses, else append) and the same
+    deterministic argmax, unrolled across ``n_merges`` CTE stages."""
+    parts = [
+        r"""
+    WITH wf AS (
+      SELECT w, count(*) AS freq FROM (
+        SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+        FROM documents
+      ) t WHERE length(w) > 0 GROUP BY w
+    ), seg0 AS (
+      SELECT array_to_string(
+               list_transform(range(1, length(w)+1),
+                              i -> substring(w, i, 1)), ' ') AS s, freq
+      FROM wf
+    )"""
+    ]
+    for k in range(1, n_merges + 1):
+        parts.append(
+            f""", pc{k} AS (
+      SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM (
+        SELECT unnest(list_transform(range(1, len(string_split(s, ' '))),
+                 i -> string_split(s, ' ')[i] || ' '
+                      || string_split(s, ' ')[i+1])) AS pair, freq
+        FROM seg{k - 1}
+      ) GROUP BY pair
+    ), m{k} AS (
+      SELECT {k} AS step,
+             string_split(pair, ' ')[1] AS pair_a,
+             string_split(pair, ' ')[2] AS pair_b, n
+      FROM pc{k} ORDER BY n DESC, pair LIMIT 1
+    ), seg{k} AS (
+      SELECT list_reduce(string_split(seg.s, ' '), (acc, x) ->
+               CASE WHEN regexp_extract(acc, '[^ ]+$') = b.pair_a
+                         AND x = b.pair_b
+                    THEN regexp_replace(acc, '[^ ]+$', '')
+                         || b.pair_a || b.pair_b
+                    ELSE acc || ' ' || x END) AS s, seg.freq
+      FROM seg{k - 1} seg, m{k} b
+    )"""
+        )
+    union = "\n    UNION ALL\n    ".join(
+        f"SELECT step, pair_a, pair_b, n FROM m{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return "".join(parts) + "\n    " + union
+
+
+@register("bpe_merge_learning", oracle=_bpe_merges_oracle_sql(3))
+def bpe_merge_learning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge learning (pipeline.text.bpe_learn_merges):
+    the first 3 merges learned with NO driver-side values — each
+    round's argmax pair is a 1-row DataFrame broadcast into the greedy
+    re-segmentation fold, so the loop is pure plan construction.  The
+    oracle unrolls the identical fold through list_reduce CTE stages
+    and must reproduce every learned (step, pair_a, pair_b, n) exactly
+    — the strongest kind of check an iterative algorithm can get."""
+    t = _t(spark, sf_dir)
+    return text.bpe_learn_merges(t["documents"], n_merges=3)

@@ -856,3 +856,22 @@ def test_profile_columns_empty_and_arg_guard(spark):
     assert r.n_rows == 0 and r.n_nonnull == 0 and r.completeness is None
     with pytest.raises(ValueError):
         profile_columns(empty, [])
+
+
+def test_iqr_outlier_screen_hand_example(spark):
+    from spark_monotasks_spark.operators.profile import iqr_outlier_screen
+
+    rows = [("g", i, float(v)) for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 100])]
+    rows += [("h", i, float(v)) for i, v in enumerate([10, 10, 10, 10])]
+    df = spark.createDataFrame(rows, "grp string, id int, v double")
+    out = {r.grp: r for r in iqr_outlier_screen(df, "v", ["grp"], "id").collect()}
+    g = out["g"]
+    # ranks: q1 at floor(8*0.25)+1 = 3 -> 3.0; q3 at floor(8*0.75)+1 = 7 -> 7.0
+    assert (g.q1, g.q3) == (3.0, 7.0)
+    assert (g.lo, g.hi) == (3.0 - 6.0, 7.0 + 6.0)
+    assert g.n_rows == 9 and g.n_outliers == 1  # only the 100
+    h = out["h"]
+    assert h.q1 == h.q3 == 10.0 and h.n_outliers == 0
+
+    with pytest.raises(ValueError):
+        iqr_outlier_screen(df, "v", ["grp"], "id", k=-1.0)

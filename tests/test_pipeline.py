@@ -1743,3 +1743,35 @@ def test_pq_planted_duplicate_ranks_first(spark):
     top = similarity.pq_adc_topk(df, q, k=3, dim=16, n_sub=4, n_cent=8).collect()
     assert top[0].vec_id == 0
     assert top[0].est_dist <= min(r.est_dist for r in top[1:])
+
+
+def test_bpe_pair_counts_hand_example(spark):
+    df = spark.createDataFrame([("aaa aaa",), ("ab ab ab",)], "text string")
+    rows = [(r.pair, r.n) for r in text.bpe_pair_counts(df, top_k=5).collect()]
+    # aaa×2 contributes 2×"a a" each; ab×3 contributes "a b" each
+    assert rows == [("a a", 4), ("a b", 3)]
+
+
+def test_bpe_learn_merges_greedy_hand_example(spark):
+    """Exact Sennrich semantics on a hand-computable corpus, including
+    the greedy non-overlapping application: 'a a a' under merge (a,a)
+    becomes 'aa a' (NOT 'aa aa' or 'a aa'), so step 3 learns (aa, a)."""
+    df = spark.createDataFrame([("aaa aaa",), ("ab ab ab",)], "text string")
+    out = [
+        (r.step, r.pair_a, r.pair_b, r.n)
+        for r in text.bpe_learn_merges(df, n_merges=3)
+        .orderBy("step")
+        .collect()
+    ]
+    assert out == [(1, "a", "a", 4), (2, "a", "b", 3), (3, "aa", "a", 2)]
+
+
+def test_bpe_learn_merges_exhausted_pairs_and_validation(spark):
+    """When every word collapses to one symbol, later steps have no
+    pairs and emit no merge rows (output may be shorter than
+    n_merges)."""
+    df = spark.createDataFrame([("ab ab",)], "text string")
+    out = text.bpe_learn_merges(df, n_merges=3).orderBy("step").collect()
+    assert [(r.step, r.pair_a, r.pair_b, r.n) for r in out] == [(1, "a", "b", 2)]
+    with pytest.raises(ValueError):
+        text.bpe_learn_merges(df, n_merges=0)

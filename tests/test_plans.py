@@ -521,6 +521,10 @@ def test_no_hidden_cartesians_across_catalog(spark):
         # contingency cells are bounded by the category product, and
         # the broadcast side is a single scalar row
         "stat_chisq_independence",
+        # BPE merge learning: each round crossJoins the 1-row argmax
+        # pair (broadcast scalar) into the re-segmentation fold — one
+        # BNLJ per learned merge, never O(n^2)
+        "bpe_merge_learning",
         # blocked user x item factor cross IS the recommend-all algorithm
         # (factor tables are rank-bounded, not corpus-sized)
         "ml_als_recommend",
