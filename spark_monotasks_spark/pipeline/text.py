@@ -7,6 +7,7 @@ so a 100 TB documents table is one linear scan per metric.
 from __future__ import annotations
 
 import re
+from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -1335,6 +1336,63 @@ def bpe_pair_counts(
     return counts.orderBy(F.col("n").desc(), "pair").limit(top_k)
 
 
+def _greedy_merge_fold(sym_str: Column, a: Column, b: Column) -> Column:
+    """Apply ONE merge (a, b) to a space-separated symbol string via the
+    greedy left-to-right fold: the accumulator's last symbol fuses with
+    the next when they equal (a, b), else the next appends — exactly
+    BPE's non-overlapping merge application."""
+    syms = F.split(sym_str, " ")
+    return F.aggregate(
+        F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(0))),
+        F.element_at(syms, 1),
+        lambda acc, x: F.when(
+            (F.regexp_extract(acc, "[^ ]+$", 0) == a) & (x == b),
+            F.concat(F.regexp_replace(acc, "[^ ]+$", ""), a, b),
+        ).otherwise(F.concat(acc, F.lit(" "), x)),
+    )
+
+
+def bpe_apply_merges(
+    df: DataFrame,
+    merges: Sequence[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ENCODE with a learned BPE merge list — the serving half of
+    tokenizer training: per document, the subword token count after
+    applying ``merges`` in order.
+
+    Scale shape: the merge folds run over the DISTINCT-word table only
+    (each merge is one more fold pass over the vocab, never the
+    corpus); per-doc counts come from one word-explode joined against
+    the encoded vocab (AQE broadcasts it when small; at web scale it is
+    a plain shuffle join on the word — both sides slim).  Returns
+    (id_col, n_words, n_tokens)."""
+    if not merges:
+        raise ValueError("merges must be non-empty")
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w"),
+    ).filter(F.length("w") > 0)
+    vocab = words.select("w").distinct()
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.col("w").substr(i, F.lit(1)),
+    )
+    sym = F.concat_ws(" ", chars)
+    for a, b in merges:
+        sym = _greedy_merge_fold(sym, F.lit(a), F.lit(b))
+    enc = vocab.select("w", F.size(F.split(sym, " ")).alias("_n_sub"))
+    return (
+        words.join(enc, on="w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("_n_sub").alias("n_tokens"),
+        )
+    )
+
+
 def bpe_learn_merges(
     df: DataFrame, text_col: str = "text", n_merges: int = 3
 ) -> DataFrame:
@@ -1378,19 +1436,8 @@ def bpe_learn_merges(
             )
         )
         merge_rows.append(best)
-        syms = F.split(F.col("s"), " ")
-        folded = F.aggregate(
-            F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(0))),
-            F.element_at(syms, 1),
-            lambda acc, x: F.when(
-                (F.regexp_extract(acc, "[^ ]+$", 0) == F.col("pair_a"))
-                & (x == F.col("pair_b")),
-                F.concat(
-                    F.regexp_replace(acc, "[^ ]+$", ""),
-                    F.col("pair_a"),
-                    F.col("pair_b"),
-                ),
-            ).otherwise(F.concat(acc, F.lit(" "), x)),
+        folded = _greedy_merge_fold(
+            F.col("s"), F.col("pair_a"), F.col("pair_b")
         )
         seg = (
             seg.crossJoin(F.broadcast(best.select("pair_a", "pair_b")))

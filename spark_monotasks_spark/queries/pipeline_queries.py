@@ -2271,3 +2271,67 @@ def bpe_merge_learning(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the strongest kind of check an iterative algorithm can get."""
     t = _t(spark, sf_dir)
     return text.bpe_learn_merges(t["documents"], n_merges=3)
+
+
+#: fixed merge list for the encode entry — SF-independent literals
+#: (common-English pairs), applied in order.
+_BPE_ENC_MERGES = (("e", "r"), ("t", "h"), ("i", "n"))
+
+
+def _bpe_encode_oracle_sql(merges=_BPE_ENC_MERGES) -> str:
+    """bpe_encode_tokens oracle: the same greedy list_reduce fold per
+    DISTINCT word, one CTE stage per merge, joined back to the word
+    stream for per-doc counts."""
+    stages = [
+        r""", enc0 AS (
+      SELECT w, array_to_string(
+               list_transform(range(1, length(w)+1),
+                              i -> substring(w, i, 1)), ' ') AS s
+      FROM (SELECT DISTINCT w FROM words)
+    )"""
+    ]
+    for k, (a, b) in enumerate(merges, 1):
+        stages.append(
+            f""", enc{k} AS (
+      SELECT w, list_reduce(string_split(s, ' '), (acc, x) ->
+               CASE WHEN regexp_extract(acc, '[^ ]+$') = '{a}'
+                         AND x = '{b}'
+                    THEN regexp_replace(acc, '[^ ]+$', '') || '{a}' || '{b}'
+                    ELSE acc || ' ' || x END) AS s
+      FROM enc{k - 1}
+    )"""
+        )
+    n = len(merges)
+    return (
+        r"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w
+      FROM documents
+    )"""
+        + "".join(stages)
+        + f""", tok AS (
+      SELECT w, len(string_split(s, ' ')) AS n_sub FROM enc{n}
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(n_sub) AS BIGINT) AS n_tokens
+    FROM words JOIN tok USING (w)
+    WHERE length(w) > 0
+    GROUP BY doc_id
+    """
+    )
+
+
+@register("bpe_encode_tokens", oracle=_bpe_encode_oracle_sql())
+def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE — the serving half of tokenizer training
+    (pipeline.text.bpe_apply_merges): per-document subword token counts
+    after applying a fixed 3-merge list in order.  The merge folds run
+    over the DISTINCT-word table only (one extra vocab pass per merge,
+    never a corpus pass); per-doc counts are one word-explode joined
+    against the encoded vocab.  The oracle replays the identical greedy
+    fold through list_reduce CTE stages."""
+    t = _t(spark, sf_dir)
+    return text.bpe_apply_merges(
+        t["documents"], list(_BPE_ENC_MERGES)
+    )

@@ -375,9 +375,10 @@ def try_error_safe_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.try_divide("o_totalprice", F.col("o_orderkey") % 7), 4
         ).alias("safe_div"),
-        F.try_to_number("o_orderpriority", F.lit("9")).cast("int").alias("bad_int")
-        if False
-        else F.col("o_orderpriority").try_cast("int").alias("bad_int"),
+        # try_cast (not try_to_number): the format-string form returns
+        # NULL for any non-'9' digit too, which is not the NULL-on-
+        # malformed semantics this entry pins
+        F.col("o_orderpriority").try_cast("int").alias("bad_int"),
         F.substring("o_orderpriority", 1, 1).try_cast("int").alias("good_int"),
     )
 

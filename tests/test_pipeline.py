@@ -1775,3 +1775,20 @@ def test_bpe_learn_merges_exhausted_pairs_and_validation(spark):
     assert [(r.step, r.pair_a, r.pair_b, r.n) for r in out] == [(1, "a", "b", 2)]
     with pytest.raises(ValueError):
         text.bpe_learn_merges(df, n_merges=0)
+
+
+def test_bpe_apply_merges_hand_example(spark):
+    """Encode counts after ordered merges: 'ther' under merges
+    (e,r) then (t,h) segments t|h|e|r -> (e,r): t h er -> (t,h): th er
+    = 2 tokens; order matters — (t,h) first then (e,r) gives the same
+    here, but 'her' shows the greedy fold: h e r -> h er (2)."""
+    df = spark.createDataFrame(
+        [(1, "ther her xx"), (2, "er er")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in text.bpe_apply_merges(
+        df, [("e", "r"), ("t", "h")]).collect()}
+    # doc 1: ther->2, her->2, xx->2 tokens; doc 2: er->1 twice
+    assert (out[1].n_words, out[1].n_tokens) == (3, 6)
+    assert (out[2].n_words, out[2].n_tokens) == (2, 2)
+    with pytest.raises(ValueError):
+        text.bpe_apply_merges(df, [])

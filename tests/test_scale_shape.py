@@ -49,6 +49,14 @@ LINEAR = [
     # domain-blocklist semi/anti — both must stay one-pass linear
     ("clean_text_normalize", 8.0, "O(n) codegen regex projection"),
     ("url_blocklist_filter", 8.0, "O(urls) explode + broadcast semi/anti"),
+    # r5 third/fourth batch: broadcast-side warehouse maintenance, the
+    # one-scan profiler, codes-only PQ ranking, vocab-sized BPE folds,
+    # and the single-Exchange outlier screen — all linear by design
+    ("scd2_customer_dim", 8.0, "O(n) broadcast change-detect + anti"),
+    ("data_profile_constraints", 8.0, "O(n) one-scan agg (Expand x cols)"),
+    ("ann_pq_topk", 8.0, "O(n) encode scan + TakeOrdered"),
+    ("bpe_encode_tokens", 8.0, "O(tokens) explode + vocab-sized folds"),
+    ("iqr_outlier_orders", 8.0, "O(n) single-Exchange rank+fence"),
 ]
 
 #: super-linear entries: bounded above by documented exponents, still
