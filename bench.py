@@ -133,10 +133,12 @@ HEADLINE = [
     "scd2_customer_dim",
     "data_profile_constraints",
     "ann_pq_topk",
-    # added r5 (fifth batch): distributed BPE merge learning (3 rounds,
-    # broadcast argmax, fold re-segmentation) and the Tukey-fence
-    # numeric outlier screen (single-Exchange rank + fence + count)
-    "bpe_merge_learning",
+    # added r5 (fifth batch): BPE merge-list ENCODE (the recurring
+    # corpus-pass op; merge LEARNING runs once per tokenizer and is
+    # compile-dominated at this SF — driver-gated for correctness,
+    # excluded here) and the Tukey-fence numeric outlier screen
+    # (single-Exchange rank + fence + count)
+    "bpe_encode_tokens",
     "iqr_outlier_orders",
 ]
 

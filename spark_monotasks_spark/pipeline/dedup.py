@@ -971,3 +971,39 @@ def incremental_minhash_dedup(
         clean_keepers.withColumnRenamed(id_col, "id"), on="id", how="left_semi"
     ).select("fam", "h", "id")
     return survivors, store_delta
+
+
+def simhash_signatures_portable(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """32-bit SimHash any engine can reproduce byte-for-byte: token
+    hash = first 8 hex chars of md5(token) parsed base-16, signature =
+    per-bit frequency-weighted majority vote (ties → 0, same rule as
+    :func:`simhash_signatures`).
+
+    The PARITY/audit twin of the xxhash64 scale path, mirroring
+    :func:`minhash_signatures_portable`: per-token md5 makes it ~an
+    order costlier, so it exists for external verification (the DuckDB
+    oracle, a second pipeline) and cross-system signature joins, not
+    for the 100 TB hot path.  Same ZERO-shuffle shape — one narrow
+    projection, 32 ``size(filter(...))`` counts with literal masks."""
+    hs = F.transform(
+        F.split(F.col(text_col), " "),
+        lambda t: F.conv(F.substring(F.md5(t.cast("binary")), 1, 8), 16, 10).cast(
+            "long"
+        ),
+    ).alias("_hs")
+    base = _spread(df).select(F.col(id_col).alias("id"), hs)
+    n = F.size("_hs")
+
+    def bitval(i: int) -> Column:
+        mask = 1 << i
+        ones = F.size(F.filter("_hs", lambda h: h.bitwiseAND(mask) != 0))
+        return F.when(ones * 2 > n, F.lit(mask).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+
+    sig = sum([bitval(i) for i in range(1, 32)], bitval(0)).alias("sig")
+    return base.select("id", sig)

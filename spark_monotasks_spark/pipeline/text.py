@@ -1394,7 +1394,11 @@ def bpe_apply_merges(
 
 
 def bpe_learn_merges(
-    df: DataFrame, text_col: str = "text", n_merges: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 3,
+    barrier_every: int = 1,
+    reliable: bool = False,
 ) -> DataFrame:
     """Learn the first ``n_merges`` BPE merges, fully distributed — no
     driver-side values anywhere: each round's best pair is a 1-row
@@ -1408,7 +1412,16 @@ def bpe_learn_merges(
     left-to-right fold: the accumulator is the symbol string built so
     far; when its last symbol equals pair_a and the next symbol equals
     pair_b they fuse (``a b`` → ``ab``), else append — exactly BPE's
-    non-overlapping merge application."""
+    non-overlapping merge application.
+
+    ``barrier_every`` (default 1) checkpoints the vocab-sized segment
+    table after every k-th merge: it bounds plan depth AND splits one
+    giant whole-stage-codegen compile of n nested folds into n small
+    ones (measured: 3 nested folds cost ~9 s cold vs ~3 s barriered at
+    sf0.1 — compile time, not data).  Pass 0 to disable (pure plan
+    construction, useful for plan inspection)."""
+    from spark_monotasks_spark.barrier import barrier as _barrier
+
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     wf = bpe_word_freq(df, text_col)
@@ -1443,6 +1456,8 @@ def bpe_learn_merges(
             seg.crossJoin(F.broadcast(best.select("pair_a", "pair_b")))
             .select(folded.alias("s"), "freq")
         )
+        if barrier_every and step < n_merges and step % barrier_every == 0:
+            seg = _barrier(seg, reliable)
     out = merge_rows[0]
     for b in merge_rows[1:]:
         out = out.unionByName(b)

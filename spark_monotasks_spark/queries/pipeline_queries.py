@@ -2335,3 +2335,34 @@ def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_apply_merges(
         t["documents"], list(_BPE_ENC_MERGES)
     )
+
+
+def _simhash_portable_oracle_sql() -> str:
+    """simhash_portable_sigs oracle: the same 32 per-bit majority votes
+    over md5-derived token hashes, rendered with literal masks."""
+    terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hs, h -> (h & {1 << i}) != 0)) "
+        f"> len(hs) THEN {1 << i} ELSE 0 END)"
+        for i in range(32)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ' '),
+               t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS hs
+      FROM documents
+    )
+    SELECT doc_id AS id, CAST({terms} AS BIGINT) AS sig FROM toks
+    """
+
+
+@register("simhash_portable_sigs", oracle=_simhash_portable_oracle_sql())
+def simhash_portable_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable SimHash (pipeline.dedup.simhash_signatures_portable):
+    32-bit per-bit majority vote over md5 token hashes — the audit twin
+    that upgrades the SimHash family from rows-only to value-checked
+    (the xxhash64 64-bit form stays the scale path).  Every signature
+    bit is reproduced exactly by the DuckDB oracle's literal-mask
+    votes."""
+    t = _t(spark, sf_dir)
+    return dedup.simhash_signatures_portable(t["documents"])

@@ -1792,3 +1792,24 @@ def test_bpe_apply_merges_hand_example(spark):
     assert (out[2].n_words, out[2].n_tokens) == (2, 2)
     with pytest.raises(ValueError):
         text.bpe_apply_merges(df, [])
+
+
+def test_simhash_portable_near_dup_hamming(spark):
+    """Portable simhash: near-identical docs land within small hamming
+    distance, unrelated docs far — and the signature is deterministic
+    across computations (md5, no engine salt)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy cat again and again"),
+            (3, "entirely different words about spark plans and shuffles here"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = {r.id: r.sig for r in dedup.simhash_signatures_portable(docs).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(sigs[1], sigs[2]) < ham(sigs[1], sigs[3])
+    assert ham(sigs[1], sigs[2]) <= 10
+    sigs2 = {r.id: r.sig for r in dedup.simhash_signatures_portable(docs).collect()}
+    assert sigs == sigs2
+    assert all(0 <= s < (1 << 32) for s in sigs.values())
