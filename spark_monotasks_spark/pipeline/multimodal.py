@@ -15,6 +15,12 @@ at two levels, stdlib+numpy only (no PIL/librosa/cv2):
   codec — standard Annex-K Huffman/quant tables, DC prediction, AC
   run-length, 2-D DCT — in pure numpy, both directions.
 
+- **video level** (r5): MJPEG-in-AVI — a spec-correct RIFF writer
+  (``encode_avi_mjpeg``), container walk (``decode_avi_meta``), and
+  per-frame decode (``decode_avi_frames`` → ``pipeline.jpeg``), so the
+  video modality is a working codec path, not a stub; only the frame
+  pixels are lossy (container structure is exact and oracle-checked).
+
 Only formats needing licensed/compiled codecs (progressive or
 subsampled JPEG, mp3/aac) remain out of profile: for those,
 strict=True raises ``NotImplementedError`` and strict=False degrades
@@ -268,7 +274,8 @@ def resize_plan(media: DataFrame, max_side: int = 256) -> DataFrame:
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: expand each video row into frame
     timestamps (pure SQL — no decode), so the expensive decode joins
-    against an already-pruned frame list.  Decode itself is stubbed."""
+    against an already-pruned frame list.  Actual frame decode exists
+    for MJPEG-AVI (``decode_avi_frames`` / ``video_frame_stats``)."""
     n_frames = (F.col("meta.duration_ms") / every_ms).cast("int")
     videos = media.filter(
         (F.col("meta.media_type") == "video")
@@ -782,3 +789,273 @@ def audio_sample_stats(media: DataFrame) -> DataFrame:
             )
 
     return media.select("media_id", "blob").mapInPandas(run, schema=SAMPLE_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# video: MJPEG-in-AVI — REAL container walk + REAL frame decode
+# ---------------------------------------------------------------------------
+# The brief's video modality, upgraded from a stub to a working codec
+# path: AVI is a RIFF container; MJPEG stores each frame as a baseline
+# JPEG in a '00dc' chunk, which pipeline.jpeg decodes pure-numpy.  The
+# container layer (walk, meta, frame extraction) is exact; only the
+# frame pixels are lossy (JPEG), mirroring the image path's split
+# between media_meta_extract (oracle) and jpeg_decode_stats (rows-only).
+
+import struct as _struct
+
+
+def _avi_chunk(fourcc: bytes, payload: bytes) -> bytes:
+    pad = b"\x00" if len(payload) % 2 else b""
+    return fourcc + _struct.pack("<I", len(payload)) + payload + pad
+
+
+def _avi_list(list_type: bytes, payload: bytes) -> bytes:
+    return _avi_chunk(b"LIST", list_type + payload)
+
+
+def encode_avi_mjpeg(frames, fps: int = 10) -> bytes:
+    """Minimal spec-correct MJPEG AVI: RIFF('AVI ') → LIST(hdrl: avih +
+    LIST(strl: strh vids/MJPG + strf BITMAPINFOHEADER)) + LIST(movi:
+    one '00dc' JPEG per frame).  Frames are HxWx3 uint8 RGB."""
+    from spark_monotasks_spark.pipeline.jpeg import encode_jpeg_pixels
+
+    if not frames:
+        raise ValueError("encode_avi_mjpeg needs at least one frame")
+    h, w = frames[0].shape[:2]
+    jpegs = [encode_jpeg_pixels(f, quality=92) for f in frames]
+    biggest = max(len(j) for j in jpegs)
+    uspf = 1_000_000 // fps
+    avih = _struct.pack(
+        "<14I", uspf, 0, 0, 0x10, len(frames), 0, 1, biggest, w, h, 0, 0, 0, 0
+    )
+    strh = b"vids" + b"MJPG" + _struct.pack(
+        "<IHHIIIIIIII4H",
+        0, 0, 0, 0, 1, fps, 0, len(frames), biggest, 10_000, 0, 0, 0, w, h,
+    )
+    strf = _struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0
+    )
+    hdrl = _avi_list(
+        b"hdrl",
+        _avi_chunk(b"avih", avih)
+        + _avi_list(b"strl", _avi_chunk(b"strh", strh) + _avi_chunk(b"strf", strf)),
+    )
+    movi = _avi_list(b"movi", b"".join(_avi_chunk(b"00dc", j) for j in jpegs))
+    payload = b"AVI " + hdrl + movi
+    return b"RIFF" + _struct.pack("<I", len(payload)) + payload
+
+
+def _riff_children(b: bytes, off: int, end: int):
+    """Yield (fourcc, list_type_or_None, payload_start, payload_size)
+    for each chunk in [off, end); tolerant of truncation (stops)."""
+    while off + 8 <= end:
+        fourcc = b[off:off + 4]
+        (size,) = _struct.unpack("<I", b[off + 4:off + 8])
+        start = off + 8
+        if start + size > end:
+            return
+        if fourcc == b"LIST" and size >= 4:
+            yield fourcc, b[start:start + 4], start + 4, size - 4
+        else:
+            yield fourcc, None, start, size
+        off = start + size + (size % 2)
+
+
+def decode_avi_meta(b) -> dict | None:
+    """Container-exact metadata: (width, height, us_per_frame,
+    n_frames_declared from avih, n_frames counted as '00dc' chunks).
+    Returns None unless the blob is a well-formed RIFF/AVI with an avih
+    header and a movi list."""
+    if b is None:
+        return None
+    b = bytes(b)
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+    meta = None
+    n_chunks = 0
+    for fourcc, ltype, start, size in _riff_children(b, 12, len(b)):
+        if fourcc == b"LIST" and ltype == b"hdrl":
+            for f2, _, s2, z2 in _riff_children(b, start, start + size):
+                if f2 == b"avih" and z2 >= 40:
+                    uspf, _, _, _, total, _, _, _, w, h = _struct.unpack(
+                        "<10I", b[s2:s2 + 40]
+                    )
+                    meta = {
+                        "width": w,
+                        "height": h,
+                        "us_per_frame": uspf,
+                        "n_frames_declared": total,
+                    }
+        elif fourcc == b"LIST" and ltype == b"movi":
+            for f2, _, _, _ in _riff_children(b, start, start + size):
+                if f2 == b"00dc":
+                    n_chunks += 1
+    if meta is None or n_chunks == 0:
+        return None
+    meta["n_frames"] = n_chunks
+    return meta
+
+
+def decode_avi_frames(b):
+    """REAL frame decode: every '00dc' JPEG payload through the
+    pure-numpy baseline decoder.  Returns a list of HxWx3 uint8 arrays,
+    or None if the container is malformed / any frame fails."""
+    from spark_monotasks_spark.pipeline.jpeg import decode_jpeg_pixels
+
+    if b is None:
+        return None
+    b = bytes(b)
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+    frames = []
+    for fourcc, ltype, start, size in _riff_children(b, 12, len(b)):
+        if fourcc == b"LIST" and ltype == b"movi":
+            for f2, _, s2, z2 in _riff_children(b, start, start + size):
+                if f2 == b"00dc":
+                    px = decode_jpeg_pixels(b[s2:s2 + z2])
+                    if px is None:
+                        return None
+                    frames.append(px)
+    return frames or None
+
+
+def video_from_ids(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Deterministic MJPEG-AVI table keyed off an id column, encoded
+    distributed (mapInPandas — the driver never sees a blob).
+    Closed-form structure per id i: n_frames = 2 + i%4, width =
+    16 + (i%3)*8, height = 16 + (i%2)*8, fps 10; frame f's pixel
+    (x, y, c) = x + y + 3f + c (smooth gradient, no wrap at these
+    dims, JPEG-friendly)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            blobs = []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = 16 + (i % 3) * 8, 16 + (i % 2) * 8
+                x = np.arange(w)[None, :, None]
+                y = np.arange(h)[:, None, None]
+                c = np.arange(3)[None, None, :]
+                frames = [
+                    ((x + y + 3 * f + c) % 256).astype(np.uint8)
+                    for f in range(2 + i % 4)
+                ]
+                blobs.append(encode_avi_mjpeg(frames, fps=10))
+            yield pd.DataFrame({"media_id": pdf[id_col], "blob": blobs})
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("blob", T.BinaryType(), True),
+        ]
+    )
+    return ids.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        run, schema=out_schema
+    )
+
+
+VIDEO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("us_per_frame", T.IntegerType(), True),
+    ]
+)
+
+
+def video_probe_meta(media: DataFrame) -> DataFrame:
+    """Container-exact video metadata from a REAL RIFF walk (avih
+    header + counted '00dc' frame chunks) — the video twin of
+    probe_media_meta.  Exact (no lossy codec in play), so fully
+    oracle-checkable.  Undecodable blobs yield NULL columns."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {k: [] for k in ("width", "height", "n_frames", "us_per_frame")}
+            for b in pdf["blob"]:
+                m = decode_avi_meta(b)
+                cols["width"].append(None if m is None else m["width"])
+                cols["height"].append(None if m is None else m["height"])
+                cols["n_frames"].append(None if m is None else m["n_frames"])
+                cols["us_per_frame"].append(
+                    None if m is None else m["us_per_frame"]
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pd.array(cols["width"], dtype="Int32"),
+                    "height": pd.array(cols["height"], dtype="Int32"),
+                    "n_frames": pd.array(cols["n_frames"], dtype="Int32"),
+                    "us_per_frame": pd.array(cols["us_per_frame"], dtype="Int32"),
+                }
+            )
+
+    return media.select("media_id", "blob").mapInPandas(
+        run, schema=VIDEO_META_SCHEMA
+    )
+
+
+VIDEO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_luma", T.DoubleType(), True),
+        T.StructField("first_frame_luma", T.DoubleType(), True),
+        T.StructField("last_frame_luma", T.DoubleType(), True),
+    ]
+)
+
+
+def video_frame_stats(media: DataFrame) -> DataFrame:
+    """Per-video statistics over REAL decoded frames (every '00dc'
+    JPEG through the pure-numpy baseline decoder): frame count, dims,
+    mean luma over all frames, and first/last frame luma (the temporal
+    axis a frame-sampling pipeline cares about).  Lossy by format →
+    rows-only in the contract; bounded error vs the generative gradient
+    asserted in tests."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {k: [] for k in (
+                "n_frames", "width", "height",
+                "mean_luma", "first_frame_luma", "last_frame_luma")}
+            for b in pdf["blob"]:
+                frames = decode_avi_frames(b)
+                if not frames:
+                    for k in cols:
+                        cols[k].append(None)
+                    continue
+                lumas = [float(f.astype(np.float64).mean()) for f in frames]
+                h, w, _ = frames[0].shape
+                cols["n_frames"].append(len(frames))
+                cols["width"].append(w)
+                cols["height"].append(h)
+                cols["mean_luma"].append(round(sum(lumas) / len(lumas), 4))
+                cols["first_frame_luma"].append(round(lumas[0], 4))
+                cols["last_frame_luma"].append(round(lumas[-1], 4))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_frames": pd.array(cols["n_frames"], dtype="Int32"),
+                    "width": pd.array(cols["width"], dtype="Int32"),
+                    "height": pd.array(cols["height"], dtype="Int32"),
+                    "mean_luma": pd.array(cols["mean_luma"], dtype="float64"),
+                    "first_frame_luma": pd.array(
+                        cols["first_frame_luma"], dtype="float64"
+                    ),
+                    "last_frame_luma": pd.array(
+                        cols["last_frame_luma"], dtype="float64"
+                    ),
+                }
+            )
+
+    return media.select("media_id", "blob").mapInPandas(
+        run, schema=VIDEO_STATS_SCHEMA
+    )

@@ -2366,3 +2366,48 @@ def simhash_portable_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     votes."""
     t = _t(spark, sf_dir)
     return dedup.simhash_signatures_portable(t["documents"])
+
+
+@register(
+    "video_probe_meta",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(16 + (doc_id % 3) * 8 AS INT) AS width,
+           CAST(16 + (doc_id % 2) * 8 AS INT) AS height,
+           CAST(2 + doc_id % 4 AS INT) AS n_frames,
+           100000 AS us_per_frame
+    FROM documents WHERE doc_id % 4 = 2 AND doc_id < 400
+    """,
+)
+def video_probe_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container probe in the driver contract
+    (multimodal.video_probe_meta): deterministic MJPEG AVIs are encoded
+    distributed (video_from_ids — RIFF/avih/strl/movi, one '00dc'
+    baseline JPEG per frame), then a real RIFF walk recovers dims,
+    frame rate, and the COUNTED frame chunks.  The container layer is
+    lossless, so the oracle states the closed-form structure per id —
+    a wrong chunk walk, header pack, or padding rule breaks the hash.
+    Frame PIXEL statistics stay rows-only (JPEG is lossy) in
+    video_frame_stats."""
+    t = _t(spark, sf_dir)
+    ids = t["documents"].filter(
+        (F.col("doc_id") % 4 == 2) & (F.col("doc_id") < 400)
+    ).select(F.col("doc_id").alias("media_id"))
+    media = multimodal.video_from_ids(ids)
+    return multimodal.video_probe_meta(media)
+
+
+@register("video_frame_stats")  # MJPEG frames are lossy -> stats are
+# codec-exact but not SQL-re-derivable; bounded error vs the generative
+# gradient is asserted in tests/test_pipeline.py (rows-only driver check)
+def video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frame-level video decode (multimodal.video_frame_stats):
+    every '00dc' JPEG of every synthesized AVI through the pure-numpy
+    baseline decoder; per-video mean/first/last frame luma — the
+    temporal statistics a frame-sampling training pipeline extracts."""
+    t = _t(spark, sf_dir)
+    ids = t["documents"].filter(
+        (F.col("doc_id") % 4 == 2) & (F.col("doc_id") < 200)
+    ).select(F.col("doc_id").alias("media_id"))
+    media = multimodal.video_from_ids(ids)
+    return multimodal.video_frame_stats(media)

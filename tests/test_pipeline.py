@@ -1813,3 +1813,47 @@ def test_simhash_portable_near_dup_hamming(spark):
     sigs2 = {r.id: r.sig for r in dedup.simhash_signatures_portable(docs).collect()}
     assert sigs == sigs2
     assert all(0 <= s < (1 << 32) for s in sigs.values())
+
+
+def test_video_roundtrip_meta_and_bounded_pixel_error(spark):
+    """MJPEG-AVI: container meta is EXACT; decoded frame luma tracks
+    the generative gradient within JPEG tolerance; temporal order is
+    preserved (luma strictly increases with frame index: pixel =
+    x+y+3f+c)."""
+    import numpy as np
+
+    ids = spark.range(0, 12).select(F.col("id").alias("media_id"))
+    media = multimodal.video_from_ids(ids)
+    meta = {r.media_id: r for r in multimodal.video_probe_meta(media).collect()}
+    stats = {r.media_id: r for r in multimodal.video_frame_stats(media).collect()}
+    for i in range(12):
+        m, s = meta[i], stats[i]
+        assert (m.width, m.height) == (16 + (i % 3) * 8, 16 + (i % 2) * 8)
+        assert m.n_frames == 2 + i % 4 == s.n_frames
+        assert m.us_per_frame == 100000
+        # generative luma of frame f: mean(x) + mean(y) + 3f + mean(c)
+        w, h, n = m.width, m.height, m.n_frames
+        base = (w - 1) / 2 + (h - 1) / 2 + 1.0
+        exp_first, exp_last = base, base + 3 * (n - 1)
+        assert abs(s.first_frame_luma - exp_first) < 2.0, (i, s)
+        assert abs(s.last_frame_luma - exp_last) < 2.0, (i, s)
+        if n > 1:
+            assert s.last_frame_luma > s.first_frame_luma
+        exp_mean = base + 3 * (n - 1) / 2
+        assert abs(s.mean_luma - exp_mean) < 2.0
+
+
+def test_video_decode_rejects_malformed(spark):
+    from spark_monotasks_spark.pipeline.multimodal import (
+        decode_avi_frames, decode_avi_meta, encode_avi_mjpeg,
+    )
+    import numpy as np
+
+    assert decode_avi_meta(b"not an avi") is None
+    assert decode_avi_frames(None) is None
+    frame = np.zeros((16, 16, 3), dtype=np.uint8)
+    good = encode_avi_mjpeg([frame])
+    assert decode_avi_meta(good)["n_frames"] == 1
+    assert decode_avi_frames(good[:40]) is None  # truncated movi
+    with pytest.raises(ValueError):
+        encode_avi_mjpeg([])

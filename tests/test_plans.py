@@ -558,6 +558,8 @@ def test_no_row_python_udfs_across_catalog(spark):
     arrow_allow = {
         "media_meta_extract", "image_pixel_stats", "audio_sample_stats",
         "jpeg_decode_stats",      # binary codecs — numpy-vectorized
+        "video_probe_meta",       # RIFF container walk (binary codec)
+        "video_frame_stats",      # MJPEG frame decode (binary codec)
         "bdb_q4_transform",       # SELECT TRANSFORM external script
         "embedding_normalize_arrow",  # mapInArrow zero-copy demo
         "udaf_weighted_mean",     # pandas grouped-agg UDAF parity demo
