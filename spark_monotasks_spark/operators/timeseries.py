@@ -68,3 +68,45 @@ def resample_ffill(
         F.last("obs_value", ignorenulls=True).over(w_fill).alias("value"),
         F.col("obs_value").isNull().alias("filled"),
     )
+
+
+def ohlc_resample(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    keys: list[str],
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """OHLC downsampling (the financial/metrics resampling staple):
+    per key and time bucket — open (value at the earliest row), high,
+    low, close (value at the latest row), n.
+
+    Determinism: ties on the timestamp are broken by the value itself
+    (rank on ``(ts, value)`` asc for open, desc for close), so the
+    result is a pure function of the row SET — engine-reproducible,
+    unlike bare first/last over an arbitrary partition order.
+
+    Scale shape: ONE Exchange on (keys, bucket) serves both rank
+    windows and the final aggregate (Catalyst reuses the
+    partitioning); high/low/n fold into the same grouped pass."""
+    b = F.window(F.col(ts_col), bucket).getField("start").alias("bucket")
+    base = df.select(*keys, F.col(ts_col).alias("_ts"),
+                     F.col(value_col).cast("double").alias("_v"), b)
+    w_a = Window.partitionBy(*keys, "bucket").orderBy("_ts", "_v")
+    w_d = Window.partitionBy(*keys, "bucket").orderBy(
+        F.col("_ts").desc(), F.col("_v").desc()
+    )
+    ranked = base.select(
+        *keys,
+        "bucket",
+        "_v",
+        F.row_number().over(w_a).alias("_ra"),
+        F.row_number().over(w_d).alias("_rd"),
+    )
+    return ranked.groupBy(*keys, "bucket").agg(
+        F.max(F.when(F.col("_ra") == 1, F.col("_v"))).alias("open"),
+        F.max("_v").alias("high"),
+        F.min("_v").alias("low"),
+        F.max(F.when(F.col("_rd") == 1, F.col("_v"))).alias("close"),
+        F.count(F.lit(1)).alias("n"),
+    )

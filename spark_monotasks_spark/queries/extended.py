@@ -832,6 +832,63 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+@register(
+    "kafka_decode_path",
+    oracle="""
+    SELECT CAST(user_id % 8 AS INT) AS partition,
+           count(*) AS n_records,
+           count(DISTINCT user_id) AS n_users,
+           round(sum(round(value, 2)), 2) AS total_v
+    FROM events WHERE user_id % 50 != 0
+    GROUP BY 1
+    """,
+)
+def kafka_decode_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Kafka DECODE path, driver-visible (SURVEY §2.10 row 67: the
+    live socket needs the external package this offline container
+    cannot fetch, but the decode layer is connector-independent):
+    events are re-shaped into the connector's exact record schema —
+    key/value as REAL binary columns, value carrying a JSON payload,
+    with 1-in-50 rows deliberately corrupt ('{not json') — then run
+    through dstream.kafka_decode(value_schema, drop_corrupt=True):
+    binary→UTF-8, typed from_json with corrupt-record detection, and
+    metadata carried through.  The oracle states the expected surviving
+    payload aggregate per partition, so a wrong cast, a silently
+    null-parsed corrupt row, or dropped metadata all break the hash."""
+    from spark_monotasks_spark.streaming import dstream
+
+    e = tables.load_tables(spark, sf_dir)["events"]
+    payload = F.to_json(
+        F.struct(
+            F.col("user_id"),
+            F.col("event_type"),
+            F.round("value", 2).alias("v"),
+        )
+    )
+    records = e.select(
+        F.col("user_id").cast("string").cast("binary").alias("key"),
+        F.when(F.col("user_id") % 50 == 0, F.lit("{not json"))
+        .otherwise(payload)
+        .cast("binary")
+        .alias("value"),
+        F.lit("events").alias("topic"),
+        (F.col("user_id") % 8).cast("int").alias("partition"),
+        F.col("ts").cast("timestamp").cast("long").alias("offset"),
+        F.col("ts").cast("timestamp").alias("timestamp"),
+        F.lit(0).cast("int").alias("timestampType"),
+    )
+    decoded = dstream.kafka_decode(
+        records,
+        value_schema="user_id bigint, event_type string, v double",
+        drop_corrupt=True,
+    )
+    return decoded.groupBy("partition").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("v"), 2).alias("total_v"),
+    )
+
+
 # --- UDAF / UDTF / percentile — SURVEY §2.11 ------------------------------
 
 @register(
@@ -2220,3 +2277,40 @@ def rdd_take_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("o_orderkey").alias("n_distinct"),
         (F.min("o_orderkey") >= 0).alias("in_domain"),
     )
+
+
+@register(
+    "ohlc_hourly_events",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS bucket,
+             ts, value AS v
+      FROM events
+    ), r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_type, bucket
+                                ORDER BY ts, v) AS ra,
+             row_number() OVER (PARTITION BY event_type, bucket
+                                ORDER BY ts DESC, v DESC) AS rd
+      FROM b
+    )
+    SELECT event_type, bucket,
+           max(CASE WHEN ra = 1 THEN v END) AS open,
+           max(v) AS high,
+           min(v) AS low,
+           max(CASE WHEN rd = 1 THEN v END) AS close,
+           count(*) AS n
+    FROM r GROUP BY event_type, bucket
+    """,
+)
+def ohlc_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling (operators.timeseries.ohlc_resample): hourly
+    open/high/low/close/count of the event value per event type —
+    open/close are rank-selected EXACT data values ((ts, value) order,
+    deterministic under timestamp ties), so no rounding is needed
+    anywhere and the oracle must match bit-for-bit.  One Exchange on
+    (event_type, bucket) serves both rank windows and the aggregate."""
+    from spark_monotasks_spark.operators.timeseries import ohlc_resample
+
+    e = tables.load_tables(spark, sf_dir)["events"]
+    return ohlc_resample(e, "ts", "value", ["event_type"], "1 hour")

@@ -875,3 +875,28 @@ def test_iqr_outlier_screen_hand_example(spark):
 
     with pytest.raises(ValueError):
         iqr_outlier_screen(df, "v", ["grp"], "id", k=-1.0)
+
+
+def test_ohlc_resample_hand_example(spark):
+    from spark_monotasks_spark.operators.timeseries import ohlc_resample
+
+    rows = [
+        ("a", "2024-01-01 10:05:00", 5.0),
+        ("a", "2024-01-01 10:10:00", 9.0),
+        ("a", "2024-01-01 10:50:00", 2.0),
+        ("a", "2024-01-01 11:01:00", 7.0),
+        # tie on ts: open must pick the SMALLER value (deterministic)
+        ("b", "2024-01-01 10:00:00", 4.0),
+        ("b", "2024-01-01 10:00:00", 3.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string, v double").select(
+        "k", F.col("ts").cast("timestamp").alias("ts"), "v"
+    )
+    out = {(r.k, str(r.bucket)): r for r in ohlc_resample(
+        df, "ts", "v", ["k"], "1 hour").collect()}
+    a10 = out[("a", "2024-01-01 10:00:00")]
+    assert (a10.open, a10.high, a10.low, a10.close, a10.n) == (5.0, 9.0, 2.0, 2.0, 3)
+    a11 = out[("a", "2024-01-01 11:00:00")]
+    assert (a11.open, a11.close, a11.n) == (7.0, 7.0, 1)
+    b10 = out[("b", "2024-01-01 10:00:00")]
+    assert (b10.open, b10.close) == (3.0, 4.0)  # tie -> value-ordered
