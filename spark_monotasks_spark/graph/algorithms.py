@@ -568,3 +568,68 @@ def strongly_connected_components(
         "rounds — raise max_rounds (each round resolves at least the SCC of "
         "the minimum remaining vertex)"
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    sources: list[int],
+    num_iters: int = 5,
+    reset_prob: float = 0.15,
+    round_to: int | None = 6,
+    reliable: bool = False,
+) -> DataFrame:
+    """lib/PageRank.scala runWithOptions(srcId) — personalized variant:
+    the random surfer teleports ONLY to the source set, so rank mass
+    measures proximity to the sources (the recommendation/seed-expansion
+    primitive).  rank_v = (reset·[v ∈ S]) + (1-reset)·Σ in-contribs;
+    init mass 1.0 on each source, 0 elsewhere.
+
+    Same iterative join/groupBy shape and barrier policy as
+    :func:`pagerank`; the source membership test is a broadcast literal
+    IN-list (bounded seed sets — the PPR use case)."""
+    if not sources:
+        raise ValueError("personalized_pagerank needs at least one source")
+    edges = edges.select("src", "dst")
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionAll(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    out_deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("out_degree")
+    )
+    contrib_edges = barrier(
+        edges.join(out_deg.withColumnRenamed("id", "src"), on="src")
+        .select("src", "dst", (F.lit(1.0) / F.col("out_degree")).alias("weight")),
+        reliable,
+    )
+    src_ids = [int(s) for s in sources]
+    is_src = F.col("id").isin(src_ids)
+    ranks = verts.select(
+        "id", F.when(is_src, F.lit(1.0)).otherwise(F.lit(0.0)).alias("rank")
+    )
+    for _ in range(num_iters):
+        msgs = (
+            contrib_edges.join(ranks.withColumnRenamed("id", "src"), on="src")
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("rank") * F.col("weight")).alias("msg"),
+            )
+            .groupBy("id")
+            .agg(F.sum("msg").alias("msg"))
+        )
+        ranks = barrier(
+            verts.join(msgs, on="id", how="left")
+            .select(
+                "id",
+                (
+                    F.when(is_src, F.lit(reset_prob)).otherwise(F.lit(0.0))
+                    + F.lit(1.0 - reset_prob)
+                    * F.coalesce(F.col("msg"), F.lit(0.0))
+                ).alias("rank"),
+            ),
+            reliable,
+        )
+    if round_to is not None:
+        ranks = ranks.select("id", F.round("rank", round_to).alias("rank"))
+    return ranks

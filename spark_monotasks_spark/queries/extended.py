@@ -2314,3 +2314,72 @@ def ohlc_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = tables.load_tables(spark, sf_dir)["events"]
     return ohlc_resample(e, "ts", "value", ["event_type"], "1 hour")
+
+
+#: PPR seed customers for graph_personalized_pagerank — fixed literals
+#: present at every test SF.
+_PPR_SOURCES = (1, 7)
+
+
+def _ppr_oracle_sql(sources=_PPR_SOURCES, iters: int = 5) -> str:
+    """graph_personalized_pagerank oracle: the same shipment graph and
+    iteration algebra as graph_pagerank's CTE chain, with reset mass
+    confined to the literal source set (rendered, not hand-unrolled)."""
+    src_list = ", ".join(str(s) for s in sources)
+    out = [
+        f"""
+    WITH edges0 AS (
+      SELECT DISTINCT l_suppkey + 1000000000000 AS src, o_custkey AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), verts AS (
+      SELECT src AS id FROM edges0 UNION SELECT dst FROM edges0
+    ), outdeg AS (
+      SELECT src, count(*) AS d FROM edges0 GROUP BY src
+    ), edges AS (
+      SELECT e.src, e.dst, 1.0 / d AS w FROM edges0 e JOIN outdeg USING (src)
+    ), r0 AS (
+      SELECT id, CASE WHEN id IN ({src_list}) THEN 1.0 ELSE 0.0 END AS rank
+      FROM verts
+    )"""
+    ]
+    for k in range(1, iters + 1):
+        out.append(
+            f""", r{k} AS (
+      SELECT v.id,
+             CASE WHEN v.id IN ({src_list}) THEN 0.15 ELSE 0.0 END
+             + 0.85 * coalesce(m.s, 0.0) AS rank
+      FROM verts v
+      LEFT JOIN (SELECT e.dst AS id, sum(r{k - 1}.rank * e.w) AS s
+                 FROM edges e JOIN r{k - 1} ON r{k - 1}.id = e.src
+                 GROUP BY e.dst) m
+        ON m.id = v.id
+    )"""
+        )
+    return "".join(out) + f"""
+    SELECT id, round(rank, 6) AS rank FROM r{iters}
+    """
+
+
+@register("graph_personalized_pagerank", oracle=_ppr_oracle_sql())
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (graphx lib/PageRank.scala
+    runWithOptions(srcId) — the seed-expansion/recommendation variant):
+    the surfer teleports only to customers {1, 7}, so rank measures
+    proximity to those seeds over the supplier→customer shipment
+    graph.  Same iterative join/groupBy supersteps and barrier policy
+    as graph_pagerank; fully oracle-backed — 5 iterations unroll to a
+    rendered CTE chain with the reset mass confined to the literal
+    seed set, round(6) absorbing fp sum-order ulps."""
+    from spark_monotasks_spark.graph.algorithms import personalized_pagerank
+
+    t = _t(spark, sf_dir)
+    edges = (
+        t["lineitem"]
+        .join(t["orders"], t["lineitem"].l_orderkey == t["orders"].o_orderkey)
+        .select(
+            (F.col("l_suppkey") + 1_000_000_000_000).alias("src"),
+            F.col("o_custkey").alias("dst"),
+        )
+        .distinct()
+    )
+    return personalized_pagerank(edges, list(_PPR_SOURCES), num_iters=5)

@@ -519,3 +519,22 @@ def test_svdpp_one_iteration_matches_hand_computation(spark):
             for a, b in zip(r.y, e["y"])
         ), (r.id, "y", list(r.y), e["y"])
         assert math.isclose(r.bias, e["bias"], rel_tol=1e-9)
+
+
+def test_personalized_pagerank_concentrates_on_seed(spark):
+    """PPR on a star: seed at the hub — rank mass stays near the hub;
+    a far leaf of a chain gets less than a near one; non-seed graph
+    with no path from seed gets zero."""
+    from spark_monotasks_spark.graph.algorithms import personalized_pagerank
+
+    # chain 1->2->3->4 plus isolated pair 10->11
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "src long, dst long"
+    )
+    r = {row.id: row.rank for row in
+         personalized_pagerank(edges, [1], num_iters=8).collect()}
+    assert r[1] > r[2] > r[3] > r[4] > 0
+    assert r[10] == 0.0 and r[11] == 0.0  # unreachable from the seed
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        personalized_pagerank(edges, [])
