@@ -774,6 +774,59 @@ def unigram_logprob_score(
     )
 
 
+def bigram_logprob_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-doc mean CONDITIONAL bigram log-probability under the
+    corpus's own add-alpha-smoothed bigram model — the second-order
+    companion of :func:`unigram_logprob_score` (the CCNet-style
+    perplexity filter): token soup with plausible unigrams but
+    implausible transitions ("the the of and") scores low here while
+    passing the unigram screen.
+
+    logp(w₂|w₁) = ln((c(w₁w₂) + α) / (c₁(w₁) + α·V)) where c₁(w₁) is
+    w₁'s PREFIX count (Σ_w c(w₁w)) and V the unigram vocabulary size;
+    the doc score is the mean over its bigrams.  Docs with fewer than
+    two tokens have no bigrams and score NULL.
+
+    Scale shape: one explode builds the bigram stream (shifted-slice
+    zip_with fold — no per-index lambda); the bigram table is a count
+    groupBy bounded by DISTINCT bigrams, and the prefix table derives
+    from it (vocabulary-bounded second groupBy, never a corpus rescan).
+    Neither join is forced broadcast: the bigram table outgrows a
+    broadcast at corpus scale, so AQE picks broadcast at small SF and
+    shuffle-hash at 100 TB.  Only the 1-row vocab total is an explicit
+    broadcast.  ln() differs across engines by ulps; round(4) of the
+    mean absorbs it (same contract as the unigram scorer)."""
+    toks = F.filter(tokens(F.col(text_col)), lambda x: x != "")
+    grams = df.select(F.col(id_col), F.explode(ngram_fold(toks, 2)).alias("g"))
+    bg = grams.groupBy("g").agg(F.count("*").alias("nb"))
+    c1 = bg.groupBy(F.substring_index("g", " ", 1).alias("_w1")).agg(
+        F.sum("nb").alias("n1")
+    )
+    vocab = df.select(F.explode(toks).alias("_t")).agg(
+        F.count_distinct("_t").alias("v")
+    )
+    scored = (
+        grams.withColumn("_w1", F.substring_index("g", " ", 1))
+        .join(bg, on="g")
+        .join(c1, on="_w1")
+        .crossJoin(F.broadcast(vocab))
+    )
+    logp = F.log(
+        (F.col("nb") + F.lit(alpha))
+        / (F.col("n1") + F.lit(alpha) * F.col("v"))
+    )
+    return df.select(id_col).join(
+        scored.groupBy(id_col).agg(F.round(F.avg(logp), 4).alias("logprob")),
+        on=id_col,
+        how="left",
+    )
+
+
 def stratified_sample_k(
     df: DataFrame,
     k: int,

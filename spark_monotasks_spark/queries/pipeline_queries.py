@@ -1058,6 +1058,55 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bigram_logprob_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x != '') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(t) >= 2
+               THEN list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i + 1])
+               ELSE [] END) AS g
+      FROM toks
+    ), bg AS (
+      SELECT g, count(*) AS nb FROM grams GROUP BY g
+    ), c1 AS (
+      SELECT split_part(g, ' ', 1) AS w1, CAST(sum(nb) AS BIGINT) AS n1
+      FROM bg GROUP BY 1
+    ), vocab AS (
+      SELECT count(DISTINCT u) AS v
+      FROM (SELECT unnest(t) AS u FROM toks)
+    ), per_doc AS (
+      SELECT doc_id,
+             round(avg(ln((nb + 0.5) / (n1 + 0.5 * v))), 4) AS logprob
+      FROM grams
+      JOIN bg USING (g)
+      JOIN c1 ON split_part(g, ' ', 1) = c1.w1
+      CROSS JOIN vocab
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id, p.logprob
+    FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    """,
+)
+def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-bigram LM quality score (pipeline.text.
+    bigram_logprob_score): per-doc mean ln P(w₂|w₁) under the corpus's
+    own add-0.5-smoothed bigram model with prefix-count denominators —
+    the second-order CCNet-style screen that catches plausible-unigram
+    /implausible-transition token soup.  Fully value-audited: the
+    oracle rebuilds bigram counts, prefix counts, vocabulary size, and
+    the smoothed means (round(4) absorbing ln/summation-order ulps,
+    same contract as unigram_logprob_score); docs with <2 tokens score
+    NULL in both engines."""
+    t = _t(spark, sf_dir)
+    return text.bigram_logprob_score(t["documents"])
+
+
+@register(
     "stratified_sample_k",
     oracle="""
     SELECT doc_id, source FROM (

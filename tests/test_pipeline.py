@@ -1000,6 +1000,26 @@ def test_unigram_logprob_orders_common_vs_rare(spark):
     assert all(v < 0 for v in got.values())
 
 
+def test_bigram_logprob_orders_transitions(spark):
+    # docs 1-2 share identical unigram content ("a b" ×4 worth of
+    # tokens) but doc 2 scrambles the transitions, so only the bigram
+    # score separates them; doc 3 is too short for any bigram → NULL;
+    # doc 4 is empty → NULL.
+    rows = [
+        (1, "a b a b a b a b"),
+        (2, "a a b b a a b b"),
+        (3, "solo"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.logprob for r in
+           text.bigram_logprob_score(df).collect()}
+    assert len(got) == 4
+    assert got[1] > got[2]
+    assert got[3] is None and got[4] is None
+    assert got[1] < 0 and got[2] < 0
+
+
 def test_fuzzy_pairs_requires_block(spark, docs_with_dups):
     with pytest.raises(ValueError, match="blocking"):
         dedup.fuzzy_pairs_levenshtein(docs_with_dups, block_col=None)
