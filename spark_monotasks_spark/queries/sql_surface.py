@@ -260,6 +260,51 @@ def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orc_partitioned_roundtrip",
+    oracle="""
+    SELECT l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)
+             AS sum_disc_price,
+           count(*) AS n
+    FROM lineitem WHERE l_returnflag = 'R'
+    GROUP BY l_linestatus
+    """,
+)
+def orc_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source + sink through a real write→read roundtrip (sources/
+    io.read_orc/write_orc — the reference's second Hive-module columnar
+    format beside parquet): lineitem is projected and written as ORC
+    partitioned by l_returnflag (hive-style `k=v` dirs), read back
+    filtered to one flag — the scan plans PartitionFilters and touches
+    only that directory — and aggregated.  The oracle computes the same
+    aggregate from the parquet original, so a value match proves the
+    ORC write→read path preserves doubles bit-exactly and strings
+    verbatim.  Path is keyed to sf_dir and overwritten each run — no
+    cross-run state."""
+    import hashlib
+    import os
+
+    from spark_monotasks_spark.sources import io as src_io
+
+    t = load_tables(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"/tmp/spark_graft_orc_{tag}"
+    li = t["lineitem"].select(
+        "l_quantity", "l_extendedprice", "l_discount",
+        "l_linestatus", "l_returnflag",
+    )
+    src_io.write_orc(li, base, mode="overwrite", partition_by=["l_returnflag"])
+    back = src_io.read_orc(spark, base).filter(F.col("l_returnflag") == "R")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return back.groupBy("l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
     "schema_evolution_merge",
     oracle="""
     SELECT o_orderstatus,

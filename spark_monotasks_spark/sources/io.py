@@ -87,6 +87,17 @@ def read_csv(
     return reader.options(**options).csv(path)
 
 
+def read_orc(
+    spark: SparkSession, path: str, merge_schema: bool = False
+) -> DataFrame:
+    """ORC scan — the reference's Hive-module columnar format beside
+    Parquet (sql/hive OrcRelation lineage; modern Spark's native
+    vectorized ORC reader).  Same lever set as the parquet scan:
+    predicate pushdown into ORC stripe/row-group statistics, column
+    pruning, and hive-style `k=v` partition discovery + pruning."""
+    return spark.read.option("mergeSchema", merge_schema).orc(path)
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,
@@ -146,6 +157,23 @@ def write_json(df: DataFrame, path: str, mode: SaveMode | str = SaveMode.ERROR_I
 
 def write_csv(df: DataFrame, path: str, mode: SaveMode | str = SaveMode.ERROR_IF_EXISTS, header: bool = True) -> None:
     df.write.mode(str(SaveMode(mode).value)).option("header", header).csv(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: SaveMode | str = SaveMode.ERROR_IF_EXISTS,
+    partition_by: Sequence[str] | None = None,
+    compression: str = "zstd",
+) -> None:
+    """ORC sink (counterpart of :func:`write_parquet`); ``partition_by``
+    writes hive-style `k=v` dirs so ORC readers get partition pruning."""
+    writer = df.write.mode(str(SaveMode(mode).value)).option(
+        "compression", compression
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
 
 
 def write_text(df: DataFrame, path: str, mode: SaveMode | str = SaveMode.ERROR_IF_EXISTS) -> None:

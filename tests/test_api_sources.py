@@ -185,6 +185,37 @@ def test_insert_into_dynamic_partition_sql(spark):
         spark.sql("DROP TABLE IF EXISTS t_part")
 
 
+def test_orc_roundtrip_pruning_and_pushdown(spark, tmp_path):
+    """ORC source+sink (sources/io.read_orc/write_orc): values survive
+    the roundtrip, a partition-column filter prunes at planning time,
+    and a data-column predicate pushes into the ORC reader."""
+    df = spark.range(200).select(
+        F.col("id").cast("long").alias("k"),
+        (F.col("id") % 4).cast("int").alias("part"),
+        (F.col("id") * 1.5).alias("x"),
+        F.concat(F.lit("s"), F.col("id")).alias("s"),
+    )
+    path = str(tmp_path / "orc_rt")
+    sio.write_orc(df, path, mode="overwrite", partition_by=["part"])
+
+    back = sio.read_orc(spark, path)
+    assert back.count() == 200
+    got = {(r.k, r.x, r.s) for r in back.filter("part = 2").collect()}
+    want = {(i, i * 1.5, f"s{i}") for i in range(200) if i % 4 == 2}
+    assert got == want
+
+    pruned = back.filter(F.col("part") == 2)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "part" in plan, plan
+
+    pushed = back.filter(F.col("k") >= 150).select("k")
+    plan = pushed._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "GreaterThanOrEqual" in plan.replace(
+        " ", ""
+    ), plan
+    assert pushed.count() == 50
+
+
 def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
     """JDBC source+sink end-to-end (reference jdbc/JDBCRDD.scala scan,
     DataFrame.scala:1260 insertIntoJDBC) against the Derby embedded
