@@ -295,7 +295,11 @@ def orc_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linestatus", "l_returnflag",
     )
     src_io.write_orc(li, base, mode="overwrite", partition_by=["l_returnflag"])
-    back = src_io.read_orc(spark, base).filter(F.col("l_returnflag") == "R")
+    # explicit schema: a zero-row corpus writes no ORC data files, and
+    # unlike parquet there is then nothing to infer from
+    back = src_io.read_orc(spark, base, schema=li.schema).filter(
+        F.col("l_returnflag") == "R"
+    )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return back.groupBy("l_linestatus").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),

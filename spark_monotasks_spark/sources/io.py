@@ -88,14 +88,23 @@ def read_csv(
 
 
 def read_orc(
-    spark: SparkSession, path: str, merge_schema: bool = False
+    spark: SparkSession,
+    path: str,
+    schema: Any | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """ORC scan — the reference's Hive-module columnar format beside
     Parquet (sql/hive OrcRelation lineage; modern Spark's native
     vectorized ORC reader).  Same lever set as the parquet scan:
     predicate pushdown into ORC stripe/row-group statistics, column
-    pruning, and hive-style `k=v` partition discovery + pruning."""
-    return spark.read.option("mergeSchema", merge_schema).orc(path)
+    pruning, and hive-style `k=v` partition discovery + pruning.
+    ``schema`` skips inference — required to read a directory a
+    zero-row write left without data files (ORC, unlike parquet, writes
+    no schema-bearing empty file)."""
+    reader = spark.read.option("mergeSchema", merge_schema)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
 
 
 def read_jdbc(

@@ -513,6 +513,8 @@ def test_no_hidden_cartesians_across_catalog(spark):
         # BNLJ with a single-row build is a broadcast scalar, not O(n^2)
         "ann_cosine_topk", "ann_ivf_topk",
         "unigram_logprob_score", "tfidf_exact_scores", "bm25_rank_query",
+        # 1-row broadcast vocab total, same shape as the unigram scorer
+        "bigram_logprob_score",
         "inverted_index_build",
         "e2e_training_pipeline", "analyze_table_stats",
         "tpch_q11_important_parts", "tpch_q22_idle_customers",
