@@ -140,6 +140,11 @@ HEADLINE = [
     # (single-Exchange rank + fence + count)
     "bpe_encode_tokens",
     "iqr_outlier_orders",
+    # added r5 (sixth batch): second-order LM quality scoring (bigram
+    # count + prefix-count joins, AQE-picked strategy) and the ORC
+    # write->read roundtrip (partitioned sink + pruned scan)
+    "bigram_logprob_score",
+    "orc_partitioned_roundtrip",
 ]
 
 
