@@ -57,6 +57,10 @@ LINEAR = [
     ("ann_pq_topk", 8.0, "O(n) encode scan + TakeOrdered"),
     ("bpe_encode_tokens", 8.0, "O(tokens) explode + vocab-sized folds"),
     ("iqr_outlier_orders", 8.0, "O(n) single-Exchange rank+fence"),
+    # r5 sixth batch: bigram LM scoring is explode + count joins over
+    # the gram stream; the ORC roundtrip is a linear write + pruned read
+    ("bigram_logprob_score", 8.0, "O(grams) explode + count joins"),
+    ("orc_partitioned_roundtrip", 8.0, "O(n) columnar write + pruned scan"),
 ]
 
 #: super-linear entries: bounded above by documented exponents, still
@@ -66,6 +70,9 @@ LINEAR = [
 SUPERLINEAR = [
     ("minhash_near_dups", 18.0, "~n^1.2 banding collisions"),
     ("contamination_check", 18.0, "~n log n n-gram join"),
+    # steady-state near-dup ingest: same banding-collision growth as
+    # minhash_near_dups plus the history probe (melted-key equi-join)
+    ("incremental_minhash_batch", 18.0, "~n^1.2 banding + history probe"),
 ]
 
 
