@@ -107,6 +107,30 @@ def read_orc(
     return reader.orc(path)
 
 
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = False,
+) -> DataFrame:
+    """Raw-file ingest (`binaryFile` source): one row per file with
+    (path, modificationTime, length, content) — how image/audio/video
+    corpora enter the multimodal pipeline before the decode UDFs
+    (pipeline/multimodal.py) take the `content` bytes.  ``glob`` filters
+    by filename pattern BEFORE listing completes (pathGlobFilter);
+    ``recursive`` descends nested dirs.  Spark parallelizes by file, so
+    at 100 TB the unit of work is one file — pack small media into
+    fewer, larger archives (or convert to parquet binary columns, the
+    repo's canonical layout) rather than scanning millions of tiny
+    files."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    return reader.load(path)
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,

@@ -185,6 +185,32 @@ def test_insert_into_dynamic_partition_sql(spark):
         spark.sql("DROP TABLE IF EXISTS t_part")
 
 
+def test_binary_files_source(spark, tmp_path):
+    """binaryFile raw-media ingest (sources/io.read_binary_files):
+    content bytes round-trip exactly, the glob filters at listing time,
+    and recursive lookup reaches nested dirs."""
+    (tmp_path / "a.png").write_bytes(b"\x89PNG\r\n\x1a\n" + b"x" * 10)
+    (tmp_path / "b.wav").write_bytes(b"RIFF" + b"y" * 20)
+    nested = tmp_path / "sub"
+    nested.mkdir()
+    (nested / "c.png").write_bytes(b"\x89PNG\r\n\x1a\n" + b"z" * 5)
+
+    flat = sio.read_binary_files(spark, str(tmp_path), glob="*.png")
+    rows = {r.path.rsplit("/", 1)[-1]: bytes(r.content) for r in flat.collect()}
+    assert set(rows) == {"a.png"}
+    assert rows["a.png"] == b"\x89PNG\r\n\x1a\n" + b"x" * 10
+    assert {f.name for f in flat.schema.fields} == {
+        "path", "modificationTime", "length", "content"
+    }
+
+    rec = sio.read_binary_files(spark, str(tmp_path), glob="*.png",
+                                recursive=True)
+    assert {r.path.rsplit("/", 1)[-1] for r in rec.collect()} == {
+        "a.png", "c.png"
+    }
+    assert [r.length for r in rec.orderBy("length").collect()] == [13, 18]
+
+
 def test_orc_roundtrip_pruning_and_pushdown(spark, tmp_path):
     """ORC source+sink (sources/io.read_orc/write_orc): values survive
     the roundtrip, a partition-column filter prunes at planning time,
