@@ -586,13 +586,24 @@ def personalized_pagerank(
 
     Same iterative join/groupBy shape and barrier policy as
     :func:`pagerank`; the source membership test is a broadcast literal
-    IN-list (bounded seed sets — the PPR use case)."""
+    IN-list (bounded seed sets — the PPR use case).
+
+    Isolated seeds: a source id that appears in NO edge still gets a
+    rank row (it holds its reset mass, ``reset_prob`` at convergence) —
+    the vertex set is edges' endpoints UNION the seed set, so a seed
+    absent from the graph is ranked rather than silently dropped."""
     if not sources:
         raise ValueError("personalized_pagerank needs at least one source")
     edges = edges.select("src", "dst")
+    src_ids = [int(s) for s in sources]
+    spark = edges.sparkSession
+    seed_rows = spark.createDataFrame(
+        [(s,) for s in src_ids], "id long"
+    ).select(F.col("id").cast(edges.schema["src"].dataType))
     verts = (
         edges.select(F.col("src").alias("id"))
         .unionAll(edges.select(F.col("dst").alias("id")))
+        .unionAll(seed_rows)
         .distinct()
     )
     out_deg = edges.groupBy(F.col("src").alias("id")).agg(
@@ -603,7 +614,6 @@ def personalized_pagerank(
         .select("src", "dst", (F.lit(1.0) / F.col("out_degree")).alias("weight")),
         reliable,
     )
-    src_ids = [int(s) for s in sources]
     is_src = F.col("id").isin(src_ids)
     ranks = verts.select(
         "id", F.when(is_src, F.lit(1.0)).otherwise(F.lit(0.0)).alias("rank")

@@ -77,11 +77,23 @@ def scd2_apply(
     - brand-new key → one open version inserts.
 
     Multiple updates for one key collapse to the latest ``ts_col``
-    first (window over the SMALL updates side only).  Scale shape: the
+    first (window over the SMALL updates side only); exact-``ts_col``
+    ties break deterministically by the tracked attribute values
+    (descending, nulls last), so the surviving version never depends on
+    partition order.  OUT-OF-ORDER updates — ``ts_col`` strictly before
+    the current version's ``valid_from`` — are dropped as stale no-ops
+    rather than applied: applying one would close the current version
+    with ``valid_to < valid_from`` (inverted history).  Late-arriving
+    backfill therefore needs a rebuild from the full update log, not
+    this incremental apply; the invariant ``valid_from <= valid_to``
+    holds on every closed row this function emits.  Scale shape: the
     dimension is touched by one broadcast join (change detection
     against current rows) + one broadcast anti-join + union — the
     100 TB dimension never shuffles when the batch broadcasts."""
-    w = Window.partitionBy(*on).orderBy(F.col(ts_col).desc())
+    w = Window.partitionBy(*on).orderBy(
+        F.col(ts_col).desc(),
+        *[F.col(c).desc_nulls_last() for c in tracked],
+    )
     latest = (
         updates.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -104,7 +116,9 @@ def scd2_apply(
     for c in tracked:
         eq = F.col(c).eqNullSafe(F.col(f"_new_{c}"))
         cond = eq if cond is None else (cond & eq)
-    changed = matched.filter(~cond)
+    # stale guard: an update older than the open version would invert
+    # history (valid_to < valid_from) — treat it as a no-op instead
+    changed = matched.filter(~cond & (F.col(ts_col) >= F.col(from_col)))
 
     # Rows of `current` being superseded, closed at the update ts.
     closed = changed.select(

@@ -856,9 +856,13 @@ def melted_minhash_signatures(
     h0..h7 projection re-evaluates the per-family md5 8×), digest each
     row once, posexplode the 8 affine values, and let the partial
     ``min`` collapse map-side — measured ~2.2× faster than the
-    ``"md5"`` family at sf0.1 with identical estimator quality (a + i·b
-    is the standard universal family; distinct-shingle minima stay
-    pairwise-independent across i)."""
+    ``"md5"`` family at sf0.1.  Caveat: because ``a`` and ``b`` derive
+    from ONE digest, the families are statistically correlated (not
+    pairwise-independent like ``num_hashes`` independent hashes), which
+    in principle weakens a k-of-n vote's discrimination; on the test
+    corpora the match sets are measured identical to the independent
+    ``"md5"`` family (tests/test_pipeline.py), and the fully
+    independent families remain available where that margin matters."""
     if family == "xxhash64":
         sigs = minhash_signatures(
             df, id_col, text_col, shingle_k=shingle_k, num_hashes=num_hashes

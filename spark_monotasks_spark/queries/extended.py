@@ -800,10 +800,22 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tables.ensure_parity_confs(spark)
     stage = tempfile.mkdtemp(prefix="stream_dedup_")
-    os.symlink(
-        os.path.abspath(os.path.join(sf_dir, "events.parquet")),
-        os.path.join(stage, "events.parquet"),
-    )
+    src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
+    if os.path.isfile(src):
+        os.symlink(src, os.path.join(stage, "events.parquet"))
+    else:
+        # multi-part dataset: maxFilesPerTrigger=1 would split it into
+        # several micro-batches and watermark expiry could re-emit keys
+        # — restage as ONE data file so the one-micro-batch precondition
+        # of the hash-equal-to-DISTINCT guarantee is enforced, not
+        # assumed
+        dst = os.path.join(stage, "events.parquet")
+        spark.read.parquet(src).coalesce(1).write.mode("overwrite").parquet(dst)
+        parts = [f for f in os.listdir(dst) if f.endswith(".parquet")]
+        if len(parts) != 1:
+            raise AssertionError(
+                f"single-file staging produced {len(parts)} data files"
+            )
     stream = dstream.file_stream(
         spark,
         stage,

@@ -280,32 +280,41 @@ def orc_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     only that directory — and aggregated.  The oracle computes the same
     aggregate from the parquet original, so a value match proves the
     ORC write→read path preserves doubles bit-exactly and strings
-    verbatim.  Path is keyed to sf_dir and overwritten each run — no
-    cross-run state."""
-    import hashlib
-    import os
+    verbatim.  The staging directory is per-run (mkdtemp — two
+    concurrent harnesses on the same dataset cannot race) and removed
+    in a finally block; the tiny aggregate is localCheckpoint-pinned
+    first so the returned DataFrame outlives the deleted files."""
+    import shutil
+    import tempfile
 
     from spark_monotasks_spark.sources import io as src_io
 
     t = load_tables(spark, sf_dir)
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    base = f"/tmp/spark_graft_orc_{tag}"
+    base = tempfile.mkdtemp(prefix="spark_graft_orc_")
     li = t["lineitem"].select(
         "l_quantity", "l_extendedprice", "l_discount",
         "l_linestatus", "l_returnflag",
     )
-    src_io.write_orc(li, base, mode="overwrite", partition_by=["l_returnflag"])
-    # explicit schema: a zero-row corpus writes no ORC data files, and
-    # unlike parquet there is then nothing to infer from
-    back = src_io.read_orc(spark, base, schema=li.schema).filter(
-        F.col("l_returnflag") == "R"
-    )
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return back.groupBy("l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-        F.count("*").alias("n"),
-    )
+    try:
+        src_io.write_orc(
+            li, base, mode="overwrite", partition_by=["l_returnflag"]
+        )
+        # explicit schema: a zero-row corpus writes no ORC data files,
+        # and unlike parquet there is then nothing to infer from
+        back = src_io.read_orc(spark, base, schema=li.schema).filter(
+            F.col("l_returnflag") == "R"
+        )
+        disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        agg = back.groupBy("l_linestatus").agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.count("*").alias("n"),
+        )
+        # eager pin (≤|distinct linestatus| rows in executor storage):
+        # the partitioned scan + pruning runs HERE, against live files
+        return agg.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 @register(
