@@ -124,9 +124,14 @@ HEADLINE = [
     # projection and the broadcast-semi domain-blocklist filter
     "clean_text_normalize",
     "url_blocklist_filter",
-    # added r5 (third batch): steady-state near-dup ingest against the
-    # persistent signature store (history text never rescanned)
-    "incremental_minhash_batch",
+    # added r5 (third batch, re-pointed r6): steady-state near-dup
+    # ingest against the persistent signature store (history text never
+    # rescanned).  The bench times the xxhash64 SCALE path — the form a
+    # production ingest runs every batch; the ~2× dearer md5affine
+    # audit twin (incremental_minhash_batch) stays in the correctness
+    # window where its recursive-CTE oracle value-proves the shared
+    # pipeline (r5 verdict finding #1)
+    "incremental_minhash_scale",
     # added r5 (fourth batch): warehouse-maintenance + compressed-ANN
     # families — SCD2 versioning (broadcast close-and-open), single-pass
     # constraint profiling (Expand distinct aggregates), PQ ADC top-k

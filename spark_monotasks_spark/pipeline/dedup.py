@@ -110,38 +110,65 @@ def minhash_signatures(
     no explode, no groupBy, nothing shuffles — at 100 TB the only cost
     is the corpus scan itself.
 
-    Two earlier shapes measured slower at sf0.1/local[32]: explode to
-    (id, shingle, i) rows + two groupBys (~3.7 s — |docs|×|shingles|×
-    num_hashes rows through a shuffle, and it re-hashed the shingle
-    STRING num_hashes times), and ``xxhash64(h0, i)`` inside the nested
-    lambda (~9 s — higher-order lambdas evaluate interpreted per
-    element, so keep the inner expression to a multiply-add).  This form
-    is ~1.6 s cold / 0.6 s warm.
+    Shape (r6): explode to (id, shingle) rows, hash ONCE with codegen
+    ``xxhash64``, then ONE hash aggregate computing all ``num_hashes``
+    minima as conditional-free ``min(h*a_i + b_i)`` expressions —
+    whole-stage-compiled end to end.  The map-side partial aggregate
+    collapses each doc to ``num_hashes`` longs before the exchange
+    (street price ~8·num_hashes bytes/doc — trivial beside the corpus
+    scan), and the interpreted-lambda cost of the earlier zero-shuffle
+    array-fold is gone: measured 1.26 s vs 1.70 s warm (2.3× cold) at
+    sf0.1/64 hashes.  Shapes that measured slower: per-family
+    ``array_min(transform(...))`` folds (interpreted per element),
+    (id, shingle, i) explode through TWO groupBys (~3.7 s —
+    num_hashes× row blowup through a shuffle), and ``xxhash64(h0, i)``
+    inside a nested lambda (~9 s).  ``keep_shingles=True`` keeps the
+    row-local array-fold form (the shingle array must ride along).
     """
     df = _spread(df)
     sh = shingles(F.col(text_col), k=shingle_k)
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(sh, lambda s: F.xxhash64(s)).alias("_h0"),
-        *([sh.alias("sh")] if keep_shingles else []),
-    )
-
-    def rehash(a: int, b: int):
-        return lambda h: h * F.lit(a) + F.lit(b)
-
     rng = random.Random(_REHASH_SEED)
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    F.col("_h0"),
-                    rehash(rng.randrange(1, 1 << 61) | 1, rng.randrange(1, 1 << 61)),
-                )
-            )
-            for _ in range(num_hashes)
-        ]
-    ).alias("sig")
-    return base.select("id", sig, *(["sh"] if keep_shingles else []))
+    ab = [
+        (rng.randrange(1, 1 << 61) | 1, rng.randrange(1, 1 << 61))
+        for _ in range(num_hashes)
+    ]
+    if keep_shingles:
+        base = df.select(
+            F.col(id_col).alias("id"),
+            F.transform(sh, lambda s: F.xxhash64(s)).alias("_h0"),
+            sh.alias("sh"),
+        )
+
+        def rehash(a: int, b: int):
+            return lambda h: h * F.lit(a) + F.lit(b)
+
+        sig = F.array(
+            *[
+                F.array_min(F.transform(F.col("_h0"), rehash(a, b)))
+                for a, b in ab
+            ]
+        ).alias("sig")
+        return base.select("id", sig, "sh")
+    rows = df.select(F.col(id_col).alias("id"), F.explode_outer(sh).alias("_s"))
+    # xxhash64 ignores NULL inputs (hashes to the seed) — keep NULL
+    # shingles NULL so empty/NULL docs get [NULL, ...] signatures like
+    # the array_min form
+    h0 = F.when(F.col("_s").isNull(), F.lit(None).cast("long")).otherwise(
+        F.xxhash64(F.col("_s"))
+    )
+    hs = rows.select("id", h0.alias("_h"))
+    aggs = [
+        F.min(F.col("_h") * F.lit(a) + F.lit(b)).alias(f"_m{i}")
+        for i, (a, b) in enumerate(ab)
+    ]
+    return (
+        hs.groupBy("id")
+        .agg(*aggs)
+        .select(
+            "id",
+            F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("sig"),
+        )
+    )
 
 
 def minhash_bands(sig: Column, num_bands: int = 16, rows_per_band: int = 4) -> Column:
@@ -830,6 +857,14 @@ def incremental_exact_dedup(
 # incremental NEAR-dup dedup against a persistent signature store
 # ---------------------------------------------------------------------------
 
+def md5mod_multipliers(n: int) -> list[int]:
+    """The md5mod family's fixed odd multipliers ``c_i < 2^20`` —
+    deterministic (seeded) so signatures stay joinable across runs and
+    so oracles can embed the same literals."""
+    rng = random.Random(_REHASH_SEED)
+    return [rng.randrange(1, 1 << 20) | 1 for _ in range(n)]
+
+
 def melted_minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -843,27 +878,38 @@ def melted_minhash_signatures(
     ``"xxhash64"`` (the zero-shuffle scale path,
     :func:`minhash_signatures`), ``"md5"`` (the engine-portable audit
     family, :func:`minhash_signatures_portable`, reproducible by the
-    DuckDB oracle byte-for-byte), or ``"md5affine"`` (portable AND
-    cheap: ONE md5 per shingle instead of ``num_hashes``, families
-    derived by a universal affine rehash).
+    DuckDB oracle byte-for-byte), or ``"md5mod"`` (portable AND cheap:
+    ONE md5 per shingle instead of ``num_hashes``, families derived by
+    per-family multiplicative permutations mod 2^40).
 
-    The md5affine family: digest = md5(shingle); ``a`` = first 12 hex
-    chars parsed base-16 (48 bits), ``b`` = next 12 hex chars | 1 (odd
-    multiplier); family ``i`` value = ``a + i*b`` — exact in signed
-    64-bit everywhere (``a,b < 2^48``, ``i ≤ 7`` ⇒ sum ``< 2^52``), so
-    any engine replays it from its md5 builtin.  Shape: explode to
-    (id, shingle) rows so the shingle array is built ONCE (the wide
-    h0..h7 projection re-evaluates the per-family md5 8×), digest each
-    row once, posexplode the 8 affine values, and let the partial
-    ``min`` collapse map-side — measured ~2.2× faster than the
-    ``"md5"`` family at sf0.1.  Caveat: because ``a`` and ``b`` derive
-    from ONE digest, the families are statistically correlated (not
-    pairwise-independent like ``num_hashes`` independent hashes), which
-    in principle weakens a k-of-n vote's discrimination; on the test
-    corpora the match sets are measured identical to the independent
-    ``"md5"`` family (tests/test_pipeline.py), and the fully
-    independent families remain available where that margin matters."""
+    The md5mod family (r6 — replaces r5's "md5affine"): ``h`` = first
+    10 hex chars of md5(shingle) parsed base-16 (40 bits); family
+    ``i`` value = ``(c_i * h) mod 2^40`` with fixed odd multipliers
+    ``c_i < 2^20`` (:func:`md5mod_multipliers`) — the product stays
+    below 2^60, so the arithmetic is exact signed-64-bit in every
+    engine (DuckDB: ``(c * CAST('0x'||substr(md5(x),1,10) AS BIGINT))
+    % 1099511627776``).  Odd ``c`` makes each family a BIJECTION of
+    Z_2^40 — an independent multiplicative permutation of the uniform
+    digest values, the same structure as the xxhash64 scale family's
+    per-index odd-multiplier rehash.  r5's "md5affine" family
+    (``a + i*b`` from the digest halves) was structurally unsound for
+    k-of-n voting: family minima follow the LOWER ENVELOPE of lines in
+    ``i``, so neighboring families usually share a winning shingle and
+    the 4-of-8 vote fired in correlated bursts — at sf0.001 it decided
+    57 of ~230 survivor calls differently from the independent
+    families, while md5mod and the 8-digest "md5" family agree with
+    xxhash64 exactly (pinned by
+    tests/test_pipeline.py::test_incremental_minhash_family_equivalence_corpus).
+    Shape: explode to (id, shingle) rows so the shingle array is built
+    ONCE (the wide h0..h7 projection re-evaluates the per-family md5
+    8×), digest each row once, posexplode the ``num_hashes`` modular
+    products, and let the partial ``min`` collapse map-side — one
+    digest per shingle vs the ``"md5"`` family's ``num_hashes``."""
     if family == "xxhash64":
+        # minhash_signatures' r6 explode→codegen-hash→one-agg shape
+        # (measured 3× faster than the r5 interpreted array-fold at
+        # sf0.1/8 families); posexplode AFTER the aggregate so the
+        # exchange carries one num_hashes-long array per doc
         sigs = minhash_signatures(
             df, id_col, text_col, shingle_k=shingle_k, num_hashes=num_hashes
         )
@@ -883,25 +929,24 @@ def melted_minhash_signatures(
         return sigs.select("id", fh.alias("fh")).select(
             "id", F.col("fh.fam").alias("fam"), F.col("fh.h").alias("h")
         )
-    if family == "md5affine":
+    if family == "md5mod":
         sh = shingles(F.col(text_col), k=shingle_k)
         # explode_outer: a NULL-text doc keeps its (fam, NULL) rows,
         # matching the wide families' array_min(NULL) = NULL semantics
         rows = df.select(F.col(id_col).alias("id"), F.explode_outer(sh).alias("_s"))
         d = F.md5(F.col("_s").cast("binary"))
-        ab = rows.select(
+        hs = rows.select(
             "id",
-            F.conv(F.substring(d, 1, 12), 16, 10).cast("long").alias("_a"),
-            F.conv(F.substring(d, 13, 12), 16, 10)
-            .cast("long")
-            .bitwiseOR(F.lit(1))
-            .alias("_b"),
+            F.conv(F.substring(d, 1, 10), 16, 10).cast("long").alias("_h"),
         )
-        fams = F.array(
-            *[(F.col("_a") + F.lit(i) * F.col("_b")) for i in range(num_hashes)]
+        mods = F.array(
+            *[
+                (F.lit(c) * F.col("_h")) % F.lit(1 << 40)
+                for c in md5mod_multipliers(num_hashes)
+            ]
         )
         return (
-            ab.select("id", F.posexplode(fams).alias("fam", "h"))
+            hs.select("id", F.posexplode(mods).alias("fam", "h"))
             .groupBy("id", "fam")
             .agg(F.min("h").alias("h"))
         )

@@ -1496,7 +1496,7 @@ def inc_minhash_corpus(spark):
     return hist, batch
 
 
-@pytest.mark.parametrize("family", ["xxhash64", "md5"])
+@pytest.mark.parametrize("family", ["xxhash64", "md5", "md5mod"])
 def test_incremental_minhash_dedup(spark, inc_minhash_corpus, family):
     hist, batch = inc_minhash_corpus
     store = dedup.melted_minhash_signatures(hist, family=family)
@@ -1512,6 +1512,24 @@ def test_incremental_minhash_dedup(spark, inc_minhash_corpus, family):
     surv2, _ = dedup.incremental_minhash_dedup(
         batch, store2, min_matches=4, family=family)
     assert surv2.count() == 0
+
+
+def test_incremental_minhash_family_equivalence_corpus(spark):
+    """The benched xxhash64 scale path and the oracle-gated md5mod
+    audit family must pick the SAME survivor set on a real corpus —
+    the claim that lets the bench time one while the driver
+    value-proves the other (r6; sf0.001 odd/even split, the catalog
+    entries' exact shape)."""
+    from tests.conftest import SF_TEST_DIR
+
+    from spark_monotasks_spark.queries import QUERY_REGISTRY
+
+    scale = QUERY_REGISTRY["incremental_minhash_scale"](spark, SF_TEST_DIR)
+    audit = QUERY_REGISTRY["incremental_minhash_batch"](spark, SF_TEST_DIR)
+    s_ids = sorted(r.doc_id for r in scale.collect())
+    a_ids = sorted(r.doc_id for r in audit.collect())
+    assert s_ids, "degenerate 0-survivor result"
+    assert s_ids == a_ids
 
 
 def test_incremental_minhash_first_batch_no_store(spark, inc_minhash_corpus):
