@@ -569,25 +569,66 @@ def repetition_stats(
     lose to Tungsten's compiled hash aggregate).
 
     ``hash_grams=True`` is the 100 TB path: grams become int64 BEFORE
-    the shuffle via the chained-``xxhash64`` fold (``ngram_hash_fold``
-    — no gram string is ever built), shrinking shuffle width ~2× and
-    measuring ~1.36× faster end-to-end at sf0.1 (median 1.41s vs 1.91s,
-    fresh-session isolation).  Counts can merge on a 64-bit collision
-    (probability ~grams²/2⁶⁴ per doc — ~1e-12 for 10⁴-gram docs), so
-    the exact string form stays the default and the oracle target;
-    tests assert both forms agree on the corpus.
+    the shuffle (no gram string is ever built), shrinking shuffle width
+    ~2×.  r6 moved the hashing out of the interpreted ``zip_with`` fold
+    (``ngram_hash_fold``) into a fully codegen shape — ``arrays_zip``
+    of the n shifted slices, explode, scalar chained ``xxhash64`` —
+    same hash values, measured warm median 1.45s vs 2.4s at sf0.1
+    (fresh-session isolation; the r4 ≤1.5s target).  Counts can merge
+    on a 64-bit collision (probability ~grams²/2⁶⁴ per doc — ~1e-12
+    for 10⁴-gram docs), so the exact string form stays the default and
+    the oracle target; tests assert both forms agree on the corpus.
     """
     toks = tokens(F.col(text_col))
     lines = F.split(F.col(text_col), "\n")
     dup_line_frac = F.round(
         1 - F.size(F.array_distinct(lines)) / F.size(lines), 4
     )
-    grams = ngram_hash_fold(toks, n) if hash_grams else ngram_fold(toks, n)
-    rows = df.select(
-        F.col(id_col),
-        dup_line_frac.alias("_dlf"),
-        F.explode_outer(grams).alias("_gram"),
-    )
+    if hash_grams:
+        # r6 shape: arrays_zip the n shifted slices (a codegen
+        # expression — no higher-order lambda), explode, and hash the
+        # struct fields with SCALAR chained xxhash64 in the same
+        # projection.  Values are identical to ngram_hash_fold's
+        # interpreted zip_with fold (same chain, same inputs), but
+        # every per-token operation stays whole-stage-compiled; the
+        # groupBy's map-side partial agg still means only (id, int64)
+        # rows reach the shuffle.
+        n_grams = F.greatest(F.size(toks) - n + 1, F.lit(0))
+        sliced = df.select(
+            F.col(id_col),
+            dup_line_frac.alias("_dlf"),
+            *[
+                F.slice(toks, 1 + i, n_grams).alias(f"_s{i}")
+                for i in range(n)
+            ],
+        )
+        zipped = sliced.select(
+            F.col(id_col),
+            "_dlf",
+            F.explode_outer(
+                F.arrays_zip(*[F.col(f"_s{i}") for i in range(n)])
+            ).alias("_z"),
+        )
+        acc = F.xxhash64(F.col("_z._s0")) if n == 1 else F.xxhash64(
+            F.col("_z._s0"), F.col("_z._s1")
+        )
+        for k in range(2, n):
+            acc = F.xxhash64(acc, F.col(f"_z._s{k}"))
+        rows = zipped.select(
+            F.col(id_col),
+            "_dlf",
+            # xxhash64 of an all-NULL struct row would yield the seed,
+            # not NULL — keep gram-less docs' sentinel NULL explicit
+            F.when(F.col("_z").isNull(), F.lit(None).cast("long"))
+            .otherwise(acc)
+            .alias("_gram"),
+        )
+    else:
+        rows = df.select(
+            F.col(id_col),
+            dup_line_frac.alias("_dlf"),
+            F.explode_outer(ngram_fold(toks, n)).alias("_gram"),
+        )
     per_gram = rows.groupBy(id_col, "_gram").agg(
         F.count("*").alias("_c"), F.first("_dlf").alias("_dlf")
     )
