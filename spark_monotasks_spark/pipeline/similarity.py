@@ -257,6 +257,53 @@ def ivf_index(
     return assigned, centroids
 
 
+def ivf_literal_centroids(
+    dim: int, n_lists: int = 8, seed: int = 5
+) -> list:
+    """Deterministic dyadic cell centroids [(cell_id, vector)] — the
+    literal counterpart of :func:`ivf_index`'s trained cells, for
+    exact cross-engine replay of the assign→probe→rank path (the PQ
+    dyadic-codebook playbook; same LCG construction as
+    :func:`pq_codebook`).  Production indexes train cells with
+    ivf_index; this exists so the IVF *serving* operators can be
+    value-audited end to end by an external SQL engine."""
+    state = (seed % 2147483646) + 1
+    cents = []
+    for i in range(n_lists):
+        vec = []
+        for _ in range(dim):
+            state = (state * 48271) % 2147483647
+            vec.append(((state % 16) - 8) / 8.0)
+        cents.append((i, vec))
+    return cents
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid cell (squared L2,
+    smallest cell id on ties via array_sort's struct ordering) — the
+    literal-centroid counterpart of ivf_index's ``model.transform``.
+    One linear projection; with dyadic centroids every distance is a
+    sum of exactly-representable doubles, so an external engine
+    reproduces the assignment bit-for-bit."""
+    pairs = F.array(
+        *[
+            F.struct(
+                _sq_dist(F.col(vec_col), vec).alias("d"),
+                F.lit(int(cid)).alias("c"),
+            )
+            for cid, vec in centroids
+        ]
+    )
+    return df.withColumn(
+        "cell", F.array_sort(pairs).getItem(0).getField("c")
+    )
+
+
 def ivf_topk(
     assigned: DataFrame,
     centroids: list,

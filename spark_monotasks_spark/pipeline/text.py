@@ -944,6 +944,64 @@ def weighted_sample_k(
     )
 
 
+def weighted_sample_k_pow2(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: str = "w1",
+    max_exp: int = 30,
+) -> DataFrame:
+    """:func:`weighted_sample_k` with weights quantized to powers of
+    two — the ENGINE-PORTABLE twin (r6, the temperature_mixture
+    IEEE-exactness playbook): w_q = 2^floor(log2 w), so the A-Res key
+    u^(1/w_q) is floor(log2 w) chained ``sqrt`` calls.  Every step —
+    the 48-bit md5 draw, the (u+1)/(2^48+2) division, each sqrt — is
+    an IEEE-754 correctly-rounded operation, so the keys (and hence
+    the top-k selection) are BIT-IDENTICAL in any IEEE engine; no
+    libm ``pow`` ulp wobble.  The exponent bucket is a literal
+    comparison chain (no log2 call, whose last-ulp could disagree at
+    exact powers of two).
+
+    Rows with NULL or < 1 weight are excluded (the quantization needs
+    w ≥ 1; the true-weight form handles (0, 1)).  Quantization coarsens
+    inclusion probabilities by at most 2× within a weight octave —
+    acceptable for curation mixes, and the price of exact cross-engine
+    replay; :func:`weighted_sample_k` remains the true-weight path.
+    """
+    u_int = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit(seed + "#"), F.col(id_col).cast("string")).cast(
+                    "binary"
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (u_int + 1.0) / float((1 << 48) + 2)  # strictly inside (0,1)
+    w = F.col(weight_col).cast("double")
+    # descending guard chain: first match wins = floor(log2 w)
+    exp_expr = F.when(w >= float(1 << max_exp), F.lit(max_exp))
+    for j in range(max_exp - 1, -1, -1):
+        exp_expr = exp_expr.when(w >= float(1 << j), F.lit(j))
+    chained = u
+    key = F.when(exp_expr == 0, chained)
+    for j in range(1, max_exp + 1):
+        chained = F.sqrt(chained)
+        key = key.when(exp_expr == j, chained)
+    return (
+        df.filter(w.isNotNull() & (w >= 1.0))
+        .withColumn("_skey", key)
+        .orderBy(F.col("_skey").desc(), F.col(id_col))
+        .limit(k)
+        .drop("_skey")
+    )
+
+
 def deterministic_shuffle(
     df: DataFrame,
     id_col: str = "doc_id",

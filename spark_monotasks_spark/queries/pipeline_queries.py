@@ -116,14 +116,33 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("rolling_fingerprints")  # xxhash64-based — rows-only
+@register(
+    "rolling_fingerprints",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ' '),
+                 t -> CAST(('0x' || substr(md5(t), 1, 12)) AS BIGINT))),
+             (acc, h) -> (acc * 31 + h) % 1099511627776) AS rhash
+    FROM documents
+    """,
+)
 def rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-sensitive rolling-hash fingerprint per document
-    (pipeline.text.rolling_fingerprint); permutation sensitivity and
-    determinism asserted in tests."""
+    """Order-sensitive rolling-hash fingerprint per document — fully
+    value-audited since r6 via the portable fold (pipeline.text.
+    rolling_fingerprint_portable): token hash = 48-bit md5 prefix,
+    h' = (h·31 + hash) mod 2^40, every intermediate below 2^54 so the
+    identical fold runs in DuckDB's exact bigint arithmetic
+    (list_prepend(0, ...) supplies the init element list_reduce
+    lacks).  The xxhash64 single-hash-call form
+    (text.rolling_fingerprint) remains the 100 TB scale path —
+    permutation sensitivity and determinism asserted in tests; the two
+    folds share shape exactly (only the token-hash primitive and the
+    explicit modulus differ)."""
     t = _t(spark, sf_dir)
     return t["documents"].select(
-        "doc_id", text.rolling_fingerprint("text").alias("rhash")
+        "doc_id", text.rolling_fingerprint_portable("text").alias("rhash")
     )
 
 
@@ -319,11 +338,96 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_ivf_topk")  # kmeans cells are float-iterative → rows-only
+def _ivf_oracle_sql(
+    dim: int = 64, n_lists: int = 8, seed: int = 5, qseed: int = 99,
+    n_probe: int = 3, k: int = 20,
+) -> str:
+    """ann_ivf_topk oracle: the dyadic literal centroids and query are
+    rendered as DOUBLE literals; assignment (argmin squared L2,
+    smallest cell on ties), the n_probe nearest-cell choice, and the
+    cosine re-rank are all replayed in SQL.  Every centroid/query
+    component is dyadic and every embedding value is a float (hence a
+    dyadic rational), so distances and the assignment are EXACT in
+    both engines; the final cosine is rounded to 4 like
+    ann_cosine_topk's."""
+    from spark_monotasks_spark.pipeline.similarity import (
+        ivf_literal_centroids, pq_query_vector,
+    )
+
+    cents = ivf_literal_centroids(dim, n_lists, seed)
+    qv = pq_query_vector(dim, qseed)
+    # probe-cell choice replicates ivf_topk's driver-side ranking
+    # (cosine desc, centroid order on ties) — literal inputs, so the
+    # chosen cells are knowable at oracle-build time and inlined
+    import math
+
+    def cos(c):
+        num = sum(a * b for a, b in zip(qv, c))
+        na = math.sqrt(sum(a * a for a in qv))
+        nb = math.sqrt(sum(b * b for b in c))
+        return num / (na * nb) if na and nb else 0.0
+
+    probe = [cell for cell, _ in sorted(cents, key=lambda t: -cos(t[1]))[:n_probe]]
+    d_exprs = []
+    for cid, vec in cents:
+        lits = "CAST([" + ",".join(repr(x) for x in vec) + "] AS DOUBLE[])"
+        d_exprs.append(
+            f"list_sum(list_transform(list_zip(embedding, {lits}),"
+            " x -> (CAST(x[1] AS DOUBLE) - x[2])"
+            f" * (CAST(x[1] AS DOUBLE) - x[2]))) AS d_{cid}"
+        )
+    whens = []
+    for c in range(n_lists - 1):
+        rest = [f"d_{cc}" for cc in range(c + 1, n_lists)]
+        cmp = f"least({', '.join(rest)})" if len(rest) > 1 else rest[0]
+        whens.append(f"WHEN d_{c} <= {cmp} THEN {c}")
+    cell_expr = "CASE " + " ".join(whens) + f" ELSE {n_lists - 1} END AS cell"
+    qlits = "CAST([" + ",".join(repr(x) for x in qv) + "] AS DOUBLE[])"
+    return f"""
+    WITH d AS (SELECT vec_id, embedding, {', '.join(d_exprs)} FROM embeddings),
+    assigned AS (SELECT vec_id, embedding, {cell_expr} FROM d),
+    cand AS (SELECT vec_id, embedding FROM assigned
+             WHERE cell IN ({', '.join(str(c) for c in probe)}))
+    SELECT vec_id,
+           round(
+             list_sum(list_transform(list_zip(embedding, {qlits}),
+                      p -> CAST(p[1] AS DOUBLE) * p[2]))
+             / (sqrt(list_sum(list_transform(embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform({qlits},
+                      x -> x * x)))), 4) AS sim
+    FROM cand ORDER BY sim DESC, vec_id LIMIT {k}
+    """
+
+
+@register("ann_ivf_topk", oracle=_ivf_oracle_sql())
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (similarity.ivf_index/ivf_topk): k-means cells + n_probe
-    nearest-cell scan — the data-adaptive counterpart to the LSH path;
-    planted-duplicate recall asserted in tests."""
+    """IVF ANN serving path, fully value-audited (similarity.
+    ivf_assign/ivf_topk over literal dyadic centroids — the PQ
+    playbook applied to IVF, r6): nearest-cell assignment, the
+    3-of-8 probe-cell choice, and the candidate-only cosine re-rank
+    are each replayed exactly by the DuckDB oracle.  The k-means
+    TRAINED index (ivf_index) stays the production build path and is
+    exercised by ann_ivf_kmeans_topk (rows-only: float-iterative fit)
+    plus planted-duplicate recall tests."""
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    cents = similarity.ivf_literal_centroids(64, 8, seed=5)
+    assigned = similarity.ivf_assign(emb, cents)
+    qv = similarity.pq_query_vector(64, 99)
+    query = spark.range(1).select(
+        F.array(*[F.lit(x) for x in qv]).alias("qvec")
+    )
+    return similarity.ivf_topk(assigned, cents, query, k=20, n_probe=3)
+
+
+@register("ann_ivf_kmeans_topk")  # kmeans cells are float-iterative → rows-only
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with the TRAINED index (similarity.ivf_index/ivf_topk):
+    k-means cells + n_probe nearest-cell scan — the data-adaptive
+    counterpart to the LSH path; planted-duplicate recall asserted in
+    tests.  The serving operators this feeds are value-audited through
+    ann_ivf_topk's literal-centroid oracle."""
     t = _t(spark, sf_dir)
     emb = t["embeddings"]
     assigned, cents = similarity.ivf_index(emb, n_lists=8, max_iter=5)
@@ -1639,17 +1743,61 @@ def histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.histogram_quantiles(h, [0.25, 0.5, 0.9, 0.99], 1000.0)
 
 
-@register("weighted_sample_docs")  # rows-only: u^(1/w) is transcendental —
-# libm pow ulp differences across engines could flip a boundary rank; the
-# selection law is asserted exactly in tests (equal weights == integer md5
-# ranking, determinism, weight monotonicity)
+def _weighted_pow2_oracle_sql(
+    k: int = 200, seed: str = "r3", max_exp: int = 30
+) -> str:
+    """weighted_sample_docs oracle: the pow2-quantized A-Res key is a
+    chain of IEEE correctly-rounded ops (48-bit md5 draw, one divide,
+    floor(log2 w) sqrts) — bit-identical in any IEEE engine, so the
+    top-k SELECTION replays exactly.  The exponent bucket is a literal
+    comparison chain, not log2 (whose last ulp could disagree at exact
+    powers of two)."""
+    u = (
+        "(CAST(('0x' || substr(md5('" + seed + "#' || doc_id), 1, 12))"
+        " AS BIGINT) + 1.0) / " + repr(float((1 << 48) + 2))
+    )
+    exp_whens = " ".join(
+        f"WHEN CAST(n_chars AS DOUBLE) >= {float(1 << j)!r} THEN {j}"
+        for j in range(max_exp, -1, -1)
+    )
+    key_whens = []
+    expr = "u"
+    key_whens.append("WHEN 0 THEN u")
+    for j in range(1, max_exp + 1):
+        expr = f"sqrt({expr})"
+        key_whens.append(f"WHEN {j} THEN {expr}")
+    return f"""
+    WITH base AS (
+      SELECT doc_id, lang, n_chars, {u} AS u,
+             CASE {exp_whens} END AS e
+      FROM documents
+      WHERE n_chars IS NOT NULL AND CAST(n_chars AS DOUBLE) >= 1.0
+    ),
+    keyed AS (
+      SELECT doc_id, lang, n_chars,
+             CASE e {' '.join(key_whens)} END AS skey
+      FROM base
+    )
+    SELECT doc_id, lang, n_chars
+    FROM keyed ORDER BY skey DESC, doc_id LIMIT {k}
+    """
+
+
+@register("weighted_sample_docs", oracle=_weighted_pow2_oracle_sql())
 def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality-weighted subsampling (pipeline.text.weighted_sample_k,
-    Efraimidis–Spirakis A-Res): sample 200 documents with inclusion
-    probability rising in n_chars, deterministically (pure function of
-    md5(seed ‖ doc_id))."""
+    """Quality-weighted subsampling, fully value-audited since r6
+    (pipeline.text.weighted_sample_k_pow2, Efraimidis–Spirakis A-Res
+    with weights quantized to powers of two): sample 200 documents
+    with inclusion probability rising in n_chars, deterministically
+    (pure function of md5(seed ‖ doc_id)).  The quantized key
+    u^(1/2^e) is a chain of correctly-rounded sqrt's — no libm pow —
+    so the DuckDB oracle reproduces the SELECTION bit-for-bit; the
+    true-weight form (text.weighted_sample_k) remains the
+    continuous-weights path, property-tested (equal weights reduce to
+    the exact integer md5 ranking; determinism; weight
+    monotonicity)."""
     t = _t(spark, sf_dir)
-    return text.weighted_sample_k(
+    return text.weighted_sample_k_pow2(
         t["documents"], 200, "n_chars", seed="r3"
     ).select("doc_id", "lang", "n_chars")
 

@@ -31,7 +31,9 @@ FIT_REQUIRED = {
     "ml_gbt",
     "ml_naive_bayes",
     "ml_tfidf_norm",
-    "ann_ivf_topk",
+    # ann_ivf_topk left this set in r6: literal dyadic centroids need
+    # no fit, so it degrades to an empty result like the other scans
+    "ann_ivf_kmeans_topk",
     # r4 MLlib tail — all iterative fits behind _require_rows
     "graph_svdpp_train",
     "ml_word2vec_embed",

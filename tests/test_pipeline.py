@@ -1364,6 +1364,30 @@ def test_weighted_sample_determinism_and_weight_pull(spark):
     assert a != c  # a new seed is a new epoch
 
 
+def test_weighted_sample_pow2_matches_true_form_on_pow2_weights(spark):
+    """When every weight IS a power of two, the quantization is the
+    identity, so the pow2 portable twin must select the same rows the
+    true-weight A-Res does (sqrt chains vs pow agree: u^(1/2^e) by
+    repeated sqrt equals pow(u, 2^-e) up to pow's ulp, and selection
+    is md5-separated well beyond one ulp on this input)."""
+    from spark_monotasks_spark.pipeline import text as T
+
+    rows = [(i, float(1 << (i % 8))) for i in range(400)]
+    rows += [(1001, None), (1002, 0.5)]  # NULL and <1 undrawable (pow2)
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = sorted(
+        r.doc_id for r in T.weighted_sample_k_pow2(df, 30, "w", seed="s2").collect()
+    )
+    want = sorted(
+        r.doc_id
+        for r in T.weighted_sample_k(
+            df.filter("w >= 1.0"), 30, "w", seed="s2"
+        ).collect()
+    )
+    assert got == want
+    assert 1001 not in got and 1002 not in got
+
+
 def test_deterministic_shuffle_is_engine_stable(spark):
     import hashlib
 

@@ -511,7 +511,7 @@ def test_no_hidden_cartesians_across_catalog(spark):
         "join_cross", "join_theta",
         # 1-row broadcast side (scalar aggregate / single query vector):
         # BNLJ with a single-row build is a broadcast scalar, not O(n^2)
-        "ann_cosine_topk", "ann_ivf_topk",
+        "ann_cosine_topk", "ann_ivf_topk", "ann_ivf_kmeans_topk",
         "unigram_logprob_score", "tfidf_exact_scores", "bm25_rank_query",
         # 1-row broadcast vocab total, same shape as the unigram scorer
         "bigram_logprob_score",
