@@ -50,7 +50,10 @@ _PRIORITY = (
     # (agg_distinct rotated just outside in r5 second batch — the
     # distinct-agg shape stays covered locally; tpch_q1/group_having/
     # udaf/decimal keep the family in-window)
-    "tpch_q1_pricing", "group_having",
+    # (group_having rotated just outside in r6 — the HAVING shape stays
+    # oracle-green locally; q1/udaf/decimal keep the agg family
+    # in-window)
+    "tpch_q1_pricing",
     "udaf_weighted_mean", "decimal_agg",
     # join families (§2.3; tpch_q18 moved just outside in r3 — q3 + the
     # subquery block keep multiway shapes in-window; join_inner rotated
@@ -63,8 +66,10 @@ _PRIORITY = (
     "join_broadcast_dims", "cogroup_collect",
     "tpch_q3_shipping",
     # subquery shapes (correlated scalar / EXISTS+NOT EXISTS / CTE+max /
-    # outer-join count distribution — tpch_extra.py)
-    "tpch_q17_small_qty", "tpch_q21_waiting",
+    # outer-join count distribution — tpch_extra.py; tpch_q17 rotated
+    # just outside in r6, q3 + q21 keep multiway/subquery shapes
+    # in-window)
+    "tpch_q21_waiting",
     # sort / top-k / distribute (§2.6; order_by_multi rotated just
     # outside in r4 — topk_orders keeps the sort/limit family in-window)
     "topk_orders",
@@ -109,8 +114,11 @@ _PRIORITY = (
     "na_fill_drop", "bdb_q4_transform", "udtf_posexplode_tokens",
     # streaming / graph (§2.10, §2.12)
     "stream_hourly_window", "graph_connected_components",
-    # SQL parser path + Hive INSERT path (§3.1, §2.1 row 12 — closed r3)
-    "sql_lateral_view", "sql_cached_table", "sql_insert_overwrite_partitioned",
+    # SQL parser path + Hive INSERT path (§3.1, §2.1 row 12 — closed
+    # r3; sql_cached_table rotated just outside in r6 — the cached-scan
+    # family stays oracle-green locally, lateral_view + insert_overwrite
+    # keep the parser/Hive paths in-window)
+    "sql_lateral_view", "sql_insert_overwrite_partitioned",
     # multimodal decode (beyond-reference; upgraded r3 from the header
     # probe entry media_meta_extract — just outside — to the full
     # pixel-level decode proof)
@@ -135,6 +143,14 @@ _PRIORITY = (
     # dedup (hash-equal to batch DISTINCT)
     "scd2_customer_dim", "data_profile_constraints",
     "ann_pq_topk", "stream_dedup_keys",
+    # r5-new families (sixth batch) rotated INTO the window in r6
+    # (displacing group_having/tpch_q17/sql_cached_table, whose
+    # families stay represented): second-order LM quality scoring
+    # (bigram + prefix-count joins), the ORC write→read roundtrip
+    # (partitioned sink + pruned scan), and BPE merge-list encoding
+    # (the recurring tokenizer corpus pass)
+    "bigram_logprob_score", "orc_partitioned_roundtrip",
+    "bpe_encode_tokens",
 )
 
 
