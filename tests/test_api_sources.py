@@ -742,3 +742,44 @@ def test_incremental_minhash_bucketed_store_skips_history_shuffle(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         spark.sql("DROP TABLE IF EXISTS sig_store")
+
+
+def test_readme_counts_match_registry():
+    """README's catalog/oracle/rows-only counts are written only by
+    tools/gen_catalog.py --readme; this pins them to the live registry
+    (three consecutive rounds hand-drifted them before r6).  The test
+    count is validated by the tool itself at generation time (it needs
+    a pytest --collect-only subprocess, too slow for a unit test)."""
+    import re
+
+    from spark_monotasks_spark.queries import ORACLE_REGISTRY, QUERY_REGISTRY
+
+    s = open("README.md").read()
+    m = re.search(r"\((\d+) in the catalog", s)
+    assert m and int(m.group(1)) == len(QUERY_REGISTRY), (
+        f"README says {m and m.group(1)} entries, registry has "
+        f"{len(QUERY_REGISTRY)} — run tools/gen_catalog.py --readme"
+    )
+    m = re.search(r"\((\d+) oracles — the (\d+) rows-only entries", s)
+    assert m and int(m.group(1)) == len(ORACLE_REGISTRY)
+    assert int(m.group(2)) == len(QUERY_REGISTRY) - len(ORACLE_REGISTRY)
+
+
+def test_catalog_md_rows_match_registry():
+    """CATALOG.md row count and per-entry oracle/rows-only flags match
+    the live registry (regenerate with tools/gen_catalog.py)."""
+    import re
+
+    from spark_monotasks_spark.queries import ORACLE_REGISTRY, QUERY_REGISTRY
+
+    rows = {}
+    for line in open("CATALOG.md"):
+        m = re.match(r"\| (\d+) \| `([^`]+)` \| (oracle|rows-only) \|", line)
+        if m:
+            rows[m.group(2)] = m.group(3)
+    assert list(rows) == list(QUERY_REGISTRY), (
+        "CATALOG.md entries out of sync — run tools/gen_catalog.py"
+    )
+    for name, check in rows.items():
+        want = "oracle" if name in ORACLE_REGISTRY else "rows-only"
+        assert check == want, f"{name}: CATALOG says {check}, registry {want}"
