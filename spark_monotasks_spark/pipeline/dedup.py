@@ -100,23 +100,16 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc MinHash signature as (id, sig array<bigint>[, sh]).
 
-    ZERO-shuffle shape: hash each shingle string ONCE
-    (``transform(shingles, s -> xxhash64(s))``), then derive the
-    ``num_hashes`` permutation values arithmetically —
-    ``min over shingles of (a_i * h0 + b_i)`` with per-index odd
-    multipliers (the multiply-shift universal family; wrap-around long
-    overflow IS the mod-2^64, which is why the catalog pins
-    ansi.enabled=false).  The whole signature is one narrow projection:
-    no explode, no groupBy, nothing shuffles — at 100 TB the only cost
-    is the corpus scan itself.
-
-    Shape (r6): explode to (id, shingle) rows, hash ONCE with codegen
-    ``xxhash64``, then ONE hash aggregate computing all ``num_hashes``
-    minima as conditional-free ``min(h*a_i + b_i)`` expressions —
+    Shape (r6): explode to (id, shingle) rows, hash each shingle ONCE
+    with codegen ``xxhash64``, then ONE hash aggregate computing all
+    ``num_hashes`` permutation minima as conditional-free
+    ``min(h*a_i + b_i)`` expressions (per-index odd multipliers — the
+    multiply-shift universal family; wrap-around long overflow IS the
+    mod-2^64, which is why the catalog pins ansi.enabled=false) —
     whole-stage-compiled end to end.  The map-side partial aggregate
     collapses each doc to ``num_hashes`` longs before the exchange
-    (street price ~8·num_hashes bytes/doc — trivial beside the corpus
-    scan), and the interpreted-lambda cost of the earlier zero-shuffle
+    (~8·num_hashes bytes/doc — trivial beside the corpus scan), and
+    the interpreted-lambda cost of the earlier zero-shuffle
     array-fold is gone: measured 1.26 s vs 1.70 s warm (2.3× cold) at
     sf0.1/64 hashes.  Shapes that measured slower: per-family
     ``array_min(transform(...))`` folds (interpreted per element),
@@ -875,7 +868,7 @@ def melted_minhash_signatures(
 ) -> DataFrame:
     """Per-doc MinHash signature in join-ready melted form
     ``(id, fam, h)`` — one row per hash family.  ``family`` picks
-    ``"xxhash64"`` (the zero-shuffle scale path,
+    ``"xxhash64"`` (the engine-native scale path,
     :func:`minhash_signatures`), ``"md5"`` (the engine-portable audit
     family, :func:`minhash_signatures_portable`, reproducible by the
     DuckDB oracle byte-for-byte), or ``"md5mod"`` (portable AND cheap:
@@ -993,8 +986,8 @@ def incremental_minhash_dedup(
     the store; every previous casualty is dropped for the same reason
     it was before, or by its surviving cluster-mate's signatures).
 
-    Scale shape: batch text is read once for signatures (zero-shuffle
-    projection on the xxhash64 path); the store join ships melted
+    Scale shape: batch text is read once for signatures (the melt's
+    partial-min agg ships ~8·num_hashes bytes/doc); the store join ships melted
     ``(fam, h)`` keys + ids only — persist the store bucketed by
     ``(fam, h)`` (``save_as_table(bucket_by=...)``) and successive
     batches co-locate against it without re-shuffling history, which at

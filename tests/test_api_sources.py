@@ -727,21 +727,37 @@ def test_incremental_minhash_bucketed_store_skips_history_shuffle(spark):
             "sig_store", mode="overwrite", bucket_by=(4, ["fam", "h"]))
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         store = spark.table("sig_store")
+
+        def exchanges(df):
+            df.collect()
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            # AQE prints the final plan then echoes the initial one —
+            # score only the final section
+            final = plan.split("== Initial Plan ==")[0]
+            return final.lower().count("exchange"), final
+
         probe = batch_melted.join(
             store.select("fam", "h", F.col("id").alias("_sid")),
             on=["fam", "h"])
-        probe.collect()
-        plan = probe._jdf.queryExecution().executedPlan().toString()
-        # AQE prints the final plan then echoes the initial one — score
-        # only the final section
-        final = plan.split("== Initial Plan ==")[0]
-        # exactly one exchange: the batch side; the bucketed store scan
-        # feeds the join directly
-        assert final.lower().count("exchange") == 1, final
+        n_bucketed, final = exchanges(probe)
         assert "Bucketed: true" in final, final
+        # the DIRECT claim, robust to how the batch melt itself plans
+        # (r6's explode→agg signature shape adds a batch-side exchange):
+        # the same probe against an UNBUCKETED store must plan exactly
+        # one more exchange — the history shuffle the bucketing skips
+        sio.save_as_table(
+            dedup.melted_minhash_signatures(hist),
+            "sig_store_flat", mode="overwrite")
+        flat = spark.table("sig_store_flat")
+        n_flat, _ = exchanges(
+            batch_melted.join(
+                flat.select("fam", "h", F.col("id").alias("_sid")),
+                on=["fam", "h"]))
+        assert n_flat == n_bucketed + 1, (n_bucketed, n_flat, final)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         spark.sql("DROP TABLE IF EXISTS sig_store")
+        spark.sql("DROP TABLE IF EXISTS sig_store_flat")
 
 
 def test_readme_counts_match_registry():
