@@ -344,11 +344,16 @@ def connected_components_star(
     signature stabilize.  Returns (id, component) with component = min
     vertex id, identical to min-label's output.
     """
-    verts = barrier(
+    # verts is consumed exactly once (the final coalesce join), so it
+    # stays LAZY — the r5 eager barrier paid a localCheckpoint job per
+    # call for no reuse (r6: ~0.3s off every dedup-clustering call).
+    # Derived from the ORIGINAL edges, not the canonicalized state:
+    # _canon drops self-loops, and a vertex with only self-loops must
+    # still appear in the output as its own component.
+    verts = (
         edges.select(F.col("src").alias("id"))
         .unionAll(edges.select(F.col("dst").alias("id")))
-        .distinct(),
-        reliable,
+        .distinct()
     )
 
     def _canon(ed: DataFrame) -> DataFrame:
@@ -411,40 +416,45 @@ def connected_components_star(
         # exactly these states). Detecting star-ness DIRECTLY stops on
         # the round that PRODUCES the final state, where the previous
         # (count, hash)-signature comparison always paid one extra
-        # confirm round — a whole round of shuffles on every call. Both
-        # probes are limit(1) actions over the just-checkpointed state
-        # (~0.1s vs ~0.7s for a round at candidate-graph size), and the
-        # multi-root probe short-circuits the common mid-convergence
-        # case.
-        multi_root = (
-            e.groupBy("v")
-            .agg(F.count_distinct("u").alias("k"))
-            .filter(F.col("k") > 1)
+        # confirm round — a whole round of shuffles on every call.
+        # Both conditions fold into ONE limit(1) action over the
+        # just-checkpointed state (r6 — the r5 two-probe form paid a
+        # second job on the converged round): per vertex id, count its
+        # appearances as a leaf (v side — edges are distinct, so the
+        # count IS the distinct-root count) and flag root/leaf roles;
+        # a violation is leaf_cnt > 1 or both roles at once.
+        roles = e.select(
+            F.col("u").alias("id"),
+            F.lit(1).alias("_r"),
+            F.lit(0).alias("_l"),
+        ).unionAll(
+            e.select(F.col("v").alias("id"), F.lit(0), F.lit(1))
+        )
+        violations = (
+            roles.groupBy("id")
+            .agg(
+                F.max("_r").alias("_isr"),
+                F.max("_l").alias("_isl"),
+                F.sum("_l").alias("_leafcnt"),
+            )
+            .filter(
+                ((F.col("_isr") == 1) & (F.col("_isl") == 1))
+                | (F.col("_leafcnt") > 1)
+            )
             .limit(1)
             .count()
         )
-        if multi_root == 0:
-            root_is_leaf = (
-                e.select("v")
-                .join(
-                    e.select(F.col("u").alias("v")).distinct(),
-                    on="v",
-                    how="left_semi",
-                )
-                .limit(1)
-                .count()
+        if violations == 0:
+            roots = e.groupBy(F.col("v").alias("id")).agg(
+                F.min("u").alias("component")
             )
-            if root_is_leaf == 0:
-                roots = e.groupBy(F.col("v").alias("id")).agg(
-                    F.min("u").alias("component")
+            return (
+                verts.join(roots, on="id", how="left")
+                .select(
+                    "id",
+                    F.coalesce("component", F.col("id")).alias("component"),
                 )
-                return (
-                    verts.join(roots, on="id", how="left")
-                    .select(
-                        "id",
-                        F.coalesce("component", F.col("id")).alias("component"),
-                    )
-                )
+            )
     raise RuntimeError(
         f"connected_components_star did not converge within {max_iters} "
         "rounds — raise max_iters (expected O(log n); this indicates a "
