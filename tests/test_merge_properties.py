@@ -195,3 +195,70 @@ def test_scd2_apply_matches_model(spark, base, updates):
     ]
     norm = lambda t: (t[0], t[1], t[2], -1 if t[3] is None else t[3], t[4])
     assert sorted(got, key=norm) == sorted(exp, key=norm)
+
+
+def test_scd2_stale_update_is_noop(spark):
+    """An update whose ts precedes the open version's valid_from must
+    NOT apply (it would close the version with valid_to < valid_from —
+    inverted history, the r6 advisor finding); the dimension row
+    survives untouched."""
+    from spark_monotasks_spark.operators.merge import scd2_apply
+
+    dim = _df(
+        spark,
+        [(1, 10, 5, None, True)],
+        "k int, v int, valid_from int, valid_to int, is_current boolean",
+    )
+    upd = _df(spark, [(1, 99, 3)], "k int, v int, effective_ts int")
+    out = scd2_apply(dim, upd, on=["k"], tracked=["v"], ts_col="effective_ts")
+    got = [(r.k, r.v, r.valid_from, r.valid_to, r.is_current)
+           for r in out.collect()]
+    assert got == [(1, 10, 5, None, True)]
+    # invariant on every closed row this function ever emits
+    bad = out.filter("valid_to IS NOT NULL AND valid_to < valid_from")
+    assert bad.count() == 0
+
+
+def test_scd2_same_ts_ties_deterministic(spark):
+    """Two updates for one key at the SAME effective_ts must pick a
+    deterministic winner (max tracked value under the desc-nulls-last
+    tiebreaker), independent of partition layout."""
+    from spark_monotasks_spark.operators.merge import scd2_apply
+
+    dim = _df(
+        spark,
+        [(1, 10, 0, None, True)],
+        "k int, v int, valid_from int, valid_to int, is_current boolean",
+    )
+    results = set()
+    for nparts in (1, 7):
+        upd = _df(
+            spark, [(1, 20, 5), (1, 30, 5)], "k int, v int, effective_ts int"
+        ).repartition(nparts)
+        out = scd2_apply(
+            dim, upd, on=["k"], tracked=["v"], ts_col="effective_ts"
+        )
+        results.add(
+            tuple(sorted(
+                (r.k, r.v, r.valid_from,
+                 -1 if r.valid_to is None else r.valid_to, r.is_current)
+                for r in out.collect()
+            ))
+        )
+    assert len(results) == 1  # layout-independent
+    rows = set(next(iter(results)))
+    assert (1, 30, 5, -1, True) in rows  # max tracked value wins the tie
+    assert (1, 10, 0, 5, False) in rows
+
+
+def test_personalized_pagerank_isolated_seed_ranked(spark):
+    """A seed absent from the edge set holds its reset mass instead of
+    vanishing (r6 advisor finding)."""
+    from spark_monotasks_spark.graph.algorithms import personalized_pagerank
+
+    edges = _df(spark, [(1, 2), (2, 3)], "src long, dst long")
+    ranks = {r.id: r.rank
+             for r in personalized_pagerank(edges, [99], num_iters=3).collect()}
+    assert 99 in ranks
+    assert abs(ranks[99] - 0.15) < 1e-9  # reset mass, nothing flows in
+    assert ranks[1] == 0.0  # non-seed source gets nothing
