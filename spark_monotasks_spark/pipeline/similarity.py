@@ -304,6 +304,73 @@ def ivf_assign(
     )
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    centroids: list,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+    reliable: bool = False,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540 — the embedding-space counterpart of MinHash
+    dedup, used for LAION/DataComp-scale curation): assign every
+    vector to its nearest centroid cell, call within-cell pairs with
+    cosine ≥ ``threshold`` semantic duplicates, collapse them
+    transitively, and keep the min-``id_col`` representative of each
+    duplicate cluster.  Returns the surviving ``(id, cell)`` rows.
+
+    Scale shape: one linear assignment projection + one shuffle on
+    ``cell``; the quadratic comparison is confined WITHIN cells (the
+    SemDeDup design point — cells follow density, so cross-cell pairs,
+    which are almost never duplicates, are never scored).  The within-
+    cell term is O(Σ|cell|²), so ``len(centroids)`` MUST scale with the
+    corpus (n_lists ≈ n/target_cell_size — the paper runs tens of
+    thousands of k-means clusters at web scale; train them with
+    :func:`ivf_index`).  A fixed cell count at growing n degrades
+    toward all-pairs — the catalog demo pins 8 literal cells only so
+    its oracle can replay the assignment.  The pair
+    graph is tiny by construction and collapses via O(log n) star-CC;
+    the assigned frame is materialized once behind a barrier because
+    it feeds both self-join sides and the survivor anti-join.  With
+    literal dyadic centroids (:func:`ivf_literal_centroids`) the whole
+    operator — assignment, pair set, closure, survivor choice — is
+    replayable by an external SQL engine."""
+    from spark_monotasks_spark.barrier import barrier
+    from spark_monotasks_spark.graph.algorithms import (
+        connected_components_star,
+    )
+
+    assigned = barrier(
+        ivf_assign(embeddings, centroids, id_col, vec_col).select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("_v"), "cell"
+        ),
+        reliable,
+    )
+    a = assigned.select(
+        F.col("id").alias("id_a"), F.col("_v").alias("_va"), "cell"
+    )
+    b = assigned.select(
+        F.col("id").alias("id_b"), F.col("_v").alias("_vb"), "cell"
+    )
+    edges = (
+        a.join(b, on="cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.round(cosine(F.col("_va"), F.col("_vb")), round_to)
+            >= F.lit(threshold)
+        )
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    comps = connected_components_star(edges, reliable=reliable)
+    losers = comps.filter(F.col("id") != F.col("component")).select("id")
+    return (
+        assigned.join(losers, on="id", how="left_anti")
+        .select(F.col("id").alias(id_col), "cell")
+    )
+
+
 def ivf_topk(
     assigned: DataFrame,
     centroids: list,

@@ -338,6 +338,33 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_assign_ctes(cents: list) -> str:
+    """Shared oracle fragment: CTEs ``d`` (squared L2 to each literal
+    centroid) and ``assigned`` (argmin cell, smallest id on ties) over
+    the embeddings table — exact in both engines because centroids are
+    dyadic and embeddings are floats (hence dyadic rationals)."""
+    n_lists = len(cents)
+    d_exprs = []
+    for cid, vec in cents:
+        lits = "CAST([" + ",".join(repr(x) for x in vec) + "] AS DOUBLE[])"
+        d_exprs.append(
+            f"list_sum(list_transform(list_zip(embedding, {lits}),"
+            " x -> (CAST(x[1] AS DOUBLE) - x[2])"
+            f" * (CAST(x[1] AS DOUBLE) - x[2]))) AS d_{cid}"
+        )
+    whens = []
+    for c in range(n_lists - 1):
+        rest = [f"d_{cc}" for cc in range(c + 1, n_lists)]
+        cmp = f"least({', '.join(rest)})" if len(rest) > 1 else rest[0]
+        whens.append(f"WHEN d_{c} <= {cmp} THEN {c}")
+    cell_expr = "CASE " + " ".join(whens) + f" ELSE {n_lists - 1} END AS cell"
+    return (
+        f"d AS (SELECT vec_id, embedding, {', '.join(d_exprs)}"
+        " FROM embeddings),\n"
+        f"    assigned AS (SELECT vec_id, embedding, {cell_expr} FROM d)"
+    )
+
+
 def _ivf_oracle_sql(
     dim: int = 64, n_lists: int = 8, seed: int = 5, qseed: int = 99,
     n_probe: int = 3, k: int = 20,
@@ -368,24 +395,9 @@ def _ivf_oracle_sql(
         return num / (na * nb) if na and nb else 0.0
 
     probe = [cell for cell, _ in sorted(cents, key=lambda t: -cos(t[1]))[:n_probe]]
-    d_exprs = []
-    for cid, vec in cents:
-        lits = "CAST([" + ",".join(repr(x) for x in vec) + "] AS DOUBLE[])"
-        d_exprs.append(
-            f"list_sum(list_transform(list_zip(embedding, {lits}),"
-            " x -> (CAST(x[1] AS DOUBLE) - x[2])"
-            f" * (CAST(x[1] AS DOUBLE) - x[2]))) AS d_{cid}"
-        )
-    whens = []
-    for c in range(n_lists - 1):
-        rest = [f"d_{cc}" for cc in range(c + 1, n_lists)]
-        cmp = f"least({', '.join(rest)})" if len(rest) > 1 else rest[0]
-        whens.append(f"WHEN d_{c} <= {cmp} THEN {c}")
-    cell_expr = "CASE " + " ".join(whens) + f" ELSE {n_lists - 1} END AS cell"
     qlits = "CAST([" + ",".join(repr(x) for x in qv) + "] AS DOUBLE[])"
     return f"""
-    WITH d AS (SELECT vec_id, embedding, {', '.join(d_exprs)} FROM embeddings),
-    assigned AS (SELECT vec_id, embedding, {cell_expr} FROM d),
+    WITH {_ivf_assign_ctes(cents)},
     cand AS (SELECT vec_id, embedding FROM assigned
              WHERE cell IN ({', '.join(str(c) for c in probe)}))
     SELECT vec_id,
@@ -419,6 +431,66 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(*[F.lit(x) for x in qv]).alias("qvec")
     )
     return similarity.ivf_topk(assigned, cents, query, k=20, n_probe=3)
+
+
+def _semantic_dedup_oracle_sql(threshold: float = 0.35) -> str:
+    """semantic_dedup oracle: replay cell assignment (literal dyadic
+    centroids), the within-cell cosine pair set (rounded like the
+    Spark side), the transitive closure (recursive CTE), and min-id
+    survivor choice.  A vector survives unless some smaller id is
+    reachable through the duplicate-pair graph."""
+    from spark_monotasks_spark.pipeline.similarity import (
+        ivf_literal_centroids,
+    )
+
+    cents = ivf_literal_centroids(64, 8, seed=5)
+    cos = (
+        "list_sum(list_transform(list_zip(a.embedding, b.embedding),"
+        " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+        " / (sqrt(list_sum(list_transform(a.embedding,"
+        " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        " * sqrt(list_sum(list_transform(b.embedding,"
+        " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    )
+    return f"""
+    WITH RECURSIVE {_ivf_assign_ctes(cents)},
+    p AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst
+      FROM assigned a JOIN assigned b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE round({cos}, 4) >= {threshold!r}
+    ),
+    sym AS (SELECT src, dst FROM p UNION SELECT dst, src FROM p),
+    walk AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT w.src, s.dst FROM walk w JOIN sym s ON w.dst = s.src
+    ),
+    comp AS (SELECT src AS id, min(dst) AS mn FROM walk GROUP BY src)
+    SELECT vec_id, cell FROM assigned
+    WHERE vec_id NOT IN (SELECT id FROM comp WHERE mn < id)
+    """
+
+
+@register("semantic_dedup", oracle=_semantic_dedup_oracle_sql())
+def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (similarity.semantic_dedup, new
+    r6 — the embedding-space counterpart of MinHash dedup used for
+    LAION/DataComp curation): literal dyadic cells confine the
+    quadratic cosine comparison within clusters, pairs ≥ 0.35 collapse
+    transitively (star-CC), min-id survives.  Threshold 0.35 because
+    this synthetic corpus is near-uniform (max pairwise cosine ~0.48;
+    0.95 would make the check vacuous — same calibration note as
+    embedding_near_dups); the FULL operator — assignment, pair set,
+    closure, survivor choice — is replayed by the oracle's recursive
+    CTE.  Production runs train cells with ivf_index instead of the
+    literal codebook."""
+    t = _t(spark, sf_dir)
+    return similarity.semantic_dedup(
+        t["embeddings"],
+        similarity.ivf_literal_centroids(64, 8, seed=5),
+        threshold=0.35,
+    )
 
 
 @register("ann_ivf_kmeans_topk")  # kmeans cells are float-iterative → rows-only

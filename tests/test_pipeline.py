@@ -187,6 +187,27 @@ def test_embedding_near_dups_planted(spark):
     assert pairs[0].sim >= 0.99
 
 
+def test_semantic_dedup_planted(spark):
+    """SemDeDup semantics: exact/near-identical embeddings collapse to
+    the min id transitively; distinct vectors survive; duplicates in
+    DIFFERENT cells are (by design) not compared — here everything is
+    axis-aligned so near-dups share a cell."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.001, 0.0, 0.0]),   # near-dup of 0
+        (5, [0.998, 0.002, 0.0, 0.0]),   # near-dup of 1 (and 0 transitively)
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = similarity.ivf_literal_centroids(4, 4, seed=5)
+    surv = sorted(
+        r.vec_id
+        for r in similarity.semantic_dedup(df, cents, threshold=0.99).collect()
+    )
+    assert surv == [0, 2, 3]  # 1 and 5 collapse into 0
+
+
 # --- text ------------------------------------------------------------------
 
 def test_token_stats(spark):
