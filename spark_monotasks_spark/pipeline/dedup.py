@@ -431,6 +431,62 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str | None = None,
+    n: int = 3,
+    threshold: float = 0.5,
+    allow_unblocked: bool = False,
+) -> DataFrame:
+    """ASYMMETRIC shingle containment over pairs within a blocking key
+    (r6): ``c_in_b = |A∩B| / |A|`` and ``c_in_a = |A∩B| / |B|`` — the
+    excerpt/quotation detector Jaccard misses by construction (a
+    200-token doc fully embedded in a 20k-token doc has Jaccard ≈ 0.01
+    but containment 1.0; the standard screen for docs that merely
+    QUOTE benchmark or licensed content rather than duplicating it).
+    A pair is emitted when EITHER direction reaches ``threshold``.
+
+    Blocking contract and plan shape are identical to
+    :func:`ngram_jaccard_pairs`: the quadratic term exists only within
+    ``block_col`` blocks (content-derived — e.g. a 1-band MinHash
+    bucket, whose recall for containment C is ≈ C when the min shingle
+    of the contained side also appears in the container), and an
+    unblocked call raises.  One shuffle on the block key; shingle sets
+    ride once per side."""
+    if block_col is None and not allow_unblocked:
+        raise ValueError(
+            "containment_pairs requires a bounded blocking column; an "
+            "unblocked self-join is all-pairs O(n^2).  Pass a "
+            "content-derived block_col (e.g. a 1-band MinHash bucket), or "
+            "allow_unblocked=True for small/test inputs only"
+        )
+    sh = shingles(F.col(text_col), k=n)
+    blk = F.col(block_col) if block_col else F.lit(0)
+    base = df.select(F.col(id_col).alias("id"), blk.alias("blk"), sh.alias("sh"))
+    a = base.alias("a")
+    b = base.alias("b")
+    pairs = a.join(
+        b, on=(F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id"))
+    )
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    c_a_in_b = inter / F.greatest(F.size(F.col("a.sh")), F.lit(1))
+    c_b_in_a = inter / F.greatest(F.size(F.col("b.sh")), F.lit(1))
+    return (
+        pairs.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(c_a_in_b, 4).alias("containment_a_in_b"),
+            F.round(c_b_in_a, 4).alias("containment_b_in_a"),
+        )
+        .filter(
+            (F.col("containment_a_in_b") >= threshold)
+            | (F.col("containment_b_in_a") >= threshold)
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # near-dup clustering: pairs -> components -> canonical survivor
 # ---------------------------------------------------------------------------

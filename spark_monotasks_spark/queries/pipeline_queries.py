@@ -508,6 +508,68 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "containment_pairs_block",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000,
+             array_to_string((string_split(text, ' '))[1:8], ' ')
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM corpus
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3 THEN
+               list_distinct(list_transform(range(1, len(t) - 1),
+                 i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+             ELSE [array_to_string(t, ' ')] END AS sh
+      FROM toks
+    ), bk AS (
+      SELECT doc_id, sh, list_min(list_transform(sh, x -> md5(x))) AS blk
+      FROM sh
+    ), p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                   greatest(len(a.sh), 1), 4) AS containment_a_in_b,
+             round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                   greatest(len(b.sh), 1), 4) AS containment_b_in_a
+      FROM bk a JOIN bk b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, containment_a_in_b, containment_b_in_a
+    FROM p
+    WHERE containment_a_in_b >= 0.5 OR containment_b_in_a >= 0.5
+    """,
+)
+def containment_pairs_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle-containment screen (dedup.containment_pairs,
+    new r6): |A∩B|/|A| vs |A∩B|/|B| within 1-band MinHash blocks — the
+    excerpt/quotation detector Jaccard misses by construction (a short
+    doc embedded in a long one has Jaccard ≈ |A|/|B| but containment
+    1.0).  The corpus is augmented IN BOTH DIALECTS with an 8-token
+    excerpt twin of every document (doc_id + 1e6 — the clean_text
+    noised-twin playbook), so genuinely asymmetric pairs exist and the
+    direction columns are value-proven; blocking, intersection sizes,
+    and both rounded fractions replay exactly (md5 bucket, portable)."""
+    t = _t(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "text")
+    excerpts = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 8), " ").alias(
+            "text"
+        ),
+    )
+    corpus = docs.unionByName(excerpts)
+    sh = dedup.shingles(F.col("text"), k=3)
+    blocked = corpus.withColumn(
+        "mh_bucket", F.array_min(F.transform(sh, lambda s: F.md5(s)))
+    )
+    return dedup.containment_pairs(
+        blocked, block_col="mh_bucket", n=3, threshold=0.5
+    )
+
+
 @register("minhash_near_dups")  # xxhash64 signatures are Spark-specific → rows-only
 def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate pairs (dedup.minhash_near_duplicates);

@@ -1940,3 +1940,28 @@ def test_video_decode_rejects_malformed(spark):
     assert decode_avi_frames(good[:40]) is None  # truncated movi
     with pytest.raises(ValueError):
         encode_avi_mjpeg([])
+
+
+def test_containment_pairs_asymmetric(spark):
+    """An excerpt fully inside a container scores containment 1.0 in
+    one direction and small in the other — the case Jaccard misses;
+    unrelated docs emit nothing; unblocked calls raise."""
+    import pytest as _pt
+
+    container = ("alpha beta gamma delta epsilon zeta eta theta iota "
+                 "kappa lambda mu nu xi omicron pi rho sigma tau")
+    rows = [
+        (0, container),
+        (1, "alpha beta gamma delta epsilon"),    # excerpt of 0
+        (2, "totally unrelated words about completely other topics"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.id_a, r.id_b): (r.containment_a_in_b, r.containment_b_in_a)
+           for r in dedup.containment_pairs(
+               df, threshold=0.5, allow_unblocked=True).collect()}
+    assert set(out) == {(0, 1)}
+    a_in_b, b_in_a = out[(0, 1)]
+    assert b_in_a == 1.0          # the excerpt (id 1 = b side) is contained
+    assert a_in_b < 0.5           # the container is not contained back
+    with _pt.raises(ValueError, match="blocking"):
+        dedup.containment_pairs(df)
