@@ -944,6 +944,53 @@ def weighted_sample_k(
     )
 
 
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "lang",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """CCNet-style head/middle/tail bucketing (Wenzek et al. 2020,
+    arXiv:1911.00359 §4.3): per ``group_col``, rank documents by LM
+    quality and split into equal thirds — the curation step that feeds
+    'head' into pretraining mixes.  The score here is the corpus's own
+    smoothed unigram log-probability (:func:`unigram_logprob_score` —
+    CCNet proper uses an external KenLM; the bucketing logic is
+    identical and the scorer is swappable).  Higher logprob = less
+    perplexed = head.  Ranks break ties on the ROUNDED score then
+    ``id_col``, so the assignment is deterministic and replayable.
+
+    Scale shape: the scoring pass is the unigram operator's (explode +
+    vocabulary-bounded count table broadcast back); the exact thirds
+    need one rank window PARTITIONED by group (gate-safe — no global
+    window).  At 100 TB replace the exact rank with approx-percentile
+    score thresholds broadcast back (the
+    :func:`top_fraction_per_group` ``exact=False`` pattern) — buckets
+    then cost one linear map-side comparison and ties at the cut
+    survive into the better bucket."""
+    scored = unigram_logprob_score(df, id_col, text_col, alpha).join(
+        df.select(id_col, group_col), on=id_col
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("logprob").desc(), F.col(id_col)
+    )
+    n_w = Window.partitionBy(group_col)
+    ranked = scored.select(
+        id_col,
+        group_col,
+        "logprob",
+        F.row_number().over(w).alias("_rk"),
+        F.count("*").over(n_w).alias("_n"),
+    )
+    bucket = (
+        F.when(F.col("_rk") * 3 <= F.col("_n"), F.lit("head"))
+        .when(F.col("_rk") * 3 <= 2 * F.col("_n"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return ranked.select(id_col, group_col, "logprob", bucket.alias("bucket"))
+
+
 def weighted_sample_k_pow2(
     df: DataFrame,
     k: int,

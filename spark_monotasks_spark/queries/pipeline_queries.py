@@ -1296,6 +1296,47 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "perplexity_buckets",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x != ''))
+               AS token
+      FROM documents
+    ), counts AS (
+      SELECT token, count(*) AS n FROM toks GROUP BY token
+    ), tot AS (
+      SELECT sum(n) AS nt, count(*) AS v FROM counts
+    ), scored AS (
+      SELECT doc_id, round(avg(ln((n + 0.5) / (nt + 0.5 * v))), 4) AS logprob
+      FROM toks JOIN counts USING (token) CROSS JOIN tot
+      GROUP BY doc_id
+    ), lr AS (
+      SELECT s.doc_id, d.lang, s.logprob,
+             row_number() OVER (PARTITION BY d.lang
+                                ORDER BY s.logprob DESC, s.doc_id) AS rk,
+             count(*) OVER (PARTITION BY d.lang) AS n
+      FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+    )
+    SELECT doc_id, lang, logprob,
+           CASE WHEN rk * 3 <= n THEN 'head'
+                WHEN rk * 3 <= 2 * n THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM lr
+    """,
+)
+def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail assignment (pipeline.text.
+    perplexity_buckets, new r6): per language, rank by the smoothed
+    unigram logprob and split into thirds — deterministic (rounded
+    score + doc_id tiebreak), so the oracle reproduces every document's
+    bucket, not just the counts.  The 100 TB form swaps the exact rank
+    for broadcast approx-percentile thresholds (see docstring)."""
+    t = _t(spark, sf_dir)
+    return text.perplexity_buckets(t["documents"])
+
+
+@register(
     "bigram_logprob_score",
     oracle="""
     WITH toks AS (

@@ -1965,3 +1965,25 @@ def test_containment_pairs_asymmetric(spark):
     assert a_in_b < 0.5           # the container is not contained back
     with _pt.raises(ValueError, match="blocking"):
         dedup.containment_pairs(df)
+
+
+def test_perplexity_buckets_thirds_and_order(spark):
+    """Bucket sizes are the ceil/floor thirds per group, and every head
+    doc scores >= every middle doc >= every tail doc within its group
+    (rank is on the rounded score, ties broken by id)."""
+    rows = [(i, "en" if i < 12 else "de",
+             "common words " * (i % 6 + 1) + f"rare{i}") for i in range(18)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = text.perplexity_buckets(df).collect()
+    for lang, total in (("en", 12), ("de", 6)):
+        grp = [r for r in out if r.lang == lang]
+        assert len(grp) == total
+        sizes = {b: sum(1 for r in grp if r.bucket == b)
+                 for b in ("head", "middle", "tail")}
+        assert sizes == {"head": total // 3, "middle": total // 3,
+                         "tail": total - 2 * (total // 3)}
+        lo_head = min(r.logprob for r in grp if r.bucket == "head")
+        hi_mid = max(r.logprob for r in grp if r.bucket == "middle")
+        lo_mid = min(r.logprob for r in grp if r.bucket == "middle")
+        hi_tail = max(r.logprob for r in grp if r.bucket == "tail")
+        assert lo_head >= hi_mid >= lo_mid >= hi_tail

@@ -513,6 +513,9 @@ def test_no_hidden_cartesians_across_catalog(spark):
         # BNLJ with a single-row build is a broadcast scalar, not O(n^2)
         "ann_cosine_topk", "ann_ivf_topk", "ann_ivf_kmeans_topk",
         "unigram_logprob_score", "tfidf_exact_scores", "bm25_rank_query",
+        # perplexity bucketing composes the unigram scorer, inheriting
+        # its 1-row corpus-total broadcast cross
+        "perplexity_buckets",
         # 1-row broadcast vocab total, same shape as the unigram scorer
         "bigram_logprob_score",
         "inverted_index_build",
