@@ -563,6 +563,80 @@ def streaming_upsert_sink(
     )
 
 
+def streaming_dedup_ingest_sink(
+    stream: DataFrame,
+    survivors_path: str,
+    store_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataStreamWriter:
+    """The PRODUCTION steady-state ingest loop as a stream (r6): every
+    micro-batch dedups against the persistent fingerprint store built
+    by all PREVIOUS batches (pipeline.dedup.incremental_exact_dedup —
+    history text is never rescanned), commits its survivors, and
+    appends its store delta.  This is the streaming form of the
+    ``incremental_dedup_batch`` catalog entry — the loop a corpus
+    ingest actually runs.
+
+    Exactly-once under foreachBatch's at-least-once replay, by
+    construction rather than hope:
+
+    - survivors commit through the versioned manifest
+      (sources/versioned.py) stamped with ``batch_id`` — a replayed
+      batch whose commit already exists is skipped;
+    - the store is APPEND-ONLY with every row stamped ``batch_id``,
+      and the probe reads ``batch_id < current`` — so a replay after a
+      crash *between* the two writes scores against exactly the
+      pre-batch store state (probing the full store would make the
+      replayed batch self-match and silently drop its survivors);
+    - the store append itself is skipped when rows for this
+      ``batch_id`` already exist.
+
+    Scale shape is the batch operator's: the store join ships 16-byte
+    fingerprints + ids only; persist the store bucketed by ``fp`` to
+    co-locate successive probes.  Survivor semantics across batches =
+    first-arriving batch wins a fingerprint, min-``id_col`` within a
+    batch — identical to running the batch operator sequentially
+    (asserted batch-vs-stream in tests/test_streaming.py)."""
+    import os
+
+    from spark_monotasks_spark.pipeline.dedup import incremental_exact_dedup
+    from spark_monotasks_spark.sources import versioned as V
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        store = None
+        have_store = os.path.exists(store_path)
+        if have_store:
+            store = spark.read.parquet(store_path).filter(
+                F.col("batch_id") < batch_id
+            )
+        survivors, delta = incremental_exact_dedup(
+            batch, store, id_col=id_col, text_col=text_col
+        )
+        if batch_id > V.last_committed_batch_id(survivors_path):
+            V.write_version(
+                survivors, survivors_path, mode="append", batch_id=batch_id
+            )
+        if have_store:
+            replayed = (
+                spark.read.parquet(store_path)
+                .filter(F.col("batch_id") == batch_id)
+                .limit(1)
+                .count()
+            )
+            if replayed:
+                return
+        delta.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(store_path)
+
+    return stream.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint
+    )
+
+
 def for_each_batch(
     df: DataFrame, fn: Callable[[DataFrame, int], None]
 ) -> DataStreamWriter:

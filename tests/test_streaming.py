@@ -675,3 +675,74 @@ def test_stream_stream_left_outer_emits_nulls_after_watermark(
     again = {r.l_id
              for r in got2.filter(F.col("r_type").isNotNull()).collect()}
     assert set(range(5)) <= again and not (nulls & set(range(5)))
+
+
+def test_streaming_dedup_ingest_matches_sequential_batches(spark, tmp_path):
+    """The streaming steady-state ingest loop (streaming_dedup_ingest_
+    sink) must produce EXACTLY the survivors of running the batch
+    operator sequentially per micro-batch: first-arriving batch wins a
+    fingerprint, min-id within a batch; the store grows append-only;
+    a checkpoint restart with no new data changes nothing."""
+    from spark_monotasks_spark.pipeline.dedup import incremental_exact_dedup
+    from spark_monotasks_spark.sources import versioned as V
+
+    chunks = [
+        [(0, "alpha"), (1, "beta"), (2, "alpha")],        # 2 dups in-batch
+        [(10, "alpha"), (11, "gamma"), (12, "gamma")],    # 10 dies vs store
+        [(20, "beta"), (21, "delta"), (22, "gamma")],     # 20, 22 die
+    ]
+    import glob as _glob
+    import shutil as _shutil
+
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+    stage = tmp_path / "docs_raw"
+    for i, rows in enumerate(chunks):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(stage / f"c{i}"))
+        # flatten: the file source lists plain files, not nested dirs
+        part = _glob.glob(str(stage / f"c{i}" / "part-*.parquet"))[0]
+        _shutil.copy(part, str(src / f"c{i}.parquet"))
+    schema = spark.createDataFrame(chunks[0], "doc_id long, text string").schema
+
+    surv_tbl = str(tmp_path / "survivors")
+    store = str(tmp_path / "store")
+    q = dstream.streaming_dedup_ingest_sink(
+        dstream.file_stream(spark, str(src), schema),
+        surv_tbl,
+        store,
+        checkpoint=str(tmp_path / "ck"),
+    ).trigger(availableNow=True).start()
+    _await(q)
+
+    got = sorted(
+        (r.doc_id, r.text) for r in V.read_version(spark, surv_tbl).collect()
+    )
+    # sequential batch-mode reference
+    st = None
+    expect = []
+    for rows in chunks:
+        b = spark.createDataFrame(rows, "doc_id long, text string")
+        s, delta = incremental_exact_dedup(b, st)
+        expect += [(r.doc_id, r.text) for r in s.collect()]
+        st = delta if st is None else st.unionByName(delta)
+        st = st.localCheckpoint(eager=True)
+    assert got == sorted(expect)
+    assert got == [(0, "alpha"), (1, "beta"), (11, "gamma"), (21, "delta")]
+
+    # store carries one fingerprint row per surviving text, per batch won
+    srows = spark.read.parquet(store)
+    assert srows.select("fp").distinct().count() == 4
+    assert {r.batch_id for r in srows.collect()} == {0, 1, 2}
+
+    # restart from the same checkpoint with no new files: exactly-once
+    q2 = dstream.streaming_dedup_ingest_sink(
+        dstream.file_stream(spark, str(src), schema),
+        surv_tbl,
+        store,
+        checkpoint=str(tmp_path / "ck"),
+    ).trigger(availableNow=True).start()
+    _await(q2)
+    assert V.read_version(spark, surv_tbl).count() == 4
+    assert spark.read.parquet(store).count() == srows.count()
