@@ -637,6 +637,76 @@ def streaming_dedup_ingest_sink(
     )
 
 
+def streaming_neardup_ingest_sink(
+    stream: DataFrame,
+    survivors_path: str,
+    store_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 8,
+    min_matches: int = 4,
+    family: str = "xxhash64",
+) -> DataStreamWriter:
+    """The NEAR-dup twin of :func:`streaming_dedup_ingest_sink`: every
+    micro-batch runs pipeline.dedup.incremental_minhash_dedup against
+    the persistent melted ``(fam, h, id)`` signature store — within-
+    batch transitive clustering, ≥min_matches-of-num_hashes history
+    vote, contaminated-cluster elimination, min-id survivor — then
+    commits survivors exactly-once (versioned manifest) and appends
+    its batch-stamped signature delta.  Same replay construction:
+    the probe reads ``batch_id < current``, so at-least-once
+    foreachBatch replays score against exactly the pre-batch store.
+
+    Scale shape is the batch operator's (melted keys + ids only in the
+    store join; star-CC on candidate pairs); persist the store
+    bucketed by ``(fam, h)`` to skip the history shuffle."""
+    import os
+
+    from spark_monotasks_spark.pipeline.dedup import incremental_minhash_dedup
+    from spark_monotasks_spark.sources import versioned as V
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        store = None
+        have_store = os.path.exists(store_path)
+        if have_store:
+            store = spark.read.parquet(store_path).filter(
+                F.col("batch_id") < batch_id
+            )
+        survivors, delta = incremental_minhash_dedup(
+            batch,
+            store,
+            id_col=id_col,
+            text_col=text_col,
+            shingle_k=shingle_k,
+            num_hashes=num_hashes,
+            min_matches=min_matches,
+            family=family,
+        )
+        if batch_id > V.last_committed_batch_id(survivors_path):
+            V.write_version(
+                survivors, survivors_path, mode="append", batch_id=batch_id
+            )
+        if have_store:
+            replayed = (
+                spark.read.parquet(store_path)
+                .filter(F.col("batch_id") == batch_id)
+                .limit(1)
+                .count()
+            )
+            if replayed:
+                return
+        delta.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(store_path)
+
+    return stream.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint
+    )
+
+
 def for_each_batch(
     df: DataFrame, fn: Callable[[DataFrame, int], None]
 ) -> DataStreamWriter:

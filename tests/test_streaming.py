@@ -746,3 +746,59 @@ def test_streaming_dedup_ingest_matches_sequential_batches(spark, tmp_path):
     _await(q2)
     assert V.read_version(spark, surv_tbl).count() == 4
     assert spark.read.parquet(store).count() == srows.count()
+
+
+def test_streaming_neardup_ingest_matches_sequential_batches(spark, tmp_path):
+    """NEAR-dup streaming ingest == the batch operator run
+    sequentially per micro-batch: history hits kill whole clusters,
+    min-id survives within clean clusters, the melted signature store
+    grows batch-stamped."""
+    import glob as _glob
+    import shutil as _shutil
+
+    from spark_monotasks_spark.pipeline.dedup import incremental_minhash_dedup
+    from spark_monotasks_spark.sources import versioned as V
+
+    base = "the quick brown fox jumps over the lazy dog near the river"
+    fresh = "completely different content about shuffle partitioning plans"
+    chunks = [
+        [(0, base + " bank"), (1, "unrelated historical notes on query engines and storage")],
+        # 10 near-dups history doc 0 -> dies; 11 ~ 12 within batch -> 11 wins
+        [(10, base + " bend"), (11, fresh + " charts"), (12, fresh + " chart")],
+        [(20, "entirely novel text with no relatives anywhere at all")],
+    ]
+    src = tmp_path / "nd_stream"
+    src.mkdir()
+    stage = tmp_path / "nd_raw"
+    for i, rows in enumerate(chunks):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(stage / f"c{i}"))
+        part = _glob.glob(str(stage / f"c{i}" / "part-*.parquet"))[0]
+        _shutil.copy(part, str(src / f"c{i}.parquet"))
+    schema = spark.createDataFrame(chunks[0], "doc_id long, text string").schema
+
+    surv_tbl = str(tmp_path / "nd_survivors")
+    store = str(tmp_path / "nd_store")
+    q = dstream.streaming_neardup_ingest_sink(
+        dstream.file_stream(spark, str(src), schema),
+        surv_tbl,
+        store,
+        checkpoint=str(tmp_path / "nd_ck"),
+    ).trigger(availableNow=True).start()
+    _await(q)
+
+    got = sorted(r.doc_id for r in V.read_version(spark, surv_tbl).collect())
+    st = None
+    expect = []
+    for rows in chunks:
+        b = spark.createDataFrame(rows, "doc_id long, text string")
+        s, delta = incremental_minhash_dedup(b, st)
+        expect += [r.doc_id for r in s.collect()]
+        st = delta if st is None else st.unionByName(delta)
+        st = st.localCheckpoint(eager=True)
+    assert got == sorted(expect)
+    assert 10 not in got and 12 not in got  # history hit + in-batch dup die
+    assert {0, 1, 11, 20} <= set(got)
+    srows = spark.read.parquet(store)
+    assert {r.batch_id for r in srows.collect()} == {0, 1, 2}
