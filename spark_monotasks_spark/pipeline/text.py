@@ -1139,6 +1139,80 @@ URL_RE = r"""https?://[^\s<>"']+"""
 URL_HOST_RE = r"""https?://(?:[^/@\s<>"']+@)?([^/:\s<>"']+)"""
 
 
+#: URL decomposition — scheme / optional userinfo / host / optional
+#: port / path / optional query / (fragment implicitly dropped).
+#: Non-capturing groups only; identical in java.util.regex and RE2.
+URL_PARTS_RE = (
+    r"""^(https?)://(?:[^/@?#\s]+@)?([^/:?#\s]+)(?::(\d+))?"""
+    r"""([^?#\s]*)(?:\?([^#\s]*))?"""
+)
+
+#: query parameters that never identify content — the standard strip
+#: set for re-crawl dedup (RE2/Java-identical prefix alternation).
+TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|ref)="
+
+
+def canonicalize_url(col: Column | str) -> Column:
+    """Canonical form of a URL for re-crawl/duplicate-fetch dedup (the
+    CommonCrawl-curation normalization): lowercase scheme+host, drop
+    userinfo and fragments, strip default ports (80/http, 443/https),
+    strip tracking query parameters (``TRACKING_PARAM_RE``), preserve
+    the order of surviving parameters, and trim trailing slashes from
+    the path.  One codegen projection — decomposition is a single
+    regex, the parameter filter is an array filter over the split
+    query string; every step replays identically in an RE2 engine.
+    Non-http(s) input canonicalizes to NULL (the regex doesn't match)."""
+    c = F.col(col) if isinstance(col, str) else col
+    scheme = F.lower(F.regexp_extract(c, URL_PARTS_RE, 1))
+    host = F.lower(F.regexp_extract(c, URL_PARTS_RE, 2))
+    port = F.regexp_extract(c, URL_PARTS_RE, 3)
+    path = F.regexp_extract(c, URL_PARTS_RE, 4)
+    query = F.regexp_extract(c, URL_PARTS_RE, 5)
+    port_kept = F.when(
+        (port == "")
+        | ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443")),
+        F.lit(""),
+    ).otherwise(F.concat(F.lit(":"), port))
+    path_c = F.regexp_replace(path, r"/+$", "")
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    query_kept = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(F.lit(""))
+    return F.when(
+        scheme == "", F.lit(None).cast("string")
+    ).otherwise(
+        F.concat(scheme, F.lit("://"), host, port_kept, path_c, query_kept)
+    )
+
+
+def dedup_by_canonical_url(
+    df: DataFrame, url_col: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Group fetches by canonical URL: ``(canonical_url, n_variants,
+    keep_id)`` — min-``id_col`` survivor per canonical target, the
+    re-crawl screen that collapses tracking-parameter / casing /
+    default-port / trailing-slash variants of the same page.  Rows
+    whose URL fails to canonicalize (non-http) group under NULL like
+    null keys in aggregation.  One hash groupBy on the canonical
+    string; the page payload never shuffles (ids only — recover
+    survivors with a semi join, the exact-dedup pattern)."""
+    return (
+        df.select(
+            F.col(id_col).alias("_id"),
+            canonicalize_url(url_col).alias("canonical_url"),
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_variants"),
+            F.min("_id").alias("keep_id"),
+        )
+    )
+
+
 def extract_urls(col: Column | str) -> Column:
     """All http(s) URLs in a document as ``array<string>`` (JVM-side
     ``regexp_extract_all`` — one pass, no explode until the caller

@@ -509,6 +509,66 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "url_canonical_dedup",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, doc_id // 3 AS k, doc_id % 3 AS m FROM documents
+    ),
+    g1 AS (
+      SELECT 'https://www.example.com/p/' || k AS canonical_url,
+             count(*) AS n_variants, min(doc_id) AS keep_id
+      FROM d WHERE m IN (0, 2) GROUP BY k
+    ),
+    g2 AS (
+      SELECT 'https://www.example.com/p/' || k || '?id=' || k
+               AS canonical_url,
+             count(*) AS n_variants, min(doc_id) AS keep_id
+      FROM d WHERE m = 1 GROUP BY k
+    )
+    SELECT * FROM g1 UNION ALL SELECT * FROM g2
+    """,
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-crawl dedup by canonical URL (pipeline.text.canonicalize_url
+    + dedup_by_canonical_url, new r6): three synthetic fetch variants
+    per page — host-case + default-port + tracking-params, userinfo +
+    trailing-slash + fragment + tracking-params, and a clean form with
+    a CONTENT parameter that must survive — collapse to their
+    canonical targets with a min-id survivor.  The oracle is
+    FIRST-PRINCIPLES: it states the expected canonical strings and
+    group structure outright instead of re-running the normalizer, so
+    a regression in any normalization step (a kept tracking param, a
+    dropped content param, an unstripped port) breaks the value hash."""
+    t = _t(spark, sf_dir)
+    k = F.floor(F.col("doc_id") / 3).cast("long").cast("string")
+    m = F.col("doc_id") % 3
+    url = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit("https://WWW.Example.COM:443/p/"), k,
+                F.lit("?utm_source=feed&gclid=x"),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.lit("https://www.example.com/p/"), k,
+                F.lit("?id="), k, F.lit("&utm_campaign=z"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://user@www.example.com/p/"), k,
+                F.lit("/?utm_medium=a#frag"),
+            )
+        )
+    )
+    fetches = t["documents"].select("doc_id", url.alias("url"))
+    return text.dedup_by_canonical_url(fetches, "url")
+
+
+@register(
     "containment_pairs_block",
     oracle="""
     WITH corpus AS (

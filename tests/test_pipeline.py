@@ -1987,3 +1987,30 @@ def test_perplexity_buckets_thirds_and_order(spark):
         lo_mid = min(r.logprob for r in grp if r.bucket == "middle")
         hi_tail = max(r.logprob for r in grp if r.bucket == "tail")
         assert lo_head >= hi_mid >= lo_mid >= hi_tail
+
+
+def test_canonicalize_url_cases(spark):
+    cases = [
+        # case + default port + tracking params
+        ("https://WWW.Example.COM:443/p/5?utm_source=a&gclid=b",
+         "https://www.example.com/p/5"),
+        # http default port, userinfo, fragment, trailing slash
+        ("http://user:pw@Site.org:80/a/b/?x=1#frag",
+         "http://site.org/a/b?x=1"),
+        # non-default port and content params survive, order preserved
+        ("https://h.io:8443/q?b=2&utm_medium=m&a=1",
+         "https://h.io:8443/q?b=2&a=1"),
+        # root path trims to empty; all params tracking
+        ("https://h.io/?ref=rss", "https://h.io"),
+        # non-http input canonicalizes to NULL
+        ("ftp://h.io/x", None),
+        ("not a url", None),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i long, url string"
+    )
+    got = {r.i: r.c
+           for r in df.select("i", text.canonicalize_url("url").alias("c"))
+                      .collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
