@@ -944,6 +944,51 @@ def weighted_sample_k(
     )
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cluster_col: str | None = None,
+    weights: tuple[int, int, int] = (8, 1, 1),
+    seed: str = "split1",
+) -> DataFrame:
+    """Train/val/test assignment that cannot leak duplicates across
+    splits: the split is a pure function of the DUPLICATE-CLUSTER key,
+    not the document id, so every member of a cluster lands in the
+    same split (the eval-contamination failure mode of naive random
+    splits — a test doc whose near-twin sits in train).  Default
+    cluster key is the exact-dedup fingerprint ``md5(text)``; pass
+    ``cluster_col`` (e.g. near_duplicate_clusters' ``cluster``) to
+    make the guarantee transitive over NEAR-dups.
+
+    Assignment: bucket = 48-bit md5(seed ‖ cluster_key) mod
+    sum(weights); buckets [0, w_train) → train, [w_train,
+    w_train+w_val) → val, rest → test.  Deterministic across runs and
+    engines (pure integer arithmetic on the digest), rebalanced only
+    by changing ``seed``.  One narrow projection — no shuffle, no
+    state; the invariant "same cluster ⇒ same split" holds by
+    construction rather than by join."""
+    key = (
+        F.col(cluster_col).cast("string")
+        if cluster_col
+        else F.md5(F.col(text_col).cast("binary"))
+    )
+    total = sum(weights)
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed + "#"), key).cast("binary")), 1, 12
+        ),
+        16,
+        10,
+    ).cast("long") % total
+    split = (
+        F.when(bucket < weights[0], F.lit("train"))
+        .when(bucket < weights[0] + weights[1], F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.select(F.col(id_col), split.alias("split"))
+
+
 def perplexity_buckets(
     df: DataFrame,
     id_col: str = "doc_id",

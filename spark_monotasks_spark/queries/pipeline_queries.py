@@ -2882,3 +2882,33 @@ def video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("doc_id").alias("media_id"))
     media = multimodal.video_from_ids(ids)
     return multimodal.video_frame_stats(media)
+
+
+@register(
+    "leakage_safe_split",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('split1#' || md5(text)), 1, 12))
+               AS BIGINT) % 10 AS bucket
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN bucket < 8 THEN 'train'
+                WHEN bucket < 9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM keyed
+    """,
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment
+    (pipeline.text.leakage_safe_split): the split is a pure function of
+    the duplicate-CLUSTER key (here the exact-dedup fingerprint
+    md5(text)), so exact copies can never straddle splits — the
+    eval-contamination failure of naive per-row random splits.  Pure
+    48-bit md5 arithmetic makes every assignment bit-reproducible in
+    DuckDB; zero shuffle (one codegen projection).  The transitive
+    near-dup form (cluster_col=near_duplicate_clusters.cluster) is
+    invariant-tested in tests/test_pipeline.py."""
+    t = _t(spark, sf_dir)
+    return text.leakage_safe_split(t["documents"])

@@ -2014,3 +2014,71 @@ def test_canonicalize_url_cases(spark):
                       .collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, got[i], want)
+
+
+# --- leakage-safe splitting ------------------------------------------------
+
+def test_leakage_safe_split_exact_dups_share_split(spark, docs_with_dups):
+    out = text.leakage_safe_split(docs_with_dups).collect()
+    by_id = {r.doc_id: r.split for r in out}
+    assert set(by_id) == {0, 1, 2, 3, 4}
+    assert set(by_id.values()) <= {"train", "val", "test"}
+    # exact duplicates (same md5(text)) can never straddle splits
+    assert by_id[0] == by_id[3]
+
+
+def test_leakage_safe_split_matches_python_md5(spark, docs_with_dups):
+    """The assignment is a pure function of md5 — replay it row by row
+    in hashlib so a silent change to the bucket arithmetic fails."""
+    import hashlib
+
+    rows = docs_with_dups.collect()
+    out = {r.doc_id: r.split for r in
+           text.leakage_safe_split(docs_with_dups).collect()}
+    for r in rows:
+        fp = hashlib.md5(r.text.encode()).hexdigest()
+        bucket = int(
+            hashlib.md5(f"split1#{fp}".encode()).hexdigest()[:12], 16
+        ) % 10
+        want = "train" if bucket < 8 else ("val" if bucket < 9 else "test")
+        assert out[r.doc_id] == want
+
+
+def test_leakage_safe_split_cluster_col_transitive(spark):
+    """With cluster_col, the guarantee is transitive over NEAR-dup
+    clusters: every member of a cluster lands in one split even when
+    their texts (hence md5 fingerprints) all differ."""
+    rows = [(i, f"unique text {i}", i % 7) for i in range(140)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, cluster long")
+    out = text.leakage_safe_split(df, cluster_col="cluster")
+    joined = out.join(df.select("doc_id", "cluster"), "doc_id")
+    per_cluster = (
+        joined.groupBy("cluster")
+        .agg(F.countDistinct("split").alias("n"))
+        .collect()
+    )
+    assert all(r.n == 1 for r in per_cluster)
+
+
+def test_leakage_safe_split_proportions_seed_and_plan(spark):
+    rows = [(i, f"document body number {i}") for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text.leakage_safe_split(df)
+    counts = {r.split: r.n for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 3000
+    # 8/1/1 buckets: binomial 3-sigma bands are generous here
+    assert 2200 <= counts["train"] <= 2600
+    assert 200 <= counts.get("val", 0) <= 400
+    assert 200 <= counts.get("test", 0) <= 400
+    # deterministic; a new seed is a new assignment
+    again = {r.doc_id: r.split for r in
+             text.leakage_safe_split(df).collect()}
+    first = {r.doc_id: r.split for r in out.collect()}
+    assert first == again
+    other = {r.doc_id: r.split for r in
+             text.leakage_safe_split(df, seed="split2").collect()}
+    assert first != other
+    # assignment is one codegen projection — no shuffle anywhere
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
