@@ -703,6 +703,153 @@ def drop_duplicate_segments(
 
 
 # ---------------------------------------------------------------------------
+# exact-substring (maximal duplicated span) dedup — Lee et al. 2022 shape
+# ---------------------------------------------------------------------------
+
+def _duplicate_gram_positions(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    sep: str,
+    fingerprint: str,
+) -> DataFrame:
+    """(id, pos) of every NON-FIRST occurrence of each OVERLAPPING
+    k-token gram corpus-wide (first = min (id, pos)).  The sliding
+    window — unlike :func:`segments`' aligned blocks — is what lets
+    span dedup find duplicated runs at ANY offset.  Same 100 TB shape
+    as :func:`duplicate_segment_positions`: grams are built and hashed
+    map-side, the shuffle carries (fp, id, pos) only, never text."""
+    from pyspark.sql import Window
+
+    toks = F.split(F.col(text_col), re.escape(sep))
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), (n - k).cast("int")),
+        lambda i: F.concat_ws(sep, F.slice(toks, i + 1, k)),
+    )
+    occ = df.filter(n >= k).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(grams).alias("pos", "gram"),
+    )
+    if fingerprint == "md5":
+        occ = occ.select(
+            "id", "pos", F.unhex(F.md5(F.col("gram").cast("binary"))).alias("fp1")
+        )
+        fp_cols = ["fp1"]
+    elif fingerprint == "xxhash128":
+        occ = occ.select(
+            "id",
+            "pos",
+            F.xxhash64("gram", F.lit(1)).alias("fp1"),
+            F.xxhash64("gram", F.lit(2)).alias("fp2"),
+        )
+        fp_cols = ["fp1", "fp2"]
+    else:
+        raise ValueError(f"unknown fingerprint {fingerprint!r}")
+    w = Window.partitionBy(*fp_cols).orderBy("id", "pos")
+    return (
+        occ.select("id", "pos", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") > 1)
+        .select("id", "pos")
+    )
+
+
+def duplicate_span_positions(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 8,
+    sep: str = " ",
+    fingerprint: str = "xxhash128",
+) -> DataFrame:
+    """Maximal duplicated token spans, ExactSubstr-style (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better"):
+    one row ``(id, span_start, span_end)`` per maximal token run, on a
+    non-first-occurrence doc, every one of whose ``min_tokens``-wide
+    sliding windows repeats somewhere earlier in the corpus.  The
+    k-gram cover replaces the paper's suffix array — the right trade on
+    Spark: a distributed suffix array needs global order; the gram
+    cover is one explode + one rank window, finds exactly the runs of
+    length >= min_tokens (a duplicated run's every k-window is
+    duplicated; a shorter one has no k-window), and over-marks only
+    when ADJACENT duplicated runs chain through distinct sources —
+    documented, and irrelevant for removal purposes.
+
+    Reference analogy: none (the reference has no corpus-level text
+    dedup) — beyond-reference brief item, sibling of the aligned
+    :func:`duplicate_segment_positions`.
+
+    Merge rule: marked grams at positions p, q (p < q, same doc)
+    coalesce iff q <= p + min_tokens (their covers [p, p+k-1] and
+    [q, q+k-1] touch or overlap) — the classic gaps-and-islands
+    window, computed only over the MARKED rows (tiny: duplicated
+    regions only), partitioned by doc."""
+    from pyspark.sql import Window
+
+    k = min_tokens
+    marked = _duplicate_gram_positions(df, id_col, text_col, k, sep, fingerprint)
+    w = Window.partitionBy("id").orderBy("pos")
+    prev = F.lag("pos").over(w)
+    flagged = marked.withColumn(
+        "_new", F.when(prev.isNull() | (F.col("pos") > prev + k), 1).otherwise(0)
+    )
+    islands = flagged.withColumn("_isl", F.sum("_new").over(w))
+    return (
+        islands.groupBy("id", "_isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (k - 1)).alias("span_end"),
+        )
+        .select("id", "span_start", "span_end")
+    )
+
+
+def drop_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 8,
+    sep: str = " ",
+    fingerprint: str = "xxhash128",
+) -> DataFrame:
+    """ExactSubstr cut: remove every token covered by a duplicated
+    >=min_tokens-run's non-first occurrence, keeping the corpus-wide
+    first copy; rebuilt text in ``text_dedup``.  Same rebuild contract
+    as :func:`drop_duplicate_segments`: only docs that lose tokens pay
+    the (interpreted-lambda) rebuild, untouched docs pass through
+    VERBATIM; the drop sets shipped back to the doc partition are
+    token INDICES — tiny — and the corpus text never shuffles."""
+    k = min_tokens
+    marked = _duplicate_gram_positions(df, id_col, text_col, k, sep, fingerprint)
+    drops = (
+        marked.select(
+            "id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("_ti"),
+        )
+        .groupBy("id")
+        .agg(F.collect_set("_ti").alias("_drop_pos"))
+        .withColumnRenamed("id", id_col)
+    )
+    toks = F.split(F.col(text_col), re.escape(sep))
+    kept = F.filter(
+        toks,
+        lambda tok, i: ~F.coalesce(
+            F.array_contains(F.col("_drop_pos"), i), F.lit(False)
+        ),
+    )
+    rebuilt = F.concat_ws(sep, kept)
+    return (
+        df.join(drops, on=id_col, how="left")
+        .withColumn(
+            "text_dedup",
+            F.when(F.col("_drop_pos").isNull(), F.col(text_col)).otherwise(rebuilt),
+        )
+        .drop("_drop_pos")
+    )
+
+
+# ---------------------------------------------------------------------------
 # engine-portable MinHash (md5 family) — the value-auditable variant
 # ---------------------------------------------------------------------------
 

@@ -2912,3 +2912,54 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     invariant-tested in tests/test_pipeline.py."""
     t = _t(spark, sf_dir)
     return text.leakage_safe_split(t["documents"])
+
+
+@register(
+    "exact_substring_spans",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, unnest(generate_series(0, len(t) - 5)) AS p, t
+      FROM toks WHERE len(t) >= 5
+    ),
+    occ AS (
+      SELECT doc_id, p, md5(array_to_string(t[p+1:p+5], ' ')) AS fp FROM pos
+    ),
+    marked AS (
+      SELECT doc_id, p FROM (
+        SELECT doc_id, p,
+               row_number() OVER (PARTITION BY fp ORDER BY doc_id, p) AS rn
+        FROM occ
+      ) WHERE rn > 1
+    ),
+    isl AS (
+      SELECT doc_id, p,
+             CASE WHEN lag(p) OVER w IS NULL OR p > lag(p) OVER w + 5
+                  THEN 1 ELSE 0 END AS f
+      FROM marked WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+    ),
+    grp AS (
+      SELECT doc_id, p, sum(f) OVER (PARTITION BY doc_id ORDER BY p) AS g
+      FROM isl
+    )
+    SELECT doc_id, CAST(min(p) AS INT) AS span_start,
+           CAST(max(p) + 4 AS INT) AS span_end
+    FROM grp GROUP BY doc_id, g
+    """,
+)
+def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup spans (pipeline.dedup.duplicate_span_positions,
+    Lee et al. 2022): maximal token runs, on non-first-occurrence docs,
+    whose every 5-token sliding window repeats earlier in the corpus —
+    the sliding-gram cover standing in for the paper's suffix array.
+    The md5 fingerprint makes the grouping (hence the rank, islands,
+    and span bounds) exactly replayable in DuckDB; the xxhash128 form
+    is the benched scale path (grouping-equivalent absent collisions).
+    Cut/rebuild (drop_duplicate_spans) is value-tested against a pure-
+    Python reference in tests/test_pipeline.py."""
+    t = _t(spark, sf_dir)
+    return dedup.duplicate_span_positions(
+        t["documents"], min_tokens=5, fingerprint="md5"
+    ).withColumnRenamed("id", "doc_id")

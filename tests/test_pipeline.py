@@ -2082,3 +2082,94 @@ def test_leakage_safe_split_proportions_seed_and_plan(spark):
     # assignment is one codegen projection — no shuffle anywhere
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# --- exact-substring (maximal duplicated span) dedup ------------------------
+
+def test_duplicate_span_positions_planted(spark):
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (1, "uniq1 uniq2 alpha beta gamma delta epsilon zeta eta theta uniq3"),
+        (2, "totally different words here nothing shared with others at all"),
+        (3, "pre alpha beta gamma delta epsilon zeta eta theta iota kappa post"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = sorted(
+        (r.id, r.span_start, r.span_end)
+        for r in dedup.duplicate_span_positions(df, min_tokens=8).collect()
+    )
+    # doc 0 is the corpus-first copy -> untouched; doc 1's 8-token run
+    # sits at tokens 2..9; doc 3 repeats the full 10-token run at 1..10
+    assert spans == [(1, 2, 9), (3, 1, 10)]
+
+
+def test_drop_duplicate_spans_cut_and_first_copy_kept(spark):
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (1, "uniq1 uniq2 alpha beta gamma delta epsilon zeta eta theta uniq3"),
+        (3, "pre alpha beta gamma delta epsilon zeta eta theta iota kappa post"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.text_dedup
+           for r in dedup.drop_duplicate_spans(df, min_tokens=8).collect()}
+    assert out[0] == rows[0][1]          # first copy survives verbatim
+    assert out[1] == "uniq1 uniq2 uniq3"
+    assert out[3] == "pre post"
+
+
+def test_duplicate_spans_below_threshold_and_short_docs(spark):
+    rows = [
+        (0, "a b c d e f g h"),
+        (1, "x1 a b c d e f g x2"),  # shared run is 7 tokens < min_tokens=8
+        (2, "tiny doc"),             # shorter than one gram
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert dedup.duplicate_span_positions(df, min_tokens=8).count() == 0
+    out = {r.doc_id: r.text_dedup
+           for r in dedup.drop_duplicate_spans(df, min_tokens=8).collect()}
+    assert all(out[i] == t for i, t in rows)
+
+
+def test_drop_duplicate_spans_matches_python_reference(spark):
+    """Replay the whole pipeline — sliding grams, corpus-first rank,
+    cover union, cut — in pure Python on a seeded corpus with heavy
+    cross-doc copying, and demand exact text equality."""
+    import random as _random
+
+    rng = _random.Random(77)
+    vocab = [f"w{j}" for j in range(30)]
+    base = [rng.choice(vocab) for _ in range(40)]
+    docs = []
+    for i in range(12):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(6, 25))]
+        if i % 3 == 1:  # splice a shared slab from the base sequence
+            at = rng.randint(0, len(toks))
+            start = rng.randint(0, 25)
+            toks = toks[:at] + base[start:start + rng.randint(6, 12)] + toks[at:]
+        docs.append((i, " ".join(toks)))
+    k = 6
+    # python reference
+    first: dict[tuple, tuple] = {}
+    for i, t in docs:
+        toks = t.split(" ")
+        for p in range(len(toks) - k + 1):
+            g = tuple(toks[p:p + k])
+            if g not in first:
+                first[g] = (i, p)
+    expect = {}
+    for i, t in docs:
+        toks = t.split(" ")
+        drop = set()
+        for p in range(len(toks) - k + 1):
+            if first[tuple(toks[p:p + k])] != (i, p):
+                drop.update(range(p, p + k))
+        expect[i] = " ".join(tok for j, tok in enumerate(toks) if j not in drop)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r.text_dedup
+           for r in dedup.drop_duplicate_spans(df, min_tokens=k).collect()}
+    assert got == expect
+    # md5 portable fingerprint agrees with the xxhash128 scale path
+    got_md5 = {r.doc_id: r.text_dedup
+               for r in dedup.drop_duplicate_spans(
+                   df, min_tokens=k, fingerprint="md5").collect()}
+    assert got_md5 == expect
