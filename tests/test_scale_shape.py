@@ -61,6 +61,12 @@ LINEAR = [
     # the gram stream; the ORC roundtrip is a linear write + pruned read
     ("bigram_logprob_score", 8.0, "O(grams) explode + count joins"),
     ("orc_partitioned_roundtrip", 8.0, "O(n) columnar write + pruned scan"),
+    # r6 late batch: the ExactSubstr gram cover is O(tokens) — explode,
+    # one rank shuffle of (fp,id,pos) keys, islands over marked rows
+    # only (marked <= grams, so duplication growth cannot exceed O(n));
+    # the split is a single codegen projection
+    ("exact_substring_spans", 8.0, "O(tokens) gram explode + rank"),
+    ("leakage_safe_split", 8.0, "O(n) md5-bucket projection"),
 ]
 
 #: super-linear entries: bounded above by documented exponents, still
