@@ -150,6 +150,12 @@ HEADLINE = [
     # write->read roundtrip (partitioned sink + pruned scan)
     "bigram_logprob_score",
     "orc_partitioned_roundtrip",
+    # added r6 (late batch): ExactSubstr maximal-span dedup — the
+    # sliding-gram cover is the heaviest per-token text pass (O(tokens)
+    # exploded keys vs segments' O(tokens/seg)), so it belongs in the
+    # headline suite; benched as the xxhash128 scale path (the md5
+    # audit twin is the oracle-gated catalog form)
+    "exact_substring_spans_scale",
 ]
 
 

@@ -110,3 +110,56 @@ def zip_with_index(
             *order_cols
         )
     return _add_offsets(_with_partition_position(df), index_col)
+
+
+def running_total(
+    df: DataFrame,
+    value_col: str | Column,
+    order_cols: Sequence[str | Column],
+    total_col: str = "running_total",
+) -> DataFrame:
+    """Distributed GLOBAL running sum: equals ``sum(value) OVER (ORDER
+    BY order_cols ROWS UNBOUNDED PRECEDING)`` but never plans the
+    one-task un-partitioned window — the same two-pass decomposition as
+    :func:`zip_with_index`, generalized from counts to sums:
+
+    1. range-repartition + sort on the order keys (the ONE exchange of
+       the input);
+    2. per-partition value sums collapse map-side to ≤ num_partitions
+       rows; their cumulative offsets run through the bounded
+       aggregate-input window that the catalog-wide plan gate permits;
+    3. offsets broadcast back; the within-partition prefix sum is a
+       window PARTITIONED by the range-partition id — Catalyst inserts
+       a hash exchange on ``_pid`` for it, which is why callers should
+       hand this function a NARROW projection (id + keys + value) and
+       join survivors back, never a wide row with the payload (see
+       pipeline.text.select_to_token_budget).
+
+    Ties in ``order_cols`` get arbitrary-but-consistent relative order
+    (exactly like ``row_number``); pass a unique tiebreaker for a
+    deterministic result."""
+    spark = df.sparkSession
+    try:
+        n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n = spark.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, *order_cols).sortWithinPartitions(
+        *order_cols
+    )
+    pos = _with_partition_position(ranged)
+    sums = pos.groupBy("_pid").agg(F.sum(value_col).alias("_psum"))
+    w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sums.select(
+        "_pid", F.coalesce(F.sum("_psum").over(w), F.lit(0)).alias("_off")
+    )
+    wloc = (
+        Window.partitionBy("_pid")
+        .orderBy("_lrank")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out_cols = [c for c in df.columns]
+    return (
+        pos.join(F.broadcast(offsets), on="_pid")
+        .withColumn("_run", F.col("_off") + F.sum(value_col).over(wloc))
+        .select(*out_cols, F.col("_run").alias(total_col))
+    )

@@ -703,6 +703,104 @@ def drop_duplicate_segments(
 
 
 # ---------------------------------------------------------------------------
+# prefix-filtered exact Jaccard similarity join (PPJoin family)
+# ---------------------------------------------------------------------------
+
+def jaccard_join_prefix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    sep: str = " ",
+    shingle_k: int | None = None,
+) -> DataFrame:
+    """ALL pairs with token-set Jaccard >= ``threshold`` — exact, via
+    prefix filtering (the PPJoin family: Chaudhuri et al. 2006 SSJoin /
+    Xiao et al. 2008).  Unlike the MinHash/SimHash paths this blocking
+    is LOSSLESS: sort each doc's distinct tokens by one global
+    (frequency, token) total order and keep only the first
+    ``n - ceil(t*n) + 1`` as its prefix; any pair with J >= t must
+    share a prefix token (with the size filter ``|B| >= t*|A|``, the
+    required overlap ``ceil(t*(|A|+|B|)/(1+t)) >= ceil(t*|A|)``, so
+    the prefixes cannot be disjoint) — candidates only MISS nothing,
+    and exact verification on candidates trims false positives.
+
+    100 TB shape: the candidate join keys on the globally RAREST
+    tokens (frequency-ascending order puts heavy stopwords at the
+    array tail, outside every prefix), so bucket sizes shrink as the
+    corpus grows common-token-heavy; the shuffles carry (token, id, n)
+    prefix rows and token arrays only for verified candidates.  The
+    frequency table is vocabulary-sized — AQE broadcasts it at small
+    SF and shuffle-hashes at scale.  Output: (id_a, id_b, jaccard)
+    with id_a < id_b, jaccard rounded to 6 (one IEEE-exact divide).
+
+    Reference analogy: none — beyond-reference brief item (similarity
+    join for near-dup candidate generation with an exactness
+    guarantee)."""
+    t = float(threshold)
+    if not 0.0 < t <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold!r}")
+    # set universe: raw tokens, or k-token shingles (``shingle_k``) —
+    # shingles separate near-dups far better on vocabulary-dense
+    # corpora, where bare token SETS of unrelated docs already overlap
+    units = (
+        shingles(F.col(text_col), shingle_k, sep)
+        if shingle_k
+        else F.split(F.col(text_col), re.escape(sep))
+    )
+    toks = df.select(
+        F.col(id_col).alias("id"), F.array_distinct(units).alias("s")
+    )
+    occ = toks.select("id", F.explode("s").alias("tok"))
+    freq = occ.groupBy("tok").agg(F.count("*").alias("freq"))
+    ordered = (
+        occ.join(freq, "tok")
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("freq", "tok"))),
+                lambda s: s["tok"],
+            ).alias("ord")
+        )
+        .select("id", "ord", F.size("ord").alias("n"))
+    )
+    # ceil over a float product can round UP spuriously (t*n a hair
+    # above the true integer), which would shorten the prefix below the
+    # lossless bound — nudge down by an epsilon far under 1/n so the
+    # prefix can only err LONGER (extra candidates, never missed pairs)
+    p_len = (F.col("n") - F.ceil(F.lit(t) * F.col("n") - 1e-9) + 1).cast("int")
+    prefixes = ordered.select(
+        "id", "n", F.explode(F.slice("ord", F.lit(1), p_len)).alias("tok")
+    )
+    a, b = prefixes.alias("a"), prefixes.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(F.lit(t) * F.greatest("a.n", "b.n") <= F.least("a.n", "b.n"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = toks.select(F.col("id").alias("id_a"), F.col("s").alias("sa"))
+    sb = toks.select(F.col("id").alias("id_b"), F.col("s").alias("sb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("sa", "sb")).cast("double")
+                / F.size(F.array_union("sa", "sb")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= t)
+    )
+
+
+# ---------------------------------------------------------------------------
 # exact-substring (maximal duplicated span) dedup — Lee et al. 2022 shape
 # ---------------------------------------------------------------------------
 

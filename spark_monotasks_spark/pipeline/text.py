@@ -989,6 +989,42 @@ def leakage_safe_split(
     return df.select(F.col(id_col), split.alias("split"))
 
 
+def select_to_token_budget(
+    df: DataFrame,
+    budget: int,
+    value_col: Column | str,
+    score_col: Column | str,
+    descending: bool = True,
+    id_col: str = "doc_id",
+    total_col: str = "cum_tokens",
+) -> DataFrame:
+    """Greedy quality-ordered corpus selection under a token budget:
+    walk documents best-``score_col``-first (ties broken by id) and
+    keep each doc whose cumulative ``value_col`` total, itself
+    included, still fits ``budget`` — the standard "take the best N
+    tokens" cut when assembling a training mix from a scored corpus.
+
+    Exactly ``sum(value) OVER (ORDER BY score, id) <= budget``, but
+    planned scalably: the running total
+    (operators.indexing.running_total — the zip_with_index two-pass
+    shape generalized to sums) runs over a NARROW (id, score, value)
+    projection, and survivors rejoin the corpus by id — the document
+    text never passes through the prefix-sum machinery.  Keeps every
+    input column plus ``total_col``."""
+    from spark_monotasks_spark.operators.indexing import running_total
+
+    value = F.col(value_col) if isinstance(value_col, str) else value_col
+    score = F.col(score_col) if isinstance(score_col, str) else score_col
+    narrow = df.select(F.col(id_col), value.alias("_v"), score.alias("_q"))
+    order = [
+        F.col("_q").desc() if descending else F.col("_q").asc(),
+        F.col(id_col),
+    ]
+    run = running_total(narrow, "_v", order, total_col=total_col)
+    kept = run.filter(F.col(total_col) <= budget).select(id_col, total_col)
+    return df.join(kept, on=id_col, how="inner")
+
+
 def perplexity_buckets(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -2963,3 +2963,91 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicate_span_positions(
         t["documents"], min_tokens=5, fingerprint="md5"
     ).withColumnRenamed("id", "doc_id")
+
+
+@register("exact_substring_spans_scale")  # engine-specific xxhash128
+# fingerprints -> rows-only driver check by design; grouping-equivalence
+# to the oracle-gated md5 twin is pinned in tests/test_pipeline.py
+def exact_substring_spans_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The benched SCALE path of ExactSubstr span dedup: identical
+    pipeline to `exact_substring_spans` but fingerprinting grams with
+    the dual-seeded xxhash64 pair (hash-once, 16-byte keys) instead of
+    md5 — the form a production corpus pass runs.  Grouping-equivalent
+    to the md5 audit twin absent 2^-128 collisions; span-set equality
+    across both families is asserted in tests."""
+    t = _t(spark, sf_dir)
+    return dedup.duplicate_span_positions(
+        t["documents"], min_tokens=5, fingerprint="xxhash128"
+    ).withColumnRenamed("id", "doc_id")
+
+
+@register(
+    "jaccard_similarity_join",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            for i in generate_series(1, greatest(len(t)-2, 1))])
+               AS s
+      FROM toks
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(a.s || b.s)), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / len(list_distinct(a.s || b.s)), 6) >= 0.5
+    """,
+)
+def jaccard_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered EXACT Jaccard similarity join
+    (pipeline.dedup.jaccard_join_prefix, PPJoin family — Chaudhuri et
+    al. 2006 / Xiao et al. 2008) over 3-token shingle sets at t=0.5.
+    The blocking is LOSSLESS (any qualifying pair shares a
+    rarest-first prefix token), so the Spark result must equal the
+    oracle's brute-force all-pairs scan EXACTLY — the strongest
+    correctness statement a blocked similarity join can make, and the
+    audit complement of the probabilistic MinHash/SimHash families.
+    One IEEE-exact divide, rounded identically in both dialects."""
+    t = _t(spark, sf_dir)
+    return dedup.jaccard_join_prefix(
+        t["documents"], threshold=0.5, shingle_k=3
+    )
+
+
+@register(
+    "token_budget_select",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
+             CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) AS q
+      FROM documents
+    ),
+    run AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY q DESC, doc_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM scored
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens, cum_tokens
+    FROM run WHERE cum_tokens <= 10000
+    """,
+)
+def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ordered corpus selection under a 10k-token budget
+    (pipeline.text.select_to_token_budget): documents ranked by a
+    portable quality proxy (mean word length — ONE IEEE-exact divide,
+    ties broken by id), kept while the running token total fits.  The
+    global prefix sum is the distributed two-pass shape
+    (operators.indexing.running_total), never a one-task window; the
+    oracle states the same cut as a plain SQL running-sum window, so
+    the boundary document is value-checked exactly."""
+    t = _t(spark, sf_dir)
+    docs = t["documents"].withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), " ")).cast("long")
+    ).withColumn("q", F.col("n_chars").cast("double") / F.col("n_tokens"))
+    out = text.select_to_token_budget(docs, 10000, "n_tokens", "q")
+    return out.select("doc_id", "lang", "n_tokens", "cum_tokens")

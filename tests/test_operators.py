@@ -900,3 +900,51 @@ def test_ohlc_resample_hand_example(spark):
     assert (a11.open, a11.close, a11.n) == (7.0, 7.0, 1)
     b10 = out[("b", "2024-01-01 10:00:00")]
     assert (b10.open, b10.close) == (3.0, 4.0)  # tie -> value-ordered
+
+
+# --- distributed running total ----------------------------------------------
+
+def test_running_total_matches_window_semantics(spark):
+    import random as _random
+
+    from spark_monotasks_spark.operators.indexing import running_total
+
+    rng = _random.Random(3)
+    rows = [(i, rng.randint(1, 50), rng.random()) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, v long, q double").repartition(13)
+    got = {
+        r.id: r.rt
+        for r in running_total(
+            df, "v", [F.col("q").desc(), F.col("id")], total_col="rt"
+        ).collect()
+    }
+    expect, acc = {}, 0
+    for i, v, _ in sorted(rows, key=lambda r: (-r[2], r[0])):
+        acc += v
+        expect[i] = acc
+    assert got == expect
+
+
+def test_running_total_plan_has_no_global_window(spark):
+    """The whole point: the input-sized relation must never pass
+    through an un-partitioned window (one-task Exchange)."""
+    from spark_monotasks_spark.operators.indexing import running_total
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).alias("v")
+    )
+    out = running_total(df, "v", [F.col("id")])
+    s = out._jdf.queryExecution().optimizedPlan().toString()
+    # optimized logical plan prints windows as
+    #   Window [exprs], [partitionSpec], [orderSpec]  (partitioned)
+    #   Window [exprs], [orderSpec]                   (un-partitioned)
+    import re as _re
+
+    wins = _re.findall(r"Window \[.*", s)
+    unpart = [w for w in wins if w.count("], [") == 1]
+    # the only legitimate un-partitioned window is the cumulative
+    # offsets pass over the per-partition sums AGGREGATE (<= P rows);
+    # it is recognizable by _psum — the input-sized prefix sum must be
+    # the _pid-partitioned window instead
+    assert all("_psum" in w for w in unpart), s
+    assert any("_pid" in w and w.count("], [") == 2 for w in wins), s

@@ -2173,3 +2173,82 @@ def test_drop_duplicate_spans_matches_python_reference(spark):
                for r in dedup.drop_duplicate_spans(
                    df, min_tokens=k, fingerprint="md5").collect()}
     assert got_md5 == expect
+
+
+def test_exact_substring_span_families_agree_on_corpus(spark):
+    """xxhash128 (scale path) and md5 (oracle audit twin) fingerprints
+    group identically absent collisions — the span SETS must match on
+    the real corpus."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted((r.id, r.span_start, r.span_end) for r in
+               dedup.duplicate_span_positions(
+                   docs, min_tokens=5, fingerprint="xxhash128").collect())
+    b = sorted((r.id, r.span_start, r.span_end) for r in
+               dedup.duplicate_span_positions(
+                   docs, min_tokens=5, fingerprint="md5").collect())
+    assert a == b and len(a) > 0
+
+
+# --- prefix-filtered exact Jaccard join --------------------------------------
+
+def test_jaccard_join_prefix_matches_brute_force(spark):
+    """Lossless-blocking claim, tested head-on: the prefix-filtered
+    join must equal the unblocked all-pairs computation exactly."""
+    import itertools
+    import random as _random
+
+    rng = _random.Random(11)
+    vocab = [f"t{j}" for j in range(25)]
+    docs = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 14))))
+            for i in range(60)]
+    # plant a few heavy-overlap pairs
+    docs += [(100, docs[5][1]), (101, docs[5][1] + " extraz")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for thresh in (0.3, 0.6, 0.9):
+        got = sorted(
+            (r.id_a, r.id_b, r.jaccard)
+            for r in dedup.jaccard_join_prefix(df, threshold=thresh).collect()
+        )
+        sets = {i: set(t.split(" ")) for i, t in docs}
+        want = []
+        for (ia, sa), (ib, sb) in itertools.combinations(sorted(sets.items()), 2):
+            j = round(len(sa & sb) / len(sa | sb), 6)
+            if j >= thresh:
+                want.append((ia, ib, j))
+        assert got == sorted(want), f"threshold {thresh}"
+
+
+def test_jaccard_join_prefix_shingles_and_validation(spark):
+    rows = [
+        (0, "a b c d e f"),
+        (1, "a b c d e f"),      # identical -> jaccard 1.0
+        (2, "z y x w v u"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = dedup.jaccard_join_prefix(df, threshold=0.99, shingle_k=3).collect()
+    assert [(r.id_a, r.id_b, r.jaccard) for r in got] == [(0, 1, 1.0)]
+    with pytest.raises(ValueError):
+        dedup.jaccard_join_prefix(df, threshold=0.0)
+
+
+# --- token-budget selection ---------------------------------------------------
+
+def test_select_to_token_budget_boundary_and_total(spark):
+    rows = [
+        (0, 5.0, 40),   # q=5 best
+        (1, 4.0, 50),
+        (2, 3.0, 30),
+        (3, 2.0, 100),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, q double, nt long")
+    out = text.select_to_token_budget(df, 100, "nt", "q").orderBy("doc_id")
+    got = [(r.doc_id, r.cum_tokens) for r in out.collect()]
+    # greedy: 40 (cum 40), 50 (cum 90), 30 would hit 120 > 100 -> cut
+    assert got == [(0, 40), (1, 90)]
+    # budget covering everything keeps everything
+    assert text.select_to_token_budget(df, 10_000, "nt", "q").count() == 4
+    # ascending order flips the walk
+    asc = text.select_to_token_budget(
+        df, 130, "nt", "q", descending=False
+    ).orderBy("cum_tokens").collect()
+    assert [r.doc_id for r in asc] == [3, 2]

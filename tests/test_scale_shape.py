@@ -66,7 +66,13 @@ LINEAR = [
     # only (marked <= grams, so duplication growth cannot exceed O(n));
     # the split is a single codegen projection
     ("exact_substring_spans", 8.0, "O(tokens) gram explode + rank"),
+    ("exact_substring_spans_scale", 8.0, "O(tokens) gram explode + rank"),
     ("leakage_safe_split", 8.0, "O(n) md5-bucket projection"),
+    # prefix filtering keys candidates on the globally-rarest shingles,
+    # so bucket sizes stay bounded as the corpus grows (measured 3.2x
+    # at 10x data); the budget cut is the two-pass prefix-sum shape
+    ("jaccard_similarity_join", 8.0, "O(n) prefix-filtered candidates"),
+    ("token_budget_select", 8.0, "O(n) two-pass distributed prefix sum"),
 ]
 
 #: super-linear entries: bounded above by documented exponents, still
