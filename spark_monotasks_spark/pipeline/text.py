@@ -1025,6 +1025,102 @@ def select_to_token_budget(
     return df.join(kept, on=id_col, how="inner")
 
 
+def cap_per_group(
+    df: DataFrame,
+    cap: int,
+    value_col: Column | str,
+    score_col: Column | str,
+    group_col: str = "source",
+    descending: bool = True,
+    id_col: str = "doc_id",
+    total_col: str = "cum_in_group",
+) -> DataFrame:
+    """Per-group contribution cap — the domain-cap curation rule: within
+    each ``group_col`` (source / domain / site), walk documents
+    best-``score_col``-first (ties by id) and keep each doc while the
+    group's cumulative ``value_col`` total, itself included, still fits
+    ``cap``.  Bounds any single domain's share of the training mix —
+    the standard defense against one crawl host dominating the corpus.
+
+    Scale shape: the running sum is a window PARTITIONED by the group
+    key over a NARROW (id, group, score, value) projection — groups
+    are domains, so parallelism is wide; survivors rejoin the corpus
+    by id and the text never enters the window.  A pathologically
+    giant single domain would skew one partition; for that case run
+    :func:`select_to_token_budget` on the one domain instead (its
+    two-pass prefix sum has no per-key partition)."""
+    from pyspark.sql import Window
+
+    value = F.col(value_col) if isinstance(value_col, str) else value_col
+    score = F.col(score_col) if isinstance(score_col, str) else score_col
+    narrow = df.select(
+        F.col(id_col), F.col(group_col), value.alias("_v"), score.alias("_q")
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(
+            F.col("_q").desc() if descending else F.col("_q").asc(),
+            F.col(id_col),
+        )
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = narrow.withColumn(total_col, F.sum("_v").over(w))
+    kept = run.filter(F.col(total_col) <= cap).select(id_col, total_col)
+    return df.join(kept, on=id_col, how="inner")
+
+
+def ngram_novelty(
+    df: DataFrame,
+    ref: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    sep: str = " ",
+) -> DataFrame:
+    """Novelty of each candidate doc against a REFERENCE corpus: the
+    fraction of the doc's distinct k-token shingles absent from the
+    reference's shingle set — high novelty flags genuinely new
+    content, low novelty flags recombinations of already-held text
+    (the diversity-selection / redundancy-screen signal; contamination
+    screening is the k-gram EQUI-join twin, see contamination_check).
+
+    Output: (id, n_grams, n_novel, novelty) with novelty rounded to 6
+    (one IEEE-exact divide).  Scale shape: both sides reduce to
+    (gram) / (id, gram) keys before the join — the reference corpus
+    collapses to its DISTINCT gram set once (vocabulary-bounded) and
+    never ships text; the join strategy is AQE's call (broadcast when
+    the reference gram set is small, shuffle-hash at scale)."""
+    from spark_monotasks_spark.pipeline.dedup import shingles
+
+    cand = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), k, sep)).alias("g"),
+    )
+    ref_grams = (
+        ref.select(F.explode(shingles(F.col(text_col), k, sep)).alias("g"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        cand.join(ref_grams, on="g", how="left")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_seen"),
+        )
+        .select(
+            "id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            (F.col("n_grams") - F.col("n_seen")).cast("long").alias("n_novel"),
+            F.round(
+                (F.col("n_grams") - F.col("n_seen")).cast("double")
+                / F.col("n_grams"),
+                6,
+            ).alias("novelty"),
+        )
+    )
+
+
 def perplexity_buckets(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -3051,3 +3051,87 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("q", F.col("n_chars").cast("double") / F.col("n_tokens"))
     out = text.select_to_token_budget(docs, 10000, "n_tokens", "q")
     return out.select("doc_id", "lang", "n_tokens", "cum_tokens")
+
+
+@register(
+    "domain_cap_select",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS nt,
+             CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) AS q
+      FROM documents
+    ),
+    run AS (
+      SELECT doc_id, source, nt,
+             CAST(sum(nt) OVER (PARTITION BY source ORDER BY q DESC, doc_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_in_group
+      FROM scored
+    )
+    SELECT doc_id, source, CAST(nt AS BIGINT) AS n_tokens, cum_in_group
+    FROM run WHERE cum_in_group <= 800
+    """,
+)
+def domain_cap_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-cap curation (pipeline.text.cap_per_group): each source
+    contributes at most 800 tokens, filled best-quality-first (mean
+    word length, id tiebreak) — the standard bound on any one crawl
+    host's share of the training mix.  A per-source partitioned
+    running-sum window over a narrow projection; the boundary document
+    of every source is value-checked by the oracle."""
+    t = _t(spark, sf_dir)
+    docs = t["documents"].withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), " ")).cast("long")
+    ).withColumn("q", F.col("n_chars").cast("double") / F.col("n_tokens"))
+    out = text.cap_per_group(docs, 800, "n_tokens", "q")
+    return out.select("doc_id", "source", "n_tokens", "cum_in_group")
+
+
+@register(
+    "ngram_novelty_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, source,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            for i in generate_series(1, greatest(len(t)-2, 1))])
+               AS s
+      FROM toks
+    ),
+    refg AS (
+      SELECT DISTINCT unnest(s) AS g FROM sh
+      WHERE source IN ('src0','src1','src2','src3')
+    ),
+    cand AS (
+      SELECT doc_id, unnest(s) AS g FROM sh
+      WHERE source NOT IN ('src0','src1','src2','src3')
+    ),
+    agg AS (
+      SELECT c.doc_id, count(*) AS n_grams, count(r.g) AS n_seen
+      FROM cand c LEFT JOIN refg r ON c.g = r.g
+      GROUP BY c.doc_id
+    )
+    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_grams - n_seen AS BIGINT) AS n_novel,
+           round(CAST(n_grams - n_seen AS DOUBLE) / n_grams, 6) AS novelty
+    FROM agg
+    """,
+)
+def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle novelty vs a held reference corpus
+    (pipeline.text.ngram_novelty): sources src0-src3 play the
+    already-held corpus, every other doc is scored by the fraction of
+    its distinct 3-token shingles the reference has never seen — the
+    diversity/redundancy selection signal.  The reference collapses to
+    its distinct gram set before the join (vocabulary-bounded, text
+    never ships); counts and the one-divide novelty ratio replay
+    exactly in DuckDB."""
+    t = _t(spark, sf_dir)
+    refs = ("src0", "src1", "src2", "src3")
+    docs = t["documents"]
+    out = text.ngram_novelty(
+        docs.filter(~F.col("source").isin(*refs)),
+        docs.filter(F.col("source").isin(*refs)),
+    )
+    return out.withColumnRenamed("id", "doc_id")

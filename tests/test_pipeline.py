@@ -2252,3 +2252,42 @@ def test_select_to_token_budget_boundary_and_total(spark):
         df, 130, "nt", "q", descending=False
     ).orderBy("cum_tokens").collect()
     assert [r.doc_id for r in asc] == [3, 2]
+
+
+# --- domain cap + novelty -----------------------------------------------------
+
+def test_cap_per_group_boundary_per_group(spark):
+    rows = [
+        # group A: quality order 0,1,2 -> 40, 90, 120>100 cut
+        (0, "A", 5.0, 40), (1, "A", 4.0, 50), (2, "A", 3.0, 30),
+        # group B: single huge doc over cap -> nothing survives
+        (3, "B", 9.0, 500),
+        # group C: everything fits
+        (4, "C", 1.0, 10), (5, "C", 2.0, 20),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, q double, nt long")
+    out = text.cap_per_group(df, 100, "nt", "q").orderBy("doc_id").collect()
+    assert [(r.doc_id, r.cum_in_group) for r in out] == [
+        (0, 40), (1, 90), (4, 30), (5, 20),
+    ]
+
+
+def test_ngram_novelty_exact_fractions(spark):
+    ref = spark.createDataFrame(
+        [(100, "a b c d e")], "doc_id long, text string"
+    )
+    cand = spark.createDataFrame(
+        [
+            (0, "a b c d e"),        # all 3 shingles seen -> novelty 0
+            (1, "x y z w v"),        # none seen -> novelty 1
+            (2, "a b c x y"),        # shingles: abc(seen), bcx, cxy -> 2/3
+            (3, "a b"),              # below-k fallback: whole text, unseen
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.id: (r.n_grams, r.n_novel, r.novelty)
+           for r in text.ngram_novelty(cand, ref).collect()}
+    assert got[0] == (3, 0, 0.0)
+    assert got[1] == (3, 3, 1.0)
+    assert got[2] == (3, 2, round(2 / 3, 6))
+    assert got[3] == (1, 1, 1.0)

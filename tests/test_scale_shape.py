@@ -73,6 +73,8 @@ LINEAR = [
     # at 10x data); the budget cut is the two-pass prefix-sum shape
     ("jaccard_similarity_join", 8.0, "O(n) prefix-filtered candidates"),
     ("token_budget_select", 8.0, "O(n) two-pass distributed prefix sum"),
+    ("domain_cap_select", 8.0, "O(n) per-domain partitioned window"),
+    ("ngram_novelty_score", 8.0, "O(grams) distinct-set left join"),
 ]
 
 #: super-linear entries: bounded above by documented exponents, still
