@@ -52,3 +52,36 @@ def zorder_sql(a_expr: str, b_expr: str, bits: int = 16) -> str:
         terms.append(f"((({a_expr}) // {1 << i}) % 2) * {1 << (2 * i)}")
         terms.append(f"((({b_expr}) // {1 << i}) % 2) * {1 << (2 * i + 1)}")
     return " + ".join(terms)
+
+
+def compaction_bins(
+    files: DataFrame,
+    size_col: str = "bytes",
+    order_col: str = "path",
+    target_bytes: int = 128 * 1024 * 1024,
+    bin_col: str = "bin",
+) -> DataFrame:
+    """Small-file compaction plan (the OPTIMIZE/bin-packing step a
+    table maintenance job runs): walk the file manifest in
+    ``order_col`` order and cut contiguous bins of ~``target_bytes``
+    — file i goes to bin ``(cum_before_i) div target``, so every bin
+    except the last holds at least ``target_bytes`` and overflows by
+    less than one file.  Contiguity in the chosen order preserves any
+    clustering the manifest order encodes (e.g. a Z-order write).
+
+    The global running size is the distributed two-pass prefix sum
+    (operators.indexing.running_total) — the manifest may be billions
+    of rows at warehouse scale, never a one-task window.  Pure integer
+    arithmetic (``div``), so any engine replays the plan exactly.
+    Output: every input column plus ``cum_bytes`` and ``bin_col``."""
+    from spark_monotasks_spark.operators.indexing import running_total
+
+    run = running_total(
+        files, size_col, [F.col(order_col)], total_col="cum_bytes"
+    )
+    return run.withColumn(
+        bin_col,
+        F.expr(f"(cum_bytes - {size_col}) div {int(target_bytes)}").cast(
+            "long"
+        ),
+    )

@@ -142,3 +142,41 @@ def iqr_outlier_screen(
         F.first("_n").alias("n_rows"),
         F.sum("_out").alias("n_outliers"),
     )
+
+
+def skew_report(
+    df: DataFrame, key_cols: Sequence[str], top_n: int = 20
+) -> DataFrame:
+    """Shuffle-key skew diagnosis — the pre-flight check before keying
+    a 100 TB join/agg on a column: per-key row counts for the ``top_n``
+    heaviest keys with each key's share of all rows and its multiple
+    of the mean key load (the number AQE's skew-join threshold and a
+    salting factor are chosen from).
+
+    One groupBy builds the (small) per-key count relation; the totals
+    are a 1-row aggregate broadcast back onto it (scalar by
+    construction), and the report is a bounded TakeOrdered top-k.
+    ``x_over_mean`` is computed as ``n * n_keys / total`` — integer
+    multiply then ONE divide — so the value replays bit-identically in
+    any IEEE engine."""
+    counts = df.groupBy(*[F.col(c) for c in key_cols]).agg(
+        F.count("*").alias("n")
+    )
+    tot = counts.agg(
+        F.sum("n").alias("_tot"), F.count("*").alias("_k")
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            *key_cols,
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n").cast("double") / F.col("_tot"), 6).alias(
+                "share"
+            ),
+            F.round(
+                (F.col("n") * F.col("_k")).cast("double") / F.col("_tot"), 6
+            ).alias("x_over_mean"),
+        )
+        .orderBy(F.col("n").desc(), *key_cols)
+        .limit(top_n)
+    )

@@ -3135,3 +3135,65 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("source").isin(*refs)),
     )
     return out.withColumnRenamed("id", "doc_id")
+
+
+@register(
+    "shuffle_skew_report",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+    ),
+    t AS (
+      SELECT CAST(sum(n) AS BIGINT) AS tot, count(*) AS k FROM c
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n,
+           round(CAST(n AS DOUBLE) / tot, 6) AS share,
+           round(CAST(n * k AS DOUBLE) / tot, 6) AS x_over_mean
+    FROM c, t ORDER BY n DESC, user_id LIMIT 20
+    """,
+)
+def shuffle_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnosis (operators.profile.skew_report) on
+    the event stream's user_id — the pre-flight check before keying a
+    join/agg on a column at 100 TB: the 20 heaviest keys with share of
+    all rows and multiple of the mean key load (what a salting factor
+    or AQE skew threshold is chosen from).  x_over_mean is an integer
+    multiply then ONE divide — bit-identical in DuckDB."""
+    t = _t(spark, sf_dir)
+    from spark_monotasks_spark.operators.profile import skew_report
+
+    return skew_report(t["events"], ["user_id"], top_n=20)
+
+
+@register(
+    "compaction_bin_plan",
+    oracle="""
+    WITH run AS (
+      SELECT doc_id, n_chars,
+             CAST(sum(n_chars) OVER (ORDER BY doc_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_bytes
+      FROM documents
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS bytes, cum_bytes,
+           (cum_bytes - n_chars) // 16384 AS bin
+    FROM run
+    """,
+)
+def compaction_bin_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning (operators.layout.compaction_bins,
+    the OPTIMIZE bin-packing step): the documents table stands in for a
+    file manifest (doc_id = path order, n_chars = bytes) cut into
+    contiguous ~16 KiB bins — every bin except the last reaches the
+    target and overflows by less than one file.  The global running
+    size is the distributed two-pass prefix sum; bin assignment is
+    pure integer arithmetic, replayed exactly by the oracle's
+    running-sum window."""
+    t = _t(spark, sf_dir)
+    from spark_monotasks_spark.operators.layout import compaction_bins
+
+    manifest = t["documents"].select(
+        "doc_id", F.col("n_chars").cast("long").alias("bytes")
+    )
+    return compaction_bins(
+        manifest, size_col="bytes", order_col="doc_id", target_bytes=16384
+    )

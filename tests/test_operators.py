@@ -948,3 +948,36 @@ def test_running_total_plan_has_no_global_window(spark):
     # the _pid-partitioned window instead
     assert all("_psum" in w for w in unpart), s
     assert any("_pid" in w and w.count("], [") == 2 for w in wins), s
+
+
+def test_skew_report_values_and_order(spark):
+    from spark_monotasks_spark.operators.profile import skew_report
+
+    rows = [("a",)] * 6 + [("b",)] * 3 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "k string")
+    got = [(r.k, r.n, r.share, r.x_over_mean)
+           for r in skew_report(df, ["k"], top_n=2).collect()]
+    # 10 rows, 3 keys, mean load 10/3
+    assert got == [("a", 6, 0.6, 1.8), ("b", 3, 0.3, 0.9)]
+
+
+def test_compaction_bins_contiguous_fill(spark):
+    from spark_monotasks_spark.operators.layout import compaction_bins
+
+    rows = [(f"f{i:02d}", sz) for i, sz in
+            enumerate([60, 60, 30, 100, 10, 10, 40])]
+    df = spark.createDataFrame(rows, "path string, bytes long")
+    out = {r.path: (r.cum_bytes, r.bin)
+           for r in compaction_bins(df, target_bytes=100).collect()}
+    # cum: 60,120,150,250,260,270,310 ; bin = (cum-size) div 100
+    assert out == {
+        "f00": (60, 0), "f01": (120, 0), "f02": (150, 1), "f03": (250, 1),
+        "f04": (260, 2), "f05": (270, 2), "f06": (310, 2),
+    }
+    # every bin except the last reaches the target
+    import collections
+    sizes = collections.defaultdict(int)
+    for p, sz in rows:
+        sizes[out[p][1]] += sz
+    last = max(sizes)
+    assert all(v >= 100 for b, v in sizes.items() if b != last)

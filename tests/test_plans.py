@@ -533,6 +533,9 @@ def test_no_hidden_cartesians_across_catalog(spark):
         # blocked user x item factor cross IS the recommend-all algorithm
         # (factor tables are rank-bounded, not corpus-sized)
         "ml_als_recommend",
+        # skew report: crossJoin(broadcast(1-row totals aggregate)) onto
+        # the per-key count relation — a broadcast scalar, never O(n^2)
+        "shuffle_skew_report",
     }
     offenders = {}
     for name, fn in QUERY_REGISTRY.items():

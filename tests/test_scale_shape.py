@@ -75,6 +75,8 @@ LINEAR = [
     ("token_budget_select", 8.0, "O(n) two-pass distributed prefix sum"),
     ("domain_cap_select", 8.0, "O(n) per-domain partitioned window"),
     ("ngram_novelty_score", 8.0, "O(grams) distinct-set left join"),
+    ("shuffle_skew_report", 8.0, "O(n) per-key count + bounded top-k"),
+    ("compaction_bin_plan", 8.0, "O(n) two-pass prefix sum + int div"),
 ]
 
 #: super-linear entries: bounded above by documented exponents, still
