@@ -62,7 +62,9 @@ _PRIORITY = (
     # (join_theta rotated just outside in r5 third batch — the
     # nested-loop/theta shape stays oracle-green locally; six join rows
     # remain in-window)
-    "join_full_outer", "join_left_semi", "join_left_anti",
+    # (join_left_anti rotated just outside in r6 late batch — the anti
+    # shape stays oracle-green locally; four join rows remain)
+    "join_full_outer", "join_left_semi",
     "join_broadcast_dims", "cogroup_collect",
     "tpch_q3_shipping",
     # subquery shapes (correlated scalar / EXISTS+NOT EXISTS / CTE+max /
@@ -98,7 +100,9 @@ _PRIORITY = (
     # window / sessionize (§2.5, beyond-reference; pivot_segment_status
     # rotated just outside in r4 — topn/sessionize keep the window
     # family in-window)
-    "window_topn_per_group", "events_sessionize",
+    # (events_sessionize rotated just outside in r6 late batch — the
+    # sessionization family stays in-window via session_window_sql)
+    "window_topn_per_group",
     # r3-new families rotated INTO the window in r4 so the external
     # gate exercises the newest operator surfaces: SQL session_window
     # (gap-sessionization in the parser path), funnel analytics over
@@ -111,7 +115,9 @@ _PRIORITY = (
     # schema-evolution merge (heterogeneous-scan path)
     "stat_chisq_independence", "timeseries_gapfill", "schema_evolution_merge",
     # df utilities / scripts / UDTF (§2.9, §2.11)
-    "na_fill_drop", "bdb_q4_transform", "udtf_posexplode_tokens",
+    # (na_fill_drop rotated just outside in r6 late batch — null
+    # handling stays in-window via predicate_ops/cast_matrix)
+    "bdb_q4_transform", "udtf_posexplode_tokens",
     # streaming / graph (§2.10, §2.12)
     "stream_hourly_window", "graph_connected_components",
     # SQL parser path + Hive INSERT path (§3.1, §2.1 row 12 — closed
@@ -126,7 +132,9 @@ _PRIORITY = (
     # LLM-data-pipeline operators (bpe/doc_fingerprint/ngram_jaccard just
     # outside; token_stats + dedup + ann + packing + decontamination
     # represent the pipeline families)
-    "dedup_exact_groups", "token_stats", "ann_cosine_topk",
+    # (ann_cosine_topk rotated just outside in r6 late batch — the ANN
+    # family stays in-window via ann_pq_topk)
+    "dedup_exact_groups", "token_stats",
     "pack_sequences", "contamination_check",
     # r5-new families rotated INTO the window (displacing agg_distinct/
     # arithmetic_ops/string_funcs, whose families stay represented):
@@ -151,6 +159,15 @@ _PRIORITY = (
     # (the recurring tokenizer corpus pass)
     "bigram_logprob_score", "orc_partitioned_roundtrip",
     "bpe_encode_tokens",
+    # r6-new families (late batch) rotated INTO the window (displacing
+    # join_left_anti/events_sessionize/na_fill_drop/ann_cosine_topk,
+    # whose families stay represented): ExactSubstr maximal-span dedup
+    # (Lee et al. 2022 gram cover), the lossless prefix-filtered exact
+    # Jaccard join (PPJoin family), leakage-safe cluster-keyed
+    # train/val/test splitting, and token-budget corpus selection on
+    # the distributed prefix sum
+    "exact_substring_spans", "jaccard_similarity_join",
+    "leakage_safe_split", "token_budget_select",
 )
 
 
