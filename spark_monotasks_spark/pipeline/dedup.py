@@ -770,15 +770,34 @@ def jaccard_join_prefix(
     # prefix can only err LONGER (extra candidates, never missed pairs)
     p_len = (F.col("n") - F.ceil(F.lit(t) * F.col("n") - 1e-9) + 1).cast("int")
     prefixes = ordered.select(
-        "id", "n", F.explode(F.slice("ord", F.lit(1), p_len)).alias("tok")
+        "id",
+        "n",
+        F.posexplode(F.slice("ord", F.lit(1), p_len)).alias("pos", "tok"),
     )
     a, b = prefixes.alias("a"), prefixes.alias("b")
+    # PPJoin positional filter: both token lists share ONE global sort
+    # order, so a prefix match at 0-based positions (pa, pb) bounds the
+    # total overlap by min(|A|-pa, |B|-pb) — matches can only come from
+    # the match itself plus the suffixes behind it.  J >= t needs
+    # overlap >= ceil(t/(1+t)·(|A|+|B|)) (epsilon-guarded like the
+    # prefix length, so FP ceil can only LOWER the demanded overlap —
+    # extra candidates, never missed pairs).  On a shingle-sparse
+    # corpus this prunes the dominant cost: the verify join's input.
+    alpha = F.ceil(
+        F.lit(t / (1.0 + t)) * (F.col("a.n") + F.col("b.n")) - 1e-9
+    )
+    ubound = F.least(
+        F.col("a.n") - F.col("a.pos"), F.col("b.n") - F.col("b.pos")
+    )
     cand = (
         a.join(
             b,
             (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id")),
         )
-        .filter(F.lit(t) * F.greatest("a.n", "b.n") <= F.least("a.n", "b.n"))
+        .filter(
+            (F.lit(t) * F.greatest("a.n", "b.n") <= F.least("a.n", "b.n"))
+            & (ubound >= alpha)
+        )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
