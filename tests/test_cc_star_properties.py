@@ -96,3 +96,74 @@ def test_zip_with_index_layout_contract(spark, n, nparts):
     df = spark.range(n).repartition(nparts)
     idxs = sorted(r.idx for r in zip_with_index(df).collect())
     assert idxs == list(range(n))
+
+
+# --- prefix-Jaccard join + span dedup vs pure-Python references -------------
+
+_doc_texts = st.lists(
+    st.lists(
+        st.sampled_from([f"w{j}" for j in range(12)]), min_size=1, max_size=10
+    ).map(" ".join),
+    min_size=2,
+    max_size=12,
+)
+
+
+@given(texts=_doc_texts, thresh=st.sampled_from([0.34, 0.5, 0.75, 1.0]))
+@_SETTINGS
+def test_jaccard_prefix_join_equals_brute_force(spark, texts, thresh):
+    """Lossless-blocking property: on ANY corpus and threshold the
+    prefix+positional-filtered join equals the all-pairs computation —
+    the tiny vocab forces heavy set overlap, stressing the filters'
+    boundary arithmetic (ceil epsilon guards) far harder than real
+    corpora do."""
+    import itertools
+
+    from spark_monotasks_spark.pipeline import dedup
+
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.jaccard_join_prefix(df, threshold=thresh).collect()
+    )
+    sets = {i: set(t.split(" ")) for i, t in docs}
+    want = sorted(
+        (ia, ib, round(len(sa & sb) / len(sa | sb), 6))
+        for (ia, sa), (ib, sb) in itertools.combinations(sets.items(), 2)
+        if round(len(sa & sb) / len(sa | sb), 6) >= thresh
+    )
+    assert got == want
+
+
+@given(texts=_doc_texts, k=st.sampled_from([2, 3, 5]))
+@_SETTINGS
+def test_drop_duplicate_spans_equals_python_reference(spark, texts, k):
+    """ExactSubstr cut vs the pure-Python gram-cover replay on random
+    heavy-repetition corpora (12-word vocab => cross-doc duplicated
+    runs everywhere, including doc-internal repeats and runs at the
+    very ends)."""
+    from spark_monotasks_spark.pipeline import dedup
+
+    docs = list(enumerate(texts))
+    first = {}
+    for i, t in docs:
+        toks = t.split(" ")
+        for p in range(len(toks) - k + 1):
+            g = tuple(toks[p:p + k])
+            if g not in first:
+                first[g] = (i, p)
+    expect = {}
+    for i, t in docs:
+        toks = t.split(" ")
+        drop = set()
+        for p in range(len(toks) - k + 1):
+            if first[tuple(toks[p:p + k])] != (i, p):
+                drop.update(range(p, p + k))
+        expect[i] = " ".join(
+            tok for j, tok in enumerate(toks) if j not in drop
+        )
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r.text_dedup
+           for r in dedup.drop_duplicate_spans(df, min_tokens=k).collect()}
+    assert got == expect
