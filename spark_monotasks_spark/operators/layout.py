@@ -85,3 +85,66 @@ def compaction_bins(
             "long"
         ),
     )
+
+
+def write_sorted_with_manifest(
+    df: DataFrame, path: str, key_col: str, num_files: int | None = None
+) -> None:
+    """Data-skipping layout: write ``df`` as parquet range-sorted on
+    ``key_col`` (each file owns a disjoint key range) plus a sibling
+    ``<path>__manifest`` parquet of per-file (file, key_min, key_max) —
+    the file-level zone map every lakehouse format (Delta/Iceberg/Hudi
+    stats) uses to skip files at plan time.  The manifest is built with
+    one narrow column scan of the written files grouped by
+    ``input_file_name`` — never the data pass again."""
+    spark = df.sparkSession
+    if num_files is None:
+        try:
+            num_files = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            num_files = spark.sparkContext.defaultParallelism
+    (
+        df.repartitionByRange(num_files, F.col(key_col))
+        .sortWithinPartitions(key_col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    (
+        spark.read.parquet(path)
+        .select(F.input_file_name().alias("file"), F.col(key_col))
+        .groupBy("file")
+        .agg(
+            F.min(key_col).alias("key_min"), F.max(key_col).alias("key_max")
+        )
+        .write.mode("overwrite")
+        .parquet(path + "__manifest")
+    )
+
+
+def read_skipping(
+    spark, path: str, key_col: str, lo, hi
+) -> DataFrame:
+    """Scan a :func:`write_sorted_with_manifest` table for
+    ``key_col BETWEEN lo AND hi``, reading ONLY the files whose
+    manifest [key_min, key_max] range overlaps — file-level data
+    skipping.  The manifest collect is file-count-sized (the same
+    listing the parquet reader itself materializes driver-side to plan
+    a scan; at warehouse scale this is exactly Delta/Iceberg's
+    driver-side pruning step, bounded by file count, never rows).  The
+    in-file residual filter still applies (and still pushes down), so
+    the result equals the unpruned ``BETWEEN`` scan exactly."""
+    man = spark.read.parquet(path + "__manifest")
+    files = [
+        r.file
+        for r in man.filter(
+            (F.col("key_max") >= F.lit(lo)) & (F.col("key_min") <= F.lit(hi))
+        ).collect()
+    ]
+    base = spark.read.parquet(path)
+    if not files:
+        return base.filter(F.lit(False))
+    return (
+        spark.read.schema(base.schema)
+        .parquet(*files)
+        .filter(F.col(key_col).between(F.lit(lo), F.lit(hi)))
+    )

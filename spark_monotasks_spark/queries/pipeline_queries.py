@@ -3197,3 +3197,55 @@ def compaction_bin_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compaction_bins(
         manifest, size_col="bytes", order_col="doc_id", target_bytes=16384
     )
+
+
+@register(
+    "data_skipping_scan",
+    oracle="""
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS revenue,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000
+    GROUP BY o_orderstatus
+    """,
+)
+def data_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level data skipping through a real write→read roundtrip
+    (operators.layout.write_sorted_with_manifest / read_skipping):
+    orders is staged range-sorted on o_orderkey with a per-file
+    min/max zone-map manifest — the Delta/Iceberg stats idea — then a
+    key-range query reads ONLY the overlapping files (the residual
+    in-file filter still pushes down).  The oracle computes the same
+    aggregate from the unpruned parquet original, so a value match
+    proves pruning loses nothing.  Staging is per-run (mkdtemp) and
+    removed in a finally block; the small aggregate is
+    localCheckpoint-pinned so the result outlives the deleted files."""
+    import shutil
+    import tempfile
+
+    from spark_monotasks_spark.operators.layout import (
+        read_skipping,
+        write_sorted_with_manifest,
+    )
+
+    t = _t(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="spark_graft_skip_") + "/orders"
+    try:
+        write_sorted_with_manifest(
+            t["orders"], base, "o_orderkey", num_files=16
+        )
+        pruned = read_skipping(spark, base, "o_orderkey", 1000, 5000)
+        out = (
+            pruned.groupBy("o_orderstatus")
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+                F.min("o_orderkey").cast("long").alias("min_key"),
+                F.max("o_orderkey").cast("long").alias("max_key"),
+            )
+            .localCheckpoint()
+        )
+        return out
+    finally:
+        shutil.rmtree(base.rsplit("/", 1)[0], ignore_errors=True)
