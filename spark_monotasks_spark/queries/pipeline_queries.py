@@ -3249,3 +3249,79 @@ def data_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         shutil.rmtree(base.rsplit("/", 1)[0], ignore_errors=True)
+
+
+@register(
+    "stream_split_router",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('split1#' || md5(text)), 1, 12))
+               AS BIGINT) % 10 AS bucket
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN bucket < 8 THEN 'train'
+                WHEN bucket < 9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM keyed
+    """,
+)
+def stream_split_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The leakage-safe split as a STREAMING ingest router
+    (streaming/dstream.streaming_split_router_sink): documents arrive
+    as a stream, each micro-batch routes into train/val/test versioned
+    tables with exactly-once manifest commits per split.  Because the
+    assignment is a pure hash of the duplicate-cluster key, the routed
+    result is byte-identical to the batch operator — the oracle is
+    literally leakage_safe_split's SQL, proving batch-stream
+    equivalence through a real foreachBatch execution.  Cross-batch
+    duplicate routing and checkpoint-replay idempotence are covered in
+    tests/test_streaming.py."""
+    import os
+    import shutil
+    import tempfile
+
+    from spark_monotasks_spark.sources import versioned as V
+    from spark_monotasks_spark.streaming import dstream
+
+    stage = tempfile.mkdtemp(prefix="stream_split_")
+    src = os.path.abspath(os.path.join(sf_dir, "documents.parquet"))
+    indir = os.path.join(stage, "in")
+    os.makedirs(indir)
+    if os.path.isfile(src):
+        os.symlink(src, os.path.join(indir, "documents.parquet"))
+    else:
+        dst = os.path.join(indir, "documents.parquet")
+        spark.read.parquet(src).coalesce(1).write.mode("overwrite").parquet(dst)
+    schema = spark.read.parquet(src).schema
+    out = os.path.join(stage, "routed")
+    try:
+        q = (
+            dstream.streaming_split_router_sink(
+                dstream.file_stream(spark, indir, schema),
+                out,
+                checkpoint=os.path.join(stage, "ck"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("split router did not drain within 300s")
+        empty = spark.createDataFrame([], "doc_id long, split string")
+        frames = []
+        for s in ("train", "val", "test"):
+            try:
+                frames.append(
+                    V.read_version(spark, f"{out}/{s}")
+                    .select("doc_id")
+                    .withColumn("split", F.lit(s))
+                )
+            except ValueError:
+                # a zero-row source commits no versions — empty split
+                frames.append(empty)
+        res = frames[0].unionByName(frames[1]).unionByName(frames[2])
+        return res.localCheckpoint()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)

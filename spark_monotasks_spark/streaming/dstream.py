@@ -766,3 +766,56 @@ def versioned_append_sink(
     return stream.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint
     )
+
+
+def streaming_split_router_sink(
+    stream: DataFrame,
+    out_base: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cluster_col: str | None = None,
+    weights: tuple[int, int, int] = (8, 1, 1),
+    seed: str = "split1",
+) -> DataStreamWriter:
+    """Route an ingest stream into ``train`` / ``val`` / ``test``
+    versioned tables under ``out_base`` with the LEAKAGE-SAFE
+    assignment (pipeline.text.leakage_safe_split): the split is a pure
+    md5 function of the duplicate-cluster key, so two copies of one
+    document land in the SAME split even when they arrive in different
+    micro-batches, months apart — no cross-batch state needed, the
+    no-leakage guarantee is carried by the hash itself.
+
+    Exactly-once under foreachBatch's at-least-once replay: each split
+    commits through its own versioned manifest stamped ``batch_id``
+    (sources/versioned.py), so a replay skips every split directory it
+    already committed — including the partial-crash case where only
+    some of the three writes landed.  The batch is persisted once and
+    routed three ways; at 100 TB the assignment adds one codegen
+    projection to the ingest scan."""
+    from spark_monotasks_spark.pipeline.text import leakage_safe_split
+    from spark_monotasks_spark.sources import versioned as V
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        assigned = batch.join(
+            leakage_safe_split(
+                batch, id_col, text_col, cluster_col, weights, seed
+            ),
+            on=id_col,
+        ).persist()
+        try:
+            for split in ("train", "val", "test"):
+                path = f"{out_base}/{split}"
+                if batch_id > V.last_committed_batch_id(path):
+                    V.write_version(
+                        assigned.filter(F.col("split") == split).drop("split"),
+                        path,
+                        mode="append",
+                        batch_id=batch_id,
+                    )
+        finally:
+            assigned.unpersist()
+
+    return stream.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint
+    )

@@ -802,3 +802,69 @@ def test_streaming_neardup_ingest_matches_sequential_batches(spark, tmp_path):
     assert {0, 1, 11, 20} <= set(got)
     srows = spark.read.parquet(store)
     assert {r.batch_id for r in srows.collect()} == {0, 1, 2}
+
+
+def test_streaming_split_router_matches_batch_and_never_leaks(spark, tmp_path):
+    """The split-router sink must (a) assign exactly what the batch
+    operator assigns — the split is a pure hash, so batches and
+    streams cannot disagree; (b) route exact duplicates arriving in
+    DIFFERENT micro-batches to the same split; (c) replay from the
+    same checkpoint without duplicating any split table."""
+    import glob as _glob
+    import shutil as _shutil
+
+    from spark_monotasks_spark.pipeline.text import leakage_safe_split
+    from spark_monotasks_spark.sources import versioned as V
+
+    chunks = [
+        [(i, f"document body {i}") for i in range(0, 40)],
+        # batch 2 re-sends doc 3's exact text under a new id, plus new docs
+        [(103, "document body 3")] + [(i, f"document body {i}") for i in range(40, 80)],
+    ]
+    src = tmp_path / "split_stream"
+    src.mkdir()
+    stage = tmp_path / "split_raw"
+    for i, rows in enumerate(chunks):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(stage / f"c{i}"))
+        part = _glob.glob(str(stage / f"c{i}" / "part-*.parquet"))[0]
+        _shutil.copy(part, str(src / f"c{i}.parquet"))
+    schema = spark.createDataFrame(chunks[0], "doc_id long, text string").schema
+
+    out = str(tmp_path / "routed")
+    q = dstream.streaming_split_router_sink(
+        dstream.file_stream(spark, str(src), schema),
+        out,
+        checkpoint=str(tmp_path / "ck_split"),
+    ).trigger(availableNow=True).start()
+    _await(q)
+
+    routed = {}
+    for split in ("train", "val", "test"):
+        for r in V.read_version(spark, f"{out}/{split}").collect():
+            assert r.doc_id not in routed  # splits are disjoint
+            routed[r.doc_id] = split
+    all_rows = [r for c in chunks for r in c]
+    assert len(routed) == len(all_rows)
+
+    # (a) identical to the batch assignment over the full corpus
+    full = spark.createDataFrame(all_rows, "doc_id long, text string")
+    expect = {r.doc_id: r.split for r in leakage_safe_split(full).collect()}
+    assert routed == expect
+
+    # (b) cross-batch exact duplicates share a split
+    assert routed[103] == routed[3]
+
+    # (c) checkpoint replay with no new files adds nothing
+    q2 = dstream.streaming_split_router_sink(
+        dstream.file_stream(spark, str(src), schema),
+        out,
+        checkpoint=str(tmp_path / "ck_split"),
+    ).trigger(availableNow=True).start()
+    _await(q2)
+    total = sum(
+        V.read_version(spark, f"{out}/{s}").count()
+        for s in ("train", "val", "test")
+    )
+    assert total == len(all_rows)
