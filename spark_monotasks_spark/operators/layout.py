@@ -148,3 +148,32 @@ def read_skipping(
         .parquet(*files)
         .filter(F.col(key_col).between(F.lit(lo), F.lit(hi)))
     )
+
+
+def append_with_manifest(df: DataFrame, path: str, key_col: str) -> None:
+    """Append a batch to a :func:`write_sorted_with_manifest` table and
+    extend the zone-map manifest by scanning ONLY the new files — the
+    ingest-time maintenance step that keeps data skipping usable
+    without ever rebuilding stats over history.
+
+    New files are found by anti-joining the table's file listing
+    against the manifest (both file-count-sized relations — no
+    data-sized work); appended files may overlap existing key ranges,
+    which weakens pruning for the touched range but can never change
+    an answer (read_skipping's residual filter still applies).  Run a
+    sorted rewrite (compaction) when overlap accumulates."""
+    spark = df.sparkSession
+    df.sortWithinPartitions(key_col).write.mode("append").parquet(path)
+    listing = (
+        spark.read.parquet(path)
+        .select(F.input_file_name().alias("file"), F.col(key_col))
+    )
+    known = spark.read.parquet(path + "__manifest").select("file")
+    new_stats = (
+        listing.join(known, on="file", how="left_anti")
+        .groupBy("file")
+        .agg(
+            F.min(key_col).alias("key_min"), F.max(key_col).alias("key_max")
+        )
+    )
+    new_stats.write.mode("append").parquet(path + "__manifest")

@@ -1013,3 +1013,39 @@ def test_data_skipping_prunes_files_and_matches_full_scan(spark, tmp_path):
     # empty overlap window -> empty result, schema intact
     none = read_skipping(spark, path, "id", 50_000, 60_000)
     assert none.count() == 0 and none.columns == ["id", "v"]
+
+
+def test_append_with_manifest_extends_stats_incrementally(spark, tmp_path):
+    from spark_monotasks_spark.operators.layout import (
+        append_with_manifest,
+        read_skipping,
+        write_sorted_with_manifest,
+    )
+
+    base = spark.range(0, 4_000).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    path = str(tmp_path / "growtab")
+    write_sorted_with_manifest(base, path, "id", num_files=8)
+    man0 = {r.file: (r.key_min, r.key_max)
+            for r in spark.read.parquet(path + "__manifest").collect()}
+
+    delta = spark.range(4_000, 5_000).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    ).coalesce(2)
+    append_with_manifest(delta, path, "id")
+    man1 = {r.file: (r.key_min, r.key_max)
+            for r in spark.read.parquet(path + "__manifest").collect()}
+    # old rows untouched, only new files added
+    assert all(man1[f] == rng for f, rng in man0.items())
+    new = {f: rng for f, rng in man1.items() if f not in man0}
+    assert len(new) == 2
+    assert min(lo for lo, _ in new.values()) == 4_000
+
+    # pruned reads stay exact across the appended range
+    pruned = read_skipping(spark, path, "id", 3_900, 4_200)
+    full = spark.read.parquet(path).filter(F.col("id").between(3900, 4200))
+    assert sorted(r.id for r in pruned.collect()) == sorted(
+        r.id for r in full.collect()
+    )
+    # and still actually skip: the window touches at most 1 old + 2 new files
+    n_read = pruned.select(F.input_file_name()).distinct().count()
+    assert n_read <= 3, n_read
