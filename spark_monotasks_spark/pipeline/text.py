@@ -1121,6 +1121,61 @@ def ngram_novelty(
     )
 
 
+#: classic UTF-8-decoded-as-Latin-1 artifacts ("Ã©", "â€™", the
+#: replacement char) — RE2-compatible like REDACT_RULES so external
+#: engines can re-run the screen
+MOJIBAKE_RE = "(Ã.|â€.|ï¿½|�)"
+#: C0 control chars except tab/newline/carriage-return
+CONTROL_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"
+
+
+def encoding_quality(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Encoding-damage screen — the QA pass that catches mojibake
+    (UTF-8 bytes decoded as Latin-1: "Ã©" for "é", "â€™" for "'"),
+    replacement characters, and stray C0 control bytes before they
+    poison a tokenizer's vocabulary.  Counts per doc plus an
+    ``encoding_ok`` verdict (both counts zero).  One codegen regex
+    projection — zero shuffle, linear, and the patterns are
+    RE2-compatible so any engine replays the screen exactly."""
+    c = F.col(text_col)
+    n_moji = F.size(F.regexp_extract_all(c, F.lit(MOJIBAKE_RE), 0))
+    n_ctl = F.size(F.regexp_extract_all(c, F.lit(CONTROL_RE), 0))
+    return df.select(
+        F.col(id_col),
+        F.length(c).cast("long").alias("n_chars"),
+        n_moji.cast("long").alias("n_mojibake"),
+        n_ctl.cast("long").alias("n_control"),
+        ((n_moji == 0) & (n_ctl == 0)).alias("encoding_ok"),
+    )
+
+
+def duplicate_downweight(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    weight_col: str = "sample_weight",
+) -> DataFrame:
+    """Soft dedup: keep EVERY copy but weight each document by the
+    reciprocal of its exact-duplicate cluster size (1/n_copies) — the
+    alternative to hard removal when duplication frequency itself is
+    signal (popular licenses, boilerplate) but a training epoch should
+    see each distinct text with total weight 1.  One fingerprint
+    groupBy (ids + counts only, the payload never shuffles) joined
+    back by the fingerprint; the weight is one IEEE-exact divide."""
+    fp = F.md5(F.col(text_col).cast("binary"))
+    with_fp = df.withColumn("_fp", fp)
+    counts = with_fp.groupBy("_fp").agg(F.count("*").alias("_n"))
+    return (
+        with_fp.join(counts, on="_fp")
+        .withColumn(
+            weight_col, F.round(F.lit(1.0) / F.col("_n"), 6)
+        )
+        .drop("_fp", "_n")
+    )
+
+
 def perplexity_buckets(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -3325,3 +3325,68 @@ def stream_split_router(spark: SparkSession, sf_dir: str) -> DataFrame:
         return res.localCheckpoint()
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+@register(
+    "encoding_quality_screen",
+    oracle="""
+    WITH noisy AS (
+      SELECT doc_id,
+             concat(text,
+                    CASE WHEN doc_id % 3 = 0 THEN ' cafÃ© naÃ¯ve'
+                         WHEN doc_id % 4 = 1 THEN concat(' itâ€™s', chr(7))
+                         ELSE '' END) AS raw
+      FROM documents
+    )
+    SELECT doc_id, CAST(length(raw) AS BIGINT) AS n_chars,
+           CAST(len(regexp_extract_all(raw, '(Ã.|â€.|ï¿½|�)')) AS BIGINT)
+             AS n_mojibake,
+           CAST(len(regexp_extract_all(raw,
+                 '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]')) AS BIGINT)
+             AS n_control,
+           len(regexp_extract_all(raw, '(Ã.|â€.|ï¿½|�)')) = 0
+             AND len(regexp_extract_all(raw,
+                 '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]')) = 0 AS encoding_ok
+    FROM noisy
+    """,
+)
+def encoding_quality_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-damage QA (pipeline.text.encoding_quality): mojibake
+    (UTF-8-as-Latin-1 artifacts), replacement chars, and stray C0
+    controls counted per doc with an encoding_ok verdict — the screen
+    that keeps decode damage out of a tokenizer's vocabulary.  The
+    corpus is clean, so the entry assembles a deterministic damaged
+    twin in BOTH dialects (every third doc gets 'cafÃ© naÃ¯ve', every
+    4k+1 doc a 'â€™' plus a BEL).  RE2-compatible patterns; one codegen
+    regex projection, zero shuffle."""
+    t = _t(spark, sf_dir)
+    raw = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" cafÃ© naÃ¯ve"))
+        .when(F.col("doc_id") % 4 == 1, F.lit(" itâ€™s\x07"))
+        .otherwise(F.lit("")),
+    )
+    noisy = t["documents"].select("doc_id", raw.alias("text"))
+    return text.encoding_quality(noisy)
+
+
+@register(
+    "dup_downweight_docs",
+    oracle="""
+    SELECT doc_id, lang,
+           round(CAST(1.0 AS DOUBLE)
+                 / (count(*) OVER (PARTITION BY md5(text))), 6)
+             AS sample_weight
+    FROM documents
+    """,
+)
+def dup_downweight_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup by downweighting (pipeline.text.duplicate_downweight):
+    every copy survives but carries weight 1/n_copies of its exact-dup
+    cluster, so an epoch sees each distinct text with total weight 1 —
+    the removal alternative when duplication frequency is itself
+    signal.  Fingerprint groupBy + count join-back; ONE IEEE-exact
+    divide, value-replayed by the oracle's partitioned count window."""
+    t = _t(spark, sf_dir)
+    out = text.duplicate_downweight(t["documents"])
+    return out.select("doc_id", "lang", "sample_weight")

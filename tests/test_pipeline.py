@@ -2291,3 +2291,35 @@ def test_ngram_novelty_exact_fractions(spark):
     assert got[1] == (3, 3, 1.0)
     assert got[2] == (3, 2, round(2 / 3, 6))
     assert got[3] == (1, 1, 1.0)
+
+
+# --- encoding QA + soft dedup -------------------------------------------------
+
+def test_encoding_quality_counts(spark):
+    rows = [
+        (0, "clean text here"),
+        (1, "broken cafÃ© and naÃ¯ve words"),   # 2 mojibake
+        (2, "itâ€™s wrong"),                     # 1 mojibake
+        (3, "bell\x07and\x01controls"),          # 2 control chars
+        (4, "tab\tand\nnewline are fine"),       # whitespace controls OK
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_mojibake, r.n_control, r.encoding_ok)
+           for r in text.encoding_quality(df).collect()}
+    assert got[0] == (0, 0, True)
+    assert got[1] == (2, 0, False)
+    assert got[2] == (1, 0, False)
+    assert got[3] == (0, 2, False)
+    assert got[4] == (0, 0, True)
+
+
+def test_duplicate_downweight_reciprocal(spark):
+    rows = [(0, "a"), (1, "a"), (2, "a"), (3, "b"), (4, "c"), (5, "c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text.duplicate_downweight(df)
+    got = {r.doc_id: r.sample_weight for r in out.collect()}
+    assert got == {0: round(1/3, 6), 1: round(1/3, 6), 2: round(1/3, 6),
+                   3: 1.0, 4: 0.5, 5: 0.5}
+    # every distinct text carries total weight ~1
+    assert abs(sum(got.values()) - 3.0) < 1e-5
+    assert out.count() == 6  # nothing removed

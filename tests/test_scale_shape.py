@@ -77,6 +77,8 @@ LINEAR = [
     ("ngram_novelty_score", 8.0, "O(grams) distinct-set left join"),
     ("shuffle_skew_report", 8.0, "O(n) per-key count + bounded top-k"),
     ("compaction_bin_plan", 8.0, "O(n) two-pass prefix sum + int div"),
+    ("encoding_quality_screen", 8.0, "O(n) codegen regex projection"),
+    ("dup_downweight_docs", 8.0, "O(n) fingerprint groupBy + join-back"),
 ]
 
 #: super-linear entries: bounded above by documented exponents, still
