@@ -1176,6 +1176,52 @@ def duplicate_downweight(
     )
 
 
+def corpus_data_card(
+    df: DataFrame,
+    group_cols: tuple[str, ...] = ("source", "lang"),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The per-slice corpus report a dataset release ships (the "data
+    card"): document and token counts, size, and the corpus-wide
+    exact-duplicate exposure of every (source, lang) slice — the first
+    table anyone asks for before training on a mix.
+
+    ``dup_docs`` counts a slice's docs whose text also appears
+    elsewhere in the WHOLE corpus (cluster size > 1 under the global
+    fingerprint), so a slice that only copies another slice is
+    exposed.  One fingerprint count join-back (ids + counts, payload
+    never shuffles) + one grouped aggregate; ``avg_chars`` and
+    ``dup_frac`` are single IEEE-exact divides."""
+    fp = F.md5(F.col(text_col).cast("binary"))
+    with_fp = df.select(
+        *[F.col(c) for c in group_cols],
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("_chars"),
+        F.size(F.split(F.col(text_col), " ")).alias("_toks"),
+        fp.alias("_fp"),
+    )
+    counts = with_fp.groupBy("_fp").agg(F.count("*").alias("_n"))
+    return (
+        with_fp.join(counts, on="_fp")
+        .groupBy(*group_cols)
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("_toks").cast("long").alias("n_tokens"),
+            F.sum("_chars").cast("long").alias("n_chars"),
+            F.round(
+                F.sum("_chars").cast("double") / F.count("*"), 6
+            ).alias("avg_chars"),
+            F.sum((F.col("_n") > 1).cast("long")).alias("dup_docs"),
+            F.round(
+                F.sum((F.col("_n") > 1).cast("long")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
+
+
 def perplexity_buckets(
     df: DataFrame,
     id_col: str = "doc_id",

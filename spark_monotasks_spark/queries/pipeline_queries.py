@@ -3390,3 +3390,35 @@ def dup_downweight_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     out = text.duplicate_downweight(t["documents"])
     return out.select("doc_id", "lang", "sample_weight")
+
+
+@register(
+    "corpus_data_card",
+    oracle="""
+    WITH fp AS (
+      SELECT source, lang, doc_id, length(text) AS chars,
+             len(string_split(text, ' ')) AS toks,
+             count(*) OVER (PARTITION BY md5(text)) AS n_copies
+      FROM documents
+    )
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(toks) AS BIGINT) AS n_tokens,
+           CAST(sum(chars) AS BIGINT) AS n_chars,
+           round(CAST(sum(chars) AS DOUBLE) / count(*), 6) AS avg_chars,
+           CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_docs,
+           round(CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END)
+                 AS DOUBLE) / count(*), 6) AS dup_frac
+    FROM fp GROUP BY source, lang
+    """,
+)
+def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-release report (pipeline.text.corpus_data_card): per
+    (source, lang) slice — documents, tokens, characters, mean size,
+    and corpus-WIDE exact-duplicate exposure (a slice that only copies
+    another slice is exposed, because cluster size is computed under
+    the global fingerprint).  One fingerprint count join-back + one
+    grouped aggregate; every ratio is a single IEEE-exact divide."""
+    t = _t(spark, sf_dir)
+    return text.corpus_data_card(t["documents"])

@@ -2323,3 +2323,24 @@ def test_duplicate_downweight_reciprocal(spark):
     # every distinct text carries total weight ~1
     assert abs(sum(got.values()) - 3.0) < 1e-5
     assert out.count() == 6  # nothing removed
+
+
+def test_corpus_data_card_cross_slice_dup_exposure(spark):
+    rows = [
+        (0, "s0", "en", "shared text body"),
+        (1, "s0", "en", "unique zero one"),
+        (2, "s1", "en", "shared text body"),   # copies s0's doc across slices
+        (3, "s1", "fr", "texte unique ici"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, lang string, text string")
+    got = {(r.source, r.lang): r for r in text.corpus_data_card(df).collect()}
+    # both slices holding the shared text are exposed, even though
+    # neither has an in-slice duplicate
+    assert got[("s0", "en")].dup_docs == 1
+    assert got[("s1", "en")].dup_docs == 1
+    assert got[("s1", "fr")].dup_docs == 0
+    assert got[("s0", "en")].n_docs == 2
+    assert got[("s0", "en")].n_tokens == 3 + 3
+    assert got[("s0", "en")].avg_chars == round(
+        (len("shared text body") + len("unique zero one")) / 2, 6
+    )

@@ -79,6 +79,7 @@ LINEAR = [
     ("compaction_bin_plan", 8.0, "O(n) two-pass prefix sum + int div"),
     ("encoding_quality_screen", 8.0, "O(n) codegen regex projection"),
     ("dup_downweight_docs", 8.0, "O(n) fingerprint groupBy + join-back"),
+    ("corpus_data_card", 8.0, "O(n) fingerprint join-back + group agg"),
 ]
 
 #: super-linear entries: bounded above by documented exponents, still
