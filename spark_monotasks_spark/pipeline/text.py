@@ -1836,6 +1836,63 @@ def chunk_documents(
     )
 
 
+def reassemble_chunks(
+    chunks: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    id_col: str = "id",
+    chunk_id_col: str = "chunk_id",
+    chunk_text_col: str = "chunk_text",
+    sep: str = " ",
+    out_col: str = "text",
+) -> DataFrame:
+    """Exact inverse of :func:`chunk_documents`: rebuild each document
+    from its overlapping windows — the de-chunking step after
+    chunk-level processing (embedding, scoring, redaction) when the
+    pipeline must emit documents again.  Chunk 0 contributes whole;
+    every later chunk contributes only its NEW tail (drop the first
+    ``chunk_tokens - stride`` overlap tokens; a trailing window fully
+    covered by its predecessor contributes nothing).  One groupBy on
+    the doc id — the shuffle reassembly inherently needs — then a
+    map-side sort + splice per doc; ``reassemble(chunk(df)) == df``
+    exactly (the catalog entry's oracle IS the original table)."""
+    import re as _re
+
+    if stride > chunk_tokens:
+        raise ValueError(
+            f"stride ({stride}) > chunk_tokens ({chunk_tokens}): windows "
+            "would skip tokens and reassembly would be lossy"
+        )
+    ov = chunk_tokens - stride
+    grouped = chunks.groupBy(F.col(id_col)).agg(
+        F.array_sort(
+            F.collect_list(F.struct(chunk_id_col, chunk_text_col))
+        ).alias("_cs")
+    )
+    esc = _re.escape(sep)
+    def tail(s):
+        # drop the first `ov` overlap tokens; slice length must be the
+        # EXACT remaining count (start+length overflows int with a
+        # "rest of array" sentinel like INT_MAX)
+        arr = F.split(s[chunk_text_col], esc)
+        return F.concat_ws(
+            sep, F.slice(arr, ov + 1, F.greatest(F.size(arr) - ov, F.lit(0)))
+        )
+
+    pieces = F.transform(
+        F.col("_cs"),
+        lambda s: F.when(s[chunk_id_col] == 0, s[chunk_text_col]).otherwise(
+            tail(s)
+        ),
+    )
+    return grouped.select(
+        F.col(id_col),
+        F.concat_ws(
+            sep, F.filter(pieces, lambda p: p != F.lit(""))
+        ).alias(out_col),
+    )
+
+
 # ---------------------------------------------------------------------------
 # BPE tokenizer training — distributed merge learning
 # ---------------------------------------------------------------------------

@@ -3422,3 +3422,24 @@ def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped aggregate; every ratio is a single IEEE-exact divide."""
     t = _t(spark, sf_dir)
     return text.corpus_data_card(t["documents"])
+
+
+@register(
+    "chunk_reassembly_roundtrip",
+    oracle="SELECT doc_id, text FROM documents",
+)
+def chunk_reassembly_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk → reassemble identity (pipeline.text.chunk_documents +
+    reassemble_chunks, 64-token windows / stride 48): the de-chunking
+    inverse a pipeline needs after chunk-level processing.  The oracle
+    is literally the original documents table — the strongest possible
+    statement that the overlap bookkeeping (drop each later window's
+    16 overlap tokens, trailing covered windows contribute nothing) is
+    exact on every document shape in the corpus."""
+    t = _t(spark, sf_dir)
+    chunks = text.chunk_documents(
+        t["documents"], chunk_tokens=64, stride=48
+    )
+    return text.reassemble_chunks(chunks, 64, 48).withColumnRenamed(
+        "id", "doc_id"
+    )

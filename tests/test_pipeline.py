@@ -2344,3 +2344,18 @@ def test_corpus_data_card_cross_slice_dup_exposure(spark):
     assert got[("s0", "en")].avg_chars == round(
         (len("shared text body") + len("unique zero one")) / 2, 6
     )
+
+
+def test_chunk_reassembly_roundtrip_edge_shapes(spark):
+    docs = [(i, " ".join(f"t{i}_{j}" for j in range(n)))
+            for i, n in enumerate([1, 2, 5, 48, 49, 63, 64, 65, 100, 200])]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for ct, st in [(64, 48), (8, 8), (8, 3), (5, 1)]:
+        ch = text.chunk_documents(df, chunk_tokens=ct, stride=st)
+        back = {r.id: r.text
+                for r in text.reassemble_chunks(ch, ct, st).collect()}
+        assert back == dict(docs), (ct, st)
+    with pytest.raises(ValueError, match="lossy"):
+        text.reassemble_chunks(
+            text.chunk_documents(df, chunk_tokens=4, stride=8), 4, 8
+        )

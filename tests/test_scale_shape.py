@@ -80,6 +80,7 @@ LINEAR = [
     ("encoding_quality_screen", 8.0, "O(n) codegen regex projection"),
     ("dup_downweight_docs", 8.0, "O(n) fingerprint groupBy + join-back"),
     ("corpus_data_card", 8.0, "O(n) fingerprint join-back + group agg"),
+    ("chunk_reassembly_roundtrip", 8.0, "O(tokens) chunk + doc-id regroup"),
 ]
 
 #: super-linear entries: bounded above by documented exponents, still
