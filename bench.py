@@ -156,6 +156,10 @@ HEADLINE = [
     # headline suite; benched as the xxhash128 scale path (the md5
     # audit twin is the oracle-gated catalog form)
     "exact_substring_spans_scale",
+    # the lossless set-similarity join (PPJoin prefix + positional
+    # filters) — the deterministic audit complement of the MinHash
+    # families, benched after the positional filter cut it 6.2s -> 4.0s
+    "jaccard_similarity_join",
 ]
 
 
