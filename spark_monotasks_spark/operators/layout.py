@@ -64,10 +64,14 @@ def compaction_bins(
     """Small-file compaction plan (the OPTIMIZE/bin-packing step a
     table maintenance job runs): walk the file manifest in
     ``order_col`` order and cut contiguous bins of ~``target_bytes``
-    — file i goes to bin ``(cum_before_i) div target``, so every bin
-    except the last holds at least ``target_bytes`` and overflows by
-    less than one file.  Contiguity in the chosen order preserves any
-    clustering the manifest order encodes (e.g. a Z-order write).
+    — file i goes to bin ``(cum_before_i) div target``.  Coverage
+    invariant (property-tested): every bin that is not the highest
+    closes at cumulative size >= (bin+1)·target, i.e. each bin's byte
+    budget is filled by its own files plus at most the tail of ONE
+    boundary-crossing predecessor — so a bin's own fill can undershoot
+    ``target`` only by that predecessor's overshoot, never more.
+    Contiguity in the chosen order preserves any clustering the
+    manifest order encodes (e.g. a Z-order write).
 
     The global running size is the distributed two-pass prefix sum
     (operators.indexing.running_total) — the manifest may be billions

@@ -3183,8 +3183,9 @@ def compaction_bin_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction planning (operators.layout.compaction_bins,
     the OPTIMIZE bin-packing step): the documents table stands in for a
     file manifest (doc_id = path order, n_chars = bytes) cut into
-    contiguous ~16 KiB bins — every bin except the last reaches the
-    target and overflows by less than one file.  The global running
+    contiguous ~16 KiB bins — each non-final bin closes at cumulative
+    size >= (bin+1)*target (its budget filled by its own files plus at
+    most one boundary-crossing predecessor).  The global running
     size is the distributed two-pass prefix sum; bin assignment is
     pure integer arithmetic, replayed exactly by the oracle's
     running-sum window."""

@@ -974,13 +974,15 @@ def test_compaction_bins_contiguous_fill(spark):
         "f00": (60, 0), "f01": (120, 0), "f02": (150, 1), "f03": (250, 1),
         "f04": (260, 2), "f05": (270, 2), "f06": (310, 2),
     }
-    # every bin except the last reaches the target
+    # coverage invariant: every non-final bin closes at cumulative
+    # size >= (bin+1)*target
     import collections
-    sizes = collections.defaultdict(int)
-    for p, sz in rows:
-        sizes[out[p][1]] += sz
-    last = max(sizes)
-    assert all(v >= 100 for b, v in sizes.items() if b != last)
+    maxcum = collections.defaultdict(int)
+    for p, _ in rows:
+        cum, b = out[p]
+        maxcum[b] = max(maxcum[b], cum)
+    last = max(maxcum)
+    assert all(v >= (b + 1) * 100 for b, v in maxcum.items() if b != last)
 
 
 def test_data_skipping_prunes_files_and_matches_full_scan(spark, tmp_path):
