@@ -3444,3 +3444,69 @@ def chunk_reassembly_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.reassemble_chunks(chunks, 64, 48).withColumnRenamed(
         "id", "doc_id"
     )
+
+
+@register(
+    "leakage_safe_split_neardup",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(t) >= 3
+               THEN list_transform(range(1, len(t) - 1),
+                                   i -> array_to_string(t[i:i+2], ' '))
+               ELSE [array_to_string(t, ' ')] END) AS s
+      FROM toks
+    ), melt AS (
+      SELECT doc_id, CAST(f.i AS INT) AS fam,
+             list_min(list_transform(s, x ->
+               CAST(('0x' || substr(md5(x || '#' || CAST(f.i AS VARCHAR)),
+                                    1, 12)) AS BIGINT))) AS h
+      FROM sh, UNNEST(range(0, 8)) AS f(i)
+    ), edges AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM melt a JOIN melt b
+        ON a.fam = b.fam AND a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 4
+    ), sym AS (
+      SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+    ), walk AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT w.src, s.dst FROM walk w JOIN sym s ON w.dst = s.src
+    ), comp AS (
+      SELECT src AS id, min(dst) AS mn FROM walk GROUP BY src
+    ), assign AS (
+      SELECT d.doc_id,
+             least(coalesce(c.mn, d.doc_id), d.doc_id) AS cluster
+      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    ), keyed AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('split1#'
+               || CAST(cluster AS VARCHAR)), 1, 12)) AS BIGINT) % 10
+               AS bucket
+      FROM assign
+    )
+    SELECT doc_id,
+           CASE WHEN bucket < 8 THEN 'train'
+                WHEN bucket < 9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM keyed
+    """,
+)
+def leakage_safe_split_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRANSITIVE form of the leakage-safe split: the split key is
+    the NEAR-dup cluster (portable MinHash ≥4-of-8 banding + connected
+    components, near_dup_clusters_portable), so a test doc whose
+    near-twin sits in train is impossible by construction — the full
+    eval-contamination guarantee, not just the exact-copy one.  The
+    oracle recomputes everything end to end: signatures, candidate
+    pairs, the recursive-CTE transitive closure, and the md5 bucket of
+    the cluster key."""
+    t = _t(spark, sf_dir)
+    clusters = dedup.near_duplicate_clusters_portable(
+        t["documents"]
+    ).withColumnRenamed("id", "doc_id")
+    joined = t["documents"].select("doc_id", "text").join(clusters, "doc_id")
+    return text.leakage_safe_split(joined, cluster_col="cluster")

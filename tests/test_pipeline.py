@@ -2359,3 +2359,23 @@ def test_chunk_reassembly_roundtrip_edge_shapes(spark):
         text.reassemble_chunks(
             text.chunk_documents(df, chunk_tokens=4, stride=8), 4, 8
         )
+
+
+def test_leakage_safe_split_neardup_twins_share_split(spark):
+    """The transitive guarantee on the real corpus: every member of a
+    near-dup cluster lands in the same split — including pairs whose
+    texts differ (near-dups the exact-fingerprint key would separate)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    clusters = dedup.near_duplicate_clusters_portable(docs).withColumnRenamed(
+        "id", "doc_id"
+    )
+    joined = docs.select("doc_id", "text").join(clusters, "doc_id")
+    out = text.leakage_safe_split(joined, cluster_col="cluster")
+    per_cluster = (
+        out.join(clusters, "doc_id")
+        .groupBy("cluster")
+        .agg(F.countDistinct("split").alias("n"), F.count("*").alias("sz"))
+    )
+    rows = per_cluster.collect()
+    assert all(r.n == 1 for r in rows)
+    assert any(r.sz > 1 for r in rows)  # real multi-doc clusters exercised
