@@ -96,6 +96,9 @@ SUPERLINEAR = [
     # md5mod audit twin — carry the bound
     ("incremental_minhash_batch", 18.0, "~n^1.2 banding + history probe"),
     ("incremental_minhash_scale", 18.0, "~n^1.2 banding + history probe"),
+    # the transitive split composes the portable near-dup clustering —
+    # same banding-collision envelope plus the O(log n) closure rounds
+    ("leakage_safe_split_neardup", 18.0, "~n^1.2 banding + CC closure"),
     # r6 (verdict ask #5): the two iterative heavies, with documented
     # wider bounds.  Star-CC runs O(log n) rounds of per-round fixed
     # cost (localCheckpoint + 2 probes) — at sf0.01 the whole run is
