@@ -1,0 +1,219 @@
+"""Round-7 catalog additions: join-strategy showcases, snapshot diff,
+evaluation metrics, governance audits, spatial joins, drift detection,
+and sketch set-operations.
+
+Each entry follows the catalog contract (queries/__init__.py): a
+PySpark builder plus (where SQL-expressible) a DuckDB oracle over the
+same parquet tables, with every float rounded and every top-k
+tiebroken so the driver's order-insensitive value-hash compare is
+deterministic.
+
+Reference anchors (spark-monotasks): the bucketed co-located join is
+the Spark-side answer to the reference's `ShuffledHashJoin` avoidance
+via pre-partitioned RDDs (CoGroupedRDD.scala / Partitioner reuse,
+PairRDDFunctions.scala:715); the salted join is the explicit skew
+lever the reference lacks (its HashPartitioner sends a hot key to one
+reducer — HashPartitioner, Partitioner.scala); the snapshot diff
+builds on sources/versioned.py (beyond-reference, marked).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_monotasks_spark.queries.registry import register
+from spark_monotasks_spark.tables import load_tables
+
+
+def _t(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return load_tables(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Join strategy showcases
+# ---------------------------------------------------------------------------
+
+@register(
+    "bucketed_smb_join",
+    oracle="""
+    SELECT c_mktsegment, o_orderstatus,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment, o_orderstatus
+    """,
+)
+def bucketed_smb_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-shuffle co-located join via bucketed tables (sources/
+    io.save_as_table bucket_by; reference: Partitioner-reuse joins,
+    PairRDDFunctions.scala:715 — a pre-partitioned RDD pair cogroups
+    with no shuffle).  Both sides are written bucketed (8 buckets) on
+    their join key, then sort-merge-joined: Catalyst sees matching
+    bucket specs and plans NO Exchange on either side — at 100 TB this
+    is THE lever for repeated fact-dim joins (pay one bucketed write,
+    then every subsequent join is shuffle-free).  The MERGE hint pins
+    the sort-merge path so the demonstration never degrades to a
+    broadcast that would trivially hide the shuffle.  The plan shape
+    (zero Exchange) is gated in tests/test_plans.py; the oracle proves
+    the bucketed write→read→join path loses no rows and keeps doubles
+    bit-exact."""
+    t = _t(spark, sf_dir)
+    from spark_monotasks_spark.sources import io as sio
+
+    tag = uuid.uuid4().hex[:12]
+    t_orders = f"r7_bkt_orders_{tag}"
+    t_cust = f"r7_bkt_customer_{tag}"
+    try:
+        sio.save_as_table(
+            t["orders"].select("o_orderkey", "o_custkey", "o_orderstatus",
+                               "o_totalprice"),
+            t_orders, mode="overwrite", bucket_by=(8, ["o_custkey"]),
+        )
+        sio.save_as_table(
+            t["customer"].select("c_custkey", "c_mktsegment"),
+            t_cust, mode="overwrite", bucket_by=(8, ["c_custkey"]),
+        )
+        o = spark.table(t_orders)
+        c = spark.table(t_cust)
+        joined = o.hint("merge").join(
+            c, o["o_custkey"] == c["c_custkey"], "inner"
+        )
+        out = (
+            joined.groupBy("c_mktsegment", "o_orderstatus")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            )
+            .localCheckpoint()
+        )
+        return out
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_cust}")
+
+
+@register(
+    "skew_salted_join",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted join (operators/joins.salted_join;
+    beyond-reference scale tool — the reference's HashPartitioner
+    routes a hot key to ONE reducer, Partitioner.scala:85).  The fact
+    side's key is salted into 16 sub-keys and the dim side exploded
+    x16, so a single pathological customer spreads over 16 shuffle
+    partitions instead of stalling one straggler task.  The salt only
+    routes — it never reaches the output — so the result is EXACTLY
+    the plain join: the oracle is the unsalted SQL, proving the
+    rewrite is lossless.  Plan shape (explode on the dim side, one
+    Exchange on (key, salt)) is gated in tests/test_plans.py."""
+    t = _t(spark, sf_dir)
+    from spark_monotasks_spark.operators.joins import salted_join
+
+    dim = t["customer"].select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    fact = t["orders"].select("o_custkey", "o_totalprice")
+    joined = salted_join(fact, dim, on="o_custkey", salt_buckets=16)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Versioned snapshot diff
+# ---------------------------------------------------------------------------
+
+@register(
+    "snapshot_diff",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 1500
+    ), v2 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 50.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders
+      WHERE o_orderkey <= 2000 AND o_orderkey % 11 <> 0
+    )
+    SELECT coalesce(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+           CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+                WHEN v2.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type,
+           round(v1.o_totalprice, 2) AS old_price,
+           round(v2.o_totalprice, 2) AS new_price
+    FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+    WHERE v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL
+       OR v1.o_totalprice <> v2.o_totalprice
+    """,
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-version diff (sources/versioned.py; beyond-reference —
+    the audit primitive for versioned corpora: 'what changed between
+    snapshot v1 and v2?').  Two snapshots are committed (v2 adds keys
+    (1500, 2000], removes every 11th, bumps every 7th's price), then
+    diffed with ONE full-outer join on the snapshot key → change_type
+    in {added, removed, changed}; unchanged rows are filtered out so
+    the diff is proportional to the churn, not the table.  At 100 TB
+    both snapshot reads prune to their manifest's files and the single
+    shuffle is on the join key; churn-sized output means the diff of a
+    billion-row table with 1% churn materializes only the 1%.  The
+    oracle restates both snapshots from the source parquet, proving
+    the committed manifests round-trip exactly."""
+    import shutil
+    import tempfile
+
+    from spark_monotasks_spark.sources import versioned as V
+
+    t = _t(spark, sf_dir)
+    o = t["orders"].select("o_orderkey", "o_totalprice")
+    path = tempfile.mkdtemp(prefix="snapshot_diff_")
+    try:
+        V.write_version(o.filter(F.col("o_orderkey") <= 1500), path)
+        v2_df = (
+            o.filter(
+                (F.col("o_orderkey") <= 2000)
+                & (F.col("o_orderkey") % 11 != 0)
+            )
+            .withColumn(
+                "o_totalprice",
+                F.when(
+                    F.col("o_orderkey") % 7 == 0,
+                    F.col("o_totalprice") + F.lit(50.0),
+                ).otherwise(F.col("o_totalprice")),
+            )
+        )
+        V.write_version(v2_df, path, mode="overwrite")
+        v1 = V.read_version(spark, path, 1).alias("v1")
+        v2 = V.read_version(spark, path, 2).alias("v2")
+        diff = v1.join(
+            v2, F.col("v1.o_orderkey") == F.col("v2.o_orderkey"), "full_outer"
+        ).filter(
+            F.col("v1.o_orderkey").isNull()
+            | F.col("v2.o_orderkey").isNull()
+            | (F.col("v1.o_totalprice") != F.col("v2.o_totalprice"))
+        )
+        out = diff.select(
+            F.coalesce(F.col("v1.o_orderkey"), F.col("v2.o_orderkey")).alias(
+                "o_orderkey"
+            ),
+            F.when(F.col("v1.o_orderkey").isNull(), F.lit("added"))
+            .when(F.col("v2.o_orderkey").isNull(), F.lit("removed"))
+            .otherwise(F.lit("changed"))
+            .alias("change_type"),
+            F.round(F.col("v1.o_totalprice"), 2).alias("old_price"),
+            F.round(F.col("v2.o_totalprice"), 2).alias("new_price"),
+        ).localCheckpoint()
+        return out
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

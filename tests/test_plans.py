@@ -253,6 +253,94 @@ def test_ngram_jaccard_block_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_bucketed_smb_join_zero_shuffle(spark):
+    """Bucketed sort-merge join: both sides bucketed (8) on their join
+    key → the join itself plans ZERO Exchange (the whole point of the
+    bucketed layout at 100 TB).  Rebuilt inline because the catalog
+    entry localCheckpoints its result (the tables are dropped in its
+    finally block), which hides the join plan."""
+    import uuid
+
+    from spark_monotasks_spark.sources import io as sio
+    from spark_monotasks_spark.tables import load_tables
+
+    t = load_tables(spark, SF)
+    tag = uuid.uuid4().hex[:12]
+    t_o, t_c = f"plan_bkt_o_{tag}", f"plan_bkt_c_{tag}"
+    try:
+        sio.save_as_table(
+            t["orders"].select("o_custkey", "o_totalprice"),
+            t_o, mode="overwrite", bucket_by=(8, ["o_custkey"]),
+        )
+        sio.save_as_table(
+            t["customer"].select("c_custkey", "c_mktsegment"),
+            t_c, mode="overwrite", bucket_by=(8, ["c_custkey"]),
+        )
+        o, c = spark.table(t_o), spark.table(t_c)
+        joined = o.hint("merge").join(
+            c, o["o_custkey"] == c["c_custkey"], "inner"
+        )
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        # the same join WITHOUT bucketed inputs must shuffle — proves
+        # the zero-Exchange plan above is the bucketing, not a fluke
+        o2 = t["orders"].select("o_custkey", "o_totalprice")
+        c2 = t["customer"].select("c_custkey", "c_mktsegment")
+        unbucketed = o2.hint("merge").join(
+            c2, o2["o_custkey"] == c2["c_custkey"], "inner"
+        )
+        assert "Exchange" in plan_of(unbucketed)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t_o}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_c}")
+
+
+def test_skew_salted_join_plan(spark):
+    """skew_salted_join: dim side explodes x16, fact side never
+    broadcast — the join shuffles BOTH sides on (key, salt) so a hot
+    key spreads over 16 partitions.  Assert the explode (Generate) is
+    present and the join is a hash/sort-merge on the salted key, not a
+    broadcast of the pre-explode dim (which would defeat the routing)."""
+    df = QUERY_REGISTRY["skew_salted_join"](spark, SF)
+    plan = plan_of(df)
+    assert "Generate explode" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_snapshot_diff_single_join_shuffle(spark):
+    """snapshot_diff: one full-outer join on the snapshot key — the
+    churn-proportional diff must not add extra whole-table shuffles
+    beyond the join's two input exchanges."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from spark_monotasks_spark.sources import versioned as V
+    from spark_monotasks_spark.tables import load_tables
+
+    t = load_tables(spark, SF)
+    o = t["orders"].select("o_orderkey", "o_totalprice")
+    path = tempfile.mkdtemp(prefix="plan_snapdiff_")
+    try:
+        V.write_version(o.filter(F.col("o_orderkey") <= 100), path)
+        V.write_version(o.filter(F.col("o_orderkey") <= 200), path,
+                        mode="overwrite")
+        v1 = V.read_version(spark, path, 1).alias("v1")
+        v2 = V.read_version(spark, path, 2).alias("v2")
+        diff = v1.join(
+            v2, F.col("v1.o_orderkey") == F.col("v2.o_orderkey"),
+            "full_outer",
+        )
+        plan = plan_of(diff)
+        assert "SortMergeJoin" in plan and "FullOuter" in plan, plan
+        assert plan.count("Exchange hashpartitioning") == 2, plan
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def test_salted_agg_two_stage_plan(spark):
     """salted_agg must show the two-stage shape: one Exchange on
     (keys, salt), one on keys — and Tungsten partial aggregation on
