@@ -109,7 +109,19 @@ def zip_with_index(
         df = df.repartitionByRange(n, *order_cols).sortWithinPartitions(
             *order_cols
         )
-    return _add_offsets(_with_partition_position(df), index_col)
+    # PIN the positioned rows before deriving offsets: the offsets
+    # branch and the row branch are separate physical jobs, and when
+    # the upstream's in-partition order is nondeterministic (hash
+    # aggregate / join output feeding the range sampler), the two jobs
+    # can sample DIFFERENT range boundaries — offsets computed for one
+    # layout applied to another silently corrupts every index past the
+    # first diverging partition.  A lazy localCheckpoint materializes
+    # the layout once (at the offsets job) and the row job re-reads the
+    # same stored partitions.  Same single-materialization price the
+    # reference pays: its zipWithIndex runs a count job over the RDD
+    # first (core/rdd/RDD.scala:1371).
+    pos = _with_partition_position(df).localCheckpoint(eager=False)
+    return _add_offsets(pos, index_col)
 
 
 def running_total(
@@ -146,7 +158,10 @@ def running_total(
     ranged = df.repartitionByRange(n, *order_cols).sortWithinPartitions(
         *order_cols
     )
-    pos = _with_partition_position(ranged)
+    # pinned for the same two-job layout-divergence reason as
+    # zip_with_index (see comment there): offsets derived from one
+    # sampled range layout must be applied to THAT layout
+    pos = _with_partition_position(ranged).localCheckpoint(eager=False)
     sums = pos.groupBy("_pid").agg(F.sum(value_col).alias("_psum"))
     w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = sums.select(

@@ -131,6 +131,107 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Evaluation metrics (ml/evaluation.py)
+# ---------------------------------------------------------------------------
+
+@register(
+    "eval_auc_score",
+    oracle="""
+    WITH s AS (
+      SELECT value + CASE WHEN event_type = 'purchase' THEN 100.0
+                          ELSE 0.0 END AS score,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+      FROM events
+    ), g AS (
+      SELECT score, count(*) AS n, sum(label) AS np FROM s GROUP BY score
+    ), r AS (
+      SELECT np, n,
+             CAST(sum(n) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) - n AS cum_lt
+      FROM g
+    )
+    SELECT round((sum(np * (cum_lt + (n + 1) / 2.0))
+                  - (sum(np) * (sum(np) + 1)) / 2.0)
+                 / (sum(np) * (sum(n) - sum(np))), 6) AS auc,
+           CAST(sum(np) AS BIGINT) AS n_pos,
+           CAST(sum(n) - sum(np) AS BIGINT) AS n_neg
+    FROM r
+    """,
+)
+def eval_auc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed ROC-AUC (ml/evaluation.binary_auc; reference:
+    mllib BinaryClassificationMetrics.scala — score-grouped confusion
+    counts over a sorted RDD).  Labels mark purchase events; the score
+    is the event value plus a +100 bump for positives so the metric is
+    meaningfully above 0.5.  The Mann-Whitney rank statistic runs with
+    NO un-partitioned window: distinct scores collapse via hash
+    aggregate, cumulative counts flow through the two-pass
+    range-partitioned prefix sum (operators/indexing.running_total),
+    and ties take exact average ranks — integers and half-integers
+    throughout, so the single final division is bit-identical to the
+    oracle's."""
+    from spark_monotasks_spark.ml.evaluation import binary_auc
+
+    t = _t(spark, sf_dir)
+    scored = t["events"].select(
+        (
+            F.col("value")
+            + F.when(F.col("event_type") == "purchase", F.lit(100.0))
+            .otherwise(F.lit(0.0))
+        ).alias("score"),
+        F.when(F.col("event_type") == "purchase", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("label"),
+    )
+    return binary_auc(scored, "score", "label")
+
+
+@register(
+    "eval_calibration_bins",
+    oracle="""
+    WITH s AS (
+      SELECT least((value + CASE WHEN event_type = 'purchase' THEN 100.0
+                                 ELSE 0.0 END) / 512, 1.0) AS p,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+      FROM events
+    )
+    SELECT least(CAST(floor(p * 16) AS BIGINT), 15) AS bin,
+           count(*) AS n,
+           round(avg(p), 6) AS mean_pred,
+           round(avg(label), 6) AS pos_rate
+    FROM s GROUP BY 1
+    """,
+)
+def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins (ml/evaluation.calibration_bins;
+    beyond-reference eval surface): predicted probability = the AUC
+    entry's score scaled by a dyadic 1/512 (exact in IEEE double) and
+    clamped to [0,1], binned into 16 fixed-width buckets.  Per bin:
+    count, mean prediction, observed positive rate.  ONE hash
+    aggregate — map-side partials cap each task's shuffle contribution at
+    16 rows, so the reliability diagram of a 100 TB scoring table
+    shuffles kilobytes."""
+    from spark_monotasks_spark.ml.evaluation import calibration_bins
+
+    t = _t(spark, sf_dir)
+    scored = t["events"].select(
+        F.least(
+            (
+                F.col("value")
+                + F.when(F.col("event_type") == "purchase", F.lit(100.0))
+                .otherwise(F.lit(0.0))
+            )
+            / F.lit(512),
+            F.lit(1.0),
+        ).alias("p"),
+        F.when(F.col("event_type") == "purchase", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("label"),
+    )
+    return calibration_bins(scored, "p", "label", bins=16)
+
+
+# ---------------------------------------------------------------------------
 # Versioned snapshot diff
 # ---------------------------------------------------------------------------
 

@@ -925,6 +925,39 @@ def test_running_total_matches_window_semantics(spark):
     assert got == expect
 
 
+def test_running_total_correct_on_nondeterministic_order_input(spark):
+    """Regression (r7): the offsets branch and the row branch are two
+    physical jobs; with a hash-AGGREGATE input the in-partition row
+    order feeding the range sampler differed between them, the jobs
+    sampled different range boundaries, and every prefix sum past the
+    first diverging partition silently corrupted (observed: 6333/7300
+    wrong cumulative counts).  The positioned layout is now pinned with
+    a lazy localCheckpoint so both jobs read ONE materialization."""
+    from spark_monotasks_spark.operators.indexing import (
+        running_total,
+        zip_with_index,
+    )
+
+    base = spark.range(20000).select(
+        (F.col("id") % 3571).alias("k"), F.lit(1).alias("one")
+    )
+    g = base.groupBy("k").agg(F.count("*").alias("n"))
+    got = sorted(
+        (r.k, r.n, r.rt)
+        for r in running_total(g, "n", ["k"], total_col="rt").collect()
+    )
+    acc = 0
+    for k, n, rt in got:  # keys come back sorted; prefix must be exact
+        acc += n
+        assert rt == acc, (k, rt, acc)
+    # same hazard in zip_with_index(ordered) — index must be the exact
+    # dense rank even when the input is an aggregate
+    idx = sorted(
+        (r.k, r.idx) for r in zip_with_index(g, ["k"], "idx").collect()
+    )
+    assert [i for _, i in idx] == list(range(len(idx)))
+
+
 def test_running_total_plan_has_no_global_window(spark):
     """The whole point: the input-sized relation must never pass
     through an un-partitioned window (one-task Exchange)."""
