@@ -131,6 +131,104 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Stream-stream interval join (click → purchase attribution)
+# ---------------------------------------------------------------------------
+
+@register(
+    "stream_interval_join",
+    oracle="""
+    SELECT v.user_id AS user_id,
+           v.event_id AS view_id,
+           p.event_id AS purchase_id,
+           round(p.value, 2) AS purchase_value
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    """,
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream event-time interval join through a REAL streaming
+    execution (dstream.stream_stream_join; reference:
+    PairDStreamFunctions.scala:482 ``join`` — the reference can only
+    pair same-batch RDDs, Structured Streaming pairs across batches
+    with watermark-bounded state).  Views and purchases arrive as two
+    file streams; a purchase attributes to every view by the same user
+    in the preceding 30 minutes (``before='0 seconds'`` — the
+    asymmetric attribution window).  The watermark + range condition
+    bound the join state: at 100 TB/day each side buffers only the
+    watermark horizon, and the join shuffles both streams on user_id
+    once per micro-batch.  The staged input is a single file → one
+    micro-batch → the emitted pair set is exactly the batch join, which
+    is the oracle."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from spark_monotasks_spark import tables
+    from spark_monotasks_spark.streaming import dstream
+
+    tables.ensure_parity_confs(spark)
+    stage = tempfile.mkdtemp(prefix="stream_ivj_")
+    src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
+    if os.path.isfile(src):
+        os.symlink(src, os.path.join(stage, "events.parquet"))
+    else:
+        dst = os.path.join(stage, "events.parquet")
+        spark.read.parquet(src).coalesce(1).write.mode("overwrite").parquet(dst)
+        parts = [f for f in os.listdir(dst) if f.endswith(".parquet")]
+        if len(parts) != 1:
+            raise AssertionError(
+                f"single-file staging produced {len(parts)} data files"
+            )
+    schema = spark.read.parquet(src).schema
+
+    def _side(event_type: str, prefix: str) -> DataFrame:
+        s = dstream.file_stream(spark, stage, schema, max_files_per_trigger=1)
+        s = tables._fix_nanos(s)
+        return (
+            s.filter(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("ts").cast("timestamp").alias(f"{prefix}_ts"),
+                F.col("value").alias(f"{prefix}_value"),
+            )
+        )
+
+    joined = dstream.stream_stream_join(
+        _side("view", "v"),
+        _side("purchase", "p"),
+        left_key="v_user",
+        right_key="p_user",
+        left_ts="v_ts",
+        right_ts="p_ts",
+        watermark="1 hour",
+        before="0 seconds",
+        after="30 minutes",
+    ).select(
+        F.col("v_user").alias("user_id"),
+        F.col("v_id").alias("view_id"),
+        F.col("p_id").alias("purchase_id"),
+        F.round(F.col("p_value"), 2).alias("purchase_value"),
+    )
+    name = f"stream_ivj_{uuid.uuid4().hex[:8]}"
+    q = dstream.start_memory_sink(joined, name, output_mode="append")
+    try:
+        finished = q.awaitTermination(300)
+    finally:
+        q.stop()
+        shutil.rmtree(stage, ignore_errors=True)
+    if not finished:
+        raise TimeoutError(
+            "stream-stream join did not drain within 300s — refusing to "
+            "return a partial pair set"
+        )
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
 # Evaluation metrics (ml/evaluation.py)
 # ---------------------------------------------------------------------------
 

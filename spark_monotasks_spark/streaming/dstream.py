@@ -301,6 +301,8 @@ def stream_stream_join(
     watermark: str = "1 hour",
     max_skew: str = "1 hour",
     how: str = "inner",
+    before: str | None = None,
+    after: str | None = None,
 ) -> DataFrame:
     """join of two streams (PairDStreamFunctions.scala:482 ``join`` —
     per-batch RDD cogroup in the reference).
@@ -312,17 +314,23 @@ def stream_stream_join(
     failure mode the reference sidestepped by only joining aligned
     batches).  ``max_skew`` is how far the two sides' event times may
     differ and still match — the knob that sizes state at 100 TB/day.
+    ``before``/``after`` override the two range bounds independently
+    (right_ts ∈ [left_ts − before, left_ts + after]) — e.g. click→
+    purchase attribution wants ``before='0 seconds'`` so only purchases
+    AFTER the click match.
 
     Column names must be disjoint across sides (rename before calling),
     matching the reference's K/V-pair contract where both sides share
     only the key.
     """
+    lo = before if before is not None else max_skew
+    hi = after if after is not None else max_skew
     l = left.withWatermark(left_ts, watermark)
     r = right.withWatermark(right_ts, watermark)
     cond = (
         (F.col(left_key) == F.col(right_key))
-        & (F.col(right_ts) >= F.expr(f"{left_ts} - INTERVAL {max_skew}"))
-        & (F.col(right_ts) <= F.expr(f"{left_ts} + INTERVAL {max_skew}"))
+        & (F.col(right_ts) >= F.expr(f"{left_ts} - INTERVAL {lo}"))
+        & (F.col(right_ts) <= F.expr(f"{left_ts} + INTERVAL {hi}"))
     )
     return l.join(r, on=cond, how=how)
 
