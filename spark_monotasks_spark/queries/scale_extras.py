@@ -330,6 +330,127 @@ def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Governance: k-anonymity audit
+# ---------------------------------------------------------------------------
+
+@register(
+    "k_anonymity_audit",
+    oracle="""
+    SELECT c_nationkey AS nationkey, c_mktsegment AS mktsegment,
+           CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band,
+           count(*) AS k,
+           count(DISTINCT CAST(floor(c_acctbal) AS BIGINT)) AS l_div,
+           CASE WHEN count(*) >= 5 THEN 1 ELSE 0 END AS k_safe
+    FROM customer
+    GROUP BY 1, 2, 3
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit over a quasi-identifier tuple
+    (beyond-reference governance surface — the pre-release privacy
+    check a training-corpus pipeline runs before publishing derived
+    tables).  QI = (nation, market segment, account-balance band);
+    per equivalence class: k (row count — classes with k < 5 are
+    re-identification risks to suppress or generalize), l (distinct
+    sensitive values — low l means attribute disclosure even at safe
+    k), and the k>=5 flag.  ONE hash aggregate with a distinct-count —
+    partial aggregation map-side, so a 100 TB table reduces to
+    |QI-classes| rows; the banding (floor of a division) is the
+    generalization knob: widen the band until every class passes."""
+    t = _t(spark, sf_dir)
+    return (
+        t["customer"]
+        .groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_mktsegment").alias("mktsegment"),
+            F.floor(F.col("c_acctbal") / 2000).cast("long").alias("bal_band"),
+        )
+        .agg(
+            F.count("*").alias("k"),
+            F.countDistinct(
+                F.floor(F.col("c_acctbal")).cast("long")
+            ).alias("l_div"),
+            F.when(F.count("*") >= 5, F.lit(1)).otherwise(F.lit(0)).alias(
+                "k_safe"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spatial: grid-bucketed radius kNN join
+# ---------------------------------------------------------------------------
+
+_COORD_SQL = (
+    "CAST(('0x' || substr(md5('{salt}' || CAST({key} AS VARCHAR)), 1, 12)) "
+    "AS BIGINT) % 1000000 / 1000.0"
+)
+
+
+@register(
+    "spatial_grid_knn",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_custkey,
+             {_COORD_SQL.format(salt='gx#', key='c_custkey')} AS x,
+             {_COORD_SQL.format(salt='gy#', key='c_custkey')} AS y
+      FROM customer
+    ), s AS (
+      SELECT s_suppkey,
+             {_COORD_SQL.format(salt='gx#', key='s_suppkey')} AS x,
+             {_COORD_SQL.format(salt='gy#', key='s_suppkey')} AS y
+      FROM supplier
+    ), pairs AS (
+      SELECT c_custkey, s_suppkey,
+             (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) AS dist2
+      FROM c, s
+      WHERE (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y)
+            <= 2500.0
+    ), ranked AS (
+      SELECT c_custkey, s_suppkey, dist2,
+             row_number() OVER (PARTITION BY c_custkey
+                                ORDER BY dist2, s_suppkey) AS rk
+      FROM pairs
+    )
+    SELECT c_custkey, s_suppkey, round(dist2, 6) AS dist2
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def spatial_grid_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius-kNN join via the fixed-grid candidate index
+    (operators/spatial.grid_radius_knn; beyond-reference — the
+    reference has no spatial operators).  Coordinates are the
+    documented deterministic md5 projection (the testdata carries
+    none); each customer finds its 3 nearest suppliers within radius
+    50 by probing its 3x3 cell neighborhood — an ordinary equi-join on
+    the cell key, NEVER a cross product (plan-gated).  The oracle is
+    the brute-force O(|C|x|S|) cross join: a value match proves the
+    grid candidate set is lossless.  Squared distances use only IEEE
+    sub/mul/add in matching literal order, so even the ranking ties
+    resolve identically cross-engine."""
+    from spark_monotasks_spark.operators.spatial import (
+        grid_radius_knn,
+        hash_coords,
+    )
+
+    t = _t(spark, sf_dir)
+    cx, cy = hash_coords("c_custkey")
+    sx, sy = hash_coords("s_suppkey")
+    cust = t["customer"].select(
+        "c_custkey", cx.alias("x"), cy.alias("y")
+    )
+    supp = t["supplier"].select(
+        "s_suppkey", sx.alias("x"), sy.alias("y")
+    )
+    out = grid_radius_knn(
+        cust, supp, "c_custkey", "s_suppkey", radius=50.0, k=3
+    )
+    return out.select(
+        "c_custkey", "s_suppkey", F.round("dist2", 6).alias("dist2")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Versioned snapshot diff
 # ---------------------------------------------------------------------------
 

@@ -341,6 +341,16 @@ def test_snapshot_diff_single_join_shuffle(spark):
         shutil.rmtree(path, ignore_errors=True)
 
 
+def test_spatial_grid_knn_no_cartesian(spark):
+    """The grid candidate join must be an equi-join on the cell key —
+    never the brute-force cross product the oracle uses."""
+    df = QUERY_REGISTRY["spatial_grid_knn"](spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "_cx" in plan and "_cy" in plan, plan  # joins on the cell key
+
+
 def test_salted_agg_two_stage_plan(spark):
     """salted_agg must show the two-stage shape: one Exchange on
     (keys, salt), one on keys — and Tungsten partial aggregation on
