@@ -330,6 +330,200 @@ def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Corpus drift: population-stability index between two slices
+# ---------------------------------------------------------------------------
+
+@register(
+    "corpus_drift_psi",
+    oracle="""
+    WITH d AS (
+      SELECT least(CAST(floor(n_chars / 64) AS BIGINT), 8) AS bin,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS is_a
+      FROM documents
+    ), g AS (
+      SELECT bin, sum(is_a) AS n_a, count(*) - sum(is_a) AS n_b
+      FROM d GROUP BY bin
+    ), p AS (
+      SELECT bin, n_a, n_b,
+             (n_a + 1.0) / (sum(n_a) OVER () + 9.0) AS pa,
+             (n_b + 1.0) / (sum(n_b) OVER () + 9.0) AS pb
+      FROM g
+    )
+    SELECT bin, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           round((pa - pb) * ln(pa / pb), 4) AS psi_term,
+           round(pa * ln(pa / pb), 4) AS kl_term
+    FROM p
+    """,
+)
+def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift detection between two corpus slices
+    (beyond-reference — the pre-training monitoring check: did this
+    week's crawl shift against last week's?).  The doc-length feature
+    is binned fixed-width (quantile bins are the already-covered
+    quality_quantile_calibrate; fixed bins keep the whole computation
+    ONE hash aggregate), each slice's bin mass is Laplace-smoothed
+    (+1) so empty-on-one-side bins stay finite, and each bin reports
+    its Population-Stability-Index term (pa−pb)·ln(pa/pb) and KL term
+    pa·ln(pa/pb) — sum over bins = total PSI / KL(A‖B); the usual alert
+    threshold is PSI > 0.1-0.25.  The totals window runs over ≤9
+    aggregated rows (never the raw table), so at 100 TB the cost is
+    the single map-side-combined aggregate scan."""
+    from pyspark.sql import Window
+
+    t = _t(spark, sf_dir)
+    d = t["documents"].select(
+        F.least(F.floor(F.col("n_chars") / 64), F.lit(8))
+        .cast("long")
+        .alias("bin"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(1)).otherwise(F.lit(0)).alias(
+            "is_a"
+        ),
+    )
+    g = d.groupBy("bin").agg(
+        F.sum("is_a").alias("n_a"),
+        (F.count("*") - F.sum("is_a")).alias("n_b"),
+    )
+    w = Window.partitionBy()
+    pa = (F.col("n_a") + 1.0) / (F.sum("n_a").over(w) + 9.0)
+    pb = (F.col("n_b") + 1.0) / (F.sum("n_b").over(w) + 9.0)
+    return g.select(
+        "bin",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round((pa - pb) * F.log(pa / pb), 4).alias("psi_term"),
+        F.round(pa * F.log(pa / pb), 4).alias("kl_term"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch with set operations
+# ---------------------------------------------------------------------------
+
+_KMV_HASH = (
+    "CAST(('0x' || substr(md5(CAST(pk AS VARCHAR)), 1, 12)) AS BIGINT) "
+    "/ 281474976710656.0"
+)
+
+
+@register(
+    "kmv_distinct_setops",
+    oracle=f"""
+    WITH pks AS (
+      SELECT DISTINCT l_partkey AS pk FROM lineitem
+    ), h AS (
+      SELECT pk, {_KMV_HASH} AS h,
+             CASE WHEN pk % 4 IN (0, 1, 2) THEN 1 ELSE 0 END AS in_a,
+             CASE WHEN pk % 4 IN (1, 2, 3) THEN 1 ELSE 0 END AS in_b
+      FROM pks
+    ), sk_u AS (SELECT * FROM h ORDER BY h LIMIT 256),
+       sk_a AS (SELECT * FROM h WHERE in_a = 1 ORDER BY h LIMIT 256),
+       sk_b AS (SELECT * FROM h WHERE in_b = 1 ORDER BY h LIMIT 256),
+       est_u AS (
+         SELECT CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+                     ELSE 255.0 / max(h) END AS est,
+                CASE WHEN count(*) = 0 THEN 0.0
+                     ELSE CAST(sum(in_a * in_b) AS DOUBLE) / count(*)
+                END AS rho
+         FROM sk_u
+       )
+    SELECT 'a' AS metric,
+           round((SELECT CASE WHEN count(*) < 256
+                              THEN CAST(count(*) AS DOUBLE)
+                              ELSE 255.0 / max(h) END FROM sk_a), 4) AS est,
+           (SELECT CAST(sum(in_a) AS BIGINT) FROM h) AS exact
+    UNION ALL
+    SELECT 'b',
+           round((SELECT CASE WHEN count(*) < 256
+                              THEN CAST(count(*) AS DOUBLE)
+                              ELSE 255.0 / max(h) END FROM sk_b), 4),
+           (SELECT CAST(sum(in_b) AS BIGINT) FROM h)
+    UNION ALL
+    SELECT 'union', round((SELECT est FROM est_u), 4),
+           (SELECT count(*) FROM h)
+    UNION ALL
+    SELECT 'intersect',
+           round((SELECT rho * est FROM est_u), 4),
+           (SELECT CAST(sum(in_a * in_b) AS BIGINT) FROM h)
+    """,
+)
+def kmv_distinct_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch with union /
+    intersection estimation (Bar-Yossef et al. 2002; the theta-sketch
+    family — beyond the repo's HLL entry, which cannot intersect).
+    The k=256 smallest md5-derived hash values of each set form the
+    sketch; distinct ≈ (k−1)/u_k, |A∪B| from the combined sketch, and
+    |A∩B| ≈ ρ·|A∪B| where ρ is the fraction of the union sketch lying
+    in both sets.  Every sketch is a sort+limit → Catalyst plans
+    TakeOrdered (per-partition heap, driver merge of k rows — no
+    global sort), so sketching a 100 TB key column moves k rows per
+    partition.  Fully deterministic (md5 → one IEEE division), so
+    estimates AND exacts are value-checked against the oracle;
+    exact-vs-estimate rows double as a built-in accuracy report.  When
+    a set has fewer than k distinct keys the sketch IS the set and the
+    estimate snaps to the exact count (the sf0.001 path)."""
+    t = _t(spark, sf_dir)
+    pk = F.col("pk")
+    h = F.conv(
+        F.substring(F.md5(pk.cast("string").cast("binary")), 1, 12), 16, 10
+    ).cast("long") / F.lit(281474976710656.0)
+    hashed = (
+        t["lineitem"]
+        .select(F.col("l_partkey").alias("pk"))
+        .distinct()
+        .select(
+            "pk",
+            h.alias("h"),
+            (pk % 4).isin(0, 1, 2).cast("int").alias("in_a"),
+            (pk % 4).isin(1, 2, 3).cast("int").alias("in_b"),
+        )
+        .localCheckpoint()  # 4 consumers below — hash once
+    )
+
+    def _sketch_est(df: DataFrame, metric: str, exact_flag: str | None):
+        sk = df.orderBy("h").limit(256)
+        est = sk.agg(
+            F.when(F.count("*") < 256, F.count("*").cast("double"))
+            .otherwise(F.lit(255.0) / F.max("h"))
+            .alias("est")
+        )
+        exact = hashed.agg(
+            (
+                F.sum(exact_flag) if exact_flag else F.count("*")
+            ).cast("long").alias("exact")
+        )
+        return est.crossJoin(exact).select(
+            F.lit(metric).alias("metric"),
+            F.round("est", 4).alias("est"),
+            "exact",
+        )
+
+    row_a = _sketch_est(hashed.filter(F.col("in_a") == 1), "a", "in_a")
+    row_b = _sketch_est(hashed.filter(F.col("in_b") == 1), "b", "in_b")
+    row_u = _sketch_est(hashed, "union", None)
+
+    sk_u = hashed.orderBy("h").limit(256)
+    u_stats = sk_u.agg(
+        F.when(F.count("*") < 256, F.count("*").cast("double"))
+        .otherwise(F.lit(255.0) / F.max("h"))
+        .alias("est_u"),
+        F.when(F.count("*") == 0, F.lit(0.0))
+        .otherwise(
+            F.sum(F.col("in_a") * F.col("in_b")).cast("double") / F.count("*")
+        )
+        .alias("rho"),
+    )
+    exact_i = hashed.agg(
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("exact")
+    )
+    row_i = u_stats.crossJoin(exact_i).select(
+        F.lit("intersect").alias("metric"),
+        F.round(F.col("rho") * F.col("est_u"), 4).alias("est"),
+        "exact",
+    )
+    return row_a.unionAll(row_b).unionAll(row_u).unionAll(row_i)
+
+
+# ---------------------------------------------------------------------------
 # Governance: k-anonymity audit
 # ---------------------------------------------------------------------------
 

@@ -634,6 +634,9 @@ def test_no_hidden_cartesians_across_catalog(spark):
         # skew report: crossJoin(broadcast(1-row totals aggregate)) onto
         # the per-key count relation — a broadcast scalar, never O(n^2)
         "shuffle_skew_report",
+        # KMV sketch: each metric row crossJoins two 1-row aggregates
+        # (the k-row sketch's estimate scalar x the exact-count scalar)
+        "kmv_distinct_setops",
     }
     offenders = {}
     for name, fn in QUERY_REGISTRY.items():
