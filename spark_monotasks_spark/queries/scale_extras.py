@@ -229,6 +229,81 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# updateStateByKey across real micro-batches (driver-visible)
+# ---------------------------------------------------------------------------
+
+@register(
+    "stream_running_state",
+    oracle="""
+    SELECT user_id,
+           round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2)
+             AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_running_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """updateStateByKey through REAL multi-batch streaming execution
+    (streaming/dstream.update_state_by_key — applyInPandasWithState;
+    reference: PairDStreamFunctions.scala:350-424 + StateDStream.scala:
+    29, the running per-key state DStream).  Events are staged as
+    THREE files and streamed one file per micro-batch, so each user's
+    running total is updated across batches through the state store —
+    the final state (max of the emitted updates; values are positive
+    cents, so the running sum is strictly monotone) must equal the
+    batch GROUP BY sum, which is the oracle.  If state failed to carry
+    across batches, the max would collapse to the largest single-batch
+    sum and the value hash would break.  Values are folded in integer
+    cents so the cross-batch addition order can't cost an ulp."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from spark_monotasks_spark import tables
+    from spark_monotasks_spark.streaming import dstream
+
+    tables.ensure_parity_confs(spark)
+    stage = tempfile.mkdtemp(prefix="stream_state_")
+    src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
+    indir = os.path.join(stage, "in")
+    (
+        spark.read.parquet(src)
+        .select("event_id", "user_id", "value")
+        .repartitionByRange(3, "event_id")
+        .write.mode("overwrite")
+        .parquet(indir)
+    )
+    schema = spark.read.parquet(indir).schema
+    stream = dstream.file_stream(spark, indir, schema, max_files_per_trigger=1)
+    cents = stream.select(
+        "user_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    updates = dstream.update_state_by_key(
+        cents, key_cols=["user_id"], value_col="cents"
+    )
+    name = f"stream_state_{uuid.uuid4().hex[:8]}"
+    q = dstream.start_memory_sink(updates, name, output_mode="update")
+    try:
+        finished = q.awaitTermination(300)
+    finally:
+        q.stop()
+        shutil.rmtree(stage, ignore_errors=True)
+    if not finished:
+        raise TimeoutError(
+            "stateful stream did not drain within 300s — refusing to return "
+            "partial state"
+        )
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.round(F.max("state") / F.lit(100.0), 2).alias("total_value")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Evaluation metrics (ml/evaluation.py)
 # ---------------------------------------------------------------------------
 

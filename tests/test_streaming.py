@@ -868,3 +868,29 @@ def test_streaming_split_router_matches_batch_and_never_leaks(spark, tmp_path):
         for s in ("train", "val", "test")
     )
     assert total == len(all_rows)
+
+
+def test_stream_running_state_is_multi_batch(spark):
+    """The stream_running_state catalog entry's cross-batch claim must
+    be real: with the 3-file staging a user's events span micro-batches,
+    so the final per-user state only equals the batch GROUP BY sum if
+    state actually carried across batches (a reset-per-batch bug would
+    collapse the max to the largest single-batch subtotal).  Checked in
+    exact integer cents at sf0.001."""
+    from spark_monotasks_spark.queries import QUERY_REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERY_REGISTRY["stream_running_state"](spark, sf)
+    got = {r.user_id: r.total_value for r in out.collect()}
+    batch = {
+        r.user_id: r.tv
+        for r in spark.read.parquet(f"{sf}/events.parquet")
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0, 2
+            ).alias("tv")
+        )
+        .collect()
+    }
+    assert got == batch
