@@ -599,6 +599,85 @@ def kmv_distinct_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Entity resolution (pipeline/entity.py)
+# ---------------------------------------------------------------------------
+
+@register(
+    "entity_resolution_cluster",
+    oracle="""
+    WITH RECURSIVE recs AS (
+      SELECT c_custkey * 2 AS rid,
+             c_name || '*' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)
+               AS name
+      FROM customer
+      UNION ALL
+      SELECT c_custkey * 2 + 1,
+             substr(c_name || '*'
+                    || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8), 2)
+      FROM customer WHERE c_custkey % 3 = 0
+    ),
+    blocks AS (SELECT rid, name, right(name, 6) AS blk FROM recs),
+    e AS (
+      SELECT l.rid AS src, r.rid AS dst
+      FROM blocks l JOIN blocks r ON l.blk = r.blk AND l.rid < r.rid
+      WHERE levenshtein(l.name, r.name) <= 2
+    ),
+    sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+    walk AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT w.src, s.dst FROM walk w JOIN sym s ON w.dst = s.src
+    ),
+    comp AS (SELECT src AS id, min(dst) AS mn FROM walk GROUP BY src)
+    SELECT r.rid AS rid, least(coalesce(c.mn, r.rid), r.rid) AS cluster
+    FROM recs r LEFT JOIN comp c ON c.id = r.rid
+    """,
+)
+def entity_resolution_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked record linkage end-to-end (pipeline/entity.
+    blocked_entity_resolution; beyond-reference — the 'same customer
+    typed twice' dedup every curation stack needs).  A dirty-records
+    twin of customer is assembled IN BOTH dialects (noisy-twin
+    pattern, the corpus has no native dirty entities): every third
+    customer gains a variant with its leading character dropped.
+    Blocking on the 6-char name suffix (stable under the head typo)
+    confines comparison to within-block pairs — an equi-join, plan
+    shape shared with the fuzzy-join gate — Levenshtein <= 2 matches
+    become edges, and star-CC (O(log n) rounds) closes them
+    transitively; singletons keep their own rid.  The oracle replays
+    the FULL pipeline — records, blocks, pair set, recursive-CTE
+    closure, min-id labels — so a lost edge, a wrong distance, or a
+    broken closure all flip the value hash."""
+    from spark_monotasks_spark.pipeline.entity import (
+        blocked_entity_resolution,
+    )
+
+    t = _t(spark, sf_dir)
+    base_name = F.concat(
+        F.col("c_name"),
+        F.lit("*"),
+        F.substring(
+            F.md5(F.col("c_custkey").cast("string").cast("binary")), 1, 8
+        ),
+    )
+    clean = t["customer"].select(
+        (F.col("c_custkey") * 2).alias("rid"), base_name.alias("name")
+    )
+    dirty = (
+        t["customer"]
+        .filter(F.col("c_custkey") % 3 == 0)
+        .select(
+            (F.col("c_custkey") * 2 + 1).alias("rid"),
+            F.substring(base_name, 2, 1 << 20).alias("name"),
+        )
+    )
+    records = clean.unionAll(dirty)
+    return blocked_entity_resolution(
+        records, "rid", "name", F.expr("right(name, 6)"), max_edit=2
+    )
+
+
+# ---------------------------------------------------------------------------
 # Governance: k-anonymity audit
 # ---------------------------------------------------------------------------
 
