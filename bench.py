@@ -160,6 +160,18 @@ HEADLINE = [
     # filters) — the deterministic audit complement of the MinHash
     # families, benched after the positional filter cut it 6.2s -> 4.0s
     "jaccard_similarity_join",
+    # added r7: join-strategy showcases (bucketed zero-shuffle SMB
+    # write+join, salted skew routing), churn-proportional snapshot
+    # diff, rank-statistic AUC on the distributed prefix sum,
+    # grid-bucketed spatial kNN, blocked entity resolution (block join
+    # + star-CC), and the KMV sketch set-ops (3x TakeOrdered)
+    "bucketed_smb_join",
+    "skew_salted_join",
+    "snapshot_diff",
+    "eval_auc_score",
+    "spatial_grid_knn",
+    "entity_resolution_cluster",
+    "kmv_distinct_setops",
 ]
 
 

@@ -114,13 +114,22 @@ _PRIORITY = (
     # represented): chi-square independence (statistics path),
     # sequence-gapfill interpolation (time-series path), and
     # schema-evolution merge (heterogeneous-scan path)
-    "stat_chisq_independence", "timeseries_gapfill", "schema_evolution_merge",
+    # (stat_chisq_independence and schema_evolution_merge rotated just
+    # outside in r7 — the stats/profiling family stays in-window via
+    # data_profile_constraints, scans via scan_filter_project +
+    # orc_partitioned_roundtrip)
+    "timeseries_gapfill",
     # df utilities / scripts / UDTF (§2.9, §2.11)
     # (na_fill_drop rotated just outside in r6 late batch — null
-    # handling stays in-window via predicate_ops/cast_matrix)
-    "bdb_q4_transform", "udtf_posexplode_tokens",
+    # handling stays in-window via predicate_ops/cast_matrix;
+    # udtf_posexplode_tokens rotated just outside in r7 — generators
+    # stay in-window via sql_lateral_view)
+    "bdb_q4_transform",
     # streaming / graph (§2.10, §2.12)
-    "stream_hourly_window", "graph_connected_components",
+    # (graph_connected_components rotated just outside in r7 — the CC
+    # engine stays in-window via entity_resolution_cluster's star-CC
+    # closure, and streaming gains stream_interval_join below)
+    "stream_hourly_window",
     # SQL parser path + Hive INSERT path (§3.1, §2.1 row 12 — closed
     # r3; sql_cached_table rotated just outside in r6 — the cached-scan
     # family stays oracle-green locally, lateral_view + insert_overwrite
@@ -169,6 +178,19 @@ _PRIORITY = (
     # the distributed prefix sum
     "exact_substring_spans", "jaccard_similarity_join",
     "leakage_safe_split", "token_budget_select",
+    # r7-new families rotated INTO the window (displacing
+    # graph_connected_components / udtf_posexplode_tokens /
+    # schema_evolution_merge / stat_chisq_independence, whose families
+    # stay represented: entity_resolution_cluster runs star-CC over the
+    # blocked match graph, sql_lateral_view keeps generators,
+    # scan_filter_project + orc_partitioned_roundtrip keep scans, and
+    # data_profile_constraints keeps the stats/profiling family):
+    # zero-shuffle bucketed SMB join, rank-statistic AUC on the
+    # distributed prefix sum, blocked entity resolution with the
+    # recursive-closure oracle, and the watermarked stream-stream
+    # interval join
+    "bucketed_smb_join", "eval_auc_score",
+    "entity_resolution_cluster", "stream_interval_join",
 )
 
 
