@@ -72,6 +72,61 @@ def binary_auc(
     )
 
 
+def ks_two_sample(
+    df: DataFrame,
+    value_col: str | Column,
+    is_a_col: str | Column,
+    round_to: int = 6,
+    crit_c: float = 1.358,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic, exact and distributed.
+
+    D = max over observed values of |F_a(v) − F_b(v)| where F is each
+    sample's empirical CDF.  ``is_a_col`` is 1 for sample A rows, 0 for
+    B.  Same scale shape as :func:`binary_auc`: one hash aggregate to
+    distinct values, then BOTH cumulative counts through a single
+    two-pass prefix sum (the multi-column ``running_total`` — one range
+    exchange, not two), then a scalar max.  Returns one row:
+    ``ks_stat``, ``n_a``, ``n_b``, ``crit_05`` (the large-sample 5%
+    critical value c·sqrt((n+m)/nm), c=1.358) and ``reject_05``.
+
+    Cumulative counts are exact integers; each CDF value is ONE IEEE
+    division — bit-identical cross-engine, which is what lets the
+    statistic carry a value oracle.
+    """
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    a = F.col(is_a_col) if isinstance(is_a_col, str) else is_a_col
+    g = df.select(v.alias("_v"), a.alias("_a")).groupBy("_v").agg(
+        F.sum("_a").alias("_na"), (F.count("*") - F.sum("_a")).alias("_nb")
+    )
+    cum = running_total(
+        g, ["_na", "_nb"], ["_v"], total_col=["_ca", "_cb"]
+    )
+    # totals = the LAST cumulative value (counts are non-negative, so
+    # the prefix sum is nondecreasing and max = total) — a scalar
+    # aggregate broadcast back, NOT an un-partitioned window over the
+    # distinct-value relation (which can be corpus-sized)
+    tot = cum.agg(F.max("_ca").alias("_ta"), F.max("_cb").alias("_tb"))
+    diffs = cum.crossJoin(F.broadcast(tot)).select(
+        F.abs(
+            F.col("_ca") / F.col("_ta") - F.col("_cb") / F.col("_tb")
+        ).alias("_d"),
+        "_ta",
+        "_tb",
+    )
+    ta, tb = F.max("_ta").cast("double"), F.max("_tb").cast("double")
+    crit = F.lit(crit_c) * F.sqrt((ta + tb) / (ta * tb))
+    return diffs.agg(
+        F.round(F.max("_d"), round_to).alias("ks_stat"),
+        F.max("_ta").cast("long").alias("n_a"),
+        F.max("_tb").cast("long").alias("n_b"),
+        F.round(crit, round_to).alias("crit_05"),
+        F.when(F.max("_d") > crit, F.lit(1)).otherwise(F.lit(0)).alias(
+            "reject_05"
+        ),
+    )
+
+
 def calibration_bins(
     df: DataFrame,
     prob_col: str | Column,

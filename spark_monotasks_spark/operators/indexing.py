@@ -126,9 +126,9 @@ def zip_with_index(
 
 def running_total(
     df: DataFrame,
-    value_col: str | Column,
+    value_col: str | Column | Sequence[str | Column],
     order_cols: Sequence[str | Column],
-    total_col: str = "running_total",
+    total_col: str | Sequence[str] = "running_total",
 ) -> DataFrame:
     """Distributed GLOBAL running sum: equals ``sum(value) OVER (ORDER
     BY order_cols ROWS UNBOUNDED PRECEDING)`` but never plans the
@@ -149,7 +149,23 @@ def running_total(
 
     Ties in ``order_cols`` get arbitrary-but-consistent relative order
     (exactly like ``row_number``); pass a unique tiebreaker for a
-    deterministic result."""
+    deterministic result.
+
+    ``value_col``/``total_col`` accept lists: several running sums over
+    the SAME ordering share the one range exchange, the one pinned
+    layout, and the one ``_pid`` window (a two-sample KS statistic
+    needs both samples' cumulative counts — calling twice would double
+    every shuffle)."""
+    if isinstance(value_col, (str, Column)):
+        value_cols: list[str | Column] = [value_col]
+        total_cols = [total_col if isinstance(total_col, str) else "running_total"]
+    else:
+        value_cols = list(value_col)
+        assert not isinstance(total_col, str), (
+            "multiple value_cols need a matching list of total_cols"
+        )
+        total_cols = list(total_col)
+        assert len(total_cols) == len(value_cols)
     spark = df.sparkSession
     try:
         n = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -162,10 +178,16 @@ def running_total(
     # zip_with_index (see comment there): offsets derived from one
     # sampled range layout must be applied to THAT layout
     pos = _with_partition_position(ranged).localCheckpoint(eager=False)
-    sums = pos.groupBy("_pid").agg(F.sum(value_col).alias("_psum"))
+    sums = pos.groupBy("_pid").agg(
+        *[F.sum(v).alias(f"_psum{i}") for i, v in enumerate(value_cols)]
+    )
     w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = sums.select(
-        "_pid", F.coalesce(F.sum("_psum").over(w), F.lit(0)).alias("_off")
+        "_pid",
+        *[
+            F.coalesce(F.sum(f"_psum{i}").over(w), F.lit(0)).alias(f"_off{i}")
+            for i in range(len(value_cols))
+        ],
     )
     wloc = (
         Window.partitionBy("_pid")
@@ -173,8 +195,11 @@ def running_total(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     out_cols = [c for c in df.columns]
-    return (
-        pos.join(F.broadcast(offsets), on="_pid")
-        .withColumn("_run", F.col("_off") + F.sum(value_col).over(wloc))
-        .select(*out_cols, F.col("_run").alias(total_col))
+    joined = pos.join(F.broadcast(offsets), on="_pid")
+    return joined.select(
+        *out_cols,
+        *[
+            (F.col(f"_off{i}") + F.sum(v).over(wloc)).alias(t)
+            for i, (v, t) in enumerate(zip(value_cols, total_cols))
+        ],
     )

@@ -799,6 +799,153 @@ def spatial_grid_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov test (exact, distributed)
+# ---------------------------------------------------------------------------
+
+@register(
+    "stat_ks_two_sample",
+    oracle="""
+    WITH s AS (
+      SELECT value AS v,
+             CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS a
+      FROM events
+    ), g AS (
+      SELECT v, sum(a) AS na, count(*) - sum(a) AS nb FROM s GROUP BY v
+    ), c AS (
+      SELECT sum(na) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ca,
+             sum(nb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cb
+      FROM g
+    ), t AS (
+      SELECT CAST(max(ca) AS DOUBLE) AS ta, CAST(max(cb) AS DOUBLE) AS tb
+      FROM c
+    ), d AS (
+      SELECT abs(CAST(ca AS DOUBLE) / ta - CAST(cb AS DOUBLE) / tb) AS d,
+             ta, tb
+      FROM c, t
+    )
+    SELECT round(max(d), 6) AS ks_stat,
+           CAST(max(ta) AS BIGINT) AS n_a,
+           CAST(max(tb) AS BIGINT) AS n_b,
+           round(1.358 * sqrt((max(ta) + max(tb)) / (max(ta) * max(tb))), 6)
+             AS crit_05,
+           CASE WHEN max(d) >
+                1.358 * sqrt((max(ta) + max(tb)) / (max(ta) * max(tb)))
+                THEN 1 ELSE 0 END AS reject_05
+    FROM d
+    """,
+)
+def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov test (ml/evaluation.
+    ks_two_sample; reference: mllib/stat has the ONE-sample KS only —
+    the two-sample form is the corpus-drift workhorse, comparing two
+    slices without binning).  D = max |F_a − F_b| over observed
+    values: one hash aggregate to distinct values, BOTH cumulative
+    counts through a single multi-column two-pass prefix sum (one
+    range exchange — not two), totals recovered as the max cumulative
+    (a scalar broadcast, never an un-partitioned window over the
+    distinct-value relation), and the large-sample 5% critical value
+    c·sqrt((n+m)/nm) alongside.  CDF values are one IEEE division each
+    — bit-identical cross-engine, so the exact statistic carries a
+    value oracle."""
+    from spark_monotasks_spark.ml.evaluation import ks_two_sample
+
+    t = _t(spark, sf_dir)
+    d = t["events"].select(
+        F.col("value"),
+        F.when(F.col("user_id") % 2 == 0, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_a"),
+    )
+    return ks_two_sample(d, "value", "is_a")
+
+
+# ---------------------------------------------------------------------------
+# Grouped multiple regression (closed-form, zero Python)
+# ---------------------------------------------------------------------------
+
+@register(
+    "grouped_ols_2feature",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag AS flag,
+             count(*) AS n,
+             sum(l_quantity) AS sx, sum(l_discount) AS sy,
+             sum(l_extendedprice) AS sz,
+             sum(l_quantity * l_quantity) AS sxx,
+             sum(l_quantity * l_discount) AS sxy,
+             sum(l_discount * l_discount) AS syy,
+             sum(l_quantity * l_extendedprice) AS sxz,
+             sum(l_discount * l_extendedprice) AS syz
+      FROM lineitem GROUP BY l_returnflag
+    ), c AS (
+      SELECT flag, n,
+             sxx - sx * sx / n AS cxx,
+             sxy - sx * sy / n AS cxy,
+             syy - sy * sy / n AS cyy,
+             sxz - sx * sz / n AS cxz,
+             syz - sy * sz / n AS cyz,
+             sx / n AS mx, sy / n AS my, sz / n AS mz
+      FROM m
+    )
+    SELECT flag, CAST(n AS BIGINT) AS n,
+           round((cxz * cyy - cyz * cxy) / (cxx * cyy - cxy * cxy), 3)
+             AS b_qty,
+           round((cyz * cxx - cxz * cxy) / (cxx * cyy - cxy * cxy), 3)
+             AS b_disc,
+           round(mz - (cxz * cyy - cyz * cxy) / (cxx * cyy - cxy * cxy) * mx
+                    - (cyz * cxx - cxz * cxy) / (cxx * cyy - cxy * cxy) * my,
+                 3) AS intercept
+    FROM c
+    """,
+)
+def grouped_ols_2feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group TWO-feature least squares in closed form (normal
+    equations + Cramer's rule on the centered 2x2 Gram matrix) — the
+    'fit a small model per key' pattern with ZERO Python in the plan:
+    one hash aggregate collects the sufficient statistics (9 sums, all
+    map-side combined), and the coefficients are scalar expressions of
+    them.  Extends the reference's single-feature regr_slope family
+    (hiveUdfs registry) to multiple regression; at 100 TB a million
+    per-key models cost exactly one aggregate scan.  price ~ b_qty *
+    quantity + b_disc * discount + intercept per returnflag; both
+    dialects evaluate the identical formula order, rounded to 3 (the
+    covariance sums carry ulp noise like every float aggregate)."""
+    t = _t(spark, sf_dir)
+    li = t["lineitem"]
+    x, y, z = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")
+    m = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"), F.sum(y).alias("sy"), F.sum(z).alias("sz"),
+        F.sum(x * x).alias("sxx"), F.sum(x * y).alias("sxy"),
+        F.sum(y * y).alias("syy"), F.sum(x * z).alias("sxz"),
+        F.sum(y * z).alias("syz"),
+    )
+    c = m.select(
+        "flag", "n",
+        (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")).alias("cxx"),
+        (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")).alias("cxy"),
+        (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")).alias("cyy"),
+        (F.col("sxz") - F.col("sx") * F.col("sz") / F.col("n")).alias("cxz"),
+        (F.col("syz") - F.col("sy") * F.col("sz") / F.col("n")).alias("cyz"),
+        (F.col("sx") / F.col("n")).alias("mx"),
+        (F.col("sy") / F.col("n")).alias("my"),
+        (F.col("sz") / F.col("n")).alias("mz"),
+    )
+    det = F.col("cxx") * F.col("cyy") - F.col("cxy") * F.col("cxy")
+    b_qty = (F.col("cxz") * F.col("cyy") - F.col("cyz") * F.col("cxy")) / det
+    b_disc = (F.col("cyz") * F.col("cxx") - F.col("cxz") * F.col("cxy")) / det
+    return c.select(
+        "flag",
+        F.col("n").cast("long").alias("n"),
+        F.round(b_qty, 3).alias("b_qty"),
+        F.round(b_disc, 3).alias("b_disc"),
+        F.round(
+            F.col("mz") - b_qty * F.col("mx") - b_disc * F.col("my"), 3
+        ).alias("intercept"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Versioned snapshot diff
 # ---------------------------------------------------------------------------
 

@@ -637,6 +637,10 @@ def test_no_hidden_cartesians_across_catalog(spark):
         # KMV sketch: each metric row crossJoins two 1-row aggregates
         # (the k-row sketch's estimate scalar x the exact-count scalar)
         "kmv_distinct_setops",
+        # KS test: totals = crossJoin(broadcast(1-row max-cumulative
+        # aggregate)) onto the distinct-value relation — a broadcast
+        # scalar, never O(n^2)
+        "stat_ks_two_sample",
     }
     offenders = {}
     for name, fn in QUERY_REGISTRY.items():
