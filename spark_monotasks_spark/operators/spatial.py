@@ -103,14 +103,13 @@ def hash_coords(
     id_col: Column | str,
     salt_x: str = "gx#",
     salt_y: str = "gy#",
-    span: float = 1000.0,
 ) -> tuple[Column, Column]:
-    """Deterministic synthetic (x, y) in [0, span) derived from an id —
+    """Deterministic synthetic (x, y) in [0, 1000) derived from an id —
     the documented projection the spatial catalog entries use (the
     TPC-H-ish testdata has no native coordinates).  md5 → 48-bit int →
-    mod 10^6 → one IEEE division: every step bit-identical in DuckDB
-    (``CAST('0x' || substr(md5(...), 1, 12) AS BIGINT) % 1000000 /
-    1000.0``)."""
+    mod 10^6 → one IEEE division by 1000: every step bit-identical in
+    DuckDB (``CAST('0x' || substr(md5(...), 1, 12) AS BIGINT) % 1000000
+    / 1000.0``)."""
     ident = (F.col(id_col) if isinstance(id_col, str) else id_col).cast(
         "string"
     )
@@ -121,6 +120,6 @@ def hash_coords(
             16,
             10,
         ).cast("long")
-        return (h % F.lit(1000000)) / F.lit(span)
+        return (h % F.lit(1000000)) / F.lit(1000.0)
 
     return _axis(salt_x), _axis(salt_y)

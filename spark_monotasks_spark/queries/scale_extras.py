@@ -946,6 +946,177 @@ def grouped_ols_2feature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Incremental maintenance of a JOIN aggregate (join IVM)
+# ---------------------------------------------------------------------------
+
+@register(
+    "incremental_join_refresh",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           count(o_totalprice) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue,
+           round(min(o_totalprice), 2) AS min_price,
+           round(max(o_totalprice), 2) AS max_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def incremental_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN aggregate (operators/
+    incremental + the dim join; the join-IVM extension of
+    incremental_agg_refresh): the maintained view is revenue per
+    market segment over orders ⋈ customer.  History state is built
+    once; a new order batch refreshes it by joining ONLY the delta to
+    the dim (Δ ⋈ customer is O(delta) with a broadcast dim) and
+    state-merging — the fact history is never rejoined or rescanned,
+    which is the whole point at 100 TB (the delta join costs minutes,
+    the full rejoin costs the cluster-day the view was built to
+    avoid).  Exact decomposable algebra, so the refreshed state equals
+    the full recompute — the oracle."""
+    from spark_monotasks_spark.operators.incremental import (
+        aggregate_state,
+        finalize_state,
+        incremental_refresh,
+    )
+
+    t = _t(spark, sf_dir)
+    dim = t["customer"].select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    orders = t["orders"].select("o_orderkey", "o_custkey", "o_totalprice")
+    hist = orders.filter(F.col("o_orderkey") % 3 != 0)
+    delta = orders.filter(F.col("o_orderkey") % 3 == 0)
+    keys, measures = ["segment"], ["o_totalprice"]
+    state = aggregate_state(
+        hist.join(F.broadcast(dim), "o_custkey"), keys, measures
+    )
+    refreshed = incremental_refresh(
+        state, delta.join(F.broadcast(dim), "o_custkey"), keys, measures
+    )
+    fin = finalize_state(refreshed, keys, measures)
+    return fin.select(
+        "segment",
+        F.col("o_totalprice_count").cast("long").alias("n_orders"),
+        F.round("o_totalprice_sum", 2).alias("revenue"),
+        F.round("o_totalprice_min", 2).alias("min_price"),
+        F.round("o_totalprice_max", 2).alias("max_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mutual information between categorical features
+# ---------------------------------------------------------------------------
+
+@register(
+    "stat_mutual_information",
+    oracle="""
+    WITH g AS (
+      SELECT c_mktsegment AS seg, c_nationkey AS nat, count(*) AS n
+      FROM customer GROUP BY 1, 2
+    ), p AS (
+      SELECT seg, nat, n,
+             sum(n) OVER () AS nt,
+             sum(n) OVER (PARTITION BY seg) AS nx,
+             sum(n) OVER (PARTITION BY nat) AS ny
+      FROM g
+    )
+    SELECT seg, nat, CAST(n AS BIGINT) AS n,
+           round((CAST(n AS DOUBLE) / nt)
+                 * ln(CAST(n AS DOUBLE) * nt / (CAST(nx AS DOUBLE) * ny)),
+                 6) AS mi_term
+    FROM p
+    """,
+)
+def stat_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between two categorical columns (the
+    feature-dependence screen beside the chi-square entry; reference:
+    mllib/stat has chi-square only).  One hash aggregate to the joint
+    contingency cells, then marginals and total as windows OVER THE
+    AGGREGATED relation (bounded by the category product, never the
+    raw table — the same legitimacy rule the plan gate encodes).  Each
+    cell reports its MI term p(x,y)·ln(p(x,y)/(p(x)p(y))); the sum
+    over cells is I(X;Y), and zero-count cells contribute nothing by
+    construction (absent rows).  At 100 TB the cost is one map-side-
+    combined aggregate scan — the windows touch |X|·|Y| rows."""
+    from pyspark.sql import Window
+
+    t = _t(spark, sf_dir)
+    g = t["customer"].groupBy(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").alias("nat"),
+    ).agg(F.count("*").alias("n"))
+    nt = F.sum("n").over(Window.partitionBy())
+    nx = F.sum("n").over(Window.partitionBy("seg"))
+    ny = F.sum("n").over(Window.partitionBy("nat"))
+    return g.select(
+        "seg",
+        "nat",
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            (F.col("n").cast("double") / nt)
+            * F.log(
+                F.col("n").cast("double") * nt
+                / (nx.cast("double") * ny)
+            ),
+            6,
+        ).alias("mi_term"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration of corpus sources
+# ---------------------------------------------------------------------------
+
+@register(
+    "gini_source_concentration",
+    oracle="""
+    WITH g AS (
+      SELECT source, sum(n_chars) AS tok FROM documents GROUP BY source
+    ), r AS (
+      SELECT tok,
+             row_number() OVER (ORDER BY tok, source) AS i
+      FROM g
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sources,
+           CAST(sum(tok) AS BIGINT) AS total_chars,
+           round(CAST(2 * sum(i * tok) AS DOUBLE)
+                 / (count(*) * sum(tok))
+                 - (count(*) + 1.0) / count(*), 6) AS gini
+    FROM r
+    """,
+)
+def gini_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of corpus mass across sources — the
+    source-diversity health metric a 100 TB crawl mix is tuned
+    against (G→0: evenly mixed; G→1: one domain dominates).
+    G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n over sources sorted ascending by
+    mass.  The global rank comes from the two-pass distributed
+    zip_with_index over the AGGREGATED per-source masses — exactly the
+    aggregate-fed case the r7 layout pin fixed, so millions of domains
+    rank without a one-task window.  All sums are integers (char
+    counts): everything up to the two final divisions is exact, making
+    the coefficient oracle-checkable."""
+    from spark_monotasks_spark.operators.indexing import zip_with_index
+
+    t = _t(spark, sf_dir)
+    g = t["documents"].groupBy("source").agg(
+        F.sum("n_chars").alias("tok")
+    )
+    r = zip_with_index(g, ["tok", "source"], index_col="idx")
+    return r.agg(
+        F.count("*").cast("long").alias("n_sources"),
+        F.sum("tok").cast("long").alias("total_chars"),
+        F.round(
+            (2 * F.sum((F.col("idx") + 1) * F.col("tok"))).cast("double")
+            / (F.count("*") * F.sum("tok"))
+            - (F.count("*") + 1.0) / F.count("*"),
+            6,
+        ).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Versioned snapshot diff
 # ---------------------------------------------------------------------------
 
