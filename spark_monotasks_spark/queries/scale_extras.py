@@ -946,6 +946,103 @@ def grouped_ols_2feature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Hashing-trick feature encoding (signed, collision-cancelling)
+# ---------------------------------------------------------------------------
+
+@register(
+    "feature_hash_encode",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(w), 1, 12)) AS BIGINT) AS hv
+      FROM tok
+    )
+    SELECT doc_id, hv % 64 AS bucket,
+           CAST(sum(CASE WHEN hv % 128 >= 64 THEN 1 ELSE -1 END) AS BIGINT)
+             AS weight
+    FROM h GROUP BY doc_id, hv % 64
+    """,
+)
+def feature_hash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed hashing-trick feature encoding (Weinberger et al. 2009 —
+    the fixed-width sparse featurizer a linear quality classifier runs
+    on; beyond the reference's TF-IDF: no vocabulary pass, no
+    vocabulary broadcast).  Each token hashes to one of 64 buckets
+    with a ±1 sign from the next hash bit, so colliding features
+    cancel in expectation instead of piling up.  Shape: explode →
+    codegen md5 arithmetic → ONE hash aggregate on (doc, bucket) —
+    map-side combine caps every task's shuffle at 64 rows per doc, no
+    vocabulary state at any size.  The oracle replays the identical
+    hash/sign/bucket arithmetic."""
+    t = _t(spark, sf_dir)
+    tok = t["documents"].select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    hv = F.conv(
+        F.substring(F.md5(F.col("w").cast("binary")), 1, 12), 16, 10
+    ).cast("long")
+    h = tok.select("doc_id", hv.alias("hv"))
+    return (
+        h.groupBy("doc_id", (F.col("hv") % 64).alias("bucket"))
+        .agg(
+            F.sum(
+                F.when(F.col("hv") % 128 >= 64, F.lit(1)).otherwise(F.lit(-1))
+            )
+            .cast("long")
+            .alias("weight")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cumulative distinct users by day (first-occurrence decomposition)
+# ---------------------------------------------------------------------------
+
+@register(
+    "cumulative_unique_users",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, CAST(min(date_trunc('day', ts)) AS DATE) AS day
+      FROM events GROUP BY user_id
+    ), d AS (
+      SELECT day, count(*) AS n_new FROM f GROUP BY day
+    )
+    SELECT day, CAST(n_new AS BIGINT) AS n_new,
+           CAST(sum(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+             AS BIGINT) AS cum_users
+    FROM d
+    """,
+)
+def cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day WITHOUT re-counting prefixes
+    (beyond-reference growth analytics): a naive 'COUNT(DISTINCT) over
+    every prefix' is quadratic and un-windowable; the decomposition is
+    first-occurrence per user (one hash aggregate), new-users per day
+    (a second, day-bounded aggregate), then a running sum over the
+    ~days-sized relation (bounded aggregate input — the one place an
+    un-partitioned window is legitimate, per the catalog-wide plan
+    gate).  At 100 TB both aggregates are map-side combined and the
+    window touches thousands of rows, not billions."""
+    from pyspark.sql import Window
+
+    t = _t(spark, sf_dir)
+    f = (
+        t["events"]
+        .groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("day"))
+    )
+    d = f.groupBy("day").agg(F.count("*").alias("n_new"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return d.select(
+        "day",
+        F.col("n_new").cast("long").alias("n_new"),
+        F.sum("n_new").over(w).cast("long").alias("cum_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Incremental maintenance of a JOIN aggregate (join IVM)
 # ---------------------------------------------------------------------------
 
