@@ -1,0 +1,172 @@
+"""Property tests for the r7 operators: pure-Python replays on random
+data, beyond the single-dataset oracle checks in test_oracle_parity."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import functions as F
+
+from spark_monotasks_spark.ml.evaluation import (
+    binary_auc,
+    calibration_bins,
+    ks_two_sample,
+)
+from spark_monotasks_spark.operators.spatial import grid_radius_knn
+from spark_monotasks_spark.pipeline.entity import blocked_entity_resolution
+
+
+def _auc_bruteforce(pairs):
+    """AUC = P(score_pos > score_neg) + 0.5 P(tie), all pos/neg pairs."""
+    pos = [s for s, y in pairs if y == 1]
+    neg = [s for s, y in pairs if y == 0]
+    wins = ties = 0
+    for p in pos:
+        for q in neg:
+            if p > q:
+                wins += 1
+            elif p == q:
+                ties += 1
+    return (wins + 0.5 * ties) / (len(pos) * len(neg))
+
+
+def test_binary_auc_matches_pairwise_bruteforce(spark):
+    rng = random.Random(11)
+    # coarse scores force heavy ties — the average-rank path must agree
+    # with the pairwise definition exactly
+    pairs = [
+        (float(rng.randint(0, 20)), rng.randint(0, 1)) for _ in range(400)
+    ]
+    df = spark.createDataFrame(pairs, "score double, label int")
+    row = binary_auc(df, "score", "label", round_to=9).collect()[0]
+    expect = _auc_bruteforce(pairs)
+    assert math.isclose(row.auc, expect, abs_tol=1e-8), (row.auc, expect)
+    assert row.n_pos == sum(1 for _, y in pairs if y == 1)
+    assert row.n_neg == len(pairs) - row.n_pos
+
+
+def test_auc_extremes(spark):
+    """Perfectly separated scores → AUC 1; inverted → 0."""
+    rows = [(float(i), 1 if i >= 50 else 0) for i in range(100)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    assert binary_auc(df, "score", "label").collect()[0].auc == 1.0
+    inv = spark.createDataFrame(
+        [(s, 1 - y) for s, y in rows], "score double, label int"
+    )
+    assert binary_auc(inv, "score", "label").collect()[0].auc == 0.0
+
+
+def test_ks_two_sample_matches_bruteforce(spark):
+    rng = random.Random(7)
+    rows = [
+        (float(rng.randint(0, 30)) / 2.0, rng.randint(0, 1))
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame(rows, "v double, a int")
+    got = ks_two_sample(df, "v", "a", round_to=9).collect()[0]
+    a = sorted(v for v, g in rows if g == 1)
+    b = sorted(v for v, g in rows if g == 0)
+    vals = sorted({v for v, _ in rows})
+    import bisect
+
+    d = max(
+        abs(
+            bisect.bisect_right(a, v) / len(a)
+            - bisect.bisect_right(b, v) / len(b)
+        )
+        for v in vals
+    )
+    assert math.isclose(got.ks_stat, d, abs_tol=1e-8), (got.ks_stat, d)
+    assert got.n_a == len(a) and got.n_b == len(b)
+    # identical samples → D = 0, never rejects
+    same = spark.createDataFrame(
+        [(float(i % 13), g) for i in range(260) for g in (0, 1)],
+        "v double, a int",
+    )
+    z = ks_two_sample(same, "v", "a").collect()[0]
+    assert z.ks_stat == 0.0 and z.reject_05 == 0
+
+
+def test_calibration_bins_partition_and_rates(spark):
+    rows = [(i / 100.0, 1 if i % 3 == 0 else 0) for i in range(100)]
+    df = spark.createDataFrame(rows, "p double, y int")
+    out = calibration_bins(df, "p", "y", bins=10).collect()
+    assert sum(r.n for r in out) == 100  # bins partition the input
+    for r in out:
+        assert 0 <= r.pos_rate <= 1 and 0 <= r.mean_pred <= 1
+    # p = 1.0 lands in the TOP bin, not an overflow bin
+    edge = spark.createDataFrame([(1.0, 1)], "p double, y int")
+    assert calibration_bins(edge, "p", "y", bins=10).collect()[0].bin == 9
+
+
+def test_grid_radius_knn_matches_bruteforce(spark):
+    rng = random.Random(3)
+    left = [(i, rng.uniform(0, 200), rng.uniform(0, 200)) for i in range(60)]
+    right = [(j, rng.uniform(0, 200), rng.uniform(0, 200)) for j in range(80)]
+    ldf = spark.createDataFrame(left, "lid long, x double, y double")
+    rdf = spark.createDataFrame(right, "rid long, x double, y double")
+    radius = 35.0
+    got = {
+        (r.lid, r.rid): r.dist2
+        for r in grid_radius_knn(
+            ldf, rdf, "lid", "rid", radius=radius, k=None
+        ).collect()
+    }
+    expect = {}
+    for li, lx, ly in left:
+        for rj, rx, ry in right:
+            d2 = (lx - rx) ** 2 + (ly - ry) ** 2
+            if d2 <= radius * radius:
+                expect[(li, rj)] = d2
+    assert set(got) == set(expect)  # grid candidates are LOSSLESS
+    for k, v in got.items():
+        assert math.isclose(v, expect[k], rel_tol=1e-12)
+
+
+def test_grid_radius_knn_topk_deterministic_ties(spark):
+    # four right points at identical distance — k=2 must keep the two
+    # smallest rids
+    ldf = spark.createDataFrame([(0, 0.0, 0.0)], "lid long, x double, y double")
+    rdf = spark.createDataFrame(
+        [(7, 3.0, 0.0), (5, -3.0, 0.0), (9, 0.0, 3.0), (2, 0.0, -3.0)],
+        "rid long, x double, y double",
+    )
+    got = sorted(
+        r.rid
+        for r in grid_radius_knn(ldf, rdf, "lid", "rid", radius=5.0, k=2)
+        .collect()
+    )
+    assert got == [2, 5]
+
+
+def test_entity_resolution_singletons_and_chains(spark):
+    # a,b,c chain within one block (a~b, b~c but a!~c) must close into
+    # ONE cluster; x stays singleton
+    rows = [
+        (1, "aaaa##zz"),
+        (2, "aaab##zz"),   # 1 edit from row 1
+        (3, "aabb##zz"),   # 1 edit from row 2, 2 from row 1
+        (9, "qqqq##zz"),   # same block, far from everything
+    ]
+    df = spark.createDataFrame(rows, "rid long, name string")
+    got = {
+        r.rid: r.cluster
+        for r in blocked_entity_resolution(
+            df, "rid", "name", F.expr("right(name, 4)"), max_edit=1
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 9: 9}
+
+
+def test_entity_resolution_no_edges_all_singletons(spark):
+    df = spark.createDataFrame(
+        [(1, "abcdef"), (2, "zzzzzz")], "rid long, name string"
+    )
+    got = {
+        r.rid: r.cluster
+        for r in blocked_entity_resolution(
+            df, "rid", "name", F.expr("right(name, 3)"), max_edit=1
+        ).collect()
+    }
+    assert got == {1: 1, 2: 2}
