@@ -946,6 +946,155 @@ def grouped_ols_2feature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Market-basket pair co-occurrence (exact counts)
+# ---------------------------------------------------------------------------
+
+@register(
+    "item_cooccurrence_pairs",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT p1, p2, count(*) AS n
+    FROM pairs GROUP BY p1, p2
+    ORDER BY n DESC, p1, p2 LIMIT 50
+    """,
+)
+def item_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact item-pair co-occurrence (the deterministic complement of
+    FP-Growth's itemset mining — market-basket pair counts, also the
+    co-click graph builder for session recommendations).  Self-join on
+    the basket key with p1 < p2: per-basket pair volume is
+    C(items, 2), so with bounded basket sizes the join output is
+    LINEAR in baskets — at 100 TB the shuffle is one hash partition on
+    the basket key plus the pair aggregate, never an all-items cross.
+    A pathological mega-basket (one order with 10^5 items) is the skew
+    case: cap basket size upstream or salt, same as any hot key.
+    Top-50 by count with full key tiebreak (TakeOrdered)."""
+    t = _t(spark, sf_dir)
+    li = t["lineitem"].select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+    )
+    return (
+        pairs.groupBy("p1", "p2")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "p1", "p2")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Compaction plan EXECUTION (bin rewrite + identity proof)
+# ---------------------------------------------------------------------------
+
+@register(
+    "compaction_execute_roundtrip",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    """,
+)
+def compaction_execute_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction EXECUTED end-to-end (closing the loop from
+    compaction_bin_plan, which only plans): orders are written as 16
+    small sorted files, the file manifest is bin-packed with
+    operators/layout.compaction_bins (the distributed prefix-sum
+    plan), every input file's rows are routed to their planned bin via
+    an input_file_name() → bin broadcast map, and each bin rewrites as
+    ONE file through repartition(bin) + partitionBy(bin).  The oracle
+    is the identity aggregate over the COMPACTED copy — byte-lossless
+    rewrite or the hash breaks; tests additionally pin file counts
+    (16 in → n_bins out, one data file per bin).  At 100 TB the same
+    flow runs per table partition: the manifest prefix sum is
+    distributed, the rewrite shuffles each row once on its bin id."""
+    import os
+    import shutil
+    import tempfile
+
+    from spark_monotasks_spark.operators.layout import (
+        compaction_bins,
+        write_sorted_with_manifest,
+    )
+
+    t = _t(spark, sf_dir)
+    stage = tempfile.mkdtemp(prefix="compact_exec_")
+    src_dir = os.path.join(stage, "small")
+    out_dir = os.path.join(stage, "compacted")
+    src = t["orders"].select("o_orderkey", "o_totalprice")
+    try:
+        if src.isEmpty():  # empty writes leave no schema-bearing files
+            return src.agg(
+                F.count("*").alias("n_rows"),
+                F.min("o_orderkey").cast("long").alias("min_key"),
+                F.max("o_orderkey").cast("long").alias("max_key"),
+                F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            ).localCheckpoint()
+        write_sorted_with_manifest(
+            src,
+            src_dir,
+            "o_orderkey",
+            num_files=16,
+        )
+        files = [
+            (os.path.join(src_dir, f), os.path.getsize(os.path.join(src_dir, f)))
+            for f in sorted(os.listdir(src_dir))
+            if f.endswith(".parquet")
+        ]
+
+        def _identity_agg(df: DataFrame) -> DataFrame:
+            return df.agg(
+                F.count("*").alias("n_rows"),
+                F.min("o_orderkey").cast("long").alias("min_key"),
+                F.max("o_orderkey").cast("long").alias("max_key"),
+                F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            ).localCheckpoint()
+
+        if not files:  # empty source: nothing to compact
+            return _identity_agg(
+                t["orders"].select("o_orderkey", "o_totalprice")
+            )
+        fdf = spark.createDataFrame(files, "path string, bytes long")
+        total = sum(b for _, b in files)
+        plan = compaction_bins(
+            fdf, target_bytes=max(1, total // 4), order_col="path"
+        ).select("path", "bin")
+        bin_map = {r["path"]: r["bin"] for r in plan.collect()}
+        n_bins = len(set(bin_map.values()))
+        # input_file_name() returns a URI (file:///...) — normalize to
+        # the local path the manifest carries
+        data = spark.read.parquet(src_dir).withColumn(
+            "_file",
+            F.regexp_replace(F.input_file_name(), "^file:/+", "/"),
+        )
+        mapping = spark.createDataFrame(
+            [(k, v) for k, v in bin_map.items()], "_file string, bin long"
+        )
+        routed = data.join(F.broadcast(mapping), on="_file").drop("_file")
+        (
+            routed.repartition(n_bins, "bin")
+            .write.mode("overwrite")
+            .partitionBy("bin")
+            .parquet(out_dir)
+        )
+        compacted = spark.read.parquet(out_dir).drop("bin")
+        return _identity_agg(compacted)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
 # Hashing-trick feature encoding (signed, collision-cancelling)
 # ---------------------------------------------------------------------------
 
