@@ -81,6 +81,19 @@ LINEAR = [
     ("dup_downweight_docs", 8.0, "O(n) fingerprint groupBy + join-back"),
     ("corpus_data_card", 8.0, "O(n) fingerprint join-back + group agg"),
     ("chunk_reassembly_roundtrip", 8.0, "O(tokens) chunk + doc-id regroup"),
+    # r7: rank-statistic AUC is one agg + the two-pass prefix sum; the
+    # KS twin shares the shape; feature hashing is explode + one agg;
+    # the spatial join's candidates scale with local density (uniform
+    # here); pair co-occurrence is bounded-basket linear; the salted
+    # join is one exploded-dim shuffle; the KMV sketches are
+    # TakeOrdered heaps
+    ("eval_auc_score", 8.0, "O(n) agg + two-pass prefix sum"),
+    ("stat_ks_two_sample", 8.0, "O(n) agg + multi-col prefix sum"),
+    ("feature_hash_encode", 8.0, "O(tokens) explode + one agg"),
+    ("spatial_grid_knn", 8.0, "O(n) cell equi-join, density-bounded"),
+    ("item_cooccurrence_pairs", 8.0, "O(baskets) bounded-basket pairs"),
+    ("skew_salted_join", 8.0, "O(n) salted shuffle, dim x16"),
+    ("kmv_distinct_setops", 8.0, "O(n) hash + TakeOrdered sketches"),
 ]
 
 #: super-linear entries: bounded above by documented exponents, still
@@ -106,6 +119,11 @@ SUPERLINEAR = [
     # growth (components stay small); 24x bounds rounds+data together.
     ("graph_connected_components", 24.0, "O(log n) star rounds, "
      "per-round fixed cost dominates at small SF"),
+    # r7: entity resolution = linear block join + Levenshtein filter,
+    # then star-CC closure over the (tiny) match graph — the iterative
+    # rounds' fixed cost dominates at small SF exactly like graph CC
+    ("entity_resolution_cluster", 24.0, "O(n) block join + star-CC "
+     "rounds over planted size-2 clusters"),
     # FP-growth's mined-pattern count depends on the support threshold
     # relative to corpus size: 10x data at the entry's fixed relative
     # support keeps pattern counts bounded, but tree mining is
