@@ -946,6 +946,73 @@ def grouped_ols_2feature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Exact distributed quantiles (prefix-sum selection, no value buffering)
+# ---------------------------------------------------------------------------
+
+@register(
+    "exact_quantiles_prefix",
+    oracle="""
+    WITH g AS (
+      SELECT l_extendedprice AS v, count(*) AS n FROM lineitem GROUP BY 1
+    ), c AS (
+      SELECT v, sum(n) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+      FROM g
+    ), t AS (SELECT CAST(max(cum) AS BIGINT) AS nt FROM c),
+    q AS (SELECT unnest(CAST([0.25, 0.5, 0.75, 0.99] AS DOUBLE[])) AS q)
+    SELECT q.q AS quantile,
+           round(min(CASE WHEN c.cum >= ceil(q.q * t.nt) THEN c.v END), 2)
+             AS value,
+           t.nt AS n
+    FROM c, t, q
+    GROUP BY q.q, t.nt
+    """,
+)
+def exact_quantiles_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT quantiles, fully distributed (beyond-reference scale
+    correction): Spark's exact ``percentile`` aggregate buffers every
+    value in one aggregation buffer — a straight OOM at 100 TB — and
+    ``percentile_approx`` trades exactness away.  This entry computes
+    exact order statistics with bounded memory everywhere: hash
+    aggregate to distinct values, the two-pass prefix sum for
+    cumulative counts, and quantile q = the smallest value whose
+    cumulative count reaches ceil(q·n) (the classic lower
+    order-statistic; n recovered as max(cum), a 1-row broadcast).  The
+    4-row quantile literal crossJoins onto the cumulative relation —
+    a broadcast of four rows, never O(n²) (allowlisted with the other
+    scalar broadcasts).  Integer thresholds → no float boundary
+    ambiguity; the oracle replays the same selection rule."""
+    from spark_monotasks_spark.operators.indexing import running_total
+
+    t = _t(spark, sf_dir)
+    g = (
+        t["lineitem"]
+        .groupBy(F.col("l_extendedprice").alias("v"))
+        .agg(F.count("*").alias("n"))
+    )
+    cum = running_total(g, "n", ["v"], total_col="cum")
+    tot = cum.agg(F.max("cum").cast("long").alias("nt"))
+    qs = spark.createDataFrame(
+        [(0.25,), (0.5,), (0.75,), (0.99,)], "q double"
+    )
+    joined = cum.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(qs))
+    return (
+        joined.groupBy(F.col("q").alias("quantile"), F.col("nt").alias("n"))
+        .agg(
+            F.round(
+                F.min(
+                    F.when(
+                        F.col("cum") >= F.ceil(F.col("q") * F.col("nt")),
+                        F.col("v"),
+                    )
+                ),
+                2,
+            ).alias("value")
+        )
+        .select("quantile", "value", "n")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Market-basket pair co-occurrence (exact counts)
 # ---------------------------------------------------------------------------
 

@@ -641,6 +641,10 @@ def test_no_hidden_cartesians_across_catalog(spark):
         # aggregate)) onto the distinct-value relation — a broadcast
         # scalar, never O(n^2)
         "stat_ks_two_sample",
+        # exact quantiles: crossJoin of the 1-row total AND the 4-row
+        # quantile literal onto the cumulative relation — bounded
+        # broadcasts, never O(n^2)
+        "exact_quantiles_prefix",
     }
     offenders = {}
     for name, fn in QUERY_REGISTRY.items():
