@@ -172,6 +172,12 @@ HEADLINE = [
     "spatial_grid_knn",
     "entity_resolution_cluster",
     "kmv_distinct_setops",
+    # r7 (second batch): exact order statistics on the prefix sum,
+    # vocabulary-free feature hashing (explode + one agg), and the
+    # bounded-basket pair count join
+    "exact_quantiles_prefix",
+    "feature_hash_encode",
+    "item_cooccurrence_pairs",
 ]
 
 
