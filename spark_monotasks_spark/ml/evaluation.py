@@ -127,6 +127,69 @@ def ks_two_sample(
     )
 
 
+def spearman_corr(
+    df: DataFrame,
+    x_col: str | Column,
+    y_col: str | Column,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact tie-corrected Spearman rank correlation, distributed.
+
+    Average ranks are carried as the INTEGER 2·rank = 2·cum_lt + n + 1
+    (from the two-pass prefix sum — no global zip, no one-task
+    window); rho = Pearson on the rank pairs, affine-invariant so the
+    2x scaling cancels.  Sufficient statistics are exact integer sums
+    (decimal(38) against overflow); floats appear only in the final
+    correctly-rounded conversions/division/sqrt, so the result is
+    bit-identical to an equivalent integer-exact SQL replay.
+
+    Returns one row: ``n``, ``rho``.
+    """
+    x = F.col(x_col) if isinstance(x_col, str) else x_col
+    y = F.col(y_col) if isinstance(y_col, str) else y_col
+    rows = df.select(x.alias("_x"), y.alias("_y"))
+
+    def _ranks2(col: str) -> DataFrame:
+        g = rows.groupBy(col).agg(F.count("*").alias("_n"))
+        cum = running_total(g, "_n", [col], total_col="_cum")
+        return cum.select(
+            col,
+            (2 * (F.col("_cum") - F.col("_n")) + F.col("_n") + 1)
+            .cast("long")
+            .alias(f"_r2{col}"),
+        )
+
+    j = (
+        rows.join(_ranks2("_x"), "_x")
+        .join(_ranks2("_y"), "_y")
+        .select(F.col("_r2_x").alias("_a"), F.col("_r2_y").alias("_b"))
+    )
+    dec = "decimal(38,0)"
+    s = j.agg(
+        F.count("*").cast(dec).alias("_n"),
+        F.sum("_a").cast(dec).alias("_sa"),
+        F.sum("_b").cast(dec).alias("_sb"),
+        F.sum(F.col("_a") * F.col("_b")).cast(dec).alias("_sab"),
+        F.sum(F.col("_a") * F.col("_a")).cast(dec).alias("_saa"),
+        F.sum(F.col("_b") * F.col("_b")).cast(dec).alias("_sbb"),
+    )
+    num = (
+        F.col("_n") * F.col("_sab") - F.col("_sa") * F.col("_sb")
+    ).cast("double")
+    den = F.sqrt(
+        (F.col("_n") * F.col("_saa") - F.col("_sa") * F.col("_sa")).cast(
+            "double"
+        )
+        * (F.col("_n") * F.col("_sbb") - F.col("_sb") * F.col("_sb")).cast(
+            "double"
+        )
+    )
+    return s.select(
+        F.col("_n").cast("long").alias("n"),
+        F.round(num / den, round_to).alias("rho"),
+    )
+
+
 def calibration_bins(
     df: DataFrame,
     prob_col: str | Column,

@@ -946,6 +946,75 @@ def grouped_ols_2feature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Exact Spearman rank correlation (tie-corrected, distributed)
+# ---------------------------------------------------------------------------
+
+@register(
+    "stat_spearman_corr",
+    oracle="""
+    WITH rows_ AS (
+      SELECT l_extendedprice + 100 * l_quantity AS x,
+             l_extendedprice AS y
+      FROM lineitem
+    ), gx AS (
+      SELECT x, count(*) AS n FROM rows_ GROUP BY x
+    ), rx AS (
+      SELECT x, 2 * (sum(n) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) - n)
+               + n + 1 AS r2
+      FROM gx
+    ), gy AS (
+      SELECT y, count(*) AS n FROM rows_ GROUP BY y
+    ), ry AS (
+      SELECT y, 2 * (sum(n) OVER (ORDER BY y ROWS UNBOUNDED PRECEDING) - n)
+               + n + 1 AS r2
+      FROM gy
+    ), j AS (
+      SELECT rx.r2 AS a, ry.r2 AS b
+      FROM rows_ JOIN rx ON rows_.x = rx.x JOIN ry ON rows_.y = ry.y
+    ), s AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(a) AS HUGEINT) AS sa, CAST(sum(b) AS HUGEINT) AS sb,
+             CAST(sum(a * b) AS HUGEINT) AS sab,
+             CAST(sum(a * a) AS HUGEINT) AS saa,
+             CAST(sum(b * b) AS HUGEINT) AS sbb
+      FROM j
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round(CAST(n * sab - sa * sb AS DOUBLE)
+                 / sqrt(CAST(n * saa - sa * sa AS DOUBLE)
+                        * CAST(n * sbb - sb * sb AS DOUBLE)), 6) AS rho
+    FROM s
+    """,
+)
+def stat_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Spearman rank correlation with tie correction, fully
+    distributed (reference: mllib/stat Statistics.corr 'spearman' —
+    which sorts and zips RDDs; here ranks come from the same
+    prefix-sum machinery as the AUC, so no global zip or one-task
+    window).  Average ranks are carried as the INTEGER 2·rank =
+    2·cum_lt + n + 1, every sufficient statistic is an exact integer
+    sum (decimal(38) against overflow), and rho = Pearson on the rank
+    pairs — affine-invariant, so the 2x scaling cancels.  Floats
+    appear only in the final three correctly-rounded ops (two
+    int→double conversions, one division, one sqrt) — bit-identical
+    cross-engine, hence the value oracle.  Shape at 100 TB: two
+    distinct-value aggregates + prefix sums, two rank join-backs on
+    the value keys, one scalar aggregate."""
+    from spark_monotasks_spark.ml.evaluation import spearman_corr
+
+    t = _t(spark, sf_dir)
+    # x shares a component with y (price + 100*qty vs price) so the
+    # statistic is meaningfully high (~0.999) — the independent column
+    # pairs in this synthetic data all sit at |rho| < 0.004, which
+    # would let a sign or scaling bug hide inside the noise
+    rows = t["lineitem"].select(
+        (F.col("l_extendedprice") + 100 * F.col("l_quantity")).alias("x"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    return spearman_corr(rows, "x", "y")
+
+
+# ---------------------------------------------------------------------------
 # Exact distributed quantiles (prefix-sum selection, no value buffering)
 # ---------------------------------------------------------------------------
 

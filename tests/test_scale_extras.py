@@ -219,3 +219,61 @@ def test_compaction_execute_one_file_per_bin(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 20000
     assert back.agg(F.sum("k")).collect()[0][0] == sum(range(20000))
+
+
+def test_spearman_extremes_and_ties(spark):
+    from spark_monotasks_spark.ml.evaluation import spearman_corr
+
+    # perfectly monotone (nonlinear!) → rho exactly 1
+    mono = spark.createDataFrame(
+        [(float(i), float(i * i)) for i in range(100)], "x double, y double"
+    )
+    assert spearman_corr(mono, "x", "y").collect()[0].rho == 1.0
+    # anti-monotone → -1
+    anti = spark.createDataFrame(
+        [(float(i), float(-i)) for i in range(100)], "x double, y double"
+    )
+    assert spearman_corr(anti, "x", "y").collect()[0].rho == -1.0
+
+
+def test_spearman_matches_bruteforce_with_ties(spark):
+    import random as _random
+
+    from spark_monotasks_spark.ml.evaluation import spearman_corr
+
+    rng = _random.Random(5)
+    rows = [
+        (float(rng.randint(0, 9)), float(rng.randint(0, 9)))
+        for _ in range(300)
+    ]
+    got = spearman_corr(
+        spark.createDataFrame(rows, "x double, y double"), "x", "y",
+        round_to=9,
+    ).collect()[0]
+
+    def avg_ranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j + 1 < len(order) and vals[order[j + 1]] == vals[order[i]]:
+                j += 1
+            r = (i + 1 + j + 1) / 2.0
+            for k in range(i, j + 1):
+                ranks[order[k]] = r
+            i = j + 1
+        return ranks
+
+    xs = [r[0] for r in rows]
+    ys = [r[1] for r in rows]
+    ra, rb = avg_ranks(xs), avg_ranks(ys)
+    n = len(rows)
+    sa, sb = sum(ra), sum(rb)
+    sab = sum(a * b for a, b in zip(ra, rb))
+    saa = sum(a * a for a in ra)
+    sbb = sum(b * b for b in rb)
+    expect = (n * sab - sa * sb) / math.sqrt(
+        (n * saa - sa * sa) * (n * sbb - sb * sb)
+    )
+    assert math.isclose(got.rho, expect, abs_tol=1e-8), (got.rho, expect)
