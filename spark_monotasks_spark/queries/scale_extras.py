@@ -1082,6 +1082,66 @@ def exact_quantiles_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Mass-weighted quantiles (equal-character corpus splits)
+# ---------------------------------------------------------------------------
+
+@register(
+    "weighted_quantiles_mass",
+    oracle="""
+    WITH g AS (
+      SELECT n_chars AS v, CAST(sum(n_chars) AS BIGINT) AS w
+      FROM documents GROUP BY n_chars
+    ), c AS (
+      SELECT v, sum(w) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+      FROM g
+    ), t AS (SELECT CAST(max(cum) AS BIGINT) AS wt FROM c),
+    q AS (SELECT unnest(CAST([0.25, 0.5, 0.75] AS DOUBLE[])) AS q)
+    SELECT q.q AS quantile,
+           min(CASE WHEN c.cum >= ceil(q.q * t.wt) THEN c.v END) AS doc_len,
+           t.wt AS total_chars
+    FROM c, t, q
+    GROUP BY q.q, t.wt
+    """,
+)
+def weighted_quantiles_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASS-weighted quantiles: the doc length below which q of the
+    corpus's CHARACTERS sit (not q of its documents) — the statistic
+    that sizes packing windows and chunk lengths, where a few huge
+    docs carry most of the mass and unweighted quantiles mislead.
+    Same bounded-memory selection as exact_quantiles_prefix with the
+    count replaced by a weight sum: value-grouped weight aggregate,
+    two-pass cumulative weights, smallest value whose cumulative
+    weight reaches ceil(q·W).  Integer weights (char counts) → exact
+    thresholds, no float boundary ambiguity."""
+    from spark_monotasks_spark.operators.indexing import running_total
+
+    t = _t(spark, sf_dir)
+    g = (
+        t["documents"]
+        .groupBy(F.col("n_chars").alias("v"))
+        .agg(F.sum("n_chars").cast("long").alias("w"))
+    )
+    cum = running_total(g, "w", ["v"], total_col="cum")
+    tot = cum.agg(F.max("cum").cast("long").alias("wt"))
+    qs = spark.createDataFrame([(0.25,), (0.5,), (0.75,)], "q double")
+    joined = cum.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(qs))
+    return (
+        joined.groupBy(
+            F.col("q").alias("quantile"), F.col("wt").alias("total_chars")
+        )
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum") >= F.ceil(F.col("q") * F.col("wt")),
+                    F.col("v"),
+                )
+            ).alias("doc_len")
+        )
+        .select("quantile", "doc_len", "total_chars")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Market-basket pair co-occurrence (exact counts)
 # ---------------------------------------------------------------------------
 

@@ -643,8 +643,10 @@ def test_no_hidden_cartesians_across_catalog(spark):
         "stat_ks_two_sample",
         # exact quantiles: crossJoin of the 1-row total AND the 4-row
         # quantile literal onto the cumulative relation — bounded
-        # broadcasts, never O(n^2)
+        # broadcasts, never O(n^2); the mass-weighted twin shares the
+        # shape
         "exact_quantiles_prefix",
+        "weighted_quantiles_mass",
     }
     offenders = {}
     for name, fn in QUERY_REGISTRY.items():
