@@ -1082,6 +1082,109 @@ def exact_quantiles_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Cross-source quantile normalization (distribution matching)
+# ---------------------------------------------------------------------------
+
+@register(
+    "quantile_normalize_scores",
+    oracle="""
+    WITH d AS (
+      SELECT source, n_chars AS v FROM documents
+    ), g AS (
+      SELECT source, v, count(*) AS n FROM d GROUP BY 1, 2
+    ), s AS (
+      SELECT source, v, n,
+             CAST(2 * sum(n) OVER (PARTITION BY source ORDER BY v
+                                   ROWS UNBOUNDED PRECEDING) - n AS DOUBLE)
+               / (2 * sum(n) OVER (PARTITION BY source)) AS frac
+      FROM g
+    ), gg AS (
+      SELECT v, count(*) AS ng FROM d GROUP BY v
+    ), ci AS (
+      SELECT v AS v_norm,
+             sum(ng) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - ng + 1
+               AS lo,
+             sum(ng) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS hi
+      FROM gg
+    ), t AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM d)
+    SELECT s.source, s.v AS score, CAST(s.n AS BIGINT) AS n,
+           round(s.frac, 6) AS frac, i.v_norm AS v_norm
+    FROM s, t, ci i
+    WHERE ceil(s.frac * t.nt) BETWEEN i.lo AND i.hi
+    """,
+)
+def quantile_normalize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization (distribution matching —
+    the pre-mixing step that makes per-source quality scores
+    comparable: each source's score distribution maps onto the GLOBAL
+    distribution, so 'top 10% of source A' and 'top 10% of source B'
+    mean the same thing).  Per (source, value): the within-source
+    midrank fraction (partitioned windows over the aggregated
+    relation); the normalized value = the global order statistic at
+    that fraction, looked up through operators/asof.range_join — the
+    global cumulative counts become [lo, hi] integer intervals and the
+    per-row threshold ceil(frac·N) equi-joins on coarse buckets, NEVER
+    a nested-loop inequality join (plan-gated).  The prefix sums are
+    the distributed two-pass shape; N is a 1-row broadcast
+    (allowlisted).  The oracle replays fractions, intervals, and the
+    containment lookup."""
+    from pyspark.sql import Window as W
+
+    from spark_monotasks_spark.operators.asof import range_join
+    from spark_monotasks_spark.operators.indexing import running_total
+
+    t = _t(spark, sf_dir)
+    d = t["documents"].select("source", F.col("n_chars").alias("v"))
+    g = d.groupBy("source", "v").agg(F.count("*").alias("n"))
+    w_cum = (
+        W.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    w_all = W.partitionBy("source")
+    s = g.select(
+        "source",
+        "v",
+        "n",
+        (
+            (2 * F.sum("n").over(w_cum) - F.col("n")).cast("double")
+            / (2 * F.sum("n").over(w_all))
+        ).alias("frac"),
+    )
+    gg = d.groupBy("v").agg(F.count("*").alias("ng"))
+    cumg = running_total(gg, "ng", ["v"], total_col="gcum")
+    intervals = cumg.select(
+        F.col("v").alias("v_norm"),
+        (F.col("gcum") - F.col("ng") + 1).cast("long").alias("lo"),
+        F.col("gcum").cast("long").alias("hi"),
+        F.lit(1).alias("_k"),
+    )
+    tot = cumg.agg(F.max("gcum").cast("long").alias("nt"))
+    left = (
+        s.crossJoin(F.broadcast(tot))
+        .withColumn("thresh", F.ceil(F.col("frac") * F.col("nt")))
+        .withColumn("_k", F.lit(1))
+    )
+    bucket = 64
+    out = range_join(
+        left,
+        intervals,
+        on="_k",
+        left_ts="thresh",
+        right_start="lo",
+        right_end="hi",
+        bucket_width=bucket,
+    )
+    return out.select(
+        "source",
+        F.col("v").alias("score"),
+        F.col("n").cast("long").alias("n"),
+        F.round("frac", 6).alias("frac"),
+        "v_norm",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Mass-weighted quantiles (equal-character corpus splits)
 # ---------------------------------------------------------------------------
 

@@ -341,6 +341,18 @@ def test_snapshot_diff_single_join_shuffle(spark):
         shutil.rmtree(path, ignore_errors=True)
 
 
+def test_quantile_normalize_interval_join_is_equi(spark):
+    """quantile_normalize_scores is cartesian-allowlisted for its 1-row
+    N broadcast, so gate the rest here explicitly: the interval lookup
+    must be the bucketed equi-join (hash/sort-merge on (_k, _bkt)),
+    leaving AT MOST the single scalar-broadcast BNLJ in the plan."""
+    df = QUERY_REGISTRY["quantile_normalize_scores"](spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    assert "_bkt" in plan, plan  # the bucketed range join key
+
+
 def test_spatial_grid_knn_no_cartesian(spark):
     """The grid candidate join must be an equi-join on the cell key —
     never the brute-force cross product the oracle uses."""
@@ -647,6 +659,10 @@ def test_no_hidden_cartesians_across_catalog(spark):
         # shape
         "exact_quantiles_prefix",
         "weighted_quantiles_mass",
+        # quantile normalization: crossJoin(broadcast(1-row N)) onto the
+        # per-(source, value) relation; the interval lookup itself is
+        # the bucketed range_join (equi-join), not a nested loop
+        "quantile_normalize_scores",
     }
     offenders = {}
     for name, fn in QUERY_REGISTRY.items():
