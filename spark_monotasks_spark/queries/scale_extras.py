@@ -1082,6 +1082,100 @@ def exact_quantiles_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Poisson bootstrap confidence interval (deterministic, one pass)
+# ---------------------------------------------------------------------------
+
+#: cumulative Poisson(1) thresholds as LITERALS (sum_{k<=K} e^-1/k!,
+#: rounded to 6) — libm exp never runs, so both engines compare the
+#: hash-uniform against identical constants.
+_POIS1_CDF = (0.367879, 0.735759, 0.919699, 0.981012, 0.996340,
+              0.999406, 0.999917, 0.999990)
+
+
+def _pois_case_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POIS1_CDF)
+    )
+    return f"CASE {branches} ELSE 8 END"
+
+
+@register(
+    "bootstrap_mean_ci",
+    oracle=f"""
+    WITH r AS (
+      SELECT o_totalprice AS x, b,
+             CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '#'
+                   || CAST(b AS VARCHAR)), 1, 12)) AS BIGINT)
+               / 281474976710656.0 AS u
+      FROM orders, unnest(range(32)) AS t(b)
+    ), w AS (
+      SELECT x, b, {_pois_case_sql('u')} AS w FROM r
+    ), m AS (
+      SELECT b, round(sum(w * x) / sum(w), 4) AS mean_b
+      FROM w GROUP BY b
+    ), ranked AS (
+      SELECT mean_b, row_number() OVER (ORDER BY mean_b, b) AS rk FROM m
+    )
+    SELECT (SELECT round(avg(o_totalprice), 4) FROM orders) AS mean,
+           (SELECT mean_b FROM ranked WHERE rk = 2) AS ci_lo,
+           (SELECT mean_b FROM ranked WHERE rk = 31) AS ci_hi,
+           (SELECT CAST(count(*) AS BIGINT) FROM m) AS n_replicas
+    """,
+)
+def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap confidence interval for a mean — THE
+    distributed bootstrap (multinomial resampling needs the global n
+    per draw; Poisson(1) weights are row-local, so all 32 replicas
+    ride ONE corpus pass as an explode x32 + one aggregate).  Weights
+    are deterministic: a per-(row, replica) md5-uniform compared
+    against Poisson(1) CDF LITERALS (exp never evaluated at runtime),
+    so the replica means — and hence the 2nd/31st order statistics
+    bounding the ~94% interval — are value-reproducible in the oracle.
+    At 100 TB: shuffle is 32 partial-aggregated rows per task; the
+    replica ranking is a 32-row window over an aggregate."""
+    from pyspark.sql import Window as W
+
+    t = _t(spark, sf_dir)
+    o = t["orders"].select("o_orderkey", F.col("o_totalprice").alias("x"))
+    r = o.withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(31))))
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("o_orderkey").cast("string"),
+                    F.lit("#"),
+                    F.col("b").cast("string"),
+                ).cast("binary")
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long") / F.lit(281474976710656.0)
+    w = F.lit(8)
+    for k in range(len(_POIS1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POIS1_CDF[k]), F.lit(k)).otherwise(w)
+    weighted = r.select("x", "b", w.alias("w"))
+    m = weighted.groupBy("b").agg(
+        F.round(F.sum(F.col("w") * F.col("x")) / F.sum("w"), 4).alias("mean_b")
+    )
+    ranked = m.select(
+        "mean_b",
+        F.row_number().over(W.orderBy("mean_b", "b")).alias("rk"),
+    )
+    stats = ranked.agg(
+        F.min(F.when(F.col("rk") == 2, F.col("mean_b"))).alias("ci_lo"),
+        F.min(F.when(F.col("rk") == 31, F.col("mean_b"))).alias("ci_hi"),
+        F.count("*").cast("long").alias("n_replicas"),
+    )
+    overall = o.agg(F.round(F.avg("x"), 4).alias("mean"))
+    return overall.crossJoin(F.broadcast(stats)).select(
+        "mean", "ci_lo", "ci_hi", "n_replicas"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Cross-source quantile normalization (distribution matching)
 # ---------------------------------------------------------------------------
 

@@ -663,6 +663,9 @@ def test_no_hidden_cartesians_across_catalog(spark):
         # per-(source, value) relation; the interval lookup itself is
         # the bucketed range_join (equi-join), not a nested loop
         "quantile_normalize_scores",
+        # bootstrap CI: the overall-mean 1-row aggregate crossJoins the
+        # 1-row CI aggregate — two scalars
+        "bootstrap_mean_ci",
     }
     offenders = {}
     for name, fn in QUERY_REGISTRY.items():
