@@ -94,6 +94,11 @@ LINEAR = [
     ("item_cooccurrence_pairs", 8.0, "O(baskets) bounded-basket pairs"),
     ("skew_salted_join", 8.0, "O(n) salted shuffle, dim x16"),
     ("kmv_distinct_setops", 8.0, "O(n) hash + TakeOrdered sketches"),
+    # r7 second batch: all prefix-sum / bounded-broadcast shapes
+    ("stat_spearman_corr", 8.0, "O(n) two prefix sums + rank join-backs"),
+    ("exact_quantiles_prefix", 8.0, "O(n) prefix sum + bounded crossJoin"),
+    ("quantile_normalize_scores", 8.0, "O(n) windows + bucketed range join"),
+    ("bootstrap_mean_ci", 8.0, "O(32n) explode + one aggregate"),
 ]
 
 #: super-linear entries: bounded above by documented exponents, still
