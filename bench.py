@@ -178,6 +178,14 @@ HEADLINE = [
     "exact_quantiles_prefix",
     "feature_hash_encode",
     "item_cooccurrence_pairs",
+    # r8: the monitoring layer's two corpus-pass shapes — the linear
+    # rolling-distinct decomposition (dedup + per-key lag + bounded
+    # explode) and the per-source trigram-diversity gram stream — plus
+    # the image perceptual-hash dedup (decode + aHash + banding join,
+    # the multimodal analogue of the MinHash families)
+    "sliding_distinct_users",
+    "ngram_diversity_by_source",
+    "image_ahash_neardup",
 ]
 
 

@@ -110,3 +110,208 @@ def ohlc_resample(
         F.max(F.when(F.col("_rd") == 1, F.col("_v"))).alias("close"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+def sliding_distinct(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """EXACT trailing-``window_days`` distinct keys per day WITHOUT the
+    quadratic re-scan (beyond-reference growth analytics — the rolling
+    complement of the cumulative_unique_users decomposition).
+
+    The naive form — for every day, COUNT(DISTINCT key) over a self-
+    joined trailing window — re-reads each event ``window_days`` times
+    and re-deduplicates per day: O(days x window) scans at 100 TB.
+    This operator is linear via the first-event-in-window decomposition:
+    a key contributes to the window ending at day *e* iff it has an
+    event day *d* in [e-w+1, e] AND that *d* is its FIRST event day in
+    the range, i.e. its previous event day is < e-w+1.  So each
+    distinct (key, day) pair — with its per-key lag — expands into AT
+    MOST ``window_days`` (day, offset) contributions, each checked
+    against the lag locally: one shuffle to dedup (key, day), one
+    per-key window for the lag, one bounded explode, one count.
+
+    Output: (day, n_keys) for every day in the data's [min, max] span
+    that has at least one contributing key.  Rows are DATE-typed.
+    """
+    w = int(window_days)
+    kd = (
+        df.select(
+            F.col(key_col).alias("_k"),
+            F.to_date(F.col(ts_col)).alias("_d"),
+        )
+        .distinct()
+    )
+    lagw = Window.partitionBy("_k").orderBy("_d")
+    with_prev = kd.select(
+        "_k", "_d", F.lag("_d").over(lagw).alias("_prev")
+    )
+    bounds = kd.agg(F.max("_d").alias("_mx"))
+    contrib = (
+        with_prev.select(
+            "_k",
+            "_prev",
+            F.explode(
+                F.expr(f"transform(sequence(0, {w - 1}), o -> date_add(_d, o))")
+            ).alias("day"),
+        )
+        .join(F.broadcast(bounds))
+        .filter(F.col("day") <= F.col("_mx"))
+        .filter(
+            F.col("_prev").isNull()
+            | (F.col("_prev") < F.date_sub(F.col("day"), w - 1))
+        )
+    )
+    return contrib.groupBy("day").agg(F.count(F.lit(1)).alias("n_keys"))
+
+
+def ewma_dyadic(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    order_tiebreak: str,
+    taps: int = 8,
+) -> DataFrame:
+    """Per-key EWMA smoothing with a DYADIC finite kernel — weights
+    2^(taps-1-j) over the last ``taps`` observations (alpha = 1/2),
+    exactly the repo's dyadic playbook: scaling values to integer cents
+    and using power-of-two weights keeps the numerator and denominator
+    in EXACT int64 arithmetic, so an external engine reproduces the
+    smoothed series bit-for-bit (a true infinite-horizon EWMA is a
+    float recurrence whose summation order no two engines share).
+
+    Scale shape: one hash exchange on the key serves the single
+    bounded-frame window; the kernel is ``taps`` lag expressions folded
+    JVM-side — no Python, no second shuffle, output rows = input rows.
+
+    Output: key, tiebreak, cents, ewma_num (int), ewma_den (int),
+    ewma = round(num/den/100, 4).
+    """
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("_ts"),
+        F.col(order_tiebreak).alias("tiebreak"),
+        cents.alias("cents"),
+    )
+    num = F.lit(0).cast("long")
+    den = F.lit(0).cast("long")
+    for j in range(taps):
+        weight = 1 << (taps - 1 - j)
+        lagv = F.lag("cents", j).over(
+            Window.partitionBy("key").orderBy("_ts", "tiebreak")
+        )
+        num = num + F.coalesce(lagv * weight, F.lit(0))
+        den = den + F.when(lagv.isNotNull(), F.lit(weight)).otherwise(F.lit(0))
+    return base.select(
+        "key",
+        "tiebreak",
+        "cents",
+        num.alias("ewma_num"),
+        den.alias("ewma_den"),
+        F.round(num / den / 100.0, 4).alias("ewma"),
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    order_tiebreak: str,
+) -> DataFrame:
+    """Per-key TIME-weighted average (TWAP): each observation's value
+    is held until the key's next observation and weighted by that
+    holding duration in whole seconds.  The key's last observation has
+    no successor and contributes nothing (standard left-closed TWAP).
+
+    Exactness: values scale to integer cents and durations are integer
+    seconds, so numerator/denominator are exact int64 — engine-
+    reproducible (the usual double x double accumulation is not).
+
+    Scale shape: one exchange on the key for the lead window, then the
+    grouped sum on the SAME partitioning (no second exchange); output
+    is one row per key with >= 2 observations.
+
+    Output: key, twap_num, twap_den, twap = round(num/den/100, 4).
+    """
+    sec = F.col(ts_col).cast("timestamp").cast("long")
+    staged = df.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("_ts"),
+        F.col(order_tiebreak).alias("_tb"),
+        F.round(F.col(value_col) * 100).cast("long").alias("_cents"),
+        sec.alias("_sec"),
+    ).withColumn("_dur", F.lead("_sec").over(
+        Window.partitionBy("key").orderBy("_ts", "_tb")
+    ) - F.col("_sec"))
+    held = staged.filter(F.col("_dur").isNotNull())
+    return held.groupBy("key").agg(
+        F.sum(F.col("_cents") * F.col("_dur")).alias("twap_num"),
+        F.sum("_dur").alias("twap_den"),
+        F.round(
+            F.sum(F.col("_cents") * F.col("_dur"))
+            / F.sum("_dur")
+            / 100.0,
+            4,
+        ).alias("twap"),
+    )
+
+
+def cusum_detect(
+    daily: DataFrame,
+    order_col: str,
+    value_col: str,
+    scale,
+    target_num,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """One-sided CUSUM change detection over a BOUNDED pre-aggregated
+    series (Page 1954).  The textbook recurrence S_t = max(0, S_{t-1} +
+    (x_t - k)) is not a window function, but its closed form is:
+    S_t = P_t - min(0, min_{i<=t} P_i) where P is the prefix sum of
+    the drift-adjusted series — two cumulative windows, no recursion.
+
+    Exactness: the caller passes the allowance as an exact rational
+    (``target_num / scale``, ints or int-typed Columns — Columns let a
+    cross-joined 1-row totals frame supply them with NO driver-side
+    scalar fetch); each value is multiplied through by ``scale`` so the
+    adjusted series y_t = scale*x_t - target_num stays pure int64 —
+    both engines agree bit-for-bit.
+
+    Boundedness contract (plan-gate): ``daily`` MUST be an already-
+    collapsed aggregate (e.g. one row per day) — the un-partitioned
+    cumulative windows here are the legitimate bounded-input case the
+    catalog-wide gate in tests/test_plans.py carves out, exactly like
+    zip_with_index's offset window.  Never hand this a raw scan.
+
+    Output: order_col, value_col, *keep_cols, cusum (scaled int64).
+    """
+    scale_c = F.lit(scale) if isinstance(scale, int) else scale
+    target_c = (
+        F.lit(target_num) if isinstance(target_num, int) else target_num
+    )
+    y = (
+        F.col(value_col).cast("long") * scale_c.cast("long")
+        - target_c.cast("long")
+    )
+    wp = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
+    staged = daily.select(
+        F.col(order_col),
+        F.col(value_col),
+        *[F.col(c) for c in keep_cols],
+        F.sum(y).over(wp).alias("_p"),
+    )
+    return staged.select(
+        order_col,
+        value_col,
+        *keep_cols,
+        (
+            F.col("_p")
+            - F.least(F.lit(0).cast("long"), F.min("_p").over(wp))
+        ).alias("cusum"),
+    )

@@ -1059,3 +1059,225 @@ def video_frame_stats(media: DataFrame) -> DataFrame:
     return media.select("media_id", "blob").mapInPandas(
         run, schema=VIDEO_STATS_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing (aHash) + image near-duplicate detection (r8)
+# ---------------------------------------------------------------------------
+
+def encode_png_rgb(img) -> bytes:
+    """RGB8 numpy array (h, w, 3) → fully-valid PNG (filter None rows,
+    one IDAT) — the array-input generalization of :func:`encode_png`
+    for fixture builders that need arbitrary pixel content."""
+    import numpy as np
+
+    arr = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w, _ = arr.shape
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        crc = zlib.crc32(tag + payload) & 0xFFFFFFFF
+        return (
+            struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", crc)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    rows = b"".join(
+        b"\x00" + arr[y].tobytes() for y in range(h)
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(rows, 9))
+        + chunk(b"IEND", b"")
+    )
+
+
+def ahash_int(px, grid: int = 8) -> int | None:
+    """Average-hash of a decoded RGB8 image in EXACT integer
+    arithmetic: crop to a grid-divisible size, block-sum the (r+g+b)
+    intensities into grid×grid cells, and set bit (row*grid+col) iff
+    cell_sum * n_cells > total_sum — no float mean, no rounding, so
+    the 64-bit fingerprint is bit-reproducible on any engine.  Images
+    smaller than the grid return None.  The result is wrapped to
+    SIGNED int64 range (Spark LongType)."""
+    import numpy as np
+
+    h, w, _ = px.shape
+    if h < grid or w < grid:
+        return None
+    hh, ww = (h // grid) * grid, (w // grid) * grid
+    inten = px[:hh, :ww].astype(np.int64).sum(axis=2)
+    cells = inten.reshape(grid, hh // grid, grid, ww // grid).sum(axis=(1, 3))
+    total = int(cells.sum())
+    n_cells = grid * grid
+    bits = (cells.astype(object) * n_cells) > total
+    val = 0
+    for r in range(grid):
+        for c in range(grid):
+            if bits[r, c]:
+                val |= 1 << (r * grid + c)
+    if val >= 1 << 63:
+        val -= 1 << 64
+    return val
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("ahash", T.LongType(), True),
+    ]
+)
+
+
+def image_ahash(media: DataFrame, grid: int = 8) -> DataFrame:
+    """Per-image perceptual fingerprint (average hash) from REAL pixel
+    decode — the image-modality counterpart of the text MinHash/SimHash
+    family: visually-identical or lightly-perturbed images collapse to
+    the same (or Hamming-close) 64-bit code.  Arrow-batched
+    mapInPandas; blobs never leave their partition; output is 8 bytes
+    per image regardless of image size — the only thing that ever
+    shuffles downstream."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from spark_monotasks_spark.pipeline.jpeg import decode_jpeg_pixels
+
+        for pdf in batches:
+            hashes = []
+            for b in pdf["blob"]:
+                px = decode_png_pixels(b) if b is not None else None
+                if px is None and b is not None:
+                    px = decode_jpeg_pixels(bytes(b))
+                hashes.append(None if px is None else ahash_int(px, grid))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "ahash": pd.array(hashes, dtype="Int64"),
+                }
+            )
+
+    return media.select("media_id", "blob").mapInPandas(run, schema=AHASH_SCHEMA)
+
+
+def ahash_near_duplicates(
+    hashes: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "ahash",
+    bands: int = 4,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """LSH-banded near-duplicate pairs over 64-bit perceptual hashes:
+    split each hash into ``bands`` equal bit-bands, bucket-join on any
+    matching band (pigeonhole: Hamming distance < bands guarantees
+    some band matches — the same banding argument as SimHash,
+    pipeline/dedup.py), then verify candidates with an exact popcount
+    of the XOR.  The self-join ships (band_idx, band_bits, id) longs
+    only — never pixels — and candidate volume is governed by band
+    width (64/bands bits), exactly the MinHash-banding scale story.
+
+    Output: (id_a, id_b, hamming) with id_a < id_b, distinct."""
+    assert 64 % bands == 0
+    width = 64 // bands
+    mask = (1 << width) - 1
+    h = hashes.select(
+        F.col(id_col).alias("_id"), F.col(hash_col).alias("_h")
+    ).filter(F.col("_h").isNotNull())
+    melted = h.select(
+        "_id",
+        "_h",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftright("_h", i * width).bitwiseAND(
+                        F.lit(mask)
+                    ).alias("bits"),
+                )
+                for i in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("_id", "_h", F.col("bb.band").alias("band"),
+             F.col("bb.bits").alias("bits"))
+    left = melted.alias("l")
+    right = melted.alias("r")
+    cand = (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bits") == F.col("r.bits"),
+                F.col("l._id") < F.col("r._id"),
+            ],
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l._h").alias("_ha"),
+            F.col("r._h").alias("_hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def noise_media_from_ids(ids: DataFrame, id_col: str = "media_id",
+                         side: int = 32) -> DataFrame:
+    """Deterministic PSEUDO-NOISE image table with PLANTED near-dup
+    pairs: ids 2k and 2k+1 render the same multiplicative-hash noise
+    pattern (seeded by k), the odd id with ONE pixel perturbed by an
+    intensity-preserving ±1 channel swap (+1 to one channel, -1 to
+    another, picked to avoid saturation) — a real byte-level change
+    (the PNG blob differs) that leaves every (r+g+b) block sum
+    IDENTICAL, so each planted pair collapses to the SAME aHash by
+    construction, not by margin luck, while distinct seeds produce
+    independent 64-bit codes.  This is
+    the image-side analogue of the planted-email redaction oracle:
+    ground truth is closed-form, the pipeline under test is real
+    (encode → PNG decode → hash → banding join)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        yy, xx = np.meshgrid(
+            np.arange(side), np.arange(side), indexing="ij"
+        )
+        cc = np.arange(3)
+        base_grid = (
+            xx[:, :, None] * 31 + yy[:, :, None] * 17 + cc[None, None, :] * 7
+        ).astype(np.uint64)
+        for pdf in batches:
+            blobs = []
+            for i in pdf[id_col]:
+                i = int(i)
+                seed = np.uint64(i // 2)
+                mixed = (base_grid + seed * np.uint64(1000003)) * np.uint64(
+                    2654435761
+                )
+                img = ((mixed >> np.uint64(16)) % np.uint64(256)).astype(
+                    np.uint8
+                )
+                if i % 2 == 1:
+                    for up, dn in ((0, 1), (1, 2), (0, 2), (1, 0), (2, 1),
+                                   (2, 0)):
+                        if img[0, 0, up] < 255 and img[0, 0, dn] > 0:
+                            img[0, 0, up] += 1
+                            img[0, 0, dn] -= 1
+                            break
+                blobs.append(encode_png_rgb(img))
+            yield pd.DataFrame({"media_id": pdf[id_col], "blob": blobs})
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("blob", T.BinaryType(), True),
+        ]
+    )
+    return ids.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        run, schema=out_schema
+    )

@@ -633,3 +633,43 @@ def pq_adc_topk(
             F.round(F.col("_est"), round_to).alias("est_dist"),
         )
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str,
+    k: int = 60,
+    round_to: int = 6,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al. 2009) of N rankings:
+    rrf(d) = sum_i 1/(k + rank_i(d)) — the standard hybrid-retrieval
+    combiner (lexical BM25 + dense ANN feed one fused list).
+
+    Each input frame must carry ``(id_col, rank)`` with rank a dense
+    1-based integer (callers produce it with a deterministically
+    tiebroken row_number).  Documents missing from a ranking simply
+    contribute no term — the usual RRF convention for truncated lists.
+
+    Exactness: each term 1/(k+rank) is ONE double division of exact
+    integers, and the fused score is their left-to-right sum in list
+    order — the identical expression tree any external engine writes,
+    so results match bit-for-bit before the final rounding.
+
+    Scale shape: rankings are top-k-truncated (bounded) in real use;
+    the fusion is an outer-join cascade on the id followed by a scalar
+    projection — broadcast-sized per query at any corpus scale.
+    """
+    fused = None
+    for i, r in enumerate(rankings):
+        r_i = r.select(
+            F.col(id_col),
+            (1.0 / (F.lit(k) + F.col("rank"))).alias(f"_rrf_{i}"),
+        )
+        fused = r_i if fused is None else fused.join(r_i, on=id_col, how="full")
+    score = None
+    for i in range(len(rankings)):
+        term = F.coalesce(F.col(f"_rrf_{i}"), F.lit(0.0))
+        score = term if score is None else score + term
+    return fused.select(
+        id_col, F.round(score, round_to).alias("rrf_score")
+    )

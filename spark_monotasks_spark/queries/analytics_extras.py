@@ -1,0 +1,520 @@
+"""Round-8 catalog additions: monitoring/time-series analytics and
+hybrid-retrieval fusion — CUSUM changepoint detection, exact sliding-
+window distinct users, dyadic EWMA smoothing, time-weighted averages,
+n-gram corpus diversity, reciprocal-rank fusion, and a Benford-law
+data-quality audit.
+
+Each entry follows the catalog contract (queries/__init__.py): a
+PySpark builder plus a DuckDB oracle over the same parquet tables,
+every float rounded and every top-k tiebroken so the driver's
+order-insensitive value-hash compare is deterministic.
+
+Exactness playbook (same as the r6/r7 batches): values scale to
+integer cents, drift allowances ship as exact rationals multiplied
+through (CUSUM), kernels use power-of-two weights (EWMA), and the few
+genuinely-double expressions (RRF's 1/(k+rank), TWAP's final division)
+are single operations on exactly-representable integers written as the
+identical expression tree in both dialects.
+
+Reference anchors (spark-monotasks): the reference's streaming stack
+computes windowed counts (PairDStreamFunctions.scala
+reduceByKeyAndWindow) but has no exact rolling-distinct, changepoint,
+or fusion operators — these are beyond-reference additions, marked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_monotasks_spark.queries.registry import register
+from spark_monotasks_spark.tables import load_tables
+
+
+def _t(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return load_tables(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Time-series monitoring
+# ---------------------------------------------------------------------------
+
+@register(
+    "cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             count(*) AS n_orders
+      FROM orders GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(n_orders) AS BIGINT) AS t,
+             CAST(count(*) AS BIGINT) AS d
+      FROM daily
+    ), pfx AS (
+      SELECT day, n_orders, t,
+             sum(d * n_orders - t) OVER (
+               ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS p
+      FROM daily, tot
+    ), cus AS (
+      SELECT day, n_orders, t,
+             p - least(0, min(p) OVER (
+               ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             )) AS cusum
+      FROM pfx
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day, n_orders,
+           CAST(cusum AS BIGINT) AS cusum,
+           cusum > 5 * t AS alarm
+    FROM cus
+    """,
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM changepoint detection over daily order volume
+    (operators.timeseries.cusum_detect; Page 1954 — beyond-reference
+    monitoring surface: 'did ingest volume shift?' is the first alarm a
+    100 TB corpus pipeline wires).  The recurrence S_t = max(0,
+    S_{t-1} + x_t - k) is rewritten to its closed prefix-sum form
+    S_t = P_t - min(0, running-min P), so two cumulative windows over
+    the BOUNDED daily aggregate replace the unwindowable recursion.
+    The allowance k = mean daily volume ships as the exact rational
+    total/days multiplied through (y = days*x - total stays pure
+    int64), and the totals arrive via a broadcast 1-row cross join —
+    no driver-side scalar fetch.  Alarm: cumulative excess above the
+    mean exceeding 5 average days' volume.  At 100 TB the windows see
+    one row per day regardless of input size."""
+    from spark_monotasks_spark.operators.timeseries import cusum_detect
+
+    t = _t(spark, sf_dir)
+    daily = (
+        t["orders"]
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    tot = daily.agg(
+        F.sum("n_orders").alias("_t"), F.count(F.lit(1)).alias("_d")
+    )
+    staged = daily.join(F.broadcast(tot))
+    out = cusum_detect(
+        staged,
+        "day",
+        "n_orders",
+        scale=F.col("_d"),
+        target_num=F.col("_t"),
+        keep_cols=("_t",),
+    )
+    # timestamp-typed key: the driver's pandas canonicalizer has a
+    # proven in-window path for timestamps (events_hourly_window), not
+    # for DATE (Spark yields datetime.date objects, DuckDB datetime64)
+    return out.select(
+        F.col("day").cast("timestamp").alias("day"),
+        "n_orders",
+        "cusum",
+        (F.col("cusum") > F.lit(5) * F.col("_t")).alias("alarm"),
+    )
+
+
+@register(
+    "sliding_distinct_users",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+      FROM events
+    ), bounds AS (
+      SELECT min(day) AS mn, max(day) AS mx FROM ud
+    ), days AS (
+      SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE)
+               AS day
+      FROM bounds
+    )
+    SELECT CAST(d.day AS TIMESTAMP) AS day,
+           count(DISTINCT u.user_id) AS users_7d
+    FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+    GROUP BY 1
+    """,
+)
+def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT trailing-7-day distinct users per day, linear not
+    quadratic (operators.timeseries.sliding_distinct — the rolling
+    complement of cumulative_unique_users).  The oracle is the naive
+    quadratic form (each day re-joins the trailing week and re-counts
+    DISTINCT — fine at sf0.01, a 7× re-scan at 100 TB); the Spark side
+    is the first-event-in-window decomposition: each distinct
+    (user, day) with its per-user lag expands into ≤7 (window-end,
+    contribution) rows checked locally, so the whole operator is one
+    (user, day) dedup + one per-user window + one bounded explode +
+    one count — every shuffle keyed, no window re-scan.  A value match
+    proves the decomposition IS the rolling distinct."""
+    from spark_monotasks_spark.operators.timeseries import sliding_distinct
+
+    t = _t(spark, sf_dir)
+    out = sliding_distinct(t["events"], "user_id", "ts", window_days=7)
+    # timestamp-typed key for driver canonicalizer parity (see
+    # cusum_changepoint)
+    return out.select(
+        F.col("day").cast("timestamp").alias("day"),
+        F.col("n_keys").alias("users_7d"),
+    )
+
+
+@register(
+    "ewma_dyadic_smooth",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, event_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ), lagd AS (
+      SELECT user_id, event_id, cents,
+             lag(cents, 1) OVER w AS l1, lag(cents, 2) OVER w AS l2,
+             lag(cents, 3) OVER w AS l3, lag(cents, 4) OVER w AS l4,
+             lag(cents, 5) OVER w AS l5, lag(cents, 6) OVER w AS l6,
+             lag(cents, 7) OVER w AS l7
+      FROM p
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), summed AS (
+      SELECT user_id, event_id, cents,
+             cents * 128 + coalesce(l1, 0) * 64 + coalesce(l2, 0) * 32
+               + coalesce(l3, 0) * 16 + coalesce(l4, 0) * 8
+               + coalesce(l5, 0) * 4 + coalesce(l6, 0) * 2
+               + coalesce(l7, 0) AS ewma_num,
+             128 + CASE WHEN l1 IS NULL THEN 0 ELSE 64 END
+                 + CASE WHEN l2 IS NULL THEN 0 ELSE 32 END
+                 + CASE WHEN l3 IS NULL THEN 0 ELSE 16 END
+                 + CASE WHEN l4 IS NULL THEN 0 ELSE 8 END
+                 + CASE WHEN l5 IS NULL THEN 0 ELSE 4 END
+                 + CASE WHEN l6 IS NULL THEN 0 ELSE 2 END
+                 + CASE WHEN l7 IS NULL THEN 0 ELSE 1 END AS ewma_den
+      FROM lagd
+    )
+    SELECT user_id, event_id, cents,
+           CAST(ewma_num AS BIGINT) AS ewma_num,
+           CAST(ewma_den AS BIGINT) AS ewma_den,
+           round(ewma_num / ewma_den / 100.0, 4) AS ewma
+    FROM summed
+    """,
+)
+def ewma_dyadic_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA smoothing of purchase values with a DYADIC 8-tap
+    kernel (operators.timeseries.ewma_dyadic; alpha = 1/2) — the
+    dyadic playbook applied to the one classic smoother no two engines
+    reproduce as a float recurrence: integer cents × power-of-two
+    weights keep numerator and denominator exact int64, so DuckDB
+    replays the smoothed series bit-for-bit.  One hash exchange on
+    user_id serves all 8 lag expressions (one window, JVM-side fold);
+    output rows = input rows, no Python, no second shuffle."""
+    from spark_monotasks_spark.operators.timeseries import ewma_dyadic
+
+    t = _t(spark, sf_dir)
+    purchases = t["events"].filter(F.col("event_type") == "purchase")
+    out = ewma_dyadic(
+        purchases, "user_id", "ts", "value", "event_id", taps=8
+    )
+    return out.select(
+        F.col("key").alias("user_id"),
+        F.col("tiebreak").alias("event_id"),
+        "cents",
+        "ewma_num",
+        "ewma_den",
+        "ewma",
+    )
+
+
+@register(
+    "twap_event_value",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             CAST(floor(date_part('epoch', ts)) AS BIGINT) AS sec
+      FROM events
+    ), d AS (
+      SELECT user_id, cents,
+             lead(sec) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               - sec AS dur
+      FROM s
+    )
+    SELECT user_id,
+           CAST(sum(cents * dur) AS BIGINT) AS twap_num,
+           CAST(sum(dur) AS BIGINT) AS twap_den,
+           round(sum(cents * dur) / sum(dur) / 100.0, 4) AS twap
+    FROM d WHERE dur IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def twap_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user TIME-weighted average event value (operators.
+    timeseries.time_weighted_avg) — the irregular-series average that
+    plain AVG gets wrong (a value held for an hour must weigh 3600×
+    one held a second; the metrics/finance TWAP staple).  Each value
+    is held until the user's next event and weighted by the holding
+    duration in whole seconds; integer cents × integer seconds keep
+    both accumulators exact int64.  One exchange on user_id serves the
+    lead window AND the grouped sum (same partitioning, no second
+    exchange)."""
+    from spark_monotasks_spark.operators.timeseries import time_weighted_avg
+
+    t = _t(spark, sf_dir)
+    out = time_weighted_avg(t["events"], "user_id", "ts", "value", "event_id")
+    return out.select(
+        F.col("key").alias("user_id"), "twap_num", "twap_den", "twap"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus diversity / retrieval fusion / data-quality audit
+# ---------------------------------------------------------------------------
+
+@register(
+    "ngram_diversity_by_source",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ), grams AS (
+      SELECT source,
+             unnest(list_transform(range(greatest(len(t) - 2, 0)),
+                                   i -> array_to_string(t[i+1:i+3], ' ')))
+               AS g
+      FROM toks
+    ), gstats AS (
+      SELECT source,
+             count(*) AS total_trigrams,
+             count(DISTINCT g) AS distinct_trigrams
+      FROM grams GROUP BY source
+    ), tstats AS (
+      SELECT source, CAST(sum(len(t)) AS BIGINT) AS total_tokens
+      FROM toks GROUP BY source
+    )
+    SELECT g.source AS source, total_tokens, total_trigrams,
+           distinct_trigrams,
+           round(distinct_trigrams / total_trigrams, 6) AS trigram_diversity
+    FROM gstats g JOIN tstats USING (source)
+    """,
+)
+def ngram_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source trigram diversity (type-token ratio on word
+    trigrams) — the repetitiveness / template-content health metric a
+    crawl mix is monitored by (low diversity = boilerplate-heavy
+    source; the corpus-level cousin of the per-doc repetition_stats
+    entry).  Grams come from the shifted-slice zip_with fold
+    (pipeline.text.ngram_fold — one O(len) JVM pass per shift, no
+    Python); the only shuffle ships (source, gram) pairs for the
+    distinct-count, and the token totals ride a separate narrow
+    aggregate joined at source granularity (bounded).  At 100 TB the
+    gram stream dominates — it is exactly one explode wide, and the
+    distinct-aggregate map-side-combines within each source."""
+    from spark_monotasks_spark.pipeline.text import ngram_fold, tokens
+
+    t = _t(spark, sf_dir)
+    toks = t["documents"].select(
+        "source", tokens("text").alias("_t")
+    )
+    grams = toks.select(
+        "source", F.explode(ngram_fold(F.col("_t"), 3)).alias("g")
+    )
+    gstats = grams.groupBy("source").agg(
+        F.count(F.lit(1)).alias("total_trigrams"),
+        F.countDistinct("g").alias("distinct_trigrams"),
+    )
+    tstats = toks.groupBy("source").agg(
+        F.sum(F.size("_t")).alias("total_tokens")
+    )
+    return (
+        gstats.join(tstats, on="source")
+        .select(
+            "source",
+            "total_tokens",
+            "total_trigrams",
+            "distinct_trigrams",
+            F.round(
+                F.col("distinct_trigrams") / F.col("total_trigrams"), 6
+            ).alias("trigram_diversity"),
+        )
+    )
+
+
+@register(
+    "rrf_fusion_topk",
+    oracle="""
+    WITH ra AS (
+      SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id)
+               AS rank
+      FROM (SELECT doc_id, n_chars FROM documents
+            ORDER BY n_chars DESC, doc_id LIMIT 100)
+    ), rb AS (
+      SELECT doc_id, row_number() OVER (ORDER BY n_tokens DESC, doc_id)
+               AS rank
+      FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+            ORDER BY len(string_split(text, ' ')) DESC, doc_id LIMIT 100)
+    ), f AS (
+      SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+             coalesce(1.0 / (60 + ra.rank), 0)
+               + coalesce(1.0 / (60 + rb.rank), 0) AS s
+      FROM ra FULL JOIN rb ON ra.doc_id = rb.doc_id
+    )
+    SELECT doc_id, round(s, 6) AS rrf_score
+    FROM f ORDER BY round(s, 6) DESC, doc_id LIMIT 20
+    """,
+)
+def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal Rank Fusion of two retrieval rankings (pipeline.
+    similarity.rrf_fuse; Cormack et al. 2009 — the hybrid-retrieval
+    combiner that merges a lexical and a dense candidate list without
+    score calibration).  Ranking A: documents by length; ranking B: by
+    token count — both top-100-truncated FIRST (TakeOrderedAndProject,
+    bounded priority queues), then ranked by a row_number whose input
+    is the bounded Limit (the plan-gate-legal un-partitioned window),
+    full-outer fused, and top-20 selected on the rounded fused score
+    with a doc_id tiebreaker.  Each RRF term is one double division of
+    exact integers summed left-to-right — the identical expression
+    tree DuckDB evaluates, so the fusion matches bit-for-bit.  At
+    scale the fused lists are per-query bounded (≤k each): the fusion
+    costs a broadcast-sized join regardless of corpus size."""
+    from spark_monotasks_spark.pipeline.similarity import rrf_fuse
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    top_a = (
+        docs.select("doc_id", "n_chars")
+        .orderBy(F.col("n_chars").desc(), "doc_id")
+        .limit(100)
+    )
+    ra = top_a.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("n_chars").desc(), "doc_id"))
+        .alias("rank"),
+    )
+    with_tok = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    top_b = with_tok.orderBy(F.col("n_tokens").desc(), "doc_id").limit(100)
+    rb = top_b.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("n_tokens").desc(), "doc_id"))
+        .alias("rank"),
+    )
+    fused = rrf_fuse([ra, rb], id_col="doc_id", k=60)
+    return fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(20)
+
+
+@register(
+    "benford_digit_audit",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+             count(*) AS n
+      FROM orders WHERE o_totalprice >= 1.0
+      GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS t FROM digits
+    )
+    SELECT digit, n, round(n / t, 6) AS obs_share,
+           CAST(CASE digit WHEN 1 THEN 0.301030 WHEN 2 THEN 0.176091
+                           WHEN 3 THEN 0.124939 WHEN 4 THEN 0.096910
+                           WHEN 5 THEN 0.079181 WHEN 6 THEN 0.066947
+                           WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153
+                           WHEN 9 THEN 0.045757 END AS DOUBLE)
+             AS benford_share,
+           round(abs(round(n / t, 6)
+                     - CAST(CASE digit
+                            WHEN 1 THEN 0.301030 WHEN 2 THEN 0.176091
+                            WHEN 3 THEN 0.124939 WHEN 4 THEN 0.096910
+                            WHEN 5 THEN 0.079181 WHEN 6 THEN 0.066947
+                            WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153
+                            WHEN 9 THEN 0.045757 END AS DOUBLE)), 6)
+             AS abs_dev
+    FROM digits, tot
+    """,
+)
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    fabricated-data / unit-mixup screen a data-quality layer runs on
+    monetary columns (synthetic uniform prices will FAIL Benford
+    loudly; the deviation column is the diagnostic, not a pass
+    threshold).  The first significant digit comes from exact integer
+    string arithmetic (floor → int64 → first char — no log10 on the
+    data path), expected shares are literal constants in BOTH dialects
+    (log10 ulps never cross engines), and the digit histogram is 9
+    rows — the totals cross join is a broadcast of an aggregate.  One
+    scan, one 9-group aggregate at any scale."""
+    t = _t(spark, sf_dir)
+    digits = (
+        t["orders"]
+        .filter(F.col("o_totalprice") >= 1.0)
+        .groupBy(
+            F.substring(
+                F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+            )
+            .cast("long")
+            .alias("digit")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = digits.agg(F.sum("n").alias("_t"))
+    benford = F.create_map(
+        *[
+            x
+            for d, s in [
+                (1, 0.301030), (2, 0.176091), (3, 0.124939),
+                (4, 0.096910), (5, 0.079181), (6, 0.066947),
+                (7, 0.057992), (8, 0.051153), (9, 0.045757),
+            ]
+            for x in (F.lit(d), F.lit(s))
+        ]
+    )
+    obs = F.round(F.col("n") / F.col("_t"), 6)
+    exp = F.element_at(benford, F.col("digit").cast("int"))
+    return digits.join(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        obs.alias("obs_share"),
+        exp.alias("benford_share"),
+        F.round(F.abs(obs - exp), 6).alias("abs_dev"),
+    )
+
+
+@register(
+    "image_ahash_neardup",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS id_a,
+           CAST(doc_id + 1 AS BIGINT) AS id_b,
+           CAST(0 AS INT) AS hamming
+    FROM documents WHERE doc_id % 2 = 0 AND doc_id < 400
+    """,
+)
+def image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection via perceptual hashing — the
+    multimodal counterpart of the MinHash/SimHash text dedup family
+    (pipeline.multimodal.image_ahash + ahash_near_duplicates): REAL
+    PNG encode → decode → exact-integer average-hash → 4-band LSH
+    self-join → popcount verify.  Ground truth is PLANTED (the
+    doc_redact playbook): ids 2k/2k+1 render the same seeded noise
+    image, the odd one byte-perturbed by an intensity-preserving ±1
+    channel swap, so every planted pair aHash-collides BY CONSTRUCTION
+    and the oracle states the pair list in closed form — a value match
+    proves the whole decode→hash→banding pipeline end-to-end.  At
+    100 TB only 8-byte hashes ever shuffle (pixels stay in their
+    partitions), and banding bounds the candidate volume exactly like
+    the text-side LSH."""
+    from spark_monotasks_spark.pipeline.multimodal import (
+        ahash_near_duplicates,
+        image_ahash,
+        noise_media_from_ids,
+    )
+
+    t = _t(spark, sf_dir)
+    ids = (
+        t["documents"]
+        .filter(F.col("doc_id") < 400)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    media = noise_media_from_ids(ids)
+    hashes = image_ahash(media)
+    pairs = ahash_near_duplicates(hashes, bands=4, max_hamming=0)
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )

@@ -1,0 +1,174 @@
+"""Property tests for the r8 analytics operators: each distributed
+decomposition is replayed by an independent pure-Python oracle on
+synthetic frames (the DuckDB parity sweep in test_oracle_parity.py
+covers the catalog entries; these tests pin the OPERATOR semantics on
+adversarial shapes — gaps, ties, singletons — the table data may not
+exercise)."""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+
+def _mkts(day: int, sec: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, day, 0, 0, 0) + dt.timedelta(seconds=sec)
+
+
+def test_sliding_distinct_equals_bruteforce(spark):
+    """Linear first-event-in-window decomposition == quadratic rescan,
+    on a shape with gaps (days with no events), repeat visitors, and a
+    user active every day."""
+    from spark_monotasks_spark.operators.timeseries import sliding_distinct
+
+    rows = []
+    # user 1: every day 1..20; user 2: days 1, 9, 10 (re-enters after
+    # falling out of the window); user 3: single day 5; user 4: days
+    # 15 and 16 only; two events same user+day must dedup
+    for d in range(1, 21):
+        rows.append((1, _mkts(d)))
+    for d in (1, 9, 10):
+        rows.append((2, _mkts(d)))
+        rows.append((2, _mkts(d, 60)))
+    rows.append((3, _mkts(5)))
+    for d in (15, 16):
+        rows.append((4, _mkts(d)))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+
+    got = {
+        r["day"]: r["n_keys"]
+        for r in sliding_distinct(df, "user_id", "ts", 7).collect()
+    }
+
+    days = defaultdict(set)
+    for u, ts in rows:
+        days[ts.date()].add(u)
+    all_days = sorted(days)
+    for d in all_days:
+        expect = set()
+        for back in range(7):
+            expect |= days.get(d - dt.timedelta(days=back), set())
+        assert got[d] == len(expect), (d, got[d], expect)
+    # no spurious window-end days beyond the data's max day
+    assert max(got) == max(all_days)
+
+
+def test_sliding_distinct_window_one_is_daily_distinct(spark):
+    from spark_monotasks_spark.operators.timeseries import sliding_distinct
+
+    rows = [(1, _mkts(1)), (2, _mkts(1)), (1, _mkts(3))]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        r["day"]: r["n_keys"]
+        for r in sliding_distinct(df, "user_id", "ts", 1).collect()
+    }
+    assert got == {dt.date(2024, 1, 1): 2, dt.date(2024, 1, 3): 1}
+
+
+def test_cusum_detect_matches_recurrence(spark):
+    """Closed prefix-sum form == the textbook max(0, S + y) recurrence,
+    including a regime shift that must push the statistic up."""
+    from spark_monotasks_spark.operators.timeseries import cusum_detect
+
+    values = [5, 6, 4, 5, 5, 12, 13, 11, 12, 3, 2, 5]
+    daily = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "t long, x long"
+    )
+    # allowance = exact mean as a rational: scale=len, target=sum
+    n, tot = len(values), sum(values)
+    out = {
+        r["t"]: r["cusum"]
+        for r in cusum_detect(daily, "t", "x", scale=n, target_num=tot).collect()
+    }
+    s = 0
+    for i, v in enumerate(values):
+        s = max(0, s + n * v - tot)
+        assert out[i] == s, (i, out[i], s)
+    # the shifted segment must actually raise an alarm-worthy excursion
+    assert max(out.values()) > 0
+
+
+def test_ewma_dyadic_matches_python_replay(spark):
+    from spark_monotasks_spark.operators.timeseries import ewma_dyadic
+
+    rows = [
+        (1, _mkts(1, i), i, float(v))
+        for i, v in enumerate([10.0, 20.0, 30.0, 40.0, 5.5, 1.25])
+    ] + [(2, _mkts(1), 99, 7.77)]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, eid long, v double")
+    got = {
+        (r["key"], r["tiebreak"]): (r["ewma_num"], r["ewma_den"], r["ewma"])
+        for r in ewma_dyadic(df, "k", "ts", "v", "eid", taps=4).collect()
+    }
+    series = defaultdict(list)
+    for k, ts, eid, v in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        series[k].append((eid, round(v * 100)))
+    for k, obs in series.items():
+        for i, (eid, _) in enumerate(obs):
+            num = den = 0
+            for j in range(4):
+                if i - j < 0:
+                    break
+                w = 1 << (3 - j)
+                num += obs[i - j][1] * w
+                den += w
+            expect = (num, den, round(num / den / 100.0, 4))
+            assert got[(k, eid)] == expect, (k, eid, got[(k, eid)], expect)
+
+
+def test_time_weighted_avg_matches_python_replay(spark):
+    from spark_monotasks_spark.operators.timeseries import time_weighted_avg
+
+    rows = [
+        (1, _mkts(1, 0), 1, 10.0),   # held 30s
+        (1, _mkts(1, 30), 2, 20.0),  # held 70s
+        (1, _mkts(1, 100), 3, 99.0),  # last: excluded
+        (2, _mkts(1, 0), 4, 5.0),    # singleton user: dropped entirely
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, eid long, v double")
+    got = {
+        r["key"]: (r["twap_num"], r["twap_den"], r["twap"])
+        for r in time_weighted_avg(df, "k", "ts", "v", "eid").collect()
+    }
+    num = 1000 * 30 + 2000 * 70
+    den = 100
+    assert got == {1: (num, den, round(num / den / 100.0, 4))}
+
+
+def test_rrf_fuse_matches_python_replay(spark):
+    from spark_monotasks_spark.pipeline.similarity import rrf_fuse
+
+    ra = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 3)], "doc_id long, rank long"
+    )
+    rb = spark.createDataFrame(
+        [(12, 1), (13, 2)], "doc_id long, rank long"
+    )
+    got = {
+        r["doc_id"]: r["rrf_score"]
+        for r in rrf_fuse([ra, rb], "doc_id", k=60).collect()
+    }
+    expect = {
+        10: round(1.0 / 61, 6),
+        11: round(1.0 / 62, 6),
+        12: round(1.0 / 63 + 1.0 / 61, 6),
+        13: round(1.0 / 62, 6),
+    }
+    assert got == expect
+
+
+def test_cusum_keeps_extra_columns_and_is_nonnegative(spark):
+    from spark_monotasks_spark.operators.timeseries import cusum_detect
+
+    daily = spark.createDataFrame(
+        [(0, 1, 7), (1, 100, 7), (2, 1, 7)], "t long, x long, extra long"
+    )
+    out = cusum_detect(
+        daily, "t", "x", scale=3, target_num=102, keep_cols=("extra",)
+    )
+    rows = out.collect()
+    assert set(out.columns) == {"t", "x", "extra", "cusum"}
+    assert all(r["cusum"] >= 0 for r in rows)
+    assert all(r["extra"] == 7 for r in rows)

@@ -666,6 +666,13 @@ def test_no_hidden_cartesians_across_catalog(spark):
         # bootstrap CI: the overall-mean 1-row aggregate crossJoins the
         # 1-row CI aggregate — two scalars
         "bootstrap_mean_ci",
+        # r8: CUSUM crossJoins the 1-row (total, days) aggregate onto
+        # the daily relation; the rolling distinct broadcasts the 1-row
+        # max-day bound; Benford broadcasts the 1-row digit total —
+        # all scalar broadcast sides, never O(n^2)
+        "cusum_changepoint",
+        "sliding_distinct_users",
+        "benford_digit_audit",
     }
     offenders = {}
     for name, fn in QUERY_REGISTRY.items():
@@ -702,6 +709,7 @@ def test_no_row_python_udfs_across_catalog(spark):
         "embedding_normalize_arrow",  # mapInArrow zero-copy demo
         "udaf_weighted_mean",     # pandas grouped-agg UDAF parity demo
         "cogroup_collect",        # pandas cogroup path where exercised
+        "image_ahash_neardup",    # PNG encode + decode + aHash (codec)
     }
     arrow_markers = (
         "ArrowEvalPython", "MapInPandas", "PythonMapInArrow", "MapInArrow",

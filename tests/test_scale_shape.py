@@ -99,6 +99,18 @@ LINEAR = [
     ("exact_quantiles_prefix", 8.0, "O(n) prefix sum + bounded crossJoin"),
     ("quantile_normalize_scores", 8.0, "O(n) windows + bucketed range join"),
     ("bootstrap_mean_ci", 8.0, "O(32n) explode + one aggregate"),
+    # r8: CUSUM's cumulative windows see one row per DAY (bounded
+    # aggregate), so the whole query is the daily groupBy; the rolling
+    # distinct expands each (user, day) into <=7 checked contributions;
+    # EWMA/TWAP are one keyed window each; diversity is one gram
+    # explode; Benford is a 9-group aggregate
+    ("cusum_changepoint", 8.0, "O(n) daily agg + bounded-day windows"),
+    ("sliding_distinct_users", 8.0, "O(n) dedup + <=7x bounded explode"),
+    ("ewma_dyadic_smooth", 8.0, "O(n) one keyed window, 8 lags"),
+    ("twap_event_value", 8.0, "O(n) one keyed window + grouped sum"),
+    ("ngram_diversity_by_source", 8.0, "O(grams) explode + distinct agg"),
+    ("benford_digit_audit", 8.0, "O(n) scan + 9-group agg"),
+    ("rrf_fusion_topk", 8.0, "O(n) two TakeOrdered scans + bounded fusion"),
 ]
 
 #: super-linear entries: bounded above by documented exponents, still
