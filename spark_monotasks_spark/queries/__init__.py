@@ -104,7 +104,10 @@ _PRIORITY = (
     # family in-window)
     # (events_sessionize rotated just outside in r6 late batch — the
     # sessionization family stays in-window via session_window_sql)
-    "window_topn_per_group",
+    # (window_topn_per_group rotated just outside in r8 — per-key
+    # windows stay in-window via session_window_sql/funnel_conversion
+    # and the r8 rolling-distinct entry below)
+    "sliding_distinct_users",
     # r3-new families rotated INTO the window in r4 so the external
     # gate exercises the newest operator surfaces: SQL session_window
     # (gap-sessionization in the parser path), funnel analytics over
@@ -119,7 +122,10 @@ _PRIORITY = (
     # outside in r7 — the stats/profiling family stays in-window via
     # data_profile_constraints, scans via scan_filter_project +
     # orc_partitioned_roundtrip)
-    "timeseries_gapfill",
+    # (timeseries_gapfill rotated just outside in r8 — the time-series
+    # family is now gated through the stronger r8 pair: CUSUM
+    # changepoint detection and the integer-exact TWAP)
+    "cusum_changepoint", "twap_event_value",
     # df utilities / scripts / UDTF (§2.9, §2.11)
     # (na_fill_drop rotated just outside in r6 late batch — null
     # handling stays in-window via predicate_ops/cast_matrix;
@@ -130,16 +136,18 @@ _PRIORITY = (
     # (graph_connected_components rotated just outside in r7 — the CC
     # engine stays in-window via entity_resolution_cluster's star-CC
     # closure, and streaming gains stream_interval_join below)
-    "stream_hourly_window",
+    # (stream_hourly_window rotated just outside in r8 — streaming
+    # stays in-window via stream_dedup_keys + stream_interval_join)
     # SQL parser path + Hive INSERT path (§3.1, §2.1 row 12 — closed
     # r3; sql_cached_table rotated just outside in r6 — the cached-scan
     # family stays oracle-green locally, lateral_view + insert_overwrite
     # keep the parser/Hive paths in-window)
     "sql_lateral_view", "sql_insert_overwrite_partitioned",
     # multimodal decode (beyond-reference; upgraded r3 from the header
-    # probe entry media_meta_extract — just outside — to the full
-    # pixel-level decode proof)
-    "image_pixel_stats",
+    # probe to pixel-level decode, and again in r8 from per-image stats
+    # (image_pixel_stats, just outside) to the full decode -> aHash ->
+    # LSH-banding near-dup pipeline with planted closed-form truth)
+    "image_ahash_neardup",
     # LLM-data-pipeline operators (bpe/doc_fingerprint/ngram_jaccard just
     # outside; token_stats + dedup + ann + packing + decontamination
     # represent the pipeline families)
