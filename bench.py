@@ -186,6 +186,11 @@ HEADLINE = [
     "sliding_distinct_users",
     "ngram_diversity_by_source",
     "image_ahash_neardup",
+    # r8 (second batch): greedy k-center coreset (k chained argmax
+    # scans — the multi-round selection shape) and conjunctive search
+    # (pruned posting-list intersection)
+    "kcenter_coreset",
+    "conjunctive_search",
 ]
 
 

@@ -315,3 +315,62 @@ def cusum_detect(
             - F.least(F.lit(0).cast("long"), F.min("_p").over(wp))
         ).alias("cusum"),
     )
+
+
+def debounce(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    order_tiebreak: str,
+    min_gap_seconds: int,
+) -> DataFrame:
+    """Debounce an event stream — the telemetry/clickstream noise
+    filter (double-clicks, sensor chatter) every event pipeline runs
+    before sessionization.
+
+    Semantics: WINDOWED debounce — per (key, tumbling window of
+    ``min_gap_seconds``), keep the earliest event (deterministic
+    tiebreak).  The strict anchored form ("keep iff >= gap since the
+    last KEPT event") is an inherently sequential recurrence — each
+    decision depends on the previous one — with no bounded-window
+    decomposition; the tumbling form is the standard scale
+    approximation (metrics pre-aggregation systems ship exactly this)
+    with crisp guarantees: a burst narrower than ``min_gap_seconds``
+    contributes at most 2 survivors (window straddle), and survivors
+    within a window are unique.  One shuffle on (key, window), one
+    rank filter, engine-reproducible.
+
+    Output: the surviving rows of ``df`` (all original columns).
+    """
+    sec = F.col(ts_col).cast("timestamp").cast("long")
+    bucket = (sec / min_gap_seconds).cast("long")
+    w = Window.partitionBy(key_col, bucket).orderBy(ts_col, order_tiebreak)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def rate_limit(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    order_tiebreak: str,
+    window_seconds: int,
+    max_per_window: int,
+) -> DataFrame:
+    """Throttle an event stream: per key and tumbling window, keep at
+    most ``max_per_window`` earliest events (deterministic tiebreak) —
+    the ingestion-side fairness cap that stops one hot key from
+    flooding a 100 TB event pipeline.  One shuffle on (key, window);
+    the rank filter is Catalyst's LimitPushDownThroughWindow shape
+    (bounded before the window output materializes)."""
+    sec = F.col(ts_col).cast("timestamp").cast("long")
+    bucket = (sec / window_seconds).cast("long")
+    w = Window.partitionBy(key_col, bucket).orderBy(ts_col, order_tiebreak)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_per_window)
+        .drop("_rn")
+    )

@@ -673,3 +673,90 @@ def rrf_fuse(
     return fused.select(
         id_col, F.round(score, round_to).alias("rrf_score")
     )
+
+
+def sqdist(a: Column, b: Column) -> Column:
+    """Σ (aᵢ-bᵢ)² via zip_with + aggregate — sub/mul/add in fixed
+    left-to-right order on doubles, so the squared Euclidean distance
+    is bit-identical cross-engine (the spatial-entry portability rule:
+    no sqrt needed for comparisons, none taken)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def kcenter_select(
+    embeddings: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Greedy k-center selection (farthest-point traversal, Gonzalez
+    1985) — the classic 2-approximation coreset/diversity selector a
+    training-data pipeline uses to pick maximally-spread exemplars
+    (seed dedup centroids, eval probes, diverse few-shot pools).
+
+    Fully distributed, no driver-side vectors: the seed is the min-id
+    row (deterministic); each round computes every vector's squared
+    distance to its NEAREST selected center as a running `least` column
+    (one broadcast of the 1-row newest center per round — never the
+    whole selected set), and the next center is the argmax via
+    TakeOrderedAndProject with an id tiebreak.  k is small by use-case,
+    so the k chained scans are the whole cost: O(k·n) distance
+    evaluations, exactly the serial algorithm's work, zero shuffles
+    beyond the k 1-row limits.
+
+    Exactness: squared distances fold in fixed order (``sqdist``), so
+    argmax choices and radii reproduce bit-for-bit on any engine —
+    which is how the catalog entry's DuckDB oracle replays the greedy
+    rounds as unrolled CTE stages.
+
+    Output: (sel_round, id, radius) — radius is the chosen point's
+    distance² to the previously-selected set (0.0 for the seed),
+    rounded; it is the standard k-center coverage-radius curve.
+    """
+    base = embeddings.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    )
+    seed = base.orderBy("_id").limit(1)
+    picked = [
+        seed.select(
+            F.lit(0).alias("sel_round"),
+            F.col("_id").alias(id_col),
+            F.lit(0.0).alias("radius"),
+        )
+    ]
+    state = base.crossJoin(
+        F.broadcast(seed.select(F.col("_v").alias("_c")))
+    ).select("_id", "_v", sqdist(F.col("_v"), F.col("_c")).alias("_md"))
+    for r in range(1, k):
+        far = state.orderBy(F.col("_md").desc(), "_id").limit(1)
+        picked.append(
+            far.select(
+                F.lit(r).alias("sel_round"),
+                F.col("_id").alias(id_col),
+                F.round(F.col("_md"), round_to).alias("radius"),
+            )
+        )
+        if r < k - 1:
+            state = state.crossJoin(
+                F.broadcast(far.select(F.col("_v").alias("_c")))
+            ).select(
+                "_id",
+                "_v",
+                F.least(
+                    F.col("_md"), sqdist(F.col("_v"), F.col("_c"))
+                ).alias("_md"),
+            )
+    out = picked[0]
+    for p in picked[1:]:
+        out = out.unionByName(p)
+    return out

@@ -518,3 +518,284 @@ def image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-stream hygiene / product analytics (r8 second batch)
+# ---------------------------------------------------------------------------
+
+@register(
+    "event_debounce",
+    oracle="""
+    WITH b AS (
+      SELECT event_id, user_id, ts,
+             CAST(floor(epoch(ts)) AS BIGINT) // 600 AS w
+      FROM events
+    ), r AS (
+      SELECT event_id, user_id,
+             row_number() OVER (
+               PARTITION BY user_id, w ORDER BY ts, event_id
+             ) AS rn
+      FROM b
+    )
+    SELECT event_id, user_id FROM r WHERE rn = 1
+    """,
+)
+def event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed event debouncing (operators.timeseries.debounce) — the
+    clickstream/telemetry chatter filter: per user and 10-minute
+    tumbling window keep only the earliest event, so double-fires and
+    sensor bursts collapse before sessionization.  One shuffle on
+    (user, window), one rank filter (Catalyst bounds it via
+    LimitPushDownThroughWindow); the strict anchored recurrence is
+    inherently sequential, the tumbling form is what production
+    metrics systems ship (at-most-2-per-burst guarantee documented on
+    the operator)."""
+    from spark_monotasks_spark.operators.timeseries import debounce
+
+    t = _t(spark, sf_dir)
+    kept = debounce(t["events"], "user_id", "ts", "event_id",
+                    min_gap_seconds=600)
+    return kept.select("event_id", "user_id")
+
+
+@register(
+    "event_rate_limit",
+    oracle="""
+    WITH b AS (
+      SELECT event_id, user_id, event_type, ts,
+             CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS w
+      FROM events
+    ), r AS (
+      SELECT event_id, user_id, event_type,
+             row_number() OVER (
+               PARTITION BY user_id, w ORDER BY ts, event_id
+             ) AS rn
+      FROM b
+    )
+    SELECT event_id, user_id, event_type FROM r WHERE rn <= 2
+    """,
+)
+def event_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key rate limiting (operators.timeseries.rate_limit): at most
+    2 events per user per hour survive (earliest-first, deterministic
+    tiebreak) — the ingestion fairness cap that stops one hot key from
+    flooding a 100 TB event pipeline.  Same one-shuffle rank shape as
+    the debounce entry with a k-per-window filter."""
+    from spark_monotasks_spark.operators.timeseries import rate_limit
+
+    t = _t(spark, sf_dir)
+    kept = rate_limit(t["events"], "user_id", "ts", "event_id",
+                      window_seconds=3600, max_per_window=2)
+    return kept.select("event_id", "user_id", "event_type")
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH nxt AS (
+      SELECT event_type AS cur_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    ), pairs AS (
+      SELECT cur_type, next_type, count(*) AS n
+      FROM nxt WHERE next_type IS NOT NULL
+      GROUP BY cur_type, next_type
+    )
+    SELECT cur_type, next_type, CAST(n AS BIGINT) AS n,
+           round(n / sum(n) OVER (PARTITION BY cur_type), 6) AS p
+    FROM pairs
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — P(next event type | current), the product-analytics
+    staple behind flow diagrams and next-action models (also the
+    co-click graph builder's sequential cousin).  One exchange on
+    user_id for the lead window; the pair counts collapse to the
+    |types|² matrix, and the row-normalizing window runs on that
+    BOUNDED aggregate (25 rows here) — gate-legal and free at any
+    corpus scale."""
+    t = _t(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = t["events"].select(
+        F.col("event_type").alias("cur_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    pairs = (
+        nxt.filter(F.col("next_type").isNotNull())
+        .groupBy("cur_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wrow = Window.partitionBy("cur_type")
+    return pairs.select(
+        "cur_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wrow), 6).alias("p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval completeness: conjunctive + positional phrase search
+# ---------------------------------------------------------------------------
+
+@register(
+    "conjunctive_search",
+    oracle="""
+    WITH posting AS (
+      SELECT doc_id, w, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+      WHERE w IN ('join', 'hash', 'scan')
+      GROUP BY doc_id, w
+    )
+    SELECT doc_id,
+           CAST(sum(tf) AS BIGINT) AS total_tf
+    FROM posting
+    GROUP BY doc_id
+    HAVING count(*) = 3
+    """,
+)
+def conjunctive_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (AND) multi-term search via posting-list
+    intersection — the boolean-retrieval core the BM25/TF-IDF entries
+    rank on top of: docs containing ALL of {join, hash, scan}.  The
+    posting build is one explode + one (doc, term) count; the
+    intersection is a count-of-matched-terms HAVING — no join chain,
+    no per-term scan.  At 100 TB the filter prunes the exploded stream
+    to query terms BEFORE any shuffle (predicate on the generator
+    output), so shuffled volume is bounded by matching postings, not
+    corpus tokens."""
+    t = _t(spark, sf_dir)
+    terms = ["join", "hash", "scan"]
+    posting = (
+        t["documents"]
+        .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w").isin(terms))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        posting.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("_nt"),
+            F.sum("tf").alias("total_tf"),
+        )
+        .filter(F.col("_nt") == len(terms))
+        .select("doc_id", "total_tf")
+    )
+
+
+@register(
+    "phrase_search_positional",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS w,
+             unnest(range(len(string_split(text, ' ')))) AS pos
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_hits
+    FROM (SELECT doc_id, pos FROM p WHERE w = 'table') a
+    JOIN (SELECT doc_id, pos FROM p WHERE w = 'hash') b
+      ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    GROUP BY a.doc_id
+    """,
+)
+def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search ("table hash") on a POSITIONAL inverted
+    index — the adjacency join over (term, doc, position) postings
+    that separates a search engine from a bag-of-words ranker.  Each
+    side of the join is the pruned posting list of ONE term (filter
+    pushed below the position explode), and the adjacency test is a
+    pure equi-join on (doc_id, pos+1) — hash join, no inequality scan.
+    At scale posting lists are term-bounded, so the join cost follows
+    query-term frequency, never corpus size."""
+    t = _t(spark, sf_dir)
+    pos = t["documents"].select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "w"),
+    )
+    a = pos.filter(F.col("w") == "table").select(
+        "doc_id", (F.col("pos") + 1).alias("_next")
+    )
+    b = pos.filter(F.col("w") == "hash").select("doc_id", "pos")
+    return (
+        a.join(b, on=[a["doc_id"] == b["doc_id"], a["_next"] == b["pos"]])
+        .groupBy(a["doc_id"].alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Coreset / diversity selection
+# ---------------------------------------------------------------------------
+
+def _sqdist_sql(a: str, b: str) -> str:
+    """DuckDB replica of similarity.sqdist: Σ (aᵢ-bᵢ)² with per-element
+    DOUBLE casts and list_sum's left-to-right fold — the same fixed
+    evaluation order as the Spark zip_with/aggregate pair, so the
+    distance is bit-identical cross-engine."""
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        f"p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) "
+        f"* (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+    )
+
+
+def _kcenter_oracle(k: int = 4) -> str:
+    """Unrolled greedy k-center rounds as CTE stages (the BPE
+    list_reduce playbook): stage s_r picks the argmax-distance row of
+    d_{r-1}, stage d_r folds the new center into the running least."""
+    parts = [
+        "WITH e AS (SELECT vec_id, embedding FROM embeddings)",
+        ", s0 AS (SELECT vec_id AS cid, embedding AS cvec FROM e"
+        " ORDER BY vec_id LIMIT 1)",
+        f", d0 AS (SELECT e.vec_id, e.embedding,"
+        f" {_sqdist_sql('e.embedding', 's0.cvec')} AS md FROM e, s0)",
+    ]
+    for r in range(1, k):
+        prev = f"d{r - 1}"
+        parts.append(
+            f", s{r} AS (SELECT vec_id AS cid, embedding AS cvec, md"
+            f" FROM {prev} ORDER BY md DESC, vec_id LIMIT 1)"
+        )
+        if r < k - 1:
+            parts.append(
+                f", d{r} AS (SELECT {prev}.vec_id, {prev}.embedding,"
+                f" least({prev}.md,"
+                f" {_sqdist_sql(prev + '.embedding', f's{r}.cvec')}) AS md"
+                f" FROM {prev}, s{r})"
+            )
+    selects = [
+        "SELECT 0 AS sel_round, cid AS vec_id,"
+        " CAST(0.0 AS DOUBLE) AS radius FROM s0"
+    ]
+    for r in range(1, k):
+        selects.append(
+            f"SELECT {r}, cid, round(md, 4) FROM s{r}"
+        )
+    return "".join(parts) + " " + " UNION ALL ".join(selects)
+
+
+@register("kcenter_coreset", oracle=_kcenter_oracle(4))
+def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection over the embeddings table
+    (pipeline.similarity.kcenter_select; Gonzalez 1985 farthest-point
+    traversal, the 2-approximation diversity selector) — the
+    data-selection operator that picks maximally-spread exemplars for
+    eval probes / few-shot pools / dedup seeds.  Fully distributed: the
+    running nearest-selected-center distance is a `least` column, each
+    round broadcasts ONLY the 1-row newest center and takes the argmax
+    via TakeOrderedAndProject — O(k·n) distance evaluations, the serial
+    algorithm's exact work.  Fixed-order double folds (sqdist) make
+    every argmax choice and radius bit-reproducible, so the oracle
+    replays the greedy rounds as unrolled CTE stages — the same
+    playbook that oracle-backed the BPE merge learning."""
+    from spark_monotasks_spark.pipeline.similarity import kcenter_select
+
+    t = _t(spark, sf_dir)
+    return kcenter_select(t["embeddings"], k=4)

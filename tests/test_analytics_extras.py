@@ -172,3 +172,80 @@ def test_cusum_keeps_extra_columns_and_is_nonnegative(spark):
     assert set(out.columns) == {"t", "x", "extra", "cusum"}
     assert all(r["cusum"] >= 0 for r in rows)
     assert all(r["extra"] == 7 for r in rows)
+
+
+def test_debounce_burst_guarantee(spark):
+    """A burst narrower than the gap yields at most 2 survivors; widely
+    spaced events all survive; survivors are the window-earliest."""
+    from spark_monotasks_spark.operators.timeseries import debounce
+
+    rows = (
+        # burst: 5 events within 60s (gap 600) — at most 2 survive
+        [(1, _mkts(1, 100 + i), i, "x") for i in range(5)]
+        # spaced: every 2000s — all survive
+        + [(2, _mkts(1, i * 2000), 100 + i, "x") for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, "k long, ts timestamp, eid long, v string")
+    kept = debounce(df, "k", "ts", "eid", min_gap_seconds=600).collect()
+    by_key = defaultdict(list)
+    for r in kept:
+        by_key[r["k"]].append(r["eid"])
+    assert len(by_key[1]) <= 2 and 0 in by_key[1]
+    assert sorted(by_key[2]) == [100, 101, 102, 103]
+
+
+def test_rate_limit_cap_and_order(spark):
+    from spark_monotasks_spark.operators.timeseries import rate_limit
+
+    rows = [(1, _mkts(1, i), i, "x") for i in range(10)]  # one window
+    df = spark.createDataFrame(rows, "k long, ts timestamp, eid long, v string")
+    kept = rate_limit(df, "k", "ts", "eid", window_seconds=3600,
+                      max_per_window=3).collect()
+    assert sorted(r["eid"] for r in kept) == [0, 1, 2]
+
+
+def test_kcenter_matches_python_greedy(spark):
+    """Distributed farthest-point traversal == the serial greedy on a
+    planted 2-D layout with an unambiguous selection order."""
+    from spark_monotasks_spark.pipeline.similarity import kcenter_select
+
+    pts = {10: [0.0, 0.0], 11: [0.25, 0.0], 12: [8.0, 0.0],
+           13: [0.0, 6.0], 14: [8.0, 6.0], 15: [4.0, 3.0]}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in pts.items()], "vec_id long, embedding array<float>"
+    )
+    got = {r["sel_round"]: (r["vec_id"], r["radius"])
+           for r in kcenter_select(df, k=4).collect()}
+
+    def sq(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    sel = [min(pts)]  # seed = min id
+    radii = {0: 0.0}
+    for r in range(1, 4):
+        best = max(
+            ((min(sq(pts[i], pts[c]) for c in sel), -i), i)
+            for i in pts if i not in sel
+        )
+        # max by (distance, -id) implements the min-id tiebreak
+        d, i = best[0][0], best[1]
+        sel.append(i)
+        radii[r] = round(d, 4)
+    for r in range(4):
+        assert got[r] == (sel[r], radii[r]), (r, got[r], (sel[r], radii[r]))
+
+
+def test_kcenter_covers_all_points_within_last_radius(spark):
+    """k-center invariant: after k rounds every point's distance to the
+    selected set is <= the last chosen radius (greedy monotonicity)."""
+    from spark_monotasks_spark.pipeline.similarity import kcenter_select
+    from spark_monotasks_spark.tables import load_tables
+    from tests.conftest import SF_TEST_DIR
+
+    emb = load_tables(spark, SF_TEST_DIR)["embeddings"]
+    rows = kcenter_select(emb, k=4).collect()
+    radii = [r["radius"] for r in sorted(rows, key=lambda r: r["sel_round"])]
+    assert radii[0] == 0.0
+    # radii non-increasing after round 1 (greedy picks the farthest
+    # first); equality allowed on degenerate layouts
+    assert all(radii[i] >= radii[i + 1] for i in range(1, len(radii) - 1))

@@ -673,6 +673,9 @@ def test_no_hidden_cartesians_across_catalog(spark):
         "cusum_changepoint",
         "sliding_distinct_users",
         "benford_digit_audit",
+        # k-center: each greedy round crossJoins the 1-row newest
+        # center (broadcast scalar) — k bounded rounds, never O(n^2)
+        "kcenter_coreset",
     }
     offenders = {}
     for name, fn in QUERY_REGISTRY.items():

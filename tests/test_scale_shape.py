@@ -111,6 +111,16 @@ LINEAR = [
     ("ngram_diversity_by_source", 8.0, "O(grams) explode + distinct agg"),
     ("benford_digit_audit", 8.0, "O(n) scan + 9-group agg"),
     ("rrf_fusion_topk", 8.0, "O(n) two TakeOrdered scans + bounded fusion"),
+    # r8 second batch: debounce/rate-limit are one-shuffle rank filters;
+    # the transition matrix is one keyed window collapsing to |types|^2;
+    # both search entries prune postings to the query terms before any
+    # shuffle; k-center is k bounded scans with 1-row broadcasts
+    ("event_debounce", 8.0, "O(n) one (key,window) rank shuffle"),
+    ("event_rate_limit", 8.0, "O(n) one (key,window) rank shuffle"),
+    ("event_transition_matrix", 8.0, "O(n) keyed window + bounded matrix"),
+    ("conjunctive_search", 8.0, "O(tokens) pruned posting intersection"),
+    ("phrase_search_positional", 8.0, "O(postings) adjacency equi-join"),
+    ("kcenter_coreset", 8.0, "O(k*n) chained scans, 1-row broadcasts"),
 ]
 
 #: super-linear entries: bounded above by documented exponents, still
