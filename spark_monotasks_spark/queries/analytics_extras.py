@@ -799,3 +799,227 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = _t(spark, sf_dir)
     return kcenter_select(t["embeddings"], k=4)
+
+
+# ---------------------------------------------------------------------------
+# Forecast-quality monitoring / keyword extraction / bounded funnel
+# ---------------------------------------------------------------------------
+
+@register(
+    "seasonal_naive_mase",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderpriority AS priority,
+             CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             count(*) AS n
+      FROM orders GROUP BY 1, 2
+    ), lagd AS (
+      SELECT priority, n,
+             lag(n, 7) OVER w AS l7,
+             lag(n, 1) OVER w AS l1
+      FROM daily WINDOW w AS (PARTITION BY priority ORDER BY day)
+    )
+    SELECT priority,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(abs(n - l7)) AS BIGINT) AS err_seasonal,
+           CAST(sum(abs(n - l1)) AS BIGINT) AS err_naive,
+           round(sum(abs(n - l7)) / sum(abs(n - l1)), 6) AS mase
+    FROM lagd WHERE l7 IS NOT NULL AND l1 IS NOT NULL
+    GROUP BY priority
+    """,
+)
+def seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast error (MASE denominator/numerator pair,
+    Hyndman & Koehler 2006) per order priority — the forecast-quality
+    baseline every volume-monitoring pipeline publishes: how much
+    better is 'same as 7 observations ago' than 'same as yesterday'?
+    MASE < 1 means weekly seasonality carries real signal.  Lags are
+    ROW-lagged over each priority's observed daily series (documented:
+    series index, not calendar offset — identical semantics in both
+    engines).  All errors are exact integer counts; the ratio is one
+    double division.  The lag window runs on the bounded (priority,
+    day) aggregate — at 100 TB this whole query is the daily groupBy."""
+    t = _t(spark, sf_dir)
+    daily = (
+        t["orders"]
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("priority").orderBy("day")
+    lagd = daily.select(
+        "priority",
+        "n",
+        F.lag("n", 7).over(w).alias("l7"),
+        F.lag("n", 1).over(w).alias("l1"),
+    ).filter(F.col("l7").isNotNull() & F.col("l1").isNotNull())
+    err_s = F.sum(F.abs(F.col("n") - F.col("l7")))
+    err_n = F.sum(F.abs(F.col("n") - F.col("l1")))
+    return lagd.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        err_s.alias("err_seasonal"),
+        err_n.alias("err_naive"),
+        F.round(err_s / err_n, 6).alias("mase"),
+    )
+
+
+@register(
+    "doc_keywords_topk",
+    oracle="""
+    WITH posting AS (
+      SELECT doc_id, w, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+      GROUP BY doc_id, w
+    ), dfreq AS (
+      SELECT w, count(*) AS df FROM posting GROUP BY w
+    ), n AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+    ), scored AS (
+      SELECT p.doc_id, p.w, p.tf, d.df,
+             row_number() OVER (
+               PARTITION BY p.doc_id
+               ORDER BY (p.tf * n.n_docs / d.df) DESC, p.w
+             ) AS rank,
+             round(p.tf * n.n_docs / d.df, 6) AS score
+      FROM posting p JOIN dfreq d USING (w), n
+    )
+    SELECT doc_id, rank, w AS keyword, CAST(tf AS BIGINT) AS tf,
+           CAST(df AS BIGINT) AS df, score
+    FROM scored WHERE rank <= 3
+    """,
+)
+def doc_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 keyword extraction by rarity-weighted term
+    frequency (score = tf·N/df — monotone in tf-idf with the portable
+    exact rational replacing the engine-varying log; the per-doc
+    summarization op a corpus browser/labeling UI runs).  One explode
+    builds the (doc, term, tf) posting; document frequencies aggregate
+    the posting itself (no second corpus pass); N broadcasts as a
+    1-row aggregate; the top-3 filter is a per-doc rank window over the
+    posting aggregate — every shuffle keyed on doc or term, nothing
+    corpus-quadratic.  Scores are one double division of exact ints —
+    bit-identical rank order cross-engine (w tiebreak)."""
+    t = _t(spark, sf_dir)
+    posting = (
+        t["documents"]
+        .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = posting.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    n = t["documents"].agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        posting.join(dfreq, on="w")
+        .join(F.broadcast(n))
+        .withColumn(
+            "_s", F.col("tf") * F.col("n_docs") / F.col("df")
+        )
+    )
+    wnd = Window.partitionBy("doc_id").orderBy(F.col("_s").desc(), "w")
+    return (
+        scored.withColumn("rank", F.row_number().over(wnd))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            "rank",
+            F.col("w").alias("keyword"),
+            "tf",
+            "df",
+            F.round(F.col("_s"), 6).alias("score"),
+        )
+    )
+
+
+@register(
+    "funnel_time_bound",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      FROM events
+    ), v AS (
+      SELECT user_id, min(sec) AS v FROM e
+      WHERE event_type = 'view' GROUP BY 1
+    ), c AS (
+      SELECT v.user_id, min(e.sec) AS c
+      FROM v JOIN e ON e.user_id = v.user_id
+        AND e.event_type = 'click'
+        AND e.sec > v.v AND e.sec <= v.v + 86400
+      GROUP BY 1
+    ), p AS (
+      SELECT c.user_id, min(e.sec) AS p
+      FROM c JOIN e ON e.user_id = c.user_id
+        AND e.event_type = 'purchase'
+        AND e.sec > c.c AND e.sec <= c.c + 86400
+      GROUP BY 1
+    )
+    SELECT 'view' AS stage, CAST((SELECT count(*) FROM v) AS BIGINT)
+             AS n_users
+    UNION ALL
+    SELECT 'click_24h', CAST((SELECT count(*) FROM c) AS BIGINT)
+    UNION ALL
+    SELECT 'purchase_24h', CAST((SELECT count(*) FROM p) AS BIGINT)
+    """,
+)
+def funnel_time_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution-bounded conversion funnel — first view → first click
+    within 24h of it → first purchase within 24h of THAT click (the
+    deadline variant of funnel_conversion: real attribution models
+    expire, unbounded funnels overcount).  Each stage is one
+    conditional-min aggregate keyed on user joined back with an equi
+    key + range predicates (hash join with residual filter, never a
+    nested loop); stage relations shrink monotonically, so at 100 TB
+    the expensive side is only ever the first view scan."""
+    t = _t(spark, sf_dir)
+    e = t["events"].select(
+        "user_id",
+        "event_type",
+        F.col("ts").cast("timestamp").cast("long").alias("sec"),
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("v"))
+    )
+    c = (
+        v.join(
+            e.filter(F.col("event_type") == "click").alias("e"),
+            on=[
+                v["user_id"] == F.col("e.user_id"),
+                F.col("e.sec") > v["v"],
+                F.col("e.sec") <= v["v"] + 86400,
+            ],
+        )
+        .groupBy(v["user_id"].alias("user_id"))
+        .agg(F.min("e.sec").alias("c"))
+    )
+    p = (
+        c.join(
+            e.filter(F.col("event_type") == "purchase").alias("e2"),
+            on=[
+                c["user_id"] == F.col("e2.user_id"),
+                F.col("e2.sec") > c["c"],
+                F.col("e2.sec") <= c["c"] + 86400,
+            ],
+        )
+        .groupBy(c["user_id"].alias("user_id"))
+        .agg(F.min("e2.sec").alias("p"))
+    )
+    out = (
+        v.agg(F.count(F.lit(1)).alias("n_users"))
+        .select(F.lit("view").alias("stage"), "n_users")
+        .unionByName(
+            c.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit("click_24h").alias("stage"), "n_users"
+            )
+        )
+        .unionByName(
+            p.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit("purchase_24h").alias("stage"), "n_users"
+            )
+        )
+    )
+    return out

