@@ -203,3 +203,67 @@ def running_total(
             for i, (v, t) in enumerate(zip(value_cols, total_cols))
         ],
     )
+
+
+def running_max(
+    df: DataFrame,
+    value_col: str | Column,
+    order_cols: Sequence[str | Column],
+    total_col: str = "running_max",
+    exclusive: bool = False,
+) -> DataFrame:
+    """Distributed GLOBAL running maximum — ``max(value) OVER (ORDER BY
+    order_cols ROWS UNBOUNDED PRECEDING [AND -1])`` without the
+    one-task un-partitioned window.  Same two-pass decomposition as
+    :func:`running_total` (max is associative, so per-partition maxima
+    compose through the bounded offset window exactly like sums):
+
+    1. range-repartition + sort on the order keys (the one exchange);
+    2. per-partition max collapses map-side to ≤ num_partitions rows;
+       the EXCLUSIVE cumulative max over those rows (strictly earlier
+       partitions) is the bounded-aggregate window the plan gate
+       permits;
+    3. offsets broadcast back; ``greatest`` of the partition offset and
+       the within-partition prefix max.
+
+    ``exclusive=True`` returns the STRICT-prefix max (the value of all
+    earlier rows only — NULL for the global first row), the form a
+    skyline/Pareto scan needs.  Ties in ``order_cols`` follow
+    row_number semantics — pass a unique tiebreaker.
+    """
+    spark = df.sparkSession
+    try:
+        n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n = spark.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, *order_cols).sortWithinPartitions(
+        *order_cols
+    )
+    # pinned for the same two-job layout-divergence reason as
+    # zip_with_index: offsets derived from one sampled range layout
+    # must be applied to THAT layout
+    pos = _with_partition_position(ranged).localCheckpoint(eager=False)
+    vc = F.col(value_col) if isinstance(value_col, str) else value_col
+    maxes = pos.groupBy("_pid").agg(F.max(vc).alias("_pmax"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = maxes.select(
+        "_pid", F.max("_pmax").over(w_off).alias("_off")
+    )
+    end = -1 if exclusive else 0
+    wloc = (
+        Window.partitionBy("_pid")
+        .orderBy("_lrank")
+        .rowsBetween(Window.unboundedPreceding, end)
+    )
+    out_cols = [c for c in df.columns]
+    joined = pos.join(F.broadcast(offsets), on="_pid")
+    local_max = F.max(vc).over(wloc)
+    combined = (
+        F.when(
+            F.col("_off").isNull() & local_max.isNull(), F.lit(None)
+        )
+        .when(F.col("_off").isNull(), local_max)
+        .when(local_max.isNull(), F.col("_off"))
+        .otherwise(F.greatest(F.col("_off"), local_max))
+    )
+    return joined.select(*out_cols, combined.alias(total_col))

@@ -180,3 +180,90 @@ def skew_report(
         .orderBy(F.col("n").desc(), *key_cols)
         .limit(top_n)
     )
+
+
+def mad_outlier_screen(
+    df: DataFrame,
+    value_col: str,
+    keys: Sequence[str],
+    id_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Median-absolute-deviation outlier screen per group — the ROBUST
+    counterpart of the Tukey fence (:func:`iqr_outlier_screen`): MAD's
+    50% breakdown point survives contamination that drags quartiles.
+    A value is an outlier when |x − median| > k · MAD.
+
+    Exact integer arithmetic throughout (the dyadic playbook): values
+    scale to cents, and every median is kept DOUBLED as the rank-pair
+    sum ``med2 = x_(⌈n/2⌉) + x_(⌈(n+1)/2⌉)`` — exactly 2·median in
+    int64, no interpolation.  Deviations are then the integers
+    d = |2x − med2| (= 2·|x − median|), their doubled median is
+    ``mad2`` (= 4·MAD), and the screen tests ``2·d > k·mad2``
+    (⇔ |x − median| > k·MAD, every factor of two cancelled exactly).
+    No float enters any comparison, so the verdict is engine-exact.
+
+    Scale shape: both median passes run on ONE Exchange of the
+    (keys, cents) projection — the rank windows and grouped aggregates
+    all share the group-key partitioning.
+
+    Returns one row per group: n_rows, med2, mad2, n_outliers.
+    """
+    base = df.select(
+        *keys,
+        F.round(F.col(value_col) * 100).cast("long").alias("_c"),
+        F.col(id_col).alias("_id"),
+    )
+    w_rank = Window.partitionBy(*keys).orderBy("_c", "_id")
+    w_all = Window.partitionBy(*keys)
+    ranked = base.select(
+        *keys,
+        "_c",
+        F.row_number().over(w_rank).alias("_rn"),
+        F.count(F.lit(1)).over(w_all).alias("_n"),
+    )
+    lo_rank = F.ceil(F.col("_n") / 2)
+    hi_rank = F.ceil((F.col("_n") + 1) / 2)
+    with_med = ranked.select(
+        *keys,
+        "_c",
+        "_n",
+        (
+            F.max(F.when(F.col("_rn") == lo_rank, F.col("_c"))).over(w_all)
+            + F.max(F.when(F.col("_rn") == hi_rank, F.col("_c"))).over(w_all)
+        ).alias("med2"),
+    )
+    devs = with_med.select(
+        *keys,
+        "_n",
+        "med2",
+        F.abs(F.lit(2) * F.col("_c") - F.col("med2")).alias("_d"),
+    )
+    w_drank = Window.partitionBy(*keys).orderBy("_d")
+    dev_ranked = devs.select(
+        *keys,
+        "_n",
+        "med2",
+        "_d",
+        F.row_number().over(w_drank).alias("_drn"),
+    )
+    with_mad = dev_ranked.select(
+        *keys,
+        "_n",
+        "med2",
+        "_d",
+        (
+            F.max(F.when(F.col("_drn") == lo_rank, F.col("_d"))).over(w_all)
+            + F.max(F.when(F.col("_drn") == hi_rank, F.col("_d"))).over(w_all)
+        ).alias("mad2"),
+    )
+    return with_mad.groupBy(*keys).agg(
+        F.max("_n").alias("n_rows"),
+        F.max("med2").alias("med2"),
+        F.max("mad2").alias("mad2"),
+        F.sum(
+            F.when(
+                F.lit(2) * F.col("_d") > F.lit(k) * F.col("mad2"), 1
+            ).otherwise(0)
+        ).alias("n_outliers"),
+    )

@@ -64,3 +64,43 @@ def coalesce(df: DataFrame, n: int) -> DataFrame:
 def repartition(df: DataFrame, n: int, *cols: str | Column) -> DataFrame:
     """RDD.repartition (RDD.scala:577) — full shuffle to n partitions."""
     return df.repartition(n, *cols) if cols else df.repartition(n)
+
+
+def pareto_frontier_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    tiebreak: str,
+) -> DataFrame:
+    """Distinct 2-D Pareto frontier (skyline operator, Börzsönyi 2001):
+    rows for which NO other row is >= in both ``x_col`` and ``y_col``
+    and > in one — the multi-criteria selection primitive ("longest AND
+    highest-quality documents") SQL engines ship as SKYLINE OF and
+    Spark lacks.
+
+    Exact sort-based decomposition instead of the quadratic NOT-EXISTS
+    self-join: scanning in (x DESC, y DESC) order, a row is on the
+    frontier iff its y strictly exceeds the EXCLUSIVE running max of y
+    (every earlier row has x' >= x, so any earlier y' >= y dominates;
+    later rows never can).  Exact-duplicate (x, y) points collapse to
+    one representative — this is the DISTINCT frontier.  The running
+    max is the two-pass distributed shape (operators.indexing.
+    running_max): one range exchange, never a one-task window — the
+    same scale posture as zip_with_index.
+
+    Output: the surviving rows of ``df`` (all original columns).
+    """
+    from pyspark.sql import functions as F
+
+    from spark_monotasks_spark.operators.indexing import running_max
+
+    ordered = running_max(
+        df,
+        y_col,
+        [F.col(x_col).desc(), F.col(y_col).desc(), F.col(tiebreak)],
+        total_col="_prefmax",
+        exclusive=True,
+    )
+    return ordered.filter(
+        F.col("_prefmax").isNull() | (F.col(y_col) > F.col("_prefmax"))
+    ).drop("_prefmax")

@@ -374,3 +374,112 @@ def rate_limit(
         .filter(F.col("_rn") <= max_per_window)
         .drop("_rn")
     )
+
+
+def resample_linterp(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step_seconds: int = 3600,
+) -> DataFrame:
+    """Per-key resampling with LINEAR interpolation — the other half of
+    :func:`resample_ffill`: gaps take the line between the surrounding
+    observations instead of holding the last value (sensor/metric
+    series where the quantity moves between samples).
+
+    Exact rational form: observation values scale to integer cents and
+    grid times are integer bucket seconds, so the interpolated value at
+    grid point t between observations (t0, v0) and (t1, v1) is the
+    exact int64 pair ``num = v0·(t1−t) + v1·(t−t0)``, ``den = t1−t0``.
+    Observation buckets return the observation exactly (num=v, den=1).
+    The display value ships as INTEGER ten-thousandths via int64
+    half-up division — a rounded double here is a portability trap:
+    the quotient can land exactly on a decimal .XXXX5 tie, where
+    Spark's ROUND (BigDecimal HALF_UP on the shortest decimal repr)
+    and DuckDB's round (on the raw binary value) disagree by 1 ulp of
+    the last digit.  Integer division has no such tie ambiguity.
+
+    Scale shape: identical to resample_ffill — the dense grid is
+    sequence()-generated per key (never a calendar cross join), and the
+    backward/forward neighbor windows share the key partitioning.
+    Output is keys × buckets regardless of input event count.
+
+    Output: (key, bucket_ts, val_num, val_den, value_e4, interpolated)
+    — value_e4 = round-half-up(num/den/100 · 10⁴) as int64.
+    """
+    sec = F.col(ts_col).cast("timestamp").cast("long")
+    step = int(step_seconds)
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    bucketed = df.select(
+        F.col(key_col).alias("key"),
+        ((sec / step).cast("long") * step).alias("bucket_ts"),
+        sec.alias("_sec"),
+        cents.alias("_val"),
+    )
+    w_last = Window.partitionBy("key", "bucket_ts").orderBy(
+        F.col("_sec").desc(), F.col("_val").desc()
+    )
+    obs = (
+        bucketed.withColumn("_rn", F.row_number().over(w_last))
+        .filter(F.col("_rn") == 1)
+        .select("key", "bucket_ts", F.col("_val").alias("obs_value"))
+    )
+    span = bucketed.groupBy("key").agg(
+        F.min("bucket_ts").alias("_mn"), F.max("bucket_ts").alias("_mx")
+    )
+    grid = span.select(
+        "key",
+        F.explode(
+            F.sequence(F.col("_mn"), F.col("_mx"), F.lit(step))
+        ).alias("bucket_ts"),
+    )
+    joined = grid.join(obs, on=["key", "bucket_ts"], how="left")
+    w_back = (
+        Window.partitionBy("key")
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy("key")
+        .orderBy("bucket_ts")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_t = F.when(F.col("obs_value").isNotNull(), F.col("bucket_ts"))
+    staged = joined.select(
+        "key",
+        "bucket_ts",
+        "obs_value",
+        F.last("obs_value", ignorenulls=True).over(w_back).alias("_pv"),
+        F.last(obs_t, ignorenulls=True).over(w_back).alias("_pt"),
+        F.first("obs_value", ignorenulls=True).over(w_fwd).alias("_nv"),
+        F.first(obs_t, ignorenulls=True).over(w_fwd).alias("_nt"),
+    )
+    num = F.when(
+        F.col("obs_value").isNotNull(), F.col("obs_value")
+    ).otherwise(
+        F.col("_pv") * (F.col("_nt") - F.col("bucket_ts"))
+        + F.col("_nv") * (F.col("bucket_ts") - F.col("_pt"))
+    )
+    den = F.when(F.col("obs_value").isNotNull(), F.lit(1).cast("long")).otherwise(
+        F.col("_nt") - F.col("_pt")
+    )
+    staged = staged.select(
+        "key",
+        "bucket_ts",
+        num.alias("val_num"),
+        den.alias("val_den"),
+        F.col("obs_value").isNull().alias("interpolated"),
+    )
+    # value_e4 = half-up(num / (den*100) * 1e4) in pure int64:
+    # (num*200 + den) div (2*den) — no float, no decimal-tie ambiguity
+    return staged.select(
+        "key",
+        "bucket_ts",
+        "val_num",
+        "val_den",
+        F.expr(
+            "(val_num * 200 + val_den) div (2 * val_den)"
+        ).alias("value_e4"),
+        "interpolated",
+    )

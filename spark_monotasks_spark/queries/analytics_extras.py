@@ -1023,3 +1023,223 @@ def funnel_time_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Skyline / robust statistics / linear interpolation (r8 fourth batch)
+# ---------------------------------------------------------------------------
+
+@register(
+    "pareto_docs_frontier",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, n_chars,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+               AS distinct_tokens
+      FROM documents
+    ), pts AS (
+      SELECT DISTINCT n_chars, distinct_tokens FROM d
+    ), f AS (
+      SELECT p.n_chars, p.distinct_tokens FROM pts p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM d q
+        WHERE q.n_chars >= p.n_chars
+          AND q.distinct_tokens >= p.distinct_tokens
+          AND (q.n_chars > p.n_chars
+               OR q.distinct_tokens > p.distinct_tokens)
+      )
+    )
+    SELECT min(d.doc_id) AS doc_id, f.n_chars, f.distinct_tokens
+    FROM f JOIN d ON d.n_chars = f.n_chars
+                 AND d.distinct_tokens = f.distinct_tokens
+    GROUP BY f.n_chars, f.distinct_tokens
+    """,
+)
+def pareto_docs_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline of the corpus (operators.sort.pareto_frontier_2d;
+    Börzsönyi 2001 SKYLINE OF) — documents no other document beats on
+    BOTH length and vocabulary richness, the multi-criteria data-
+    selection primitive.  The oracle is the quadratic NOT-EXISTS
+    dominance scan (fine at sf0.01, O(n²) at 100 TB); the Spark side
+    is the exact sort-based decomposition — in (x DESC, y DESC) order
+    a row survives iff y strictly exceeds the EXCLUSIVE running max —
+    on the two-pass distributed running_max (one range exchange, never
+    a one-task window).  A value match proves the decomposition IS the
+    skyline."""
+    from spark_monotasks_spark.operators.sort import pareto_frontier_2d
+
+    t = _t(spark, sf_dir)
+    d = t["documents"].select(
+        "doc_id",
+        "n_chars",
+        F.size(F.array_distinct(F.split("text", " ")))
+        .cast("long")
+        .alias("distinct_tokens"),
+    )
+    # distinct frontier representative = min doc_id per (x, y): feed
+    # rows pre-reduced so the operator's tiebreak picks that exact row
+    reduced = d.groupBy("n_chars", "distinct_tokens").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    front = pareto_frontier_2d(
+        reduced, "n_chars", "distinct_tokens", "doc_id"
+    )
+    return front.select("doc_id", "n_chars", "distinct_tokens")
+
+
+@register(
+    "mad_outlier_orders",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderpriority AS priority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+             o_orderkey AS id
+      FROM orders
+    ), r AS (
+      SELECT priority, c,
+             row_number() OVER (PARTITION BY priority ORDER BY c, id)
+               AS rn,
+             count(*) OVER (PARTITION BY priority) AS n
+      FROM base
+    ), m AS (
+      SELECT priority, c, n,
+             max(CASE WHEN rn = CAST(ceil(n / 2.0) AS BIGINT)
+                      THEN c END) OVER (PARTITION BY priority)
+           + max(CASE WHEN rn = CAST(ceil((n + 1) / 2.0) AS BIGINT)
+                      THEN c END) OVER (PARTITION BY priority) AS med2
+      FROM r
+    ), d AS (
+      SELECT priority, n, med2, abs(2 * c - med2) AS dv FROM m
+    ), dr AS (
+      SELECT priority, n, med2, dv,
+             row_number() OVER (PARTITION BY priority ORDER BY dv)
+               AS drn
+      FROM d
+    ), md AS (
+      SELECT priority, n, med2, dv,
+             max(CASE WHEN drn = CAST(ceil(n / 2.0) AS BIGINT)
+                      THEN dv END) OVER (PARTITION BY priority)
+           + max(CASE WHEN drn = CAST(ceil((n + 1) / 2.0) AS BIGINT)
+                      THEN dv END) OVER (PARTITION BY priority) AS mad2
+      FROM dr
+    )
+    SELECT priority,
+           CAST(max(n) AS BIGINT) AS n_rows,
+           CAST(max(med2) AS BIGINT) AS med2,
+           CAST(max(mad2) AS BIGINT) AS mad2,
+           CAST(sum(CASE WHEN 2 * dv > 3 * mad2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM md GROUP BY priority
+    """,
+)
+def mad_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier screen per order priority
+    (operators.profile.mad_outlier_screen) — the ROBUST complement of
+    the Tukey-fence entry: MAD's 50% breakdown point survives
+    contamination that drags quartiles.  Medians are exact rank-pair
+    sums kept doubled (med2 = 2·median, mad2 = 4·MAD in int64) so the
+    k=3 verdict 2·|2x−med2| > 3·mad2 never touches a float — the
+    whole screen is engine-exact.  One Exchange on the group key
+    serves both median passes and the final aggregate."""
+    from spark_monotasks_spark.operators.profile import mad_outlier_screen
+
+    t = _t(spark, sf_dir)
+    out = mad_outlier_screen(
+        t["orders"].select(
+            F.col("o_orderpriority").alias("priority"),
+            "o_totalprice",
+            "o_orderkey",
+        ),
+        "o_totalprice",
+        ["priority"],
+        "o_orderkey",
+        k=3,
+    )
+    return out.select("priority", "n_rows", "med2", "mad2", "n_outliers")
+
+
+@register(
+    "timeseries_linterp",
+    oracle="""
+    WITH b AS (
+      SELECT user_id AS key,
+             (CAST(floor(epoch(ts)) AS BIGINT) // 21600) * 21600
+               AS bucket_ts,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             CAST(round(value * 100) AS BIGINT) AS val
+      FROM events
+    ), obs AS (
+      SELECT key, bucket_ts, val AS obs_value FROM (
+        SELECT key, bucket_ts, val,
+               row_number() OVER (
+                 PARTITION BY key, bucket_ts ORDER BY sec DESC, val DESC
+               ) AS rn
+        FROM b
+      ) WHERE rn = 1
+    ), span AS (
+      SELECT key, min(bucket_ts) AS mn, max(bucket_ts) AS mx
+      FROM b GROUP BY key
+    ), grid AS (
+      SELECT key,
+             CAST(unnest(range(mn, mx + 21600, 21600)) AS BIGINT)
+               AS bucket_ts
+      FROM span
+    ), g AS (
+      SELECT grid.key, grid.bucket_ts, obs.obs_value
+      FROM grid LEFT JOIN obs USING (key, bucket_ts)
+    ), nbr AS (
+      SELECT key, bucket_ts, obs_value,
+             last_value(obs_value IGNORE NULLS) OVER (
+               PARTITION BY key ORDER BY bucket_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN obs_value IS NOT NULL
+                             THEN bucket_ts END IGNORE NULLS) OVER (
+               PARTITION BY key ORDER BY bucket_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+             first_value(obs_value IGNORE NULLS) OVER (
+               PARTITION BY key ORDER BY bucket_ts
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN obs_value IS NOT NULL
+                              THEN bucket_ts END IGNORE NULLS) OVER (
+               PARTITION BY key ORDER BY bucket_ts
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM g
+    )
+    , vals AS (
+      SELECT key, bucket_ts,
+             CAST(CASE WHEN obs_value IS NOT NULL THEN obs_value
+                  ELSE pv * (nt - bucket_ts) + nv * (bucket_ts - pt)
+                  END AS BIGINT) AS val_num,
+             CAST(CASE WHEN obs_value IS NOT NULL THEN 1
+                  ELSE nt - pt END AS BIGINT) AS val_den,
+             obs_value IS NULL AS interpolated
+      FROM nbr
+    )
+    SELECT key, bucket_ts, val_num, val_den,
+           (val_num * 200 + val_den) // (2 * val_den) AS value_e4,
+           interpolated
+    FROM vals
+    """,
+)
+def timeseries_linterp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation resampling (operators.timeseries.
+    resample_linterp — the other half of timeseries_gapfill's
+    forward-fill): per user, a 6-hour grid where gap points take the
+    exact line between surrounding observations.  Integer cents ×
+    integer bucket seconds keep the interpolant an exact int64
+    rational (num = v0·(t1−t) + v1·(t−t0), den = t1−t0), and the
+    display value ships as int64 ten-thousandths via half-up INTEGER
+    division — the rounded-double form hit a real decimal-tie
+    divergence (Spark BigDecimal HALF_UP on the shortest decimal repr
+    vs DuckDB rounding the raw binary) at sf0.01.  Grid generation is
+    sequence()-per-key (no calendar cross join); both neighbor windows
+    share the key partitioning."""
+    from spark_monotasks_spark.operators.timeseries import resample_linterp
+
+    t = _t(spark, sf_dir)
+    out = resample_linterp(
+        t["events"], "user_id", "ts", "value", step_seconds=21600
+    )
+    return out.select(
+        "key", "bucket_ts", "val_num", "val_den", "value_e4", "interpolated"
+    )

@@ -300,3 +300,92 @@ def test_seasonal_naive_mase_matches_python_replay(spark):
         F.sum(F.abs(F.col("n") - F.col("l1"))).alias("en"),
     ).collect()[0]
     assert out["es"] == 0 and out["en"] > 0
+
+
+def test_running_max_matches_single_partition_window(spark):
+    """Two-pass distributed running max == the classic window form,
+    inclusive and exclusive, on nondeterministic-order input."""
+    from spark_monotasks_spark.operators.indexing import running_max
+
+    vals = [5, 1, 9, 9, 2, 7, 0, 9, 3, 8, 4, 6]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i long, v long"
+    ).repartition(5)  # scramble physical order
+    inc = {r["i"]: r["rm"]
+           for r in running_max(df, "v", ["i"], "rm").collect()}
+    exc = {r["i"]: r["rm"]
+           for r in running_max(df, "v", ["i"], "rm",
+                                exclusive=True).collect()}
+    run = None
+    for i, v in enumerate(vals):
+        assert exc[i] == run, (i, exc[i], run)
+        run = v if run is None else max(run, v)
+        assert inc[i] == run, (i, inc[i], run)
+
+
+def test_pareto_frontier_matches_bruteforce(spark):
+    from spark_monotasks_spark.operators.sort import pareto_frontier_2d
+
+    pts = [(1, 10, 1), (2, 9, 5), (3, 9, 4), (4, 5, 5), (5, 1, 9),
+           (6, 3, 3), (7, 10, 1), (8, 0, 0), (9, 5, 5)]
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    # distinct frontier with min-id representative
+    reduced = df.groupBy("x", "y").agg(F.min("id").alias("id"))
+    got = sorted((r["id"], r["x"], r["y"])
+                 for r in pareto_frontier_2d(reduced, "x", "y", "id")
+                 .collect())
+    uniq = {}
+    for i, x, y in pts:
+        uniq.setdefault((x, y), i)
+    front = []
+    for (x, y), i in uniq.items():
+        dominated = any(
+            qx >= x and qy >= y and (qx > x or qy > y)
+            for (qx, qy) in uniq
+        )
+        if not dominated:
+            front.append((i, x, y))
+    assert got == sorted(front)
+
+
+def test_mad_outlier_matches_python(spark):
+    from spark_monotasks_spark.operators.profile import mad_outlier_screen
+
+    vals = [10.0, 11.0, 12.0, 10.5, 11.5, 9.5, 10.0, 500.0]  # one wild
+    df = spark.createDataFrame(
+        [("g", v, i) for i, v in enumerate(vals)],
+        "grp string, v double, id long",
+    )
+    out = mad_outlier_screen(df, "v", ["grp"], "id", k=3).collect()[0]
+    cents = sorted(round(v * 100) for v in vals)
+    n = len(cents)
+    lo, hi = cents[(n + 1) // 2 - 1], cents[(n + 2) // 2 - 1]
+    med2 = lo + hi
+    d = sorted(abs(2 * c - med2) for c in (round(v * 100) for v in vals))
+    mad2 = d[(n + 1) // 2 - 1] + d[(n + 2) // 2 - 1]
+    n_out = sum(1 for x in d if 2 * x > 3 * mad2)
+    assert (out["n_rows"], out["med2"], out["mad2"], out["n_outliers"]) == (
+        n, med2, mad2, n_out)
+    assert out["n_outliers"] == 1  # exactly the planted wild point
+
+
+def test_resample_linterp_exact_line(spark):
+    """Interior gap points sit exactly on the line; observation buckets
+    return the observation; value_e4 is half-up."""
+    from spark_monotasks_spark.operators.timeseries import resample_linterp
+
+    rows = [
+        (1, _mkts(1, 0), 10.0),      # bucket 0: 1000 cents
+        (1, _mkts(1, 3 * 3600), 40.0),  # bucket 3: 4000 cents
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+    out = {r["bucket_ts"]: r for r in
+           resample_linterp(df, "k", "ts", "v", 3600).collect()}
+    t0 = int(_mkts(1, 0).replace(tzinfo=dt.timezone.utc).timestamp())
+    assert out[t0]["val_num"] == 1000 and out[t0]["val_den"] == 1
+    assert not out[t0]["interpolated"]
+    # gap at +1h: line from (t0,1000) to (t0+3h,4000) -> 2000 cents
+    g1 = out[t0 + 3600]
+    assert g1["interpolated"]
+    assert g1["val_num"] / g1["val_den"] == 2000.0
+    assert g1["value_e4"] == 200000  # 20.0000 in ten-thousandths

@@ -127,6 +127,12 @@ LINEAR = [
     ("seasonal_naive_mase", 8.0, "O(n) daily agg + bounded lag window"),
     ("doc_keywords_topk", 8.0, "O(tokens) posting aggs + per-doc rank"),
     ("funnel_time_bound", 8.0, "O(n) conditional aggs + keyed joins"),
+    # r8 fourth batch: the skyline runs on the two-pass running_max
+    # (one range exchange); MAD is two rank passes on one group-key
+    # exchange; linterp is the resample_ffill grid shape
+    ("pareto_docs_frontier", 8.0, "O(n) range exchange + prefix max"),
+    ("mad_outlier_orders", 8.0, "O(n) one keyed exchange, two ranks"),
+    ("timeseries_linterp", 8.0, "O(keys x buckets) grid + key windows"),
 ]
 
 #: super-linear entries: bounded above by documented exponents, still
