@@ -1243,3 +1243,225 @@ def timeseries_linterp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "key", "bucket_ts", "val_num", "val_den", "value_e4", "interpolated"
     )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchy rollup / integrity audit / token association (r8 fifth batch)
+# ---------------------------------------------------------------------------
+
+@register(
+    "hierarchy_subtree_rollup",
+    oracle="""
+    WITH RECURSIVE edges AS (
+      SELECT doc_id AS child, (doc_id - 1) // 3 AS parent
+      FROM documents WHERE doc_id >= 1
+    ), anc AS (
+      SELECT child AS node, parent AS anc, 1 AS dist FROM edges
+      UNION ALL
+      SELECT a.node, e.parent, a.dist + 1
+      FROM anc a JOIN edges e ON a.anc = e.child
+    ), vals AS (
+      SELECT doc_id AS node, n_chars AS v FROM documents
+    ), depth AS (
+      SELECT node, count(*) AS depth FROM anc GROUP BY node
+    ), contrib AS (
+      SELECT anc, count(*) AS n_desc, sum(v) AS ds
+      FROM anc JOIN vals USING (node) GROUP BY anc
+    )
+    SELECT v.node AS doc_id,
+           CAST(coalesce(d.depth, 0) AS BIGINT) AS depth,
+           CAST(coalesce(c.n_desc, 0) AS BIGINT) AS n_desc,
+           CAST(coalesce(c.ds, 0) + v.v AS BIGINT) AS subtree_value
+    FROM vals v
+    LEFT JOIN depth d ON d.node = v.node
+    LEFT JOIN contrib c ON c.anc = v.node
+    """,
+)
+def hierarchy_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtree rollup over a hierarchy by ITERATIVE DOUBLING
+    (graph/hierarchy.subtree_rollup) — the org-chart / BOM /
+    category-tree aggregate: every node's depth, descendant count, and
+    subtree character total.  The hierarchy is PLANTED (ternary tree:
+    parent = (doc_id−1)//3) so the oracle can state it, and the oracle
+    closes it with the textbook one-hop-per-step recursive CTE while
+    Spark doubles — closure_{2k} = closure_k ∘ closure_k — reaching
+    depth d in ⌈log₂ d⌉ self-joins instead of d sequential supersteps
+    (reference: graphx Pregel.scala iterates one hop per superstep).
+    A value match proves the doubling closure computes exactly the
+    recursive closure.  Working set O(nodes × depth); each round one
+    equi-join, lineage barriered per round."""
+    from spark_monotasks_spark.graph.hierarchy import subtree_rollup
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    parents = docs.filter(F.col("doc_id") >= 1).select(
+        F.col("doc_id").alias("child"),
+        ((F.col("doc_id") - 1) / 3).cast("long").alias("parent"),
+    )
+    return subtree_rollup(
+        parents, docs, "doc_id", "n_chars", max_depth=16
+    )
+
+
+@register(
+    "fk_integrity_audit",
+    oracle="""
+    WITH live_cust AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % 97 != 0
+    ), r1 AS (
+      SELECT 'orders.o_custkey->customer' AS relationship,
+             CAST(count(*) AS BIGINT) AS n_child,
+             CAST(sum(CASE WHEN lc.c_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_orphans
+      FROM orders o LEFT JOIN live_cust lc ON o.o_custkey = lc.c_custkey
+    ), r2 AS (
+      SELECT 'lineitem.l_orderkey->orders' AS relationship,
+             CAST(count(*) AS BIGINT) AS n_child,
+             CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_orphans
+      FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT relationship, n_child, n_orphans,
+           round(n_orphans / n_child, 6) AS orphan_frac
+    FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+    """,
+)
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit — orphan foreign keys per
+    relationship, the warehouse data-quality check beside the
+    constraint profiler (data_profile_constraints): every child row is
+    left-joined to its parent key set and counted.  One relationship
+    is PLANTED broken (customers with key ≡ 0 mod 97 simulated as
+    deleted) so the audit demonstrably fires; lineitem→orders audits
+    the real intact key.  Parent key sets project to the key column
+    only (broadcast-sized dims at any fact scale); orphan counting is
+    a conditional sum in the same pass as the join."""
+    t = _t(spark, sf_dir)
+    live_cust = (
+        t["customer"]
+        .filter(F.col("c_custkey") % 97 != 0)
+        .select("c_custkey")
+    )
+    r1 = (
+        t["orders"]
+        .join(
+            F.broadcast(live_cust),
+            t["orders"]["o_custkey"] == live_cust["c_custkey"],
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_child"),
+            F.sum(
+                F.when(F.col("c_custkey").isNull(), 1).otherwise(0)
+            ).alias("n_orphans"),
+        )
+        .select(
+            F.lit("orders.o_custkey->customer").alias("relationship"),
+            "n_child",
+            "n_orphans",
+        )
+    )
+    okeys = t["orders"].select("o_orderkey")
+    r2 = (
+        t["lineitem"]
+        .join(
+            okeys,
+            t["lineitem"]["l_orderkey"] == okeys["o_orderkey"],
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_child"),
+            F.sum(
+                F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)
+            ).alias("n_orphans"),
+        )
+        .select(
+            F.lit("lineitem.l_orderkey->orders").alias("relationship"),
+            "n_child",
+            "n_orphans",
+        )
+    )
+    return r1.unionByName(r2).select(
+        "relationship",
+        "n_child",
+        "n_orphans",
+        F.round(F.col("n_orphans") / F.col("n_child"), 6).alias(
+            "orphan_frac"
+        ),
+    )
+
+
+@register(
+    "token_lift_pairs",
+    oracle="""
+    WITH dtok AS (
+      SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' ')))
+               AS w
+      FROM documents
+    ), dfreq AS (
+      SELECT w, count(*) AS df FROM dtok GROUP BY w
+    ), top AS (
+      SELECT w, df FROM dfreq ORDER BY df DESC, w LIMIT 50
+    ), n AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+    ), pairs AS (
+      SELECT a.w AS w_a, b.w AS w_b, count(*) AS n_ab
+      FROM (SELECT doc_id, w FROM dtok JOIN top USING (w)) a
+      JOIN (SELECT doc_id, w FROM dtok JOIN top USING (w)) b
+        ON a.doc_id = b.doc_id AND a.w < b.w
+      GROUP BY a.w, b.w
+    )
+    SELECT w_a, w_b, CAST(n_ab AS BIGINT) AS n_ab,
+           round(n_ab * n_docs / (ta.df * tb.df), 6) AS lift
+    FROM pairs JOIN top ta ON ta.w = w_a
+               JOIN top tb ON tb.w = w_b, n
+    ORDER BY round(n_ab * n_docs / (ta.df * tb.df), 6) DESC, w_a, w_b
+    LIMIT 30
+    """,
+)
+def token_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token association mining by LIFT — n_ab·N / (n_a·n_b), the
+    log-free exact-rational core of PMI (log is engine-varying; lift
+    ranks identically) — over document-level co-occurrence of the top
+    50 tokens: the collocation/phrase-mining signal beside the
+    sequential transition matrix.  Blocking makes it scale: only the
+    top-k tokens by document frequency (one TakeOrdered, broadcast)
+    enter the per-doc pair join, so pair volume is ≤ C(k,2) per doc
+    regardless of vocabulary size.  Top-30 by rounded lift with full
+    tiebreaks."""
+    t = _t(spark, sf_dir)
+    dtok = t["documents"].select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("w"),
+    )
+    dfreq = dtok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    top = dfreq.orderBy(F.col("df").desc(), "w").limit(50)
+    n = t["documents"].agg(F.count(F.lit(1)).alias("n_docs"))
+    pruned = dtok.join(F.broadcast(top), on="w")
+    a = pruned.select(F.col("doc_id"), F.col("w").alias("w_a"))
+    b = pruned.select(F.col("doc_id").alias("doc_id_b"),
+                      F.col("w").alias("w_b"))
+    pairs = (
+        a.join(
+            b,
+            on=[
+                a["doc_id"] == b["doc_id_b"],
+                F.col("w_a") < F.col("w_b"),
+            ],
+        )
+        .groupBy("w_a", "w_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    ta = top.select(F.col("w").alias("w_a"), F.col("df").alias("_dfa"))
+    tb = top.select(F.col("w").alias("w_b"), F.col("df").alias("_dfb"))
+    lift = F.col("n_ab") * F.col("n_docs") / (F.col("_dfa") * F.col("_dfb"))
+    return (
+        pairs.join(F.broadcast(ta), on="w_a")
+        .join(F.broadcast(tb), on="w_b")
+        .join(F.broadcast(n))
+        .select(
+            "w_a", "w_b", "n_ab", F.round(lift, 6).alias("lift")
+        )
+        .orderBy(F.col("lift").desc(), "w_a", "w_b")
+        .limit(30)
+    )

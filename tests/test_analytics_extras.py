@@ -389,3 +389,64 @@ def test_resample_linterp_exact_line(spark):
     assert g1["interpolated"]
     assert g1["val_num"] / g1["val_den"] == 2000.0
     assert g1["value_e4"] == 200000  # 20.0000 in ten-thousandths
+
+
+def test_ancestor_closure_deep_chain(spark):
+    """Doubling closure on a pure CHAIN (worst depth case) matches the
+    python transitive closure, including exact distances."""
+    from spark_monotasks_spark.graph.hierarchy import ancestor_closure
+
+    n = 13  # chain 0 <- 1 <- 2 ... <- 12, depth 12 < max_depth 16
+    edges = [(i, i - 1) for i in range(1, n)]
+    df = spark.createDataFrame(edges, "child long, parent long")
+    got = {(r["node"], r["anc"]): r["dist"]
+           for r in ancestor_closure(df, max_depth=16).collect()}
+    expect = {(i, j): i - j for i in range(1, n) for j in range(i)}
+    assert got == expect
+
+
+def test_subtree_rollup_matches_python(spark):
+    from spark_monotasks_spark.graph.hierarchy import subtree_rollup
+
+    # ternary tree over ids 0..12, value = id*10
+    ids = list(range(13))
+    parents = [(i, (i - 1) // 3) for i in ids if i >= 1]
+    pdf = spark.createDataFrame(parents, "child long, parent long")
+    vdf = spark.createDataFrame(
+        [(i, i * 10) for i in ids], "id long, v long"
+    )
+    got = {r["id"]: (r["depth"], r["n_desc"], r["subtree_value"])
+           for r in subtree_rollup(pdf, vdf, "id", "v").collect()}
+
+    kids = defaultdict(list)
+    for c, p in parents:
+        kids[p].append(c)
+
+    def walk(i):
+        total, cnt = i * 10, 0
+        for c in kids[i]:
+            t, k = walk(c)
+            total += t
+            cnt += k + 1
+        return total, cnt
+
+    def depth(i):
+        d = 0
+        while i >= 1:
+            i = (i - 1) // 3
+            d += 1
+        return d
+
+    for i in ids:
+        tot, cnt = walk(i)
+        assert got[i] == (depth(i), cnt, tot), (i, got[i])
+
+
+def test_fk_audit_zero_orphans_on_intact_relation(spark):
+    from spark_monotasks_spark.queries import QUERY_REGISTRY
+    from tests.conftest import SF_ORACLE_DIR
+
+    rows = {r["relationship"]: r for r in QUERY_REGISTRY[
+        "fk_integrity_audit"](spark, SF_ORACLE_DIR).collect()}
+    assert rows["lineitem.l_orderkey->orders"]["n_orphans"] == 0
+    assert rows["orders.o_custkey->customer"]["n_orphans"] > 0  # planted

@@ -680,6 +680,8 @@ def test_no_hidden_cartesians_across_catalog(spark):
         "doc_keywords_topk",
         # 3x scalar count subqueries unioned (1-row aggregates)
         "funnel_time_bound",
+        # lift scoring crossJoins the 1-row corpus-count aggregate
+        "token_lift_pairs",
     }
     offenders = {}
     for name, fn in QUERY_REGISTRY.items():

@@ -133,6 +133,12 @@ LINEAR = [
     ("pareto_docs_frontier", 8.0, "O(n) range exchange + prefix max"),
     ("mad_outlier_orders", 8.0, "O(n) one keyed exchange, two ranks"),
     ("timeseries_linterp", 8.0, "O(keys x buckets) grid + key windows"),
+    # r8 fifth batch: the doubling closure is O(n*depth) pairs over
+    # log-depth joins; the FK audit is two broadcast left joins; lift
+    # pairs are top-k-blocked (<= C(50,2) per doc)
+    ("hierarchy_subtree_rollup", 8.0, "O(n*depth) doubling closure"),
+    ("fk_integrity_audit", 8.0, "O(n) two key-projected left joins"),
+    ("token_lift_pairs", 8.0, "O(docs*k^2) top-k-blocked pair join"),
 ]
 
 #: super-linear entries: bounded above by documented exponents, still
