@@ -191,6 +191,14 @@ HEADLINE = [
     # (pruned posting-list intersection)
     "kcenter_coreset",
     "conjunctive_search",
+    # r9: IVF-PQ (the memory-resident billion-vector index shape —
+    # encode scan + probe filter + ADC TakeOrdered), span-level
+    # benchmark decontamination (the gram-explode + reference-semi
+    # probe corpus pass), and the sweep-line session-concurrency peak
+    # (sessionize + the two-pass distributed prefix sum)
+    "ann_ivfpq_topk",
+    "contamination_span_scrub",
+    "session_concurrency_peak",
 ]
 
 

@@ -823,22 +823,19 @@ def jaccard_join_prefix(
 # exact-substring (maximal duplicated span) dedup — Lee et al. 2022 shape
 # ---------------------------------------------------------------------------
 
-def _duplicate_gram_positions(
+def _gram_occurrences(
     df: DataFrame,
     id_col: str,
     text_col: str,
     k: int,
     sep: str,
     fingerprint: str,
-) -> DataFrame:
-    """(id, pos) of every NON-FIRST occurrence of each OVERLAPPING
-    k-token gram corpus-wide (first = min (id, pos)).  The sliding
-    window — unlike :func:`segments`' aligned blocks — is what lets
-    span dedup find duplicated runs at ANY offset.  Same 100 TB shape
-    as :func:`duplicate_segment_positions`: grams are built and hashed
-    map-side, the shuffle carries (fp, id, pos) only, never text."""
-    from pyspark.sql import Window
-
+) -> tuple[DataFrame, list[str]]:
+    """(id, pos, fp...) stream of every OVERLAPPING k-token gram — the
+    shared front half of span dedup and span decontamination.  Grams
+    are built and hashed map-side; downstream shuffles carry (fp, id,
+    pos) only, never text.  Returns the frame plus the fingerprint
+    column names (1 for md5, 2 for the xxhash128 pair)."""
     toks = F.split(F.col(text_col), re.escape(sep))
     n = F.size(toks)
     grams = F.transform(
@@ -864,6 +861,26 @@ def _duplicate_gram_positions(
         fp_cols = ["fp1", "fp2"]
     else:
         raise ValueError(f"unknown fingerprint {fingerprint!r}")
+    return occ, fp_cols
+
+
+def _duplicate_gram_positions(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    sep: str,
+    fingerprint: str,
+) -> DataFrame:
+    """(id, pos) of every NON-FIRST occurrence of each OVERLAPPING
+    k-token gram corpus-wide (first = min (id, pos)).  The sliding
+    window — unlike :func:`segments`' aligned blocks — is what lets
+    span dedup find duplicated runs at ANY offset.  Same 100 TB shape
+    as :func:`duplicate_segment_positions`: grams are built and hashed
+    map-side, the shuffle carries (fp, id, pos) only, never text."""
+    from pyspark.sql import Window
+
+    occ, fp_cols = _gram_occurrences(df, id_col, text_col, k, sep, fingerprint)
     w = Window.partitionBy(*fp_cols).orderBy("id", "pos")
     return (
         occ.select("id", "pos", F.row_number().over(w).alias("rn"))
@@ -961,6 +978,117 @@ def drop_duplicate_spans(
         .withColumn(
             "text_dedup",
             F.when(F.col("_drop_pos").isNull(), F.col(text_col)).otherwise(rebuilt),
+        )
+        .drop("_drop_pos")
+    )
+
+
+def contaminated_span_positions(
+    df: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref_id_col: str = "doc_id",
+    ref_text_col: str = "text",
+    min_tokens: int = 5,
+    sep: str = " ",
+    fingerprint: str = "md5",
+) -> DataFrame:
+    """Maximal token spans of ``df`` that a held-out REFERENCE corpus
+    (a benchmark/eval set) contains verbatim — the span-level
+    decontamination primitive (Lee et al. 2022 §decontamination; the
+    whole-doc variant is ``contamination_check``): one row ``(id,
+    span_start, span_end)`` per maximal run whose every
+    ``min_tokens``-wide sliding window appears somewhere in the
+    reference.  Unlike whole-doc dropping, span removal keeps the
+    clean 99% of a long document that merely quotes a benchmark item.
+
+    Shape: both corpora collapse to gram fingerprints map-side; the
+    reference ships as a DISTINCT fp set (vocabulary-bounded — at
+    100 TB the benchmark side is megabytes); the probe is one
+    left-semi join of (fp, id, pos) keys; the gaps-and-islands merge
+    runs over MARKED rows only, partitioned by doc."""
+    from pyspark.sql import Window
+
+    k = min_tokens
+    occ, fp_cols = _gram_occurrences(df, id_col, text_col, k, sep, fingerprint)
+    ref_occ, _ = _gram_occurrences(
+        reference, ref_id_col, ref_text_col, k, sep, fingerprint
+    )
+    marked = occ.join(
+        ref_occ.select(*fp_cols).distinct(), on=fp_cols, how="left_semi"
+    ).select("id", "pos")
+    w = Window.partitionBy("id").orderBy("pos")
+    prev = F.lag("pos").over(w)
+    flagged = marked.withColumn(
+        "_new", F.when(prev.isNull() | (F.col("pos") > prev + k), 1).otherwise(0)
+    )
+    islands = flagged.withColumn("_isl", F.sum("_new").over(w))
+    return (
+        islands.groupBy("id", "_isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (k - 1)).alias("span_end"),
+        )
+        .select("id", "span_start", "span_end")
+    )
+
+
+def scrub_contaminated_spans(
+    df: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref_id_col: str = "doc_id",
+    ref_text_col: str = "text",
+    min_tokens: int = 5,
+    sep: str = " ",
+    fingerprint: str = "md5",
+) -> DataFrame:
+    """Span-level decontamination cut: every token covered by a
+    reference-contaminated span (:func:`contaminated_span_positions`)
+    is removed and the text rebuilt in ``text_clean``; ``n_spans`` and
+    ``tokens_removed`` quantify the cut (0 for untouched docs, whose
+    text passes through VERBATIM — the drop_duplicate_spans rebuild
+    contract).  Spans are disjoint by construction (islands merged),
+    so ``tokens_removed`` is a plain span-length sum and the per-doc
+    drop set ships back as token INDICES only — text never shuffles."""
+    spans = contaminated_span_positions(
+        df, reference, id_col, text_col, ref_id_col, ref_text_col,
+        min_tokens, sep, fingerprint,
+    )
+    per = (
+        spans.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.col("span_end") - F.col("span_start") + 1).alias(
+                "tokens_removed"
+            ),
+            F.flatten(
+                F.collect_list(F.sequence("span_start", "span_end"))
+            ).alias("_drop_pos"),
+        )
+        .withColumnRenamed("id", id_col)
+    )
+    toks = F.split(F.col(text_col), re.escape(sep))
+    kept = F.filter(
+        toks,
+        lambda tok, i: ~F.coalesce(
+            F.array_contains(F.col("_drop_pos"), i), F.lit(False)
+        ),
+    )
+    rebuilt = F.concat_ws(sep, kept)
+    return (
+        df.join(per, on=id_col, how="left")
+        .withColumn("n_spans", F.coalesce(F.col("n_spans"), F.lit(0)))
+        .withColumn(
+            "tokens_removed", F.coalesce(F.col("tokens_removed"), F.lit(0))
+        )
+        .withColumn(
+            "text_clean",
+            F.when(F.col("_drop_pos").isNull(), F.col(text_col)).otherwise(
+                rebuilt
+            ),
         )
         .drop("_drop_pos")
     )

@@ -791,6 +791,66 @@ def audio_sample_stats(media: DataFrame) -> DataFrame:
     return media.select("media_id", "blob").mapInPandas(run, schema=SAMPLE_STATS_SCHEMA)
 
 
+BAND_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("e0", T.LongType(), True),
+        T.StructField("fp", T.IntegerType(), True),
+    ]
+)
+
+
+def audio_band_fingerprint(media: DataFrame, n_bands: int = 8) -> DataFrame:
+    """Per-clip band-energy audio fingerprint over REAL decoded PCM16
+    samples: the clip splits into ``n_bands`` equal time windows
+    (w = n // n_bands; the sub-window tail is truncated — standard
+    framing), each window's energy is the pure-int64 Σ sample², and
+    the fingerprint bit b∈[1, n_bands) is energy_b > energy_{b-1} —
+    the Haitsma–Kalker delta-coded robust hash on the time axis (the
+    frequency-band variant needs an FFT; the energy-delta form is the
+    decoder-audited, engine-exact core of the same idea).  Clips
+    shorter than ``n_bands`` samples yield NULL fingerprints.
+
+    All integer arithmetic end to end (channel 0 of the PCM frame,
+    never a float mono mix), so an external oracle that can state the
+    samples in closed form reproduces every energy and every bit.
+    Arrow-batched mapInPandas; the driver never sees a blob; output is
+    4 scalar columns — the dedup/near-dup join key for audio corpora."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"n_samples": [], "e0": [], "fp": []}
+            for b in pdf["blob"]:
+                dec = decode_wav_samples(b) if b is not None else None
+                if dec is None or dec[2].shape[0] < n_bands:
+                    for k in out:
+                        out[k].append(None)
+                    continue
+                _rate, _ch, samples = dec
+                mono = samples[:, 0].astype("int64")
+                w = mono.shape[0] // n_bands
+                e = [int((mono[k * w:(k + 1) * w] ** 2).sum())
+                     for k in range(n_bands)]
+                fp = 0
+                for k in range(1, n_bands):
+                    if e[k] > e[k - 1]:
+                        fp |= 1 << (k - 1)
+                out["n_samples"].append(int(mono.shape[0]))
+                out["e0"].append(e[0])
+                out["fp"].append(fp)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_samples": pd.array(out["n_samples"], dtype="Int64"),
+                    "e0": pd.array(out["e0"], dtype="Int64"),
+                    "fp": pd.array(out["fp"], dtype="Int32"),
+                }
+            )
+
+    return media.select("media_id", "blob").mapInPandas(run, schema=BAND_FP_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # video: MJPEG-in-AVI — REAL container walk + REAL frame decode
 # ---------------------------------------------------------------------------

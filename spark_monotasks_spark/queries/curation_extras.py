@@ -1,0 +1,352 @@
+"""Curation catalog additions: span-level benchmark decontamination,
+epoch-capped mixture budgeting, and quality-aware near-dup survivor
+selection — the three decisions a training-data pipeline makes after
+dedup/quality scoring and before packing.
+
+All oracle-backed: the md5 gram fingerprints make span scrubbing
+exactly replayable (the exact_substring_spans playbook), the mixture
+math is pure int64 with integer division, and the survivor choice
+replays the portable MinHash clustering's recursive-CTE closure plus
+an argmax window.
+
+Reference anchors (spark-monotasks): none — beyond-reference
+LLM-pipeline operators per the build brief, marked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_monotasks_spark.pipeline import dedup
+from spark_monotasks_spark.queries.registry import register
+from spark_monotasks_spark.tables import load_tables
+
+
+def _t(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return load_tables(spark, sf_dir)
+
+
+@register(
+    "contamination_span_scrub",
+    oracle="""
+    WITH ref AS (SELECT text FROM documents WHERE doc_id % 7 = 0),
+    corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+    rt AS (SELECT string_split(text, ' ') AS t FROM ref),
+    rocc AS (
+      SELECT DISTINCT md5(array_to_string(t[p+1:p+5], ' ')) AS fp
+      FROM (SELECT t, unnest(generate_series(0, len(t) - 5)) AS p
+            FROM rt WHERE len(t) >= 5)
+    ),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corp),
+    pos AS (SELECT doc_id, unnest(generate_series(0, len(t) - 5)) AS p, t
+            FROM toks WHERE len(t) >= 5),
+    occ AS (SELECT doc_id, p, md5(array_to_string(t[p+1:p+5], ' ')) AS fp
+            FROM pos),
+    marked AS (SELECT doc_id, p FROM occ
+               WHERE fp IN (SELECT fp FROM rocc)),
+    isl AS (
+      SELECT doc_id, p,
+             CASE WHEN lag(p) OVER w IS NULL OR p > lag(p) OVER w + 5
+                  THEN 1 ELSE 0 END AS f
+      FROM marked WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+    ),
+    grp AS (
+      SELECT doc_id, p, sum(f) OVER (PARTITION BY doc_id ORDER BY p) AS g
+      FROM isl
+    ),
+    spans AS (
+      SELECT doc_id, min(p) AS s, max(p) + 4 AS e
+      FROM grp GROUP BY doc_id, g
+    ),
+    per AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+             CAST(sum(e - s + 1) AS BIGINT) AS tokens_removed,
+             flatten(list(generate_series(s, e))) AS dp
+      FROM spans GROUP BY doc_id
+    )
+    -- coalesce: DuckDB's array_to_string of an EMPTY list is NULL,
+    -- Spark's concat_ws is '' — a fully-scrubbed doc must match
+    SELECT per.doc_id, n_spans, tokens_removed,
+           coalesce(array_to_string(
+             [t[i] FOR i IN generate_series(1, len(t))
+              IF NOT list_contains(dp, i - 1)], ' '), '') AS text_clean
+    FROM per JOIN toks USING (doc_id)
+    """,
+)
+def contamination_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level benchmark decontamination
+    (pipeline.dedup.scrub_contaminated_spans): docs with
+    ``doc_id % 7 == 0`` stand in for a held-out eval set; every
+    maximal >=5-token run of the remaining corpus that the eval set
+    contains verbatim is cut and the text rebuilt — keeping the clean
+    bulk of documents that merely QUOTE a benchmark item, where the
+    whole-doc ``contamination_check`` would drop them entirely.  The
+    reference ships as a distinct md5-gram set (vocabulary-bounded:
+    megabytes at 100 TB), the probe is one left-semi join of gram
+    keys, and only token INDICES return to the doc partition.  Entry
+    returns the affected docs; untouched docs pass through verbatim
+    and are filtered here only to keep the result non-degenerate."""
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    ref = docs.filter(F.col("doc_id") % 7 == 0)
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    out = dedup.scrub_contaminated_spans(
+        corpus, ref, min_tokens=5, fingerprint="md5"
+    )
+    return out.filter(F.col("tokens_removed") > 0).select(
+        "doc_id", "n_spans", "tokens_removed", "text_clean"
+    )
+
+
+@register(
+    "mixture_epoch_caps",
+    oracle="""
+    WITH per AS (
+      SELECT source,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(sum(tokens) AS BIGINT) AS t,
+             CAST(count(*) AS BIGINT) AS k
+      FROM per
+    )
+    SELECT source, tokens,
+           CAST(t // 2 // k AS BIGINT) AS want_tokens,
+           CAST(least(t // 2 // k, tokens * 4) AS BIGINT) AS achieved_tokens,
+           CAST(least(t // 2 // k, tokens * 4) * 1000 // tokens AS BIGINT)
+             AS epochs_x1000,
+           (tokens * 4 < t // 2 // k) AS capped
+    FROM per, tot
+    """,
+)
+def mixture_epoch_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-capped mixture budgeting — the repetition-aware step of
+    dataset mixing (Muennighoff et al. 2023: data repeated beyond ~4
+    epochs stops helping): each source's uniform token allotment
+    (budget = half the corpus, split k ways) is capped at 4 epochs of
+    what the source actually has, and the achieved epochs ship as an
+    exact integer permille.  Pure int64 arithmetic with integer
+    division — no float enters — and the totals arrive via a broadcast
+    1-row cross join, never a driver-side scalar.  One groupBy(source)
+    at any scale; the weight table this emits is what
+    temperature_mixture / mixture_sample_rows consume downstream."""
+    t = _t(spark, sf_dir)
+    per = t["documents"].groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("tokens")
+    )
+    tot = per.agg(
+        F.sum("tokens").alias("_t"), F.count(F.lit(1)).alias("_k")
+    )
+    j = per.join(F.broadcast(tot))
+    return j.select(
+        "source",
+        "tokens",
+        F.expr("_t DIV 2 DIV _k").alias("want_tokens"),
+        F.least(F.expr("_t DIV 2 DIV _k"), F.col("tokens") * 4).alias(
+            "achieved_tokens"
+        ),
+        F.expr(
+            "least(_t DIV 2 DIV _k, tokens * 4) * 1000 DIV tokens"
+        ).alias("epochs_x1000"),
+        (F.col("tokens") * 4 < F.expr("_t DIV 2 DIV _k")).alias("capped"),
+    )
+
+
+@register(
+    "neardup_best_survivor",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(t) >= 3
+               THEN list_transform(range(1, len(t) - 1),
+                                   i -> array_to_string(t[i:i+2], ' '))
+               ELSE [array_to_string(t, ' ')] END) AS s
+      FROM toks
+    ), melt AS (
+      SELECT doc_id, CAST(f.i AS INT) AS fam,
+             list_min(list_transform(s, x ->
+               CAST(('0x' || substr(md5(x || '#' || CAST(f.i AS VARCHAR)),
+                                    1, 12)) AS BIGINT))) AS h
+      FROM sh, UNNEST(range(0, 8)) AS f(i)
+    ), edges AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM melt a JOIN melt b
+        ON a.fam = b.fam AND a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 4
+    ), sym AS (
+      SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+    ), walk AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT w.src, s.dst FROM walk w JOIN sym s ON w.dst = s.src
+    ), comp AS (
+      SELECT src AS id, min(dst) AS mn FROM walk GROUP BY src
+    ), clus AS (
+      SELECT d.doc_id AS id,
+             least(coalesce(c.mn, d.doc_id), d.doc_id) AS cluster,
+             d.n_chars
+      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    ), ranked AS (
+      SELECT id, cluster, n_chars,
+             row_number() OVER (PARTITION BY cluster
+                                ORDER BY n_chars DESC, id) AS rn,
+             count(*) OVER (PARTITION BY cluster) AS n_members,
+             sum(n_chars) OVER (PARTITION BY cluster) AS sum_chars
+      FROM clus
+    )
+    SELECT cluster, CAST(n_members AS BIGINT) AS n_members,
+           id AS survivor_id, n_chars AS survivor_chars,
+           CAST(sum_chars - n_chars AS BIGINT) AS dropped_chars
+    FROM ranked WHERE rn = 1 AND n_members >= 2
+    """,
+)
+def neardup_best_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection over transitive near-dup
+    clusters: production dedup keeps the BEST copy (here: most chars,
+    id tiebreak), not the min-id copy the clustering convention emits
+    — the choice that preserves the longest/cleanest variant of a
+    boilerplate family.  Composes the fully-audited portable
+    clustering (pipeline.dedup.near_duplicate_clusters_portable) with
+    one per-cluster argmax window; the oracle replays signatures,
+    banding, the recursive-CTE transitive closure, AND the survivor
+    vote.  Only (id, cluster, n_chars) enters the window — text never
+    shuffles; cluster sizes are near-dup-family-bounded, so the
+    partitioned window is safe at any corpus scale."""
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    clusters = dedup.near_duplicate_clusters_portable(docs)
+    clus = clusters.join(
+        docs.select(F.col("doc_id").alias("id"), "n_chars"), on="id"
+    )
+    w = Window.partitionBy("cluster").orderBy(F.col("n_chars").desc(), "id")
+    wc = Window.partitionBy("cluster")
+    ranked = clus.select(
+        "id",
+        "cluster",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n_members"),
+        F.sum("n_chars").over(wc).alias("sum_chars"),
+    )
+    return (
+        ranked.filter((F.col("rn") == 1) & (F.col("n_members") >= 2))
+        .select(
+            "cluster",
+            "n_members",
+            F.col("id").alias("survivor_id"),
+            F.col("n_chars").alias("survivor_chars"),
+            (F.col("sum_chars") - F.col("n_chars")).alias("dropped_chars"),
+        )
+    )
+
+
+@register(
+    "skipgram_pair_counts",
+    oracle="""
+    WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+    p AS (
+      SELECT t[i] AS w1, t[i+1] AS w2
+      FROM toks, unnest(generate_series(1, len(t) - 1)) AS s(i)
+      WHERE len(t) >= 2
+      UNION ALL
+      SELECT t[i] AS w1, t[i+2] AS w2
+      FROM toks, unnest(generate_series(1, len(t) - 2)) AS s(i)
+      WHERE len(t) >= 3
+    )
+    SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+    FROM p GROUP BY w1, w2
+    ORDER BY n DESC, w1, w2 LIMIT 20
+    """,
+)
+def skipgram_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional skip-gram pair counts (window 2, directed) — the
+    co-occurrence statistic word2vec/GloVe/PMI embedding training
+    consumes, and the positional complement of the doc-level
+    token_lift_pairs blocking.  Pairs are built MAP-SIDE as JVM
+    struct arrays (one transform per offset — never a positions
+    self-join, which would shuffle the posting list twice), so the
+    only exchange is the final (w1, w2) count aggregate: 2x-tokens
+    rows in, vocabulary²-bounded out, with map-side partial
+    aggregation collapsing the head words before the shuffle.
+    Top-20 with the (n, w1, w2) unique tiebreak."""
+    t = _t(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+
+    def pairs(off: int):
+        return F.when(
+            n > off,
+            F.transform(
+                F.sequence(F.lit(0), (n - 1 - off).cast("int")),
+                lambda i: F.struct(
+                    F.element_at(toks, i + 1).alias("w1"),
+                    F.element_at(toks, i + 1 + off).alias("w2"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+    pe = t["documents"].select(
+        F.explode(F.concat(pairs(1), pairs(2))).alias("p")
+    )
+    return (
+        pe.select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "w1", "w2")
+        .limit(20)
+    )
+
+
+@register(
+    "audio_band_fingerprint",
+    oracle="""
+    WITH ids AS (
+      SELECT doc_id AS media_id,
+             (doc_id % 5 + 1) * (8000 + (doc_id % 4) * 4000) // 10 AS n
+      FROM documents WHERE doc_id < 300 AND doc_id % 3 = 2
+    ),
+    s AS (
+      SELECT media_id, n,
+             CAST(((i * 37) % 201) - 100 AS BIGINT) AS v,
+             CAST(i // (n // 8) AS INT) AS band
+      FROM ids, UNNEST(range(0, (n // 8) * 8)) AS t(i)
+    ),
+    e AS (
+      SELECT media_id, n, band, sum(v * v) AS eb
+      FROM s GROUP BY media_id, n, band
+    ),
+    d AS (
+      SELECT media_id, n, band, eb,
+             lag(eb) OVER (PARTITION BY media_id ORDER BY band) AS prev
+      FROM e
+    )
+    SELECT media_id, CAST(max(n) AS BIGINT) AS n_samples,
+           CAST(max(CASE WHEN band = 0 THEN eb END) AS BIGINT) AS e0,
+           CAST(coalesce(sum(CASE WHEN band > 0 AND eb > prev
+                                  THEN 1 << (band - 1) END), 0) AS INT)
+             AS fp
+    FROM d GROUP BY media_id
+    """,
+)
+def audio_band_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-energy audio fingerprint over REAL decoded PCM16 clips
+    (multimodal.audio_band_fingerprint; Haitsma–Kalker delta coding on
+    the time axis): ramp WAVs are encoded distributed, RIFF-walked and
+    sample-decoded back, split into 8 equal windows whose pure-int64
+    energies delta-code into an 8-bit hash — and the oracle restates
+    every energy and every bit from the generative closed form
+    (sample i = ((i·37) mod 201) − 100), so the decode→frame→energy→
+    bit path is value-audited end to end.  The fingerprint column is
+    the blocking key an audio-dedup banding join would use; blobs
+    never leave their partition."""
+    from spark_monotasks_spark.pipeline import multimodal
+
+    t = _t(spark, sf_dir)
+    ids = t["documents"].filter(
+        (F.col("doc_id") < 300) & (F.col("doc_id") % 3 == 2)
+    ).select(F.col("doc_id").alias("media_id"))
+    media = multimodal.media_from_ids(ids)
+    return multimodal.audio_band_fingerprint(media)

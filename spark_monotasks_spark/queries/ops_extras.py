@@ -1,0 +1,371 @@
+"""Operational-analytics catalog additions: sweep-line session
+concurrency, join-cardinality planner statistics, inter-labeler
+agreement (Cohen's kappa), and exact winsorization — all oracle-backed
+over the standard tables.
+
+Exactness playbook (the r6/r7/r8 convention): everything stays in
+int64 until at most one final IEEE division (kappa), money is scaled
+to cents before any arithmetic (winsorize), percentile ranks use
+integer ceil formulas rather than float quantile definitions, and
+every window/top-k carries a unique tiebreaker.
+
+Reference anchors (spark-monotasks): the reference computes joins and
+aggregates (ShuffledHashJoin.scala, Aggregate.scala) but has no
+planner-statistics, concurrency-sweep, agreement, or robust-clipping
+operators — beyond-reference additions, marked per SURVEY §2.5.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_monotasks_spark.queries.registry import register
+from spark_monotasks_spark.tables import load_tables
+
+
+def _t(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return load_tables(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# sweep-line concurrency
+# ---------------------------------------------------------------------------
+
+_SESSION_SPAN_CTES = """
+    marked AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    ), spans AS (
+      SELECT user_id, session_no, min(ts) AS st, max(ts) AS en
+      FROM sess GROUP BY user_id, session_no
+    )"""
+
+
+@register(
+    "session_concurrency_peak",
+    oracle=f"""
+    WITH {_SESSION_SPAN_CTES},
+    ev AS (
+      SELECT st AS ts, -1 AS neg_delta, CAST(count(*) AS BIGINT) AS cnt
+      FROM spans GROUP BY st
+      UNION ALL
+      SELECT en AS ts, 1 AS neg_delta, CAST(count(*) AS BIGINT) AS cnt
+      FROM spans GROUP BY en
+    ),
+    run AS (
+      SELECT ts, neg_delta,
+             sum((CASE WHEN neg_delta = -1 THEN 1 ELSE -1 END) * cnt)
+               OVER (ORDER BY ts, neg_delta ROWS UNBOUNDED PRECEDING) AS active
+      FROM ev
+    ),
+    d AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, ts, active
+          FROM run),
+    pk AS (SELECT day, max(active) AS mx FROM d GROUP BY day)
+    SELECT pk.day, CAST(pk.mx AS BIGINT) AS peak_active, min(d.ts) AS peak_ts
+    FROM pk JOIN d ON d.day = pk.day AND d.active = pk.mx
+    GROUP BY pk.day, pk.mx
+    """,
+)
+def session_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day by sweep line: sessionize (the
+    events_sessionize 30-min-gap semantics), melt each session span
+    into a +1 start / -1 end event (ends INCLUSIVE — starts sort before
+    ends at the same instant via neg_delta), and run the GLOBAL prefix
+    sum with operators.indexing.running_total — the two-pass
+    distributed shape, never a one-task un-partitioned window.  The
+    sweep runs over DISTINCT (ts, side) rows (collapsed with counts),
+    so the ordered pass sees at most 2x the distinct-timestamp count
+    regardless of session volume — the capacity-planning query ('how
+    many simultaneous users must we serve?') at any scale.  Peak per
+    day reports the earliest instant achieving it (deterministic)."""
+    from spark_monotasks_spark.operators.indexing import running_total
+
+    t = _t(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    sess = t["events"].select(
+        "user_id",
+        "ts",
+        F.sum(F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .over(w)
+        .alias("session_no"),
+    )
+    spans = sess.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("st"), F.max("ts").alias("en")
+    )
+    starts = (
+        spans.groupBy(F.col("st").alias("ts"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("neg_delta", F.lit(-1))
+    )
+    ends = (
+        spans.groupBy(F.col("en").alias("ts"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("neg_delta", F.lit(1))
+    )
+    ev = starts.unionByName(ends).select(
+        "ts",
+        "neg_delta",
+        (F.when(F.col("neg_delta") == -1, F.col("cnt")).otherwise(-F.col("cnt"))).alias(
+            "chg"
+        ),
+    )
+    run = running_total(ev, "chg", ["ts", "neg_delta"], "active")
+    d = run.select(F.date_trunc("day", "ts").alias("day"), "ts", "active")
+    pk = d.groupBy("day").agg(F.max("active").alias("mx"))
+    return (
+        d.join(pk, on="day")
+        .filter(F.col("active") == F.col("mx"))
+        .groupBy("day", "mx")
+        .agg(F.min("ts").alias("peak_ts"))
+        .select("day", F.col("mx").alias("peak_active"), "peak_ts")
+    )
+
+
+# ---------------------------------------------------------------------------
+# planner statistics
+# ---------------------------------------------------------------------------
+
+_JOIN_RELS = [
+    ("customer-orders", "customer", "c_custkey", "orders", "o_custkey"),
+    ("orders-lineitem", "orders", "o_orderkey", "lineitem", "l_orderkey"),
+    ("part-lineitem", "part", "p_partkey", "lineitem", "l_partkey"),
+    ("supplier-lineitem", "supplier", "s_suppkey", "lineitem", "l_suppkey"),
+]
+
+
+def _join_size_oracle() -> str:
+    parts = []
+    for name, lt, lk, rt, rk in _JOIN_RELS:
+        parts.append(f"""
+    SELECT '{name}' AS relation,
+           CAST(count(*) AS BIGINT) AS n_join_keys,
+           CAST(sum(d1 * d2) AS BIGINT) AS est_join_rows,
+           CAST(max(d1 * d2) AS BIGINT) AS max_key_rows,
+           CAST(max(d1 * d2) * count(*) * 1000 // sum(d1 * d2) AS BIGINT)
+             AS skew_x1000
+    FROM (SELECT {lk} AS k, CAST(count(*) AS BIGINT) AS d1 FROM {lt} GROUP BY 1) a
+    JOIN (SELECT {rk} AS k, CAST(count(*) AS BIGINT) AS d2 FROM {rt} GROUP BY 1) b
+    USING (k)""")
+    return " UNION ALL ".join(parts)
+
+
+@register("join_size_stats", oracle=_join_size_oracle())
+def join_size_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality planner statistics, computed WITHOUT executing
+    any join on payload rows: for each FK relationship, per-key degree
+    frames (key-projected groupBy counts — the narrow scans a CBO's
+    ANALYZE pass runs) meet on the key and Σ d1·d2 is the EXACT output
+    size the join would produce; max d1·d2 and its multiple of the
+    mean (skew_x1000, integer-div exact) tell the planner whether to
+    salt.  This is the statistic behind join reordering and AQE's
+    skew-join trigger — here exposed as a first-class audit query.
+    Scale: each side ships (key, count) only; the degree join's width
+    is 2 longs regardless of table width."""
+    t = _t(spark, sf_dir)
+    outs = []
+    for name, lt, lk, rt, rk in _JOIN_RELS:
+        d1 = t[lt].groupBy(F.col(lk).alias("k")).agg(F.count(F.lit(1)).alias("d1"))
+        d2 = t[rt].groupBy(F.col(rk).alias("k")).agg(F.count(F.lit(1)).alias("d2"))
+        j = d1.join(d2, on="k")
+        outs.append(
+            j.agg(
+                F.lit(name).alias("relation"),
+                F.count(F.lit(1)).alias("n_join_keys"),
+                F.sum(F.col("d1") * F.col("d2")).alias("est_join_rows"),
+                F.max(F.col("d1") * F.col("d2")).alias("max_key_rows"),
+            ).withColumn(
+                "skew_x1000",
+                F.expr("max_key_rows * n_join_keys * 1000 DIV est_join_rows"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# agreement statistics
+# ---------------------------------------------------------------------------
+
+@register(
+    "cohens_kappa_labelers",
+    oracle="""
+    WITH lab AS (
+      SELECT (n_chars >= 400) AS a_keep,
+             (length(text) - length(replace(text, ' ', '')) >= 60) AS b_keep
+      FROM documents
+    ), cm AS (
+      SELECT
+        CAST(sum(CASE WHEN a_keep AND b_keep THEN 1 ELSE 0 END) AS BIGINT) AS both_keep,
+        CAST(sum(CASE WHEN a_keep AND NOT b_keep THEN 1 ELSE 0 END) AS BIGINT) AS only_a,
+        CAST(sum(CASE WHEN NOT a_keep AND b_keep THEN 1 ELSE 0 END) AS BIGINT) AS only_b,
+        CAST(sum(CASE WHEN NOT a_keep AND NOT b_keep THEN 1 ELSE 0 END) AS BIGINT) AS neither,
+        CAST(count(*) AS BIGINT) AS n
+      FROM lab
+    )
+    SELECT both_keep, only_a, only_b, neither, n,
+           round(
+             (n * (both_keep + neither)
+              - ((both_keep + only_a) * (both_keep + only_b)
+                 + (only_b + neither) * (only_a + neither)))
+             / CAST(n * n
+              - ((both_keep + only_a) * (both_keep + only_b)
+                 + (only_b + neither) * (only_a + neither)) AS DOUBLE), 6)
+             AS kappa
+    FROM cm
+    """,
+)
+def cohens_kappa_labelers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two deterministic keep/drop labelers (a
+    length rule vs a token-count rule) — the chance-corrected
+    agreement statistic every labeling/filtering pipeline reports
+    before trusting a cheap heuristic as a stand-in for an expensive
+    one.  One scan builds the 2x2 confusion matrix map-side; kappa =
+    (p_o - p_e)/(1 - p_e) is rearranged to a SINGLE division of exact
+    int64 numerator/denominator (n(a+d) - E over n² - E), so the value
+    is bit-identical cross-engine before the final rounding.  At
+    100 TB this is one AggregateExec over booleans — no shuffle beyond
+    the 1-row final merge."""
+    t = _t(spark, sf_dir)
+    a = F.col("n_chars") >= 400
+    b = (F.length("text") - F.length(F.regexp_replace("text", " ", ""))) >= 60
+    cm = t["documents"].agg(
+        F.sum(F.when(a & b, 1).otherwise(0)).alias("both_keep"),
+        F.sum(F.when(a & ~b, 1).otherwise(0)).alias("only_a"),
+        F.sum(F.when(~a & b, 1).otherwise(0)).alias("only_b"),
+        F.sum(F.when(~a & ~b, 1).otherwise(0)).alias("neither"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    e = (F.col("both_keep") + F.col("only_a")) * (
+        F.col("both_keep") + F.col("only_b")
+    ) + (F.col("only_b") + F.col("neither")) * (F.col("only_a") + F.col("neither"))
+    return cm.select(
+        "both_keep",
+        "only_a",
+        "only_b",
+        "neither",
+        "n",
+        F.round(
+            (F.col("n") * (F.col("both_keep") + F.col("neither")) - e)
+            / (F.col("n") * F.col("n") - e).cast("double"),
+            6,
+        ).alias("kappa"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# robust clipping
+# ---------------------------------------------------------------------------
+
+@register(
+    "winsorize_totalprice",
+    oracle="""
+    WITH base AS (
+      SELECT c_mktsegment AS segment,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderkey
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ), ranked AS (
+      SELECT segment, cents,
+             row_number() OVER (PARTITION BY segment
+                                ORDER BY cents, o_orderkey) AS rn,
+             count(*) OVER (PARTITION BY segment) AS n
+      FROM base
+    ), bounds AS (
+      SELECT segment,
+             max(CASE WHEN rn = (n + 19) // 20 THEN cents END) AS lo_cents,
+             max(CASE WHEN rn = (19 * n + 19) // 20 THEN cents END) AS hi_cents,
+             CAST(max(n) AS BIGINT) AS n_orders
+      FROM ranked GROUP BY segment
+    )
+    SELECT b.segment, n_orders, lo_cents, hi_cents,
+           CAST(sum(CASE WHEN cents < lo_cents THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clip_lo,
+           CAST(sum(CASE WHEN cents > hi_cents THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clip_hi,
+           CAST(sum(least(greatest(cents, lo_cents), hi_cents)) AS BIGINT)
+             AS sum_clipped_cents
+    FROM base JOIN bounds b USING (segment)
+    GROUP BY b.segment, n_orders, lo_cents, hi_cents
+    """,
+)
+def winsorize_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (robust clipping) of order value at the exact
+    per-segment p05/p95 — the standard outlier treatment before any
+    mean-based feature enters a model.  Percentiles use the DISCRETE
+    integer-rank definition (rank ceil(p·n) with a unique orderkey
+    tiebreak — the ceil is the int formula (n+19)//20, NEVER a float
+    quantile whose interpolation differs across engines), and money is
+    scaled to cents first, so every output column is exact int64.
+    Plan: one join, one per-segment rank window (bounded-cardinality
+    partition key), a broadcast of the 5-row bounds frame, one final
+    agg.  Beyond ~10^8 rows per segment the rank window would swap for
+    the operators.indexing prefix-sum selection (the
+    exact_quantiles_prefix shape) — same algebra, no giant partition."""
+    t = _t(spark, sf_dir)
+    base = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            "o_orderkey",
+        )
+    )
+    w = Window.partitionBy("segment").orderBy("cents", "o_orderkey")
+    wn = Window.partitionBy("segment")
+    ranked = base.select(
+        "segment",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    bounds = ranked.groupBy("segment").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 19) DIV 20"), F.col("cents"))
+        ).alias("lo_cents"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(19 * n + 19) DIV 20"), F.col("cents"))
+        ).alias("hi_cents"),
+        F.max("n").alias("n_orders"),
+    )
+    return (
+        base.join(F.broadcast(bounds), on="segment")
+        .groupBy("segment", "n_orders", "lo_cents", "hi_cents")
+        .agg(
+            F.sum(F.when(F.col("cents") < F.col("lo_cents"), 1).otherwise(0)).alias(
+                "n_clip_lo"
+            ),
+            F.sum(F.when(F.col("cents") > F.col("hi_cents"), 1).otherwise(0)).alias(
+                "n_clip_hi"
+            ),
+            F.sum(
+                F.least(F.greatest(F.col("cents"), F.col("lo_cents")), F.col("hi_cents"))
+            ).alias("sum_clipped_cents"),
+        )
+        .select(
+            "segment",
+            "n_orders",
+            "lo_cents",
+            "hi_cents",
+            "n_clip_lo",
+            "n_clip_hi",
+            "sum_clipped_cents",
+        )
+    )

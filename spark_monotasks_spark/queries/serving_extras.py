@@ -1,0 +1,194 @@
+"""Similarity-serving catalog additions: IVF-PQ (the billion-vector
+index shape — coarse cells + product-quantized residuals) and an ANN
+recall@k evaluation entry that value-audits the approximate path
+against the exact ranking inside one query.
+
+Both follow the dyadic-literal playbook (ann_pq_topk / ann_ivf_topk,
+queries/pipeline_queries.py): centroids, codebooks, and the query are
+deterministic dyadic rationals, subtraction/multiplication of dyadic
+doubles is exact, and every fold is written in the same left-to-right
+order in both dialects — so the DuckDB oracle replays the FULL
+approximate pipeline (assign -> residual -> encode -> ADC rank ->
+recall join) value-for-value, not merely row counts.
+
+Reference anchors (spark-monotasks): the reference has no vector
+index; these are beyond-reference additions for the embedding-column
+workloads a training-data pipeline runs (SURVEY §2 'similarity
+search' block).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_monotasks_spark.pipeline import similarity
+from spark_monotasks_spark.queries.pipeline_queries import _ivf_assign_ctes
+from spark_monotasks_spark.queries.registry import register
+from spark_monotasks_spark.tables import load_tables
+
+
+def _t(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return load_tables(spark, sf_dir)
+
+
+def _lit_arr(vals: list[float]) -> str:
+    return "CAST([" + ",".join(repr(x) for x in vals) + "] AS DOUBLE[])"
+
+
+def _ivfpq_ctes(
+    dim: int = 64,
+    n_lists: int = 8,
+    cell_seed: int = 5,
+    n_sub: int = 4,
+    n_cent: int = 8,
+    book_seed: int = 7,
+    n_probe: int = 3,
+    qseed: int = 99,
+) -> str:
+    """Shared oracle fragment ending in ``est(vec_id, cell, code_m...,
+    est_raw)``: IVF assignment (reusing ann_ivf_topk's CTEs), the
+    probe-cell filter, the residual against the row's own cell
+    centroid, the per-subspace argmin encode, and the per-cell ADC
+    lookup — every constant a Python-computed dyadic literal identical
+    to what the Spark builder inlines."""
+    cents = similarity.ivf_literal_centroids(dim, n_lists, cell_seed)
+    cent_map = {int(cid): vec for cid, vec in cents}
+    qv = similarity.pq_query_vector(dim, qseed)
+    probe = similarity.ivfpq_probe_cells(qv, cents, n_probe)
+    book = similarity.pq_codebook(dim, n_sub, n_cent, book_seed)
+    sub_dim = dim // n_sub
+
+    cent_case = (
+        "CASE cell "
+        + " ".join(f"WHEN {cid} THEN {_lit_arr(cent_map[cid])}" for cid in probe[:-1])
+        + f" ELSE {_lit_arr(cent_map[probe[-1]])} END"
+    )
+    d_exprs = []
+    for m in range(n_sub):
+        lo, hi = m * sub_dim + 1, (m + 1) * sub_dim
+        for c, cent in enumerate(book[m]):
+            d_exprs.append(
+                f"list_sum(list_transform(list_zip(r[{lo}:{hi}], {_lit_arr(cent)}),"
+                f" x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d_{m}_{c}"
+            )
+    case_exprs = []
+    for m in range(n_sub):
+        whens = []
+        for c in range(n_cent - 1):
+            rest = [f"d_{m}_{cc}" for cc in range(c + 1, n_cent)]
+            cmp = f"least({', '.join(rest)})" if len(rest) > 1 else rest[0]
+            whens.append(f"WHEN d_{m}_{c} <= {cmp} THEN {c}")
+        case_exprs.append(
+            "CASE " + " ".join(whens) + f" ELSE {n_cent - 1} END AS code_{m}"
+        )
+    tables = {}
+    for cid in probe:
+        qres = [q - x for q, x in zip(qv, cent_map[cid])]
+        tables[cid] = similarity.pq_adc_table(qres, dim, n_sub, n_cent, book_seed)
+
+    def lookup(cid: int) -> str:
+        return " + ".join(
+            "(CAST(["
+            + ",".join(repr(t) for t in tables[cid][m])
+            + f"] AS DOUBLE[]))[code_{m} + 1]"
+            for m in range(n_sub)
+        )
+
+    est_case = (
+        "CASE cell "
+        + " ".join(f"WHEN {cid} THEN {lookup(cid)}" for cid in probe[:-1])
+        + f" ELSE {lookup(probe[-1])} END"
+    )
+    codes = ", ".join(f"code_{m}" for m in range(n_sub))
+    probe_list = ", ".join(str(c) for c in probe)
+    return f"""{_ivf_assign_ctes(cents)},
+    cand AS (SELECT vec_id, embedding, cell FROM assigned
+             WHERE cell IN ({probe_list})),
+    res AS (SELECT vec_id, cell,
+              list_transform(list_zip(embedding, {cent_case}),
+                             p -> CAST(p[1] AS DOUBLE) - p[2]) AS r
+            FROM cand),
+    dd AS (SELECT vec_id, cell, {', '.join(d_exprs)} FROM res),
+    coded AS (SELECT vec_id, cell, {', '.join(case_exprs)} FROM dd),
+    est AS (SELECT vec_id, cell, {codes}, {est_case} AS est_raw FROM coded)"""
+
+
+def _ivfpq_oracle_sql(k: int = 20, n_sub: int = 4) -> str:
+    codes = ", ".join(f"code_{m}" for m in range(n_sub))
+    return f"""
+    WITH {_ivfpq_ctes()}
+    SELECT vec_id, cell, {codes}, round(est_raw, 6) AS est_dist
+    FROM est ORDER BY est_raw, vec_id LIMIT {k}
+    """
+
+
+@register("ann_ivfpq_topk", oracle=_ivfpq_oracle_sql())
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN serving (similarity.ivfpq_topk; Jégou et al. 2011 —
+    the FAISS IVFADC shape): coarse dyadic cells + one shared PQ
+    codebook over cell RESIDUALS; the query probes its 3 nearest cells
+    and ranks members by per-cell asymmetric-distance lookups.  Index
+    state is (cell, 4 codes) ≈ 5 bytes/vector — memory-resident at
+    100 TB — and the scan touches ~3/8 of the corpus, codes only.
+    Assign, residual, encode, probe choice, and ADC ranking are all
+    exact dyadic arithmetic, so the DuckDB oracle replays the entire
+    approximate pipeline value-for-value (_ivfpq_ctes)."""
+    t = _t(spark, sf_dir)
+    return similarity.ivfpq_topk(
+        t["embeddings"], similarity.pq_query_vector(64, 99), k=20, dim=64
+    )
+
+
+def _recall_oracle_sql(k: int = 20) -> str:
+    qlits = _lit_arr(similarity.pq_query_vector(64, 99))
+    return f"""
+    WITH {_ivfpq_ctes()},
+    approx AS (SELECT vec_id FROM est ORDER BY est_raw, vec_id LIMIT {k}),
+    exact AS (
+      SELECT vec_id FROM (
+        SELECT vec_id,
+               list_sum(list_transform(list_zip(embedding, {qlits}),
+                        p -> (CAST(p[1] AS DOUBLE) - p[2])
+                           * (CAST(p[1] AS DOUBLE) - p[2]))) AS d
+        FROM embeddings
+      ) ORDER BY d, vec_id LIMIT {k}
+    )
+    SELECT CAST({k} AS INT) AS k,
+           CAST(count(*) AS BIGINT) AS n_hits,
+           round(count(*) / {k}.0, 6) AS recall
+    FROM approx JOIN exact USING (vec_id)
+    """
+
+
+@register("ann_recall_eval", oracle=_recall_oracle_sql())
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@20 of the IVF-PQ path against the EXACT squared-L2 top-20
+    — the evaluation every ANN deployment publishes before trusting an
+    index, run as one distributed query: the approximate ranking
+    (similarity.ivfpq_topk) inner-joins the exact ranking (one
+    full-scan TakeOrderedAndProject) and the hit count becomes
+    recall = |approx ∩ exact| / k.  Both rankings are deterministic
+    dyadic arithmetic, so even this eval is value-replayed by the
+    DuckDB oracle — the recall number itself is audited, not sampled.
+    At scale the exact side is the only full-cost scan, which is
+    exactly the offline-eval posture (ground truth computed once,
+    on a sample of queries)."""
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    qv = similarity.pq_query_vector(64, 99)
+    approx = similarity.ivfpq_topk(emb, qv, k=20, dim=64).select("vec_id")
+    qlit = F.array(*[F.lit(x) for x in qv])
+    exact = (
+        emb.select(
+            "vec_id", similarity.sqdist(F.col("embedding"), qlit).alias("_d")
+        )
+        .orderBy("_d", "vec_id")
+        .limit(20)
+        .select("vec_id")
+    )
+    return approx.join(exact, on="vec_id", how="inner").agg(
+        F.lit(20).cast("int").alias("k"),
+        F.count(F.lit(1)).alias("n_hits"),
+        F.round(F.count(F.lit(1)) / F.lit(20.0), 6).alias("recall"),
+    )

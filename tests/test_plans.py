@@ -682,6 +682,10 @@ def test_no_hidden_cartesians_across_catalog(spark):
         "funnel_time_bound",
         # lift scoring crossJoins the 1-row corpus-count aggregate
         "token_lift_pairs",
+        # r9: the mixture budget crossJoins the 1-row (total, k)
+        # aggregate onto the per-source relation — a broadcast scalar,
+        # never O(n^2)
+        "mixture_epoch_caps",
     }
     offenders = {}
     for name, fn in QUERY_REGISTRY.items():

@@ -139,6 +139,23 @@ LINEAR = [
     ("hierarchy_subtree_rollup", 8.0, "O(n*depth) doubling closure"),
     ("fk_integrity_audit", 8.0, "O(n) two key-projected left joins"),
     ("token_lift_pairs", 8.0, "O(docs*k^2) top-k-blocked pair join"),
+    # r9: IVF-PQ is one encode scan + probe filter + TakeOrdered (and
+    # the recall eval adds one more full-scan TakeOrdered); the sweep
+    # line runs the two-pass prefix sum over distinct timestamps; the
+    # planner stats ship (key,count) pairs only; kappa/mixture are one
+    # aggregate each; winsorize is one bounded-key rank exchange; span
+    # scrub is the ExactSubstr gram-explode shape with a semi-join
+    # probe against the vocabulary-bounded reference gram set
+    ("ann_ivfpq_topk", 8.0, "O(n) encode scan + probe + TakeOrdered"),
+    ("ann_recall_eval", 8.0, "O(n) two scans + bounded join"),
+    ("session_concurrency_peak", 8.0, "O(n) sessionize + two-pass prefix sum"),
+    ("join_size_stats", 8.0, "O(n) key-projected degree joins"),
+    ("cohens_kappa_labelers", 8.0, "O(n) one boolean aggregate"),
+    ("winsorize_totalprice", 8.0, "O(n) bounded-key rank exchange"),
+    ("contamination_span_scrub", 8.0, "O(tokens) gram explode + semi probe"),
+    ("mixture_epoch_caps", 8.0, "O(n) one groupBy(source)"),
+    ("skipgram_pair_counts", 8.0, "O(2*tokens) map-side pairs + one agg"),
+    ("audio_band_fingerprint", 8.0, "O(samples) partition-local decode"),
 ]
 
 #: super-linear entries: bounded above by documented exponents, still
@@ -175,6 +192,10 @@ SUPERLINEAR = [
     # library-side and super-linear in pattern density — 24x documents
     # the expected envelope rather than a linear claim.
     ("ml_fpgrowth_itemsets", 24.0, "support-dependent FP-tree mining"),
+    # r9: the quality-aware survivor composes the portable near-dup
+    # clustering — the same banding-collision + CC-closure envelope as
+    # leakage_safe_split_neardup; the argmax window adds linear work
+    ("neardup_best_survivor", 18.0, "~n^1.2 banding + CC closure"),
 ]
 
 
