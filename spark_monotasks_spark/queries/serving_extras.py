@@ -192,3 +192,151 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_hits"),
         F.round(F.count(F.lit(1)) / F.lit(20.0), 6).alias("recall"),
     )
+
+
+def _batch_queries(n_q: int = 3, dim: int = 64) -> list[tuple[int, list[float]]]:
+    """Deterministic dyadic query batch (seeds 97..): the serving tier
+    amortizes one corpus scan across a BATCH of queries — the shape
+    that matters at 100 TB, where per-query scans would multiply cost
+    by the query rate."""
+    return [
+        (i, similarity.pq_query_vector(dim, seed=97 + i)) for i in range(n_q)
+    ]
+
+
+def _ann_batch_oracle_sql(k: int = 10) -> str:
+    qs = _batch_queries()
+    q_rows = " UNION ALL ".join(
+        f"SELECT {qid} AS qid, {_lit_arr(qv)} AS qv" for qid, qv in qs
+    )
+    cos = (
+        "list_sum(list_transform(list_zip(embedding, qv),"
+        " p -> CAST(p[1] AS DOUBLE) * p[2]))"
+        " / (sqrt(list_sum(list_transform(embedding,"
+        " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        " * sqrt(list_sum(list_transform(qv, x -> x * x))))"
+    )
+    return f"""
+    WITH q AS ({q_rows}),
+    s AS (SELECT qid, vec_id, round({cos}, 4) AS sim FROM embeddings, q),
+    r AS (SELECT qid, vec_id, sim,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY sim DESC, vec_id) AS rk
+          FROM s)
+    SELECT qid, vec_id, sim, CAST(rk AS INT) AS rk FROM r WHERE rk <= {k}
+    """
+
+
+@register("ann_batch_queries", oracle=_ann_batch_oracle_sql())
+def ann_batch_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched multi-query ANN serving: ONE corpus scan scores a
+    3-query batch (broadcast literal frame) and a per-query rank
+    window returns each query's top-10 — Spark plans the rank filter
+    as WindowGroupLimit (map-side per-partition heaps per qid), so the
+    batch costs one scan + one bounded exchange instead of Q scans.
+    This is the offline-serving shape (embedding search over a nightly
+    batch of queries) that per-query TakeOrdered cannot amortize.
+    Every cosine is the same fixed-order fold as ann_cosine_topk, so
+    the whole batch is value-replayed by the oracle."""
+    from pyspark.sql import Window
+
+    t = _t(spark, sf_dir)
+    qs = _batch_queries()
+    q_frames = [
+        spark.range(1).select(
+            F.lit(qid).cast("int").alias("qid"),
+            F.array(*[F.lit(x) for x in qv]).alias("qv"),
+        )
+        for qid, qv in qs
+    ]
+    q = q_frames[0]
+    for f in q_frames[1:]:
+        q = q.unionByName(f)
+    scored = t["embeddings"].crossJoin(F.broadcast(q)).select(
+        "qid",
+        "vec_id",
+        F.round(similarity.cosine(F.col("embedding"), F.col("qv")), 4).alias(
+            "sim"
+        ),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("qid", "vec_id", "sim", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+@register(
+    "embedding_int8_quantize",
+    oracle="""
+    WITH ex AS (
+      SELECT CAST(u.i AS INT) AS dim, CAST(embedding[u.i + 1] AS DOUBLE) AS v
+      FROM embeddings, UNNEST(range(0, len(embedding))) AS u(i)
+    ),
+    b AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM ex GROUP BY dim),
+    coded AS (
+      SELECT ex.dim, v, mn, mx,
+             CASE WHEN mx > mn
+                  THEN floor((v - mn) * 255 / (mx - mn) + 0.5)
+                  ELSE 0 END AS code
+      FROM ex JOIN b ON ex.dim = b.dim
+    ),
+    err AS (
+      SELECT dim, mn, mx, code,
+             abs(v - (CASE WHEN mx > mn
+                           THEN mn + code * (mx - mn) / 255
+                           ELSE mn END)) AS e
+      FROM coded
+    )
+    SELECT dim, round(mn, 6) AS mn, round(mx, 6) AS mx,
+           CAST(count(DISTINCT code) AS BIGINT) AS n_codes,
+           round(avg(e), 8) AS avg_abs_err
+    FROM err GROUP BY dim, mn, mx
+    """,
+)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization audit of the embedding corpus — the
+    storage decision every vector deployment makes before PQ (256-level
+    per-dimension min/max grid = 4x smaller than float32 with ~0.2%
+    grid error): per dimension, the corpus min/max bounds, the number
+    of grid codes actually used, and the mean absolute reconstruction
+    error of round-to-nearest coding.  Two linear passes over the
+    posexploded (dim, value) stream (bounds aggregate, then a
+    broadcast 64-row join-back — never a dim-partitioned window, whose
+    partitions would be corpus/64-sized); code = floor(t + 0.5) rather
+    than round() so half-way ties break identically in every engine.
+    Constant dimensions (mx == mn) code to 0 with zero error by the
+    same CASE in both dialects."""
+    t = _t(spark, sf_dir)
+    ex = t["embeddings"].select(
+        F.posexplode("embedding").alias("dim", "_v")
+    ).select("dim", F.col("_v").cast("double").alias("v"))
+    b = ex.groupBy("dim").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    coded = ex.join(F.broadcast(b), on="dim").withColumn(
+        "code",
+        F.when(
+            F.col("mx") > F.col("mn"),
+            F.floor((F.col("v") - F.col("mn")) * 255 / (F.col("mx") - F.col("mn")) + 0.5),
+        ).otherwise(F.lit(0)),
+    )
+    err = coded.withColumn(
+        "e",
+        F.abs(
+            F.col("v")
+            - F.when(
+                F.col("mx") > F.col("mn"),
+                F.col("mn") + F.col("code") * (F.col("mx") - F.col("mn")) / 255,
+            ).otherwise(F.col("mn"))
+        ),
+    )
+    return err.groupBy("dim", "mn", "mx").agg(
+        F.countDistinct("code").alias("n_codes"),
+        F.round(F.avg("e"), 8).alias("avg_abs_err"),
+    ).select(
+        "dim",
+        F.round("mn", 6).alias("mn"),
+        F.round("mx", 6).alias("mx"),
+        "n_codes",
+        "avg_abs_err",
+    )

@@ -686,6 +686,10 @@ def test_no_hidden_cartesians_across_catalog(spark):
         # aggregate onto the per-source relation — a broadcast scalar,
         # never O(n^2)
         "mixture_epoch_caps",
+        # batched ANN crossJoins the 3-row LITERAL query batch — a
+        # bounded broadcast (the whole point: one scan amortized over
+        # the batch), never O(n^2)
+        "ann_batch_queries",
     }
     offenders = {}
     for name, fn in QUERY_REGISTRY.items():
@@ -723,6 +727,7 @@ def test_no_row_python_udfs_across_catalog(spark):
         "udaf_weighted_mean",     # pandas grouped-agg UDAF parity demo
         "cogroup_collect",        # pandas cogroup path where exercised
         "image_ahash_neardup",    # PNG encode + decode + aHash (codec)
+        "audio_band_fingerprint", # WAV encode + PCM decode (codec)
     }
     arrow_markers = (
         "ArrowEvalPython", "MapInPandas", "PythonMapInArrow", "MapInArrow",
@@ -803,3 +808,19 @@ def test_no_unpartitioned_windows_over_unbounded_inputs(spark):
         f"un-partitioned Window over unbounded input (single-task "
         f"shuffle at scale): {offenders}"
     )
+
+
+def test_ann_batch_queries_window_group_limit(spark):
+    """The batched-ANN rank filter must plan WindowGroupLimit (map-side
+    per-partition top-k heaps per qid) — without it, a 3-value
+    partition key over a corpus-sized input would funnel n/3 rows per
+    task through the window sort."""
+    from spark_monotasks_spark.queries import QUERY_REGISTRY
+
+    plan = (
+        QUERY_REGISTRY["ann_batch_queries"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan, plan

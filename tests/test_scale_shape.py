@@ -156,6 +156,8 @@ LINEAR = [
     ("mixture_epoch_caps", 8.0, "O(n) one groupBy(source)"),
     ("skipgram_pair_counts", 8.0, "O(2*tokens) map-side pairs + one agg"),
     ("audio_band_fingerprint", 8.0, "O(samples) partition-local decode"),
+    ("ann_batch_queries", 8.0, "O(Q*n) one scan + WindowGroupLimit"),
+    ("embedding_int8_quantize", 8.0, "O(dims*n) explode, 2 linear aggs"),
 ]
 
 #: super-linear entries: bounded above by documented exponents, still
