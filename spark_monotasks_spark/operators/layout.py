@@ -181,3 +181,76 @@ def append_with_manifest(df: DataFrame, path: str, key_col: str) -> None:
         )
     )
     new_stats.write.mode("append").parquet(path + "__manifest")
+
+
+def write_zordered_with_manifest(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    bits: int = 10,
+    num_files: int | None = None,
+) -> None:
+    """2-D data-skipping layout: range-sort on the Z-order interleave of
+    the (pre-quantized, non-negative int) ``x_col``/``y_col`` pair and
+    write per-file zone maps on BOTH original dimensions — the
+    Delta/Iceberg OPTIMIZE ZORDER BY idea.  A 1-D sort clusters one
+    dimension perfectly and scatters the other; the Z-curve keeps both
+    dimensions locally coherent, so a 2-D box predicate prunes files
+    on both axes.  Same mechanics as :func:`write_sorted_with_manifest`
+    (immutable parquet + sibling manifest built from one narrow scan);
+    the manifest rows are (file, x_min, x_max, y_min, y_max)."""
+    spark = df.sparkSession
+    if num_files is None:
+        try:
+            num_files = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            num_files = spark.sparkContext.defaultParallelism
+    staged = df.withColumn("_zk", zorder_key(x_col, y_col, bits))
+    (
+        staged.repartitionByRange(num_files, F.col("_zk"))
+        .sortWithinPartitions("_zk")
+        .drop("_zk")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    (
+        spark.read.parquet(path)
+        .select(F.input_file_name().alias("file"), F.col(x_col), F.col(y_col))
+        .groupBy("file")
+        .agg(
+            F.min(x_col).alias("x_min"),
+            F.max(x_col).alias("x_max"),
+            F.min(y_col).alias("y_min"),
+            F.max(y_col).alias("y_max"),
+        )
+        .write.mode("overwrite")
+        .parquet(path + "__manifest")
+    )
+
+
+def read_box_skipping(
+    spark, path: str, x_col: str, y_col: str, x_lo, x_hi, y_lo, y_hi
+) -> DataFrame:
+    """Scan a :func:`write_zordered_with_manifest` table for the 2-D box
+    ``x BETWEEN .. AND y BETWEEN ..``, reading only files whose zone
+    maps overlap the box on BOTH axes.  Driver work is file-count-
+    bounded (the lakehouse planner posture, see :func:`read_skipping`);
+    the residual in-file filter still applies and pushes down, so the
+    result equals the unpruned box scan exactly."""
+    man = spark.read.parquet(path + "__manifest")
+    files = [
+        r.file
+        for r in man.filter(
+            (F.col("x_max") >= F.lit(x_lo)) & (F.col("x_min") <= F.lit(x_hi))
+            & (F.col("y_max") >= F.lit(y_lo)) & (F.col("y_min") <= F.lit(y_hi))
+        ).collect()
+    ]
+    base = spark.read.parquet(path)
+    flt = (
+        F.col(x_col).between(F.lit(x_lo), F.lit(x_hi))
+        & F.col(y_col).between(F.lit(y_lo), F.lit(y_hi))
+    )
+    if not files:
+        return base.filter(F.lit(False))
+    return spark.read.schema(base.schema).parquet(*files).filter(flt)

@@ -34,6 +34,7 @@ from spark_monotasks_spark.queries import analytics_extras  # noqa: E402,F401
 from spark_monotasks_spark.queries import serving_extras  # noqa: E402,F401
 from spark_monotasks_spark.queries import ops_extras  # noqa: E402,F401
 from spark_monotasks_spark.queries import curation_extras  # noqa: E402,F401
+from spark_monotasks_spark.queries import lakehouse_extras  # noqa: E402,F401
 
 #: External harnesses may sample only the first N registry entries
 #: (round 1 checked exactly the first 50 of 100, leaving the extended /

@@ -1,0 +1,183 @@
+"""Lakehouse catalog additions: multi-table ATOMIC snapshots (the
+cross-table transaction single-table manifests cannot express) and
+Z-order 2-D data skipping (OPTIMIZE ZORDER BY) — both as executed
+write→read roundtrips whose results are value-checked against the
+unstaged source tables, so the layout/transaction machinery is proven
+to lose nothing.
+
+Staging follows the data_skipping_scan discipline: per-run mkdtemp,
+removed in a finally block, with the small result localCheckpoint-
+pinned so it outlives the deleted files.
+
+Reference anchors (spark-monotasks): the reference's sinks are
+in-place SaveMode writes (sources/interfaces.scala) with no snapshot
+isolation and no layout stats — beyond-reference additions, marked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_monotasks_spark.queries.registry import register
+from spark_monotasks_spark.tables import load_tables
+
+
+def _t(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return load_tables(spark, sf_dir)
+
+
+@register(
+    "atomic_multi_table_snapshot",
+    oracle="""
+    SELECT 1 AS txn, 'ord_by_status' AS tbl,
+      CAST((SELECT count(DISTINCT o_orderstatus) FROM orders
+            WHERE o_orderkey % 2 = 0) AS BIGINT) AS n_rows,
+      CAST((SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0)
+           AS BIGINT) AS total
+    UNION ALL
+    SELECT 1, 'lines_by_flag',
+      CAST((SELECT count(DISTINCT l_returnflag) FROM lineitem
+            WHERE l_orderkey % 2 = 0) AS BIGINT),
+      CAST((SELECT count(*) FROM lineitem WHERE l_orderkey % 2 = 0)
+           AS BIGINT)
+    UNION ALL
+    SELECT 2, 'ord_by_status',
+      CAST((SELECT count(DISTINCT o_orderstatus) FROM orders
+            WHERE o_orderkey % 2 = 0)
+         + (SELECT count(DISTINCT o_orderstatus) FROM orders
+            WHERE o_orderkey % 2 = 1) AS BIGINT),
+      CAST((SELECT count(*) FROM orders) AS BIGINT)
+    UNION ALL
+    SELECT 2, 'lines_by_flag',
+      CAST((SELECT count(DISTINCT l_returnflag) FROM lineitem
+            WHERE l_orderkey % 2 = 0)
+         + (SELECT count(DISTINCT l_returnflag) FROM lineitem
+            WHERE l_orderkey % 2 = 1) AS BIGINT),
+      CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+    """,
+)
+def atomic_multi_table_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table ATOMIC snapshot commit through a real two-transaction
+    roundtrip (sources.versioned.snapshot_commit / snapshot_read):
+    txn 1 commits an orders rollup AND a lineitem rollup (even-keyed
+    halves) as ONE transaction; txn 2 appends both odd halves, again
+    atomically.  Reading any table AS OF a transaction is then
+    guaranteed consistent with every other table at that transaction —
+    the invariant the entry surfaces: per (txn, table), the physical
+    row count and the summed measure match the source-table cut for
+    that txn exactly (the oracle computes both from the raw tables),
+    which can only hold if no reader ever observes one table's append
+    without the other's.  One txn-manifest hard-link is the commit
+    point; a crashed writer leaves orphan directories readers never
+    resolve.  Staging is per-run (mkdtemp), removed in finally, result
+    localCheckpoint-pinned."""
+    import shutil
+    import tempfile
+
+    from spark_monotasks_spark.sources import versioned as V
+
+    t = _t(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="spark_graft_txn_")
+    try:
+        orders, li = t["orders"], t["lineitem"]
+
+        def ord_half(parity: int) -> DataFrame:
+            return (
+                orders.filter(F.col("o_orderkey") % 2 == parity)
+                .groupBy("o_orderstatus")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+
+        def li_half(parity: int) -> DataFrame:
+            return (
+                li.filter(F.col("l_orderkey") % 2 == parity)
+                .groupBy("l_returnflag")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+
+        V.snapshot_commit(
+            {"ord_by_status": ord_half(0), "lines_by_flag": li_half(0)}, base
+        )
+        V.snapshot_commit(
+            {"ord_by_status": ord_half(1), "lines_by_flag": li_half(1)}, base
+        )
+        frames = []
+        for txn in (1, 2):
+            for tbl in ("ord_by_status", "lines_by_flag"):
+                df = V.snapshot_read(spark, base, tbl, txn)
+                frames.append(
+                    df.agg(
+                        F.lit(txn).cast("int").alias("txn"),
+                        F.lit(tbl).alias("tbl"),
+                        F.count(F.lit(1)).alias("n_rows"),
+                        F.sum("n").alias("total"),
+                    )
+                )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "zorder_box_scan",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+           CAST(min(l_partkey % 1024) AS BIGINT) AS x_lo,
+           CAST(max(l_partkey % 1024) AS BIGINT) AS x_hi,
+           CAST(min(l_suppkey % 1024) AS BIGINT) AS y_lo,
+           CAST(max(l_suppkey % 1024) AS BIGINT) AS y_hi
+    FROM lineitem
+    WHERE (l_partkey % 1024) BETWEEN 100 AND 200
+      AND (l_suppkey % 1024) BETWEEN 300 AND 400
+    """,
+)
+def zorder_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order 2-D data skipping through a real write→read roundtrip
+    (operators.layout.write_zordered_with_manifest / read_box_skipping
+    — the Delta/Iceberg OPTIMIZE ZORDER BY idea): lineitem is staged
+    range-sorted on the bit-interleaved (x, y) key with per-file zone
+    maps on BOTH original dimensions, then a 2-D box query reads only
+    files overlapping the box on both axes.  A 1-D sort clusters one
+    axis and scatters the other; the Z-curve keeps both locally
+    coherent, so the box prunes on both (the layout-effectiveness
+    comparison is asserted in tests/test_lakehouse_extras.py).  The
+    oracle computes the same box aggregate from the unstaged source,
+    so a value match proves pruning loses nothing.  Per-run staging,
+    removed in finally, result localCheckpoint-pinned."""
+    import shutil
+    import tempfile
+
+    from spark_monotasks_spark.operators.layout import (
+        read_box_skipping,
+        write_zordered_with_manifest,
+    )
+
+    t = _t(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="spark_graft_zbox_") + "/li"
+    try:
+        staged = t["lineitem"].select(
+            "l_orderkey",
+            "l_quantity",
+            (F.col("l_partkey") % 1024).alias("x"),
+            (F.col("l_suppkey") % 1024).alias("y"),
+        )
+        write_zordered_with_manifest(
+            staged, base, "x", "y", bits=10, num_files=16
+        )
+        pruned = read_box_skipping(spark, base, "x", "y", 100, 200, 300, 400)
+        out = pruned.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+            F.min("x").alias("x_lo"),
+            F.max("x").alias("x_hi"),
+            F.min("y").alias("y_lo"),
+            F.max("y").alias("y_hi"),
+        ).localCheckpoint()
+        return out
+    finally:
+        shutil.rmtree(base.rsplit("/", 1)[0], ignore_errors=True)

@@ -254,3 +254,109 @@ def compact(
     return write_version(
         latest.repartition(target_partitions), path, mode="overwrite"
     )
+
+
+# ---------------------------------------------------------------------------
+# multi-table atomic snapshots (cross-table transactions)
+# ---------------------------------------------------------------------------
+
+def _txns_dir(base: str) -> str:
+    return os.path.join(base, "_txns")
+
+
+def list_snapshots(base: str) -> list[int]:
+    d = _txns_dir(base)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for f in os.listdir(d):
+        if f.startswith("t") and f.endswith(".json"):
+            try:
+                out.append(int(f[1:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _read_txn(base: str, txn: int) -> dict:
+    with open(os.path.join(_txns_dir(base), f"t{txn}.json")) as f:
+        return json.load(f)
+
+
+def snapshot_commit(
+    dfs: dict[str, DataFrame], base: str, mode: str = "append"
+) -> int:
+    """Commit SEVERAL tables as ONE atomic snapshot — the cross-table
+    transaction single-table manifests cannot give (Delta's multi-table
+    gap; Iceberg fixes it with catalog-level transactions): a reader
+    resolving snapshot N sees every table at the same logical instant,
+    so cross-table invariants (a fact and its rollup, orders and their
+    lineitems) can never be observed half-updated.
+
+    Protocol = the write_version idea lifted one level: each table's
+    data stages into an immutable uniquely-suffixed directory, and the
+    ONE transaction manifest (``_txns/tN.json``, committed by atomic
+    exclusive hard-link) records every table's directory list.  A
+    writer that dies after staging some tables leaves orphan
+    directories but NO manifest — readers never see a torn snapshot —
+    and the retry stages fresh directories.  Concurrent committers race
+    on the hard link; the loser gets ConcurrentCommitError and retries
+    against the new head.  ``append`` carries each table's previous
+    directory list forward; ``overwrite`` replaces it.  Tables absent
+    from ``dfs`` carry forward unchanged — a transaction may touch any
+    subset.
+
+    Scale: the manifest is O(tables x commits) directory NAMES; data
+    files are immutable parquet written fully distributed.  Returns
+    the committed snapshot id."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    if not dfs:
+        raise ValueError("snapshot_commit needs at least one table")
+    snaps = list_snapshots(base)
+    prev = _read_txn(base, snaps[-1]) if snaps else None
+    new_t = (snaps[-1] + 1) if snaps else 1
+    tables: dict[str, list[str]] = dict(prev["tables"]) if prev else {}
+    for name, df in dfs.items():
+        rel = f"{name}/data/t{new_t}-{uuid.uuid4().hex[:8]}"
+        df.write.mode("errorifexists").parquet(os.path.join(base, rel))
+        if mode == "append" and name in tables:
+            tables[name] = tables[name] + [rel]
+        else:
+            tables[name] = [rel]
+    manifest = {"txn": new_t, "mode": mode, "tables": tables}
+    tdir = _txns_dir(base)
+    os.makedirs(tdir, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=tdir, suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(manifest, f)
+    final = os.path.join(tdir, f"t{new_t}.json")
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        os.unlink(tmp)
+        raise ConcurrentCommitError(
+            f"snapshot {new_t} at {base!r} was committed by a concurrent "
+            "writer; re-run snapshot_commit to retry against the new head"
+        ) from None
+    os.unlink(tmp)
+    return new_t
+
+
+def snapshot_read(
+    spark: SparkSession, base: str, table: str, txn: int | None = None
+) -> DataFrame:
+    """Read ``table`` AS OF snapshot ``txn`` (default: latest).  Two
+    reads at the same ``txn`` — of different tables — are guaranteed
+    mutually consistent: both resolve the one transaction manifest."""
+    snaps = list_snapshots(base)
+    if not snaps:
+        raise ValueError(f"no snapshots at {base!r}")
+    t = snaps[-1] if txn is None else txn
+    if t not in snaps:
+        raise ValueError(f"snapshot {t} not in {snaps}")
+    m = _read_txn(base, t)
+    if table not in m["tables"]:
+        raise ValueError(f"table {table!r} not in snapshot {t}")
+    dirs = [os.path.join(base, d) for d in m["tables"][table]]
+    return spark.read.parquet(*dirs)

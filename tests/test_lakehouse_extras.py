@@ -1,0 +1,152 @@
+"""Property tests for the r9 lakehouse operators: multi-table atomic
+snapshots (torn-commit invisibility, concurrent-commit exclusivity,
+subset transactions) and Z-order box skipping (files actually skipped,
+and MORE skipped than a 1-D sort for a box narrow in the second
+dimension)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_monotasks_spark.operators import layout
+from spark_monotasks_spark.sources import versioned as V
+
+
+def _counts(spark, base, table, txn=None):
+    return {
+        r["k"]: r["n"]
+        for r in V.snapshot_read(spark, base, table, txn)
+        .groupBy(F.col("k"))
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    }
+
+
+def test_snapshot_commit_atomic_and_consistent(spark, tmp_path):
+    """Two tables commit together; AS-OF reads of both tables at each
+    txn are mutually consistent; an orphan staging dir (simulated
+    crashed writer) is invisible; a subset txn carries the untouched
+    table forward."""
+    base = str(tmp_path / "txn")
+    a1 = spark.createDataFrame([("x", 1), ("y", 2)], "k string, n long")
+    b1 = spark.createDataFrame([("x", 10)], "k string, n long")
+    assert V.snapshot_commit({"a": a1, "b": b1}, base) == 1
+
+    # simulated torn writer: a staged data dir with NO txn manifest
+    orphan = os.path.join(base, "a", "data", "t9-deadbeef")
+    a1.write.parquet(orphan)
+    assert V.list_snapshots(base) == [1]
+    assert _counts(spark, base, "a") == {"x": 1, "y": 2}
+
+    a2 = spark.createDataFrame([("x", 5)], "k string, n long")
+    b2 = spark.createDataFrame([("y", 7)], "k string, n long")
+    assert V.snapshot_commit({"a": a2, "b": b2}, base) == 2
+
+    # time travel: txn 1 unchanged, txn 2 sees appends on BOTH tables
+    assert _counts(spark, base, "a", 1) == {"x": 1, "y": 2}
+    assert _counts(spark, base, "b", 1) == {"x": 10}
+    assert _counts(spark, base, "a", 2) == {"x": 6, "y": 2}
+    assert _counts(spark, base, "b", 2) == {"x": 10, "y": 7}
+
+    # subset transaction: only table b changes; a carries forward
+    assert V.snapshot_commit({"b": b1}, base) == 3
+    assert _counts(spark, base, "a", 3) == {"x": 6, "y": 2}
+    assert _counts(spark, base, "b", 3) == {"x": 20, "y": 7}
+
+
+def test_snapshot_concurrent_commit_loses_cleanly(spark, tmp_path):
+    """The hard-link commit is exclusive: a manifest already at the
+    target version forces ConcurrentCommitError and leaves the winner
+    intact; the loser's retry lands on the next snapshot id."""
+    base = str(tmp_path / "race")
+    df = spark.createDataFrame([("x", 1)], "k string, n long")
+    V.snapshot_commit({"a": df}, base)
+    # race window: the concurrent winner commits t2 AFTER this writer
+    # resolved the head ([1]) but before its hard-link — simulated by
+    # pinning list_snapshots to the stale head while t2 exists on disk
+    import json
+
+    with open(os.path.join(base, "_txns", "t2.json"), "w") as f:
+        json.dump(
+            {"txn": 2, "mode": "append",
+             "tables": V._read_txn(base, 1)["tables"]}, f
+        )
+    real = V.list_snapshots
+    V.list_snapshots = lambda b: [1]
+    try:
+        with pytest.raises(V.ConcurrentCommitError):
+            V.snapshot_commit({"a": df}, base)
+    finally:
+        V.list_snapshots = real
+    # retry re-resolves the true head (t2) and lands on txn 3
+    assert V.snapshot_commit({"a": df}, base) == 3
+
+
+def test_snapshot_overwrite_mode(spark, tmp_path):
+    base = str(tmp_path / "ow")
+    df1 = spark.createDataFrame([("x", 1)], "k string, n long")
+    df2 = spark.createDataFrame([("y", 9)], "k string, n long")
+    V.snapshot_commit({"a": df1}, base)
+    V.snapshot_commit({"a": df2}, base, mode="overwrite")
+    assert _counts(spark, base, "a") == {"y": 9}
+    assert _counts(spark, base, "a", 1) == {"x": 1}
+
+
+def _files_read(df) -> int:
+    return df.select(F.input_file_name()).distinct().count()
+
+
+def test_zorder_box_skips_more_files_than_1d_sort(spark, tmp_path):
+    """On a uniform 2-D grid, a box narrow in BOTH dimensions must (a)
+    equal the brute-force filter, (b) read fewer files than the table
+    holds, and (c) read fewer files than the same box over a 1-D
+    x-sorted layout (which scatters y across every x-run)."""
+    n = 1 << 12
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % 64).alias("x"),
+        ((F.col("id") / 64).cast("long") % 64).alias("y"),
+    )
+    zpath = str(tmp_path / "z")
+    lpath = str(tmp_path / "l")
+    layout.write_zordered_with_manifest(df, zpath, "x", "y", bits=6, num_files=16)
+    layout.write_sorted_with_manifest(df, lpath, "x", num_files=16)
+
+    box = dict(x_lo=8, x_hi=15, y_lo=8, y_hi=15)
+    zread = layout.read_box_skipping(spark, zpath, "x", "y", **box)
+    expect = df.filter(
+        F.col("x").between(8, 15) & F.col("y").between(8, 15)
+    )
+    assert sorted(r["id"] for r in zread.collect()) == sorted(
+        r["id"] for r in expect.collect()
+    )
+
+    z_files = _files_read(zread)
+    total_files = _files_read(spark.read.parquet(zpath))
+    assert z_files < total_files, (z_files, total_files)
+
+    # 1-D layout: prune on x via its manifest, then filter y in-file —
+    # every x-overlapping file must be read regardless of y
+    lread = layout.read_skipping(spark, lpath, "x", 8, 15).filter(
+        F.col("y").between(8, 15)
+    )
+    l_files = _files_read(
+        layout.read_skipping(spark, lpath, "x", 8, 15)
+    )
+    assert sorted(r["id"] for r in lread.collect()) == sorted(
+        r["id"] for r in expect.collect()
+    )
+    assert z_files < l_files, (z_files, l_files)
+
+
+def test_zorder_box_empty_when_no_overlap(spark, tmp_path):
+    df = spark.range(256).select(
+        F.col("id"), (F.col("id") % 16).alias("x"), (F.col("id") % 16).alias("y")
+    )
+    path = str(tmp_path / "z0")
+    layout.write_zordered_with_manifest(df, path, "x", "y", bits=4, num_files=4)
+    out = layout.read_box_skipping(spark, path, "x", "y", 100, 200, 100, 200)
+    assert out.count() == 0

@@ -158,6 +158,8 @@ LINEAR = [
     ("audio_band_fingerprint", 8.0, "O(samples) partition-local decode"),
     ("ann_batch_queries", 8.0, "O(Q*n) one scan + WindowGroupLimit"),
     ("embedding_int8_quantize", 8.0, "O(dims*n) explode, 2 linear aggs"),
+    ("atomic_multi_table_snapshot", 8.0, "O(n) two agg writes + 4 reads"),
+    ("zorder_box_scan", 8.0, "O(n) zorder write + pruned box read"),
 ]
 
 #: super-linear entries: bounded above by documented exponents, still
