@@ -181,3 +181,97 @@ def zorder_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         shutil.rmtree(base.rsplit("/", 1)[0], ignore_errors=True)
+
+
+@register(
+    "stream_snapshot_commit",
+    oracle="""
+    SELECT 'events_hourly' AS tbl,
+           CAST(count(DISTINCT date_trunc('hour', ts)) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS total
+    FROM events
+    UNION ALL
+    SELECT 'events_by_type',
+           CAST(count(DISTINCT event_type) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM events
+    """,
+)
+def stream_snapshot_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming ingest with per-micro-batch ATOMIC
+    multi-table commits (streaming.dstream.streaming_snapshot_sink):
+    the events stream commits a raw-hourly rollup AND a by-type rollup
+    as ONE transaction per batch (sources.versioned.snapshot_commit
+    stamped with the batch id), so no reader can ever observe one
+    rollup's batch without the other — the consistency guarantee the
+    per-table-manifest router only repairs after the fact.  Run
+    end-to-end through Structured Streaming (availableNow file source,
+    real foreachBatch commits), then both tables read back from the
+    latest snapshot; totals must equal the batch aggregates over the
+    raw events (the oracle), and the cross-table invariant — identical
+    event totals — is part of the hashed result.  Replay idempotence
+    (multi-batch, partial-crash) is covered in
+    tests/test_lakehouse_extras.py."""
+    import os
+    import shutil
+    import tempfile
+
+    from spark_monotasks_spark.sources import versioned as V
+    from spark_monotasks_spark.streaming import dstream
+    from spark_monotasks_spark import tables
+
+    tables.ensure_parity_confs(spark)
+    stage = tempfile.mkdtemp(prefix="stream_txn_")
+    indir = os.path.join(stage, "in")
+    os.makedirs(indir)
+    os.symlink(
+        os.path.abspath(os.path.join(sf_dir, "events.parquet")),
+        os.path.join(indir, "events.parquet"),
+    )
+    base = os.path.join(stage, "tables")
+    try:
+        stream = dstream.file_stream(
+            spark, indir, spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        )
+        stream = tables._fix_nanos(stream)
+
+        def build(batch: DataFrame) -> dict[str, DataFrame]:
+            return {
+                "events_hourly": batch.groupBy(
+                    F.date_trunc("hour", "ts").alias("hour")
+                ).agg(F.count(F.lit(1)).alias("n")),
+                "events_by_type": batch.groupBy("event_type").agg(
+                    F.count(F.lit(1)).alias("n")
+                ),
+            }
+
+        q = (
+            dstream.streaming_snapshot_sink(
+                stream, base, os.path.join(stage, "ck"), build
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("snapshot sink did not drain within 300s")
+        if not V.list_snapshots(base):  # zero micro-batches (no input)
+            return spark.createDataFrame(
+                [], "tbl string, n_rows long, total long"
+            )
+        frames = []
+        for tbl in ("events_hourly", "events_by_type"):
+            df = V.snapshot_read(spark, base, tbl)
+            frames.append(
+                df.agg(
+                    F.lit(tbl).alias("tbl"),
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sum("n").alias("total"),
+                )
+            )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)

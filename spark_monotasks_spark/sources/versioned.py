@@ -284,7 +284,10 @@ def _read_txn(base: str, txn: int) -> dict:
 
 
 def snapshot_commit(
-    dfs: dict[str, DataFrame], base: str, mode: str = "append"
+    dfs: dict[str, DataFrame],
+    base: str,
+    mode: str = "append",
+    batch_id: int | None = None,
 ) -> int:
     """Commit SEVERAL tables as ONE atomic snapshot — the cross-table
     transaction single-table manifests cannot give (Delta's multi-table
@@ -306,6 +309,13 @@ def snapshot_commit(
     from ``dfs`` carry forward unchanged — a transaction may touch any
     subset.
 
+    ``batch_id`` stamps the manifest with a streaming micro-batch id;
+    the running max carries forward into every manifest
+    (``max_batch_id``) exactly like write_version's, so
+    :func:`last_snapshot_batch_id` gives an exactly-once streaming
+    sink ONE replay watermark covering ALL tables — a replayed batch
+    skips the whole transaction, never half of it.
+
     Scale: the manifest is O(tables x commits) directory NAMES; data
     files are immutable parquet written fully distributed.  Returns
     the committed snapshot id."""
@@ -325,6 +335,14 @@ def snapshot_commit(
         else:
             tables[name] = [rel]
     manifest = {"txn": new_t, "mode": mode, "tables": tables}
+    carried = -1
+    if prev is not None:
+        carried = prev.get("max_batch_id", prev.get("batch_id", -1))
+    if batch_id is not None:
+        manifest["batch_id"] = batch_id
+        carried = max(carried, batch_id)
+    if carried >= 0:
+        manifest["max_batch_id"] = carried
     tdir = _txns_dir(base)
     os.makedirs(tdir, exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=tdir, suffix=".tmp")
@@ -341,6 +359,17 @@ def snapshot_commit(
         ) from None
     os.unlink(tmp)
     return new_t
+
+
+def last_snapshot_batch_id(base: str) -> int:
+    """The multi-table replay watermark: the max micro-batch id any
+    committed snapshot carries (-1 if none) — resolved from the LATEST
+    manifest only, since the running max is carried forward."""
+    snaps = list_snapshots(base)
+    if not snaps:
+        return -1
+    m = _read_txn(base, snaps[-1])
+    return m.get("max_batch_id", m.get("batch_id", -1))
 
 
 def snapshot_read(

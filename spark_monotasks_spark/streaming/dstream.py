@@ -776,6 +776,40 @@ def versioned_append_sink(
     )
 
 
+def streaming_snapshot_sink(
+    stream: DataFrame,
+    base: str,
+    checkpoint: str,
+    tables_fn,
+) -> "DataStreamWriter":
+    """Exactly-once streaming ingest into SEVERAL versioned tables with
+    per-micro-batch ATOMIC cross-table commits
+    (sources.versioned.snapshot_commit): ``tables_fn(batch)`` returns
+    the dict of per-table frames (e.g. a raw append plus its rollup)
+    and ONE txn manifest commits them all — so downstream readers can
+    never observe the raw table's batch without its rollup, the
+    consistency hole streaming_split_router_sink's per-table manifests
+    tolerate (replay heals a partial crash there; here a partial state
+    is unobservable in the first place).  Replayed batches
+    (foreachBatch is at-least-once after recovery) are skipped via the
+    single multi-table watermark ``last_snapshot_batch_id``.  The
+    batch is persisted once so N table builds share one materialization."""
+    from spark_monotasks_spark.sources import versioned as V
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch_id <= V.last_snapshot_batch_id(base):
+            return  # replay after recovery — the whole txn committed
+        batch = batch.persist()
+        try:
+            V.snapshot_commit(tables_fn(batch), base, batch_id=batch_id)
+        finally:
+            batch.unpersist()
+
+    return stream.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint
+    )
+
+
 def streaming_split_router_sink(
     stream: DataFrame,
     out_base: str,

@@ -150,3 +150,75 @@ def test_zorder_box_empty_when_no_overlap(spark, tmp_path):
     layout.write_zordered_with_manifest(df, path, "x", "y", bits=4, num_files=4)
     out = layout.read_box_skipping(spark, path, "x", "y", 100, 200, 100, 200)
     assert out.count() == 0
+
+
+def test_streaming_snapshot_sink_multibatch_exactly_once(spark, tmp_path):
+    """Two micro-batches through the REAL sink (maxFilesPerTrigger=1):
+    final tables equal the batch aggregates; the txn watermark covers
+    both tables at once, so a replayed batch id skips the WHOLE
+    transaction (no half-applied rollups)."""
+    import os
+
+    from spark_monotasks_spark.streaming import dstream
+
+    rows1 = [(1, "click"), (2, "view"), (3, "click")]
+    rows2 = [(4, "view"), (5, "click")]
+    indir = str(tmp_path / "in")
+    os.makedirs(indir)
+    # the file source lists plain files, not nested write dirs — stage
+    # each batch's single part file directly into the watched dir
+    import glob
+    import shutil as sh
+
+    for i, rows in enumerate((rows1, rows2), 1):
+        w = str(tmp_path / f"w{i}")
+        spark.createDataFrame(rows, "id long, et string").coalesce(1).write.parquet(w)
+        sh.copy(glob.glob(w + "/part-*.parquet")[0], f"{indir}/f{i}.parquet")
+    base = str(tmp_path / "tables")
+
+    def build(batch):
+        return {
+            "by_type": batch.groupBy("et").agg(F.count(F.lit(1)).alias("n")),
+            "total": batch.agg(F.count(F.lit(1)).alias("n")),
+        }
+
+    stream = dstream.file_stream(
+        spark, indir, "id long, et string", max_files_per_trigger=1
+    )
+    q = (
+        dstream.streaming_snapshot_sink(stream, base, str(tmp_path / "ck"), build)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    assert len(V.list_snapshots(base)) == 2
+    by_type = {
+        r["et"]: r["n"]
+        for r in V.snapshot_read(spark, base, "by_type")
+        .groupBy("et")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    }
+    assert by_type == {"click": 3, "view": 2}
+    total = sum(
+        r["n"] for r in V.snapshot_read(spark, base, "total").collect()
+    )
+    assert total == 5
+
+    # replay: the watermark covers BOTH tables — re-applying an already
+    # committed batch id is a no-op for the whole transaction
+    wm = V.last_snapshot_batch_id(base)
+    assert wm >= 1
+    df = spark.createDataFrame(rows2, "id long, et string")
+    if 1 > wm:  # the sink's guard, applied verbatim — must not fire
+        V.snapshot_commit(build(df), base, batch_id=1)
+    assert len(V.list_snapshots(base)) == 2
+    replay_counts = {
+        r["et"]: r["n"]
+        for r in V.snapshot_read(spark, base, "by_type")
+        .groupBy("et")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    }
+    assert replay_counts == {"click": 3, "view": 2}
