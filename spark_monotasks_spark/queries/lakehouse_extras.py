@@ -275,3 +275,71 @@ def stream_snapshot_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+@register(
+    "snapshot_incremental_read",
+    oracle="""
+    SELECT 'ord_by_status' AS tbl,
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS total
+    FROM orders WHERE o_orderkey % 2 = 1
+    UNION ALL
+    SELECT 'lines_by_flag',
+           CAST(count(DISTINCT l_returnflag) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM lineitem WHERE l_orderkey % 2 = 1
+    """,
+)
+def snapshot_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed over the multi-table transaction store
+    (sources.versioned.snapshot_changes): after the same two-txn
+    roundtrip as atomic_multi_table_snapshot (even halves, then odd
+    halves appended atomically), the incremental read between txn 1
+    and txn 2 must contain EXACTLY the odd-half rollups of BOTH tables
+    — the delta a downstream incremental consumer folds in instead of
+    rescanning the snapshot, resolved purely from the two manifests'
+    directory-list difference (no data diffing, no tombstones).  The
+    oracle restates both deltas from the raw tables.  Overwrites
+    between txns raise (a replacement is not an increment) —
+    tested in tests/test_lakehouse_extras.py."""
+    import shutil
+    import tempfile
+
+    from spark_monotasks_spark.sources import versioned as V
+
+    t = _t(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="spark_graft_cdf_")
+    try:
+        orders, li = t["orders"], t["lineitem"]
+
+        def halves(parity: int) -> dict[str, DataFrame]:
+            return {
+                "ord_by_status": orders.filter(
+                    F.col("o_orderkey") % 2 == parity
+                )
+                .groupBy("o_orderstatus")
+                .agg(F.count(F.lit(1)).alias("n")),
+                "lines_by_flag": li.filter(F.col("l_orderkey") % 2 == parity)
+                .groupBy("l_returnflag")
+                .agg(F.count(F.lit(1)).alias("n")),
+            }
+
+        V.snapshot_commit(halves(0), base)
+        V.snapshot_commit(halves(1), base)
+        frames = []
+        for tbl in ("ord_by_status", "lines_by_flag"):
+            delta = V.snapshot_changes(spark, base, tbl, 1, 2)
+            frames.append(
+                delta.agg(
+                    F.lit(tbl).alias("tbl"),
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sum("n").alias("total"),
+                )
+            )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -389,3 +389,70 @@ def snapshot_read(
         raise ValueError(f"table {table!r} not in snapshot {t}")
     dirs = [os.path.join(base, d) for d in m["tables"][table]]
     return spark.read.parquet(*dirs)
+
+
+def snapshot_changes(
+    spark: SparkSession, base: str, table: str, from_txn: int, to_txn: int
+) -> DataFrame:
+    """Incremental read: the rows ``table`` gained between ``from_txn``
+    (exclusive) and ``to_txn`` (inclusive) — the change-data-feed a
+    downstream incremental consumer reads instead of rescanning the
+    snapshot (the read_changes idea lifted to the transaction store).
+    Resolved purely from the two manifests' directory-list difference;
+    an overwrite between the txns makes the delta undefined (the new
+    dirs are a full replacement, not an increment) and raises."""
+    snaps = list_snapshots(base)
+    if from_txn not in snaps or to_txn not in snaps:
+        raise ValueError(f"txns must be in {snaps}")
+    if from_txn >= to_txn:
+        raise ValueError("from_txn must precede to_txn")
+    older = _read_txn(base, from_txn)["tables"].get(table, [])
+    m_new = _read_txn(base, to_txn)
+    newer = m_new["tables"].get(table, [])
+    if not set(older) <= set(newer):
+        raise ValueError(
+            f"table {table!r} was overwritten between txn {from_txn} and "
+            f"{to_txn}; the delta is not an increment — read the snapshot"
+        )
+    delta = [d for d in newer if d not in set(older)]
+    if not delta:
+        schema = spark.read.parquet(
+            *[os.path.join(base, d) for d in newer]
+        ).schema
+        return spark.createDataFrame([], schema)
+    return spark.read.parquet(*[os.path.join(base, d) for d in delta])
+
+
+def snapshot_vacuum(base: str, keep_snapshots: int = 1) -> list[str]:
+    """Reap data directories no kept snapshot references (and the
+    dropped txn manifests) — the vacuum step of the transaction store.
+    Orphans from crashed writers go too.  Returns removed relative
+    directory names.  Same caveat as table-level vacuum: don't run
+    concurrently with an in-flight committer."""
+    import shutil
+
+    if keep_snapshots < 1:
+        raise ValueError("keep_snapshots must be >= 1")
+    snaps = list_snapshots(base)
+    kept = snaps[-keep_snapshots:]
+    live: set[str] = set()
+    tables: set[str] = set()
+    for t in snaps:
+        tables.update(_read_txn(base, t)["tables"])
+    for t in kept:
+        for dirs in _read_txn(base, t)["tables"].values():
+            live.update(dirs)
+    removed = []
+    for tbl in sorted(tables):
+        data_root = os.path.join(base, tbl, "data")
+        if not os.path.isdir(data_root):
+            continue
+        for d in sorted(os.listdir(data_root)):
+            rel = f"{tbl}/data/{d}"
+            if rel not in live:
+                shutil.rmtree(os.path.join(data_root, d), ignore_errors=True)
+                removed.append(rel)
+    for t in snaps:
+        if t not in kept:
+            os.remove(os.path.join(_txns_dir(base), f"t{t}.json"))
+    return removed

@@ -222,3 +222,35 @@ def test_streaming_snapshot_sink_multibatch_exactly_once(spark, tmp_path):
         .collect()
     }
     assert replay_counts == {"click": 3, "view": 2}
+
+
+def test_snapshot_changes_and_vacuum(spark, tmp_path):
+    """Delta between txns = exactly the appended rows; empty delta for
+    an untouched table; overwrite between txns raises; vacuum reaps
+    unreferenced dirs (incl. a planted orphan) but keeps the head
+    readable and drops old manifests."""
+    base = str(tmp_path / "cdf")
+    a1 = spark.createDataFrame([("x", 1)], "k string, n long")
+    a2 = spark.createDataFrame([("y", 2)], "k string, n long")
+    b1 = spark.createDataFrame([("z", 3)], "k string, n long")
+    V.snapshot_commit({"a": a1, "b": b1}, base)
+    V.snapshot_commit({"a": a2}, base)  # b carries forward untouched
+
+    delta_a = V.snapshot_changes(spark, base, "a", 1, 2).collect()
+    assert [(r["k"], r["n"]) for r in delta_a] == [("y", 2)]
+    assert V.snapshot_changes(spark, base, "b", 1, 2).count() == 0
+
+    V.snapshot_commit({"a": a1}, base, mode="overwrite")
+    with pytest.raises(ValueError, match="overwritten"):
+        V.snapshot_changes(spark, base, "a", 2, 3)
+
+    # plant an orphan, vacuum to the head only
+    orphan = os.path.join(base, "a", "data", "t7-feedface")
+    a1.write.parquet(orphan)
+    removed = V.snapshot_vacuum(base, keep_snapshots=1)
+    assert any("t7-feedface" in r for r in removed)
+    assert V.list_snapshots(base) == [3]
+    assert _counts(spark, base, "a") == {"x": 1}
+    # txn 3 overwrote a but b's dirs are still referenced by... the
+    # head manifest carries b forward, so b must survive the vacuum
+    assert _counts(spark, base, "b") == {"z": 3}

@@ -160,6 +160,7 @@ LINEAR = [
     ("embedding_int8_quantize", 8.0, "O(dims*n) explode, 2 linear aggs"),
     ("atomic_multi_table_snapshot", 8.0, "O(n) two agg writes + 4 reads"),
     ("zorder_box_scan", 8.0, "O(n) zorder write + pruned box read"),
+    ("snapshot_incremental_read", 8.0, "O(n) two agg writes + delta read"),
 ]
 
 #: super-linear entries: bounded above by documented exponents, still
