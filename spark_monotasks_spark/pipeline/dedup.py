@@ -1179,6 +1179,49 @@ def fuzzy_pairs_levenshtein(
     )
 
 
+def minhash_candidate_pairs_portable(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 8,
+    min_matches: int = 4,
+) -> DataFrame:
+    """The banding CANDIDATE stage of the portable MinHash path on its
+    own: pairs (id_a < id_b) sharing ≥ ``min_matches`` of
+    ``num_hashes`` md5-family minima, with the match count — the edge
+    set near_duplicate_clusters_portable closes over, exposed so the
+    banding's quality can be EVALUATED against exact ground truth
+    (see the lsh_banding_pr_eval catalog entry).  Ships melted
+    (fam, h, id) keys only; the match join's output is collision-
+    bounded, never corpus-quadratic."""
+    sigs = minhash_signatures_portable(
+        df, id_col, text_col, shingle_k=shingle_k, num_hashes=num_hashes
+    )
+    melted = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("fam"), F.col(f"h{i}").alias("h")
+                    )
+                    for i in range(num_hashes)
+                ]
+            )
+        ).alias("fh"),
+    ).select("id", F.col("fh.fam").alias("fam"), F.col("fh.h").alias("h"))
+    a = melted.select(F.col("id").alias("id_a"), "fam", "h")
+    b = melted.select(F.col("id").alias("id_b"), "fam", "h")
+    return (
+        a.join(b, on=["fam", "h"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_match"))
+        .filter(F.col("n_match") >= min_matches)
+    )
+
+
 def near_duplicate_clusters_portable(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1203,32 +1246,9 @@ def near_duplicate_clusters_portable(
     touched once at the end for singleton ids."""
     from spark_monotasks_spark.graph.algorithms import connected_components_star
 
-    sigs = minhash_signatures_portable(
-        df, id_col, text_col, shingle_k=shingle_k, num_hashes=num_hashes
-    )
-    melted = sigs.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("fam"), F.col(f"h{i}").alias("h")
-                    )
-                    for i in range(num_hashes)
-                ]
-            )
-        ).alias("fh"),
-    ).select("id", F.col("fh.fam").alias("fam"), F.col("fh.h").alias("h"))
-    a = melted.select(F.col("id").alias("id_a"), "fam", "h")
-    b = melted.select(F.col("id").alias("id_b"), "fam", "h")
-    edges = (
-        a.join(b, on=["fam", "h"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_match"))
-        .filter(F.col("n_match") >= min_matches)
-        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    )
+    edges = minhash_candidate_pairs_portable(
+        df, id_col, text_col, shingle_k, num_hashes, min_matches
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     comps = connected_components_star(edges, reliable=reliable)
     return (
         df.select(F.col(id_col).alias("id"))

@@ -350,3 +350,98 @@ def audio_band_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("doc_id").alias("media_id"))
     media = multimodal.media_from_ids(ids)
     return multimodal.audio_band_fingerprint(media)
+
+
+@register(
+    "lsh_banding_pr_eval",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    sh3 AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            for i in generate_series(1, greatest(len(t)-2, 1))])
+               AS s
+      FROM toks
+    ),
+    truth AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh3 a JOIN sh3 b ON a.doc_id < b.doc_id
+      WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / len(list_distinct(a.s || b.s)), 6) >= 0.5
+    ),
+    shm AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(t) >= 3
+               THEN list_transform(range(1, len(t) - 1),
+                                   i -> array_to_string(t[i:i+2], ' '))
+               ELSE [array_to_string(t, ' ')] END) AS s
+      FROM toks
+    ),
+    melt AS (
+      SELECT doc_id, CAST(f.i AS INT) AS fam,
+             list_min(list_transform(s, x ->
+               CAST(('0x' || substr(md5(x || '#' || CAST(f.i AS VARCHAR)),
+                                    1, 12)) AS BIGINT))) AS h
+      FROM shm, UNNEST(range(0, 8)) AS f(i)
+    ),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM melt a JOIN melt b
+        ON a.fam = b.fam AND a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 4
+    ),
+    m AS (
+      SELECT (SELECT count(*) FROM cand) AS nc,
+             (SELECT count(*) FROM truth) AS nt,
+             (SELECT count(*) FROM cand JOIN truth USING (id_a, id_b)) AS tp
+    )
+    SELECT CAST(nc AS BIGINT) AS n_candidates,
+           CAST(nt AS BIGINT) AS n_truth,
+           CAST(tp AS BIGINT) AS tp,
+           round(tp / CAST(nc AS DOUBLE), 6) AS prec,
+           round(tp / CAST(nt AS DOUBLE), 6) AS recall
+    FROM m
+    """,
+)
+def lsh_banding_pr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of the MinHash banding candidate stage against
+    EXACT ground truth — the calibration every probabilistic-dedup
+    deployment owes before trusting a (num_hashes, min_matches)
+    setting: candidates = >=4-of-8 md5-family matches
+    (pipeline.dedup.minhash_candidate_pairs_portable), truth = the
+    LOSSLESS prefix-filtered exact Jaccard >= 0.5 join
+    (dedup.jaccard_join_prefix, 3-token shingles), and the entry emits
+    candidate/truth/overlap counts plus precision and recall — all
+    value-audited, since BOTH sides are already exactly replayable
+    (the two existing oracles composed, plus the intersection).  On
+    this synthetic corpus the planted near-dups all sit at J >= 0.9
+    against a < 0.1 background, so 1.0/1.0 is the TRUE answer (banding
+    is genuinely lossless here) — the entry's value is that the metric
+    machinery itself is hash-audited; on a real crawl the same query
+    reports the real trade-off.  At scale both sides stay blocked
+    (banding buckets / rarest-first prefixes); the metric join ships
+    id pairs only."""
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    cand = dedup.minhash_candidate_pairs_portable(docs).select(
+        "id_a", "id_b"
+    )
+    truth = dedup.jaccard_join_prefix(
+        docs, threshold=0.5, shingle_k=3
+    ).select("id_a", "id_b")
+    nc = cand.agg(F.count(F.lit(1)).alias("nc"))
+    nt = truth.agg(F.count(F.lit(1)).alias("nt"))
+    tp = (
+        cand.join(truth, on=["id_a", "id_b"])
+        .agg(F.count(F.lit(1)).alias("tp"))
+    )
+    m = nc.crossJoin(F.broadcast(nt)).crossJoin(F.broadcast(tp))
+    return m.select(
+        F.col("nc").alias("n_candidates"),
+        F.col("nt").alias("n_truth"),
+        "tp",
+        F.round(F.col("tp") / F.col("nc").cast("double"), 6).alias("prec"),
+        F.round(F.col("tp") / F.col("nt").cast("double"), 6).alias("recall"),
+    )

@@ -690,6 +690,8 @@ def test_no_hidden_cartesians_across_catalog(spark):
         # bounded broadcast (the whole point: one scan amortized over
         # the batch), never O(n^2)
         "ann_batch_queries",
+        # banding P/R eval crossJoins three 1-row count aggregates
+        "lsh_banding_pr_eval",
     }
     offenders = {}
     for name, fn in QUERY_REGISTRY.items():

@@ -201,6 +201,9 @@ SUPERLINEAR = [
     # clustering — the same banding-collision + CC-closure envelope as
     # leakage_safe_split_neardup; the argmax window adds linear work
     ("neardup_best_survivor", 18.0, "~n^1.2 banding + CC closure"),
+    # the banding P/R eval composes two gated families (minhash
+    # banding + the prefix-filtered exact join) — inherits their bound
+    ("lsh_banding_pr_eval", 18.0, "~n^1.2 banding + prefix-join truth"),
 ]
 
 
