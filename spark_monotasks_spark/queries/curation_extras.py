@@ -445,3 +445,137 @@ def lsh_banding_pr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("tp") / F.col("nc").cast("double"), 6).alias("prec"),
         F.round(F.col("tp") / F.col("nt").cast("double"), 6).alias("recall"),
     )
+
+
+@register(
+    "weak_label_vote",
+    oracle="""
+    WITH lf AS (
+      SELECT
+        CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END AS lf_length,
+        CASE WHEN length(text) - length(replace(text, ' ', '')) >= 60
+             THEN 1 ELSE 0 END AS lf_tokens,
+        CASE WHEN n_chars < 100 THEN NULL
+             WHEN length(regexp_replace(text, '[^0-9]', '', 'g')) <= 5
+             THEN 1 ELSE 0 END AS lf_digits
+      FROM documents
+    ),
+    voted AS (
+      SELECT lf_length, lf_tokens, lf_digits,
+             (lf_length + lf_tokens + coalesce(lf_digits, 0)) AS pos,
+             ((1 - lf_length) + (1 - lf_tokens)
+              + coalesce(1 - lf_digits, 0)) AS neg
+      FROM lf
+    ),
+    labeled AS (
+      SELECT lf_length, lf_tokens, lf_digits,
+             CASE WHEN pos > neg THEN 1 WHEN pos < neg THEN 0 END AS vote
+      FROM voted
+    )
+    SELECT 'lf_length' AS labeler,
+           CAST(sum(lf_length) AS BIGINT) AS n_pos,
+           CAST(sum(1 - lf_length) AS BIGINT) AS n_neg,
+           CAST(0 AS BIGINT) AS n_abstain
+    FROM labeled
+    UNION ALL
+    SELECT 'lf_tokens', CAST(sum(lf_tokens) AS BIGINT),
+           CAST(sum(1 - lf_tokens) AS BIGINT), CAST(0 AS BIGINT)
+    FROM labeled
+    UNION ALL
+    SELECT 'lf_digits', CAST(sum(lf_digits) AS BIGINT),
+           CAST(sum(1 - lf_digits) AS BIGINT),
+           CAST(sum(CASE WHEN lf_digits IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM labeled
+    UNION ALL
+    SELECT 'majority_vote', CAST(sum(vote) AS BIGINT),
+           CAST(sum(1 - vote) AS BIGINT),
+           CAST(sum(CASE WHEN vote IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM labeled
+    """,
+)
+def weak_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weak-supervision labeling (the Snorkel shape): three cheap
+    deterministic labeling functions — a length rule, a token-count
+    rule, and an ABSTAINING digit-density rule (votes only on docs
+    >= 100 chars) — combine by majority vote with ties abstaining;
+    the entry reports each LF's positive/negative/abstain counts plus
+    the final vote distribution, the diagnostics (coverage, polarity)
+    a labeling pipeline watches before training on the weak labels.
+    One scan computes every LF as a codegen projection; the 4-way
+    report is a single conditional aggregate (no per-labeler rescans
+    — the unpivot is over aggregated scalars).  At 100 TB this is one
+    AggregateExec; writing the voted label per doc is the same
+    projection minus the final rollup."""
+    t = _t(spark, sf_dir)
+    lf_len = F.when(F.col("n_chars") >= 400, 1).otherwise(0)
+    lf_tok = F.when(
+        F.length("text") - F.length(F.regexp_replace("text", " ", "")) >= 60, 1
+    ).otherwise(0)
+    lf_dig = F.when(F.col("n_chars") < 100, F.lit(None).cast("int")).otherwise(
+        F.when(
+            F.length(F.regexp_replace("text", "[^0-9]", "")) <= 5, 1
+        ).otherwise(0)
+    )
+    lf = t["documents"].select(
+        lf_len.alias("lf_length"),
+        lf_tok.alias("lf_tokens"),
+        lf_dig.alias("lf_digits"),
+    )
+    pos = F.col("lf_length") + F.col("lf_tokens") + F.coalesce(
+        F.col("lf_digits"), F.lit(0)
+    )
+    neg = (
+        (1 - F.col("lf_length"))
+        + (1 - F.col("lf_tokens"))
+        + F.coalesce(1 - F.col("lf_digits"), F.lit(0))
+    )
+    labeled = lf.withColumn(
+        "vote",
+        F.when(pos > neg, 1).when(pos < neg, 0).otherwise(
+            F.lit(None).cast("int")
+        ),
+    )
+    agg = labeled.agg(
+        F.sum("lf_length").alias("len_pos"),
+        F.sum(1 - F.col("lf_length")).alias("len_neg"),
+        F.sum("lf_tokens").alias("tok_pos"),
+        F.sum(1 - F.col("lf_tokens")).alias("tok_neg"),
+        F.sum("lf_digits").alias("dig_pos"),
+        F.sum(1 - F.col("lf_digits")).alias("dig_neg"),
+        F.sum(F.when(F.col("lf_digits").isNull(), 1).otherwise(0)).alias(
+            "dig_abs"
+        ),
+        F.sum("vote").alias("v_pos"),
+        F.sum(1 - F.col("vote")).alias("v_neg"),
+        F.sum(F.when(F.col("vote").isNull(), 1).otherwise(0)).alias("v_abs"),
+    )
+    return agg.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("lf_length").alias("labeler"),
+                    F.col("len_pos").alias("n_pos"),
+                    F.col("len_neg").alias("n_neg"),
+                    F.lit(0).cast("long").alias("n_abstain"),
+                ),
+                F.struct(
+                    F.lit("lf_tokens").alias("labeler"),
+                    F.col("tok_pos").alias("n_pos"),
+                    F.col("tok_neg").alias("n_neg"),
+                    F.lit(0).cast("long").alias("n_abstain"),
+                ),
+                F.struct(
+                    F.lit("lf_digits").alias("labeler"),
+                    F.col("dig_pos").alias("n_pos"),
+                    F.col("dig_neg").alias("n_neg"),
+                    F.col("dig_abs").alias("n_abstain"),
+                ),
+                F.struct(
+                    F.lit("majority_vote").alias("labeler"),
+                    F.col("v_pos").alias("n_pos"),
+                    F.col("v_neg").alias("n_neg"),
+                    F.col("v_abs").alias("n_abstain"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.labeler", "r.n_pos", "r.n_neg", "r.n_abstain")

@@ -161,6 +161,7 @@ LINEAR = [
     ("atomic_multi_table_snapshot", 8.0, "O(n) two agg writes + 4 reads"),
     ("zorder_box_scan", 8.0, "O(n) zorder write + pruned box read"),
     ("snapshot_incremental_read", 8.0, "O(n) two agg writes + delta read"),
+    ("weak_label_vote", 8.0, "O(n) one conditional aggregate"),
 ]
 
 #: super-linear entries: bounded above by documented exponents, still
