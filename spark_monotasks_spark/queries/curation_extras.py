@@ -579,3 +579,63 @@ def weak_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("r")
     ).select("r.labeler", "r.n_pos", "r.n_neg", "r.n_abstain")
+
+
+@register(
+    "langid_confusion_eval",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, text, string_split(text, ' ') AS t FROM documents
+    ), scores AS (
+      SELECT doc_id, lang,
+        [
+          {'score': len(list_intersect(t, ['der','die','das','und','zu',
+                                           'in','ein','eine','ist','nicht'])),
+           'lang': 'de'},
+          {'score': len(list_intersect(t, ['the','a','of','and','to',
+                                           'in','is','that','it','for'])),
+           'lang': 'en'},
+          {'score': len(list_intersect(t, ['el','la','de','y','que',
+                                           'en','un','una','los','las'])),
+           'lang': 'es'},
+          {'score': len(list_intersect(t, ['le','la','de','et','que',
+                                           'en','un','une','les','des'])),
+           'lang': 'fr'},
+          {'score': len(list_filter(['的','了','是','在','我',
+                                     '有','和','就','不','人'],
+                                    w -> contains(text, w))),
+           'lang': 'zh'}
+        ] AS sc
+      FROM toks
+    ), best AS (SELECT doc_id, lang, list_max(sc) AS b FROM scores),
+    pred AS (
+      SELECT lang,
+             CASE WHEN b.score > 0 THEN b.lang ELSE 'und' END AS pred_lang
+      FROM best
+    )
+    SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN lang = pred_lang THEN 1 ELSE 0 END) * 1000
+                // count(*) AS BIGINT) AS cell_acc_x1000
+    FROM pred GROUP BY lang, pred_lang
+    """,
+)
+def langid_confusion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix — the accuracy report behind the
+    filter: declared vs predicted language counts from the
+    oracle-audited stopword scorer (pipeline.text.language_id), with
+    the per-cell indicator (1000 on the diagonal, 0 off it) kept as
+    integer permille so the whole report is exact.  Composes the
+    language_id_pred entry's scoring and adds one bounded groupBy
+    (|langs|² cells) — the eval a pipeline publishes before trusting
+    the predictor as a routing key.  One scan at any scale."""
+    from spark_monotasks_spark.pipeline import text
+
+    t = _t(spark, sf_dir)
+    pred = text.language_id(t["documents"]).select("lang", "pred_lang")
+    return pred.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "sum(CASE WHEN lang = pred_lang THEN 1 ELSE 0 END) * 1000"
+            " DIV count(*)"
+        ).alias("cell_acc_x1000"),
+    )

@@ -162,6 +162,7 @@ LINEAR = [
     ("zorder_box_scan", 8.0, "O(n) zorder write + pruned box read"),
     ("snapshot_incremental_read", 8.0, "O(n) two agg writes + delta read"),
     ("weak_label_vote", 8.0, "O(n) one conditional aggregate"),
+    ("langid_confusion_eval", 8.0, "O(n) scorer + bounded groupBy"),
 ]
 
 #: super-linear entries: bounded above by documented exponents, still
