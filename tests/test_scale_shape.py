@@ -206,6 +206,7 @@ SUPERLINEAR = [
     # the banding P/R eval composes two gated families (minhash
     # banding + the prefix-filtered exact join) — inherits their bound
     ("lsh_banding_pr_eval", 18.0, "~n^1.2 banding + prefix-join truth"),
+    ("lsh_threshold_sweep", 18.0, "~n^1.2 banding + prefix-join truth"),
 ]
 
 
