@@ -343,3 +343,98 @@ def snapshot_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def _pq_codes_oracle_sql(
+    dim: int = 64, n_sub: int = 4, n_cent: int = 8, seed: int = 7
+) -> str:
+    """PQ ENCODE (no ranking) of the whole embeddings table — the
+    ann_pq_topk oracle's coded CTE standing alone, so the streamed
+    index table can be value-compared against a batch re-encode."""
+    from spark_monotasks_spark.pipeline.similarity import pq_codebook
+
+    book = pq_codebook(dim, n_sub, n_cent, seed)
+    sub_dim = dim // n_sub
+    d_exprs = []
+    for m in range(n_sub):
+        lo, hi = m * sub_dim + 1, (m + 1) * sub_dim
+        for c, cent in enumerate(book[m]):
+            lits = "CAST([" + ",".join(repr(x) for x in cent) + "] AS DOUBLE[])"
+            d_exprs.append(
+                f"list_sum(list_transform(list_zip(embedding[{lo}:{hi}], {lits}),"
+                " x -> (CAST(x[1] AS DOUBLE) - x[2])"
+                f" * (CAST(x[1] AS DOUBLE) - x[2]))) AS d_{m}_{c}"
+            )
+    case_exprs = []
+    for m in range(n_sub):
+        whens = []
+        for c in range(n_cent - 1):
+            rest = [f"d_{m}_{cc}" for cc in range(c + 1, n_cent)]
+            cmp = f"least({', '.join(rest)})" if len(rest) > 1 else rest[0]
+            whens.append(f"WHEN d_{m}_{c} <= {cmp} THEN {c}")
+        case_exprs.append(
+            "CASE " + " ".join(whens) + f" ELSE {n_cent - 1} END AS code_{m}"
+        )
+    codes = ", ".join(f"code_{m}" for m in range(n_sub))
+    return f"""
+    WITH d AS (SELECT vec_id, {', '.join(d_exprs)} FROM embeddings),
+    coded AS (SELECT vec_id, {', '.join(case_exprs)} FROM d)
+    SELECT vec_id, {codes} FROM coded
+    """
+
+
+@register("stream_pq_index_maintenance", oracle=_pq_codes_oracle_sql())
+def stream_pq_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index maintenance under streaming ingest: embedding batches
+    arrive as a stream, each micro-batch PQ-ENCODES map-side
+    (similarity.pq_encode — 4 codes/vector, the serving index) and
+    commits exactly-once into a versioned codes table
+    (streaming.dstream.versioned_append_sink), so the search index
+    stays fresh without ever re-encoding history — the ingest-time
+    posture a 100 TB vector deployment runs (encode once per vector,
+    ever).  After the availableNow drain, the accumulated index table
+    must equal a BATCH re-encode of the full corpus — the oracle is
+    exactly the PQ-encode SQL, so streamed index == batch index is
+    hash-proven, not assumed.  Replay idempotence comes from the
+    versioned manifest's batch-id watermark (tested for the sink in
+    tests/test_streaming.py)."""
+    import os
+    import shutil
+    import tempfile
+
+    from spark_monotasks_spark.pipeline import similarity
+    from spark_monotasks_spark.sources import versioned as V
+    from spark_monotasks_spark.streaming import dstream
+
+    stage = tempfile.mkdtemp(prefix="stream_pqidx_")
+    indir = os.path.join(stage, "in")
+    os.makedirs(indir)
+    os.symlink(
+        os.path.abspath(os.path.join(sf_dir, "embeddings.parquet")),
+        os.path.join(indir, "embeddings.parquet"),
+    )
+    table = os.path.join(stage, "codes")
+    try:
+        stream = dstream.file_stream(
+            spark,
+            indir,
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema,
+        )
+        enc = similarity.pq_encode(stream, dim=64)
+        q = (
+            dstream.versioned_append_sink(
+                enc, table, os.path.join(stage, "ck")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("pq index sink did not drain within 300s")
+        if not V.list_versions(table):  # zero micro-batches (no input)
+            return spark.createDataFrame(
+                [], "vec_id long, code_0 int, code_1 int, code_2 int, code_3 int"
+            )
+        return V.read_version(spark, table).localCheckpoint()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
