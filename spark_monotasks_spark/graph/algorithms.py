@@ -653,3 +653,64 @@ def personalized_pagerank(
     if round_to is not None:
         ranks = ranks.select("id", F.round("rank", round_to).alias("rank"))
     return ranks
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    max_rounds: int = 12,
+    reliable: bool = False,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling (Seidman 1983; the
+    GraphX ecosystem ships it as a Pregel example — beyond the
+    reference's lib/, marked): repeatedly delete vertices with
+    UNDIRECTED degree < k until none remain, returning each surviving
+    vertex with its within-core degree — the standard dense-subgraph /
+    influence screen.
+
+    Distributed shape: the edge set symmetrizes once (distinct), then
+    each round is one degree aggregate + two semi-join prunes with a
+    ``barrier()`` lineage cut — the star-CC posture; rounds are
+    data-dependent but bounded by the longest peeling chain (real
+    graphs converge in a handful).  Convergence is detected by edge
+    count (one scalar action per round, the same driver-side
+    convergence check the SCC loop runs); exceeding ``max_rounds``
+    raises rather than returning a non-fixpoint — which is what lets a
+    FIXED-unroll external oracle replay the result exactly: peeling is
+    idempotent at fixpoint, so an oracle unrolling >= the actual round
+    count matches, and a graph needing more rounds fails loudly
+    instead of silently diverging."""
+    sym = (
+        edges.select("src", "dst")
+        .union(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+    )
+    cur = barrier(sym, reliable)
+    n_edges = cur.count()
+    for _ in range(max_rounds):
+        keep = (
+            cur.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("src")
+        )
+        nxt = barrier(
+            cur.join(keep, on="src", how="left_semi").join(
+                keep.withColumnRenamed("src", "dst"), on="dst", how="left_semi"
+            ),
+            reliable,
+        )
+        n_next = nxt.count()
+        if n_next == n_edges:
+            return cur.groupBy(F.col("src").alias("id")).agg(
+                F.count(F.lit(1)).alias("core_deg")
+            )
+        cur, n_edges = nxt, n_next
+    raise RuntimeError(
+        f"k_core did not reach a fixpoint within {max_rounds} rounds — "
+        "raise max_rounds (each round removes at least one vertex)"
+    )

@@ -369,3 +369,125 @@ def winsorize_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_clipped_cents",
         )
     )
+
+
+@register(
+    "event_value_percentiles",
+    oracle="""
+    WITH base AS (
+      SELECT event_type,
+             CAST(round(value * 1000000) AS BIGINT) AS v,
+             event_id
+      FROM events
+    ), ranked AS (
+      SELECT event_type, v,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY v, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM base
+    )
+    SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+           max(CASE WHEN rn = (n + 1) // 2 THEN v END) AS p50_micros,
+           max(CASE WHEN rn = (95 * n + 99) // 100 THEN v END) AS p95_micros,
+           max(CASE WHEN rn = (99 * n + 99) // 100 THEN v END) AS p99_micros
+    FROM ranked GROUP BY event_type
+    """,
+)
+def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type p50/p95/p99 — the SLA/latency report every ops
+    dashboard serves, with the DISCRETE integer ceil-rank definition
+    (rank ceil(p·n), unique event_id tiebreak) instead of a float
+    quantile whose interpolation differs across engines, and values
+    scaled to integer micros first — every output column exact int64.
+    Same shape as winsorize_totalprice: one bounded-cardinality-key
+    rank exchange, one grouped conditional aggregate; beyond ~1e8
+    rows per type the documented swap is the exact_quantiles_prefix
+    selection on the distributed prefix sum."""
+    t = _t(spark, sf_dir)
+    base = t["events"].select(
+        "event_type",
+        F.round(F.col("value") * 1000000).cast("long").alias("v"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type").orderBy("v", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = base.select(
+        "event_type",
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return ranked.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("v"))
+        ).alias("p50_micros"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(95 * n + 99) DIV 100"), F.col("v"))
+        ).alias("p95_micros"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(99 * n + 99) DIV 100"), F.col("v"))
+        ).alias("p99_micros"),
+    )
+
+
+def _kcore_oracle_sql(k: int = 30, unroll: int = 6) -> str:
+    """graph_kcore oracle: fixed-unroll peeling (idempotent at fixpoint
+    — the Spark side RAISES if the graph needs more rounds than the
+    unroll, so a silent divergence is impossible)."""
+    base = """
+    e0 AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT l_suppkey + 1000000000000 AS src, o_custkey AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        UNION
+        SELECT o_custkey AS src, l_suppkey + 1000000000000 AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      )
+    )"""
+    stages = [base]
+    for r in range(1, unroll + 1):
+        p = f"e{r - 1}"
+        stages.append(f"""
+    e{r} AS (
+      SELECT e.src, e.dst FROM {p} e
+      JOIN (SELECT src FROM {p} GROUP BY src HAVING count(*) >= {k}) a
+        ON e.src = a.src
+      JOIN (SELECT src FROM {p} GROUP BY src HAVING count(*) >= {k}) b
+        ON e.dst = b.src
+    )""")
+    return (
+        "WITH " + ",".join(stages)
+        + f"""
+    SELECT src AS id, CAST(count(*) AS BIGINT) AS core_deg
+    FROM e{unroll} GROUP BY src
+    """
+    )
+
+
+@register("graph_kcore", oracle=_kcore_oracle_sql())
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-core of the supplier↔customer shipment graph
+    (graph.algorithms.k_core, Seidman 1983): iterative peeling drops
+    every vertex with fewer than 30 distinct trading partners until a
+    fixpoint — the dense-trading-core screen (~36% of vertices peel
+    away at sf0.01, over two rounds).  The ONE data-dependent-rounds
+    algorithm in the catalog that is still fully oracle-backed: the
+    oracle unrolls 6 peels (idempotent once converged) and the Spark
+    side raises beyond 12 rounds instead of returning a non-fixpoint,
+    so the equality cannot silently break on deeper graphs.  Per round:
+    one degree aggregate + two semi-joins on (src)/(dst) keys with a
+    barrier lineage cut — edge payloads never widen."""
+    from spark_monotasks_spark.graph.algorithms import k_core
+
+    t = _t(spark, sf_dir)
+    edges = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            (F.col("l_suppkey") + 1_000_000_000_000).alias("src"),
+            F.col("o_custkey").alias("dst"),
+        )
+        .distinct()
+    )
+    return k_core(edges, k=30)

@@ -538,3 +538,33 @@ def test_personalized_pagerank_concentrates_on_seed(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         personalized_pagerank(edges, [])
+
+
+def test_k_core_planted_shapes(spark):
+    """A 5-clique survives 3-core peeling intact (core_deg 4 each); a
+    path hanging off it peels away COMPLETELY over multiple rounds
+    (each cut lowers the next vertex's degree — the chain the
+    fixpoint loop must follow); k larger than any degree empties the
+    graph."""
+    from spark_monotasks_spark.graph.algorithms import k_core
+
+    clique = [(a, b) for a in range(5) for b in range(5) if a < b]
+    path = [(4, 10), (10, 11), (11, 12)]
+    edges = spark.createDataFrame(clique + path, "src long, dst long")
+
+    core = {r["id"]: r["core_deg"] for r in k_core(edges, k=3).collect()}
+    assert core == {0: 4, 1: 4, 2: 4, 3: 4, 4: 4}
+
+    assert k_core(edges, k=5).count() == 0
+
+
+def test_k_core_degree_counts_distinct_neighbors(spark):
+    """Parallel/duplicate edges collapse before degrees are counted —
+    a doubled edge must not fake a higher degree."""
+    from spark_monotasks_spark.graph.algorithms import k_core
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 2), (2, 3)], "src long, dst long"
+    )
+    # degrees: 1->1 (only neighbor 2), 2->2, 3->1 ; k=2 empties it
+    assert k_core(edges, k=2).count() == 0

@@ -163,6 +163,7 @@ LINEAR = [
     ("snapshot_incremental_read", 8.0, "O(n) two agg writes + delta read"),
     ("weak_label_vote", 8.0, "O(n) one conditional aggregate"),
     ("langid_confusion_eval", 8.0, "O(n) scorer + bounded groupBy"),
+    ("event_value_percentiles", 8.0, "O(n) bounded-key rank exchange"),
 ]
 
 #: super-linear entries: bounded above by documented exponents, still
@@ -207,6 +208,10 @@ SUPERLINEAR = [
     # banding + the prefix-filtered exact join) — inherits their bound
     ("lsh_banding_pr_eval", 18.0, "~n^1.2 banding + prefix-join truth"),
     ("lsh_threshold_sweep", 18.0, "~n^1.2 banding + prefix-join truth"),
+    # k-core peels data-dependent rounds of fixed per-round cost — the
+    # same iterative envelope as graph CC (degrees RISE with SF here,
+    # so rounds stay small; the bound covers rounds+data together)
+    ("graph_kcore", 24.0, "O(rounds) degree aggregate + semi prunes"),
 ]
 
 
