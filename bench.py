@@ -199,6 +199,12 @@ HEADLINE = [
     "ann_ivfpq_topk",
     "contamination_span_scrub",
     "session_concurrency_peak",
+    # r9 (second batch): batched multi-query serving (one scan +
+    # WindowGroupLimit heaps — the amortized shape per-query
+    # TakeOrdered cannot give) and the iterative k-core peel (the
+    # data-dependent-rounds graph loop, fixpoint-guarded)
+    "ann_batch_queries",
+    "graph_kcore",
 ]
 
 

@@ -456,3 +456,44 @@ def snapshot_vacuum(base: str, keep_snapshots: int = 1) -> list[str]:
         if t not in kept:
             os.remove(os.path.join(_txns_dir(base), f"t{t}.json"))
     return removed
+
+
+def snapshot_compact(
+    spark: SparkSession, base: str, table: str, target_partitions: int
+) -> int:
+    """Commit a new transaction in which ``table``'s accumulated
+    directories are rewritten into one ``target_partitions``-file
+    directory (OVERWRITE for that table; every other table carries
+    forward unchanged) — the small-files fix after many appended
+    snapshots, scoped to one table of the store.  History stays
+    time-travelable until snapshot_vacuum; readers see the old dirs or
+    the new one, never a mix (txn-manifest atomicity)."""
+    latest = snapshot_read(spark, base, table)
+    snaps = list_snapshots(base)
+    prev = _read_txn(base, snaps[-1])
+    new_t = snaps[-1] + 1
+    rel = f"{table}/data/t{new_t}-{uuid.uuid4().hex[:8]}"
+    latest.repartition(target_partitions).write.mode("errorifexists").parquet(
+        os.path.join(base, rel)
+    )
+    tables = dict(prev["tables"])
+    tables[table] = [rel]
+    manifest = {"txn": new_t, "mode": "overwrite", "tables": tables}
+    carried = prev.get("max_batch_id", prev.get("batch_id", -1))
+    if carried >= 0:
+        manifest["max_batch_id"] = carried
+    tdir = _txns_dir(base)
+    fd, tmp = tempfile.mkstemp(dir=tdir, suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(manifest, f)
+    final = os.path.join(tdir, f"t{new_t}.json")
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        os.unlink(tmp)
+        raise ConcurrentCommitError(
+            f"snapshot {new_t} at {base!r} was committed by a concurrent "
+            "writer; re-run snapshot_compact against the new head"
+        ) from None
+    os.unlink(tmp)
+    return new_t

@@ -254,3 +254,29 @@ def test_snapshot_changes_and_vacuum(spark, tmp_path):
     # txn 3 overwrote a but b's dirs are still referenced by... the
     # head manifest carries b forward, so b must survive the vacuum
     assert _counts(spark, base, "b") == {"z": 3}
+
+
+def test_snapshot_compact_single_table(spark, tmp_path):
+    """Compaction rewrites one table's dirs into one directory while
+    other tables carry forward; values and the replay watermark
+    survive; pre-compaction snapshots still time-travel; vacuum then
+    reaps the pre-compaction dirs."""
+    base = str(tmp_path / "cmp")
+    mk = lambda rows: spark.createDataFrame(rows, "k string, n long")
+    V.snapshot_commit({"a": mk([("x", 1)]), "b": mk([("z", 5)])}, base,
+                      batch_id=0)
+    V.snapshot_commit({"a": mk([("x", 2)])}, base, batch_id=1)
+    V.snapshot_commit({"a": mk([("y", 3)])}, base, batch_id=2)
+    assert len(V._read_txn(base, 3)["tables"]["a"]) == 3
+
+    t = V.snapshot_compact(spark, base, "a", target_partitions=1)
+    assert t == 4
+    assert len(V._read_txn(base, 4)["tables"]["a"]) == 1
+    assert _counts(spark, base, "a") == {"x": 3, "y": 3}
+    assert _counts(spark, base, "b") == {"z": 5}
+    assert V.last_snapshot_batch_id(base) == 2
+    # time travel below the compaction still resolves the old dirs
+    assert _counts(spark, base, "a", 2) == {"x": 3}
+    removed = V.snapshot_vacuum(base, keep_snapshots=1)
+    assert len(removed) == 3  # a's three pre-compaction dirs
+    assert _counts(spark, base, "a") == {"x": 3, "y": 3}
