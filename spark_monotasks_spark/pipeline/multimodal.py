@@ -979,13 +979,18 @@ def decode_avi_frames(b):
     return frames or None
 
 
-def video_from_ids(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+def video_from_ids(
+    ids: DataFrame, id_col: str = "media_id", fps_fn=None
+) -> DataFrame:
     """Deterministic MJPEG-AVI table keyed off an id column, encoded
     distributed (mapInPandas — the driver never sees a blob).
     Closed-form structure per id i: n_frames = 2 + i%4, width =
     16 + (i%3)*8, height = 16 + (i%2)*8, fps 10; frame f's pixel
     (x, y, c) = x + y + 3f + c (smooth gradient, no wrap at these
-    dims, JPEG-friendly)."""
+    dims, JPEG-friendly).  ``fps_fn(i)`` overrides the frame rate per
+    id — CONTENT (the frame set) depends only on i mod 12, so a
+    varying fps plants container-different/content-identical pairs
+    (the case byte-level dedup misses; see video_content_neardup)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -1002,7 +1007,8 @@ def video_from_ids(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
                     ((x + y + 3 * f + c) % 256).astype(np.uint8)
                     for f in range(2 + i % 4)
                 ]
-                blobs.append(encode_avi_mjpeg(frames, fps=10))
+                fps = 10 if fps_fn is None else int(fps_fn(i))
+                blobs.append(encode_avi_mjpeg(frames, fps=fps))
             yield pd.DataFrame({"media_id": pdf[id_col], "blob": blobs})
 
     out_schema = T.StructType(
@@ -1217,6 +1223,62 @@ def image_ahash(media: DataFrame, grid: int = 8) -> DataFrame:
             )
 
     return media.select("media_id", "blob").mapInPandas(run, schema=AHASH_SCHEMA)
+
+
+VIDEO_SIG_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("frame_sig", T.StringType(), True),
+        T.StructField("blob_md5", T.StringType(), True),
+    ]
+)
+
+
+def video_signature(media: DataFrame, grid: int = 8) -> DataFrame:
+    """Per-video CONTENT signature from REAL frame decode: every MJPEG
+    frame through the pure-numpy baseline JPEG decoder, each frame's
+    integer-exact aHash (:func:`ahash_int`), the sequence joined into
+    one hex string — a fingerprint of what the video SHOWS, invariant
+    to container metadata (fps, header layout) that byte-level
+    fingerprints are hostage to.  ``blob_md5`` rides along as the
+    byte-level control so a dedup join can show exactly which pairs
+    content hashing finds that byte hashing misses.  Arrow-batched
+    mapInPandas; blobs never leave their partition; output is one
+    short string per video."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"n_frames": [], "frame_sig": [], "blob_md5": []}
+            for b in pdf["blob"]:
+                frames = decode_avi_frames(b) if b is not None else None
+                if not frames:
+                    out["n_frames"].append(None)
+                    out["frame_sig"].append(None)
+                    out["blob_md5"].append(
+                        None if b is None else hashlib.md5(bytes(b)).hexdigest()
+                    )
+                    continue
+                hs = []
+                for fr in frames:
+                    hv = ahash_int(fr, grid)
+                    hs.append("x" if hv is None else format(hv & (2**64 - 1), "016x"))
+                out["n_frames"].append(len(frames))
+                out["frame_sig"].append("-".join(hs))
+                out["blob_md5"].append(hashlib.md5(bytes(b)).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_frames": pd.array(out["n_frames"], dtype="Int32"),
+                    "frame_sig": out["frame_sig"],
+                    "blob_md5": out["blob_md5"],
+                }
+            )
+
+    return media.select("media_id", "blob").mapInPandas(
+        run, schema=VIDEO_SIG_SCHEMA
+    )
 
 
 def ahash_near_duplicates(

@@ -751,3 +751,65 @@ def lsh_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("r")
     ).select("r.min_matches", "r.n_candidates", "r.tp", "r.n_truth")
+
+
+@register(
+    "video_content_neardup",
+    oracle="""
+    WITH ids AS (
+      SELECT doc_id AS id FROM documents
+      WHERE doc_id % 4 = 2 AND doc_id < 200
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(2 + (a.id % 4) AS INT) AS n_frames,
+           ((a.id < 100) = (b.id < 100)) AS same_bytes
+    FROM ids a JOIN ids b ON a.id < b.id AND a.id % 12 = b.id % 12
+    """,
+)
+def video_content_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video CONTENT dedup through REAL decode
+    (multimodal.video_signature): synthesized AVIs repeat their frame
+    content on id mod 12 while ids >= 100 re-encode at a DIFFERENT
+    frame rate — so the corpus contains byte-identical duplicates AND
+    container-different/content-identical ones.  The per-frame-aHash
+    sequence signature (RIFF walk → baseline JPEG decode → exact
+    integer aHash per frame) must find EXACTLY the mod-12 pairs (the
+    closed-form oracle — the planted-truth pattern of
+    image_ahash_neardup), and the riding ``same_bytes`` md5 control
+    shows which of those pairs byte-level dedup would have MISSED
+    (every cross-frame-rate pair) — the reason video dedup hashes
+    content, not files.  Blobs never leave their partition; the join
+    ships one short signature string per video."""
+    from spark_monotasks_spark.pipeline import multimodal
+
+    t = _t(spark, sf_dir)
+    ids = t["documents"].filter(
+        (F.col("doc_id") % 4 == 2) & (F.col("doc_id") < 200)
+    ).select(F.col("doc_id").alias("media_id"))
+    media = multimodal.video_from_ids(
+        ids, fps_fn=lambda i: 10 if i < 100 else 20
+    )
+    sig = multimodal.video_signature(media).select(
+        "media_id", "n_frames", "frame_sig", "blob_md5"
+    )
+    a = sig.select(
+        F.col("media_id").alias("id_a"),
+        F.col("n_frames").alias("n_frames"),
+        F.col("frame_sig").alias("_sig"),
+        F.col("blob_md5").alias("_md5_a"),
+    )
+    b = sig.select(
+        F.col("media_id").alias("id_b"),
+        F.col("frame_sig").alias("_sig"),
+        F.col("blob_md5").alias("_md5_b"),
+    )
+    return (
+        a.join(b, on="_sig")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            "n_frames",
+            (F.col("_md5_a") == F.col("_md5_b")).alias("same_bytes"),
+        )
+    )

@@ -732,6 +732,7 @@ def test_no_row_python_udfs_across_catalog(spark):
         "cogroup_collect",        # pandas cogroup path where exercised
         "image_ahash_neardup",    # PNG encode + decode + aHash (codec)
         "audio_band_fingerprint", # WAV encode + PCM decode (codec)
+        "video_content_neardup",  # AVI encode + frame decode (codec)
     }
     arrow_markers = (
         "ArrowEvalPython", "MapInPandas", "PythonMapInArrow", "MapInArrow",

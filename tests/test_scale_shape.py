@@ -164,6 +164,7 @@ LINEAR = [
     ("weak_label_vote", 8.0, "O(n) one conditional aggregate"),
     ("langid_confusion_eval", 8.0, "O(n) scorer + bounded groupBy"),
     ("event_value_percentiles", 8.0, "O(n) bounded-key rank exchange"),
+    ("video_content_neardup", 8.0, "O(videos) partition-local decode"),
 ]
 
 #: super-linear entries: bounded above by documented exponents, still
