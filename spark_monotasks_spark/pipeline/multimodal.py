@@ -388,12 +388,20 @@ def encode_jpeg_header(width: int, height: int) -> bytes:
 
 
 def encode_wav(
-    sample_rate: int, n_samples: int, channels: int = 1, pattern: str = "zero"
+    sample_rate: int,
+    n_samples: int,
+    channels: int = 1,
+    pattern: str = "zero",
+    extra_chunk: bytes | None = None,
 ) -> bytes:
     """Fully valid 16-bit PCM WAV (RIFF/fmt /data).  ``pattern="zero"``
     is silence; ``pattern="ramp"`` writes sample i = ((i*37) % 201) -
     100 on every channel — closed-form samples whose statistics an
-    external oracle can state without a decoder."""
+    external oracle can state without a decoder.  ``extra_chunk``
+    inserts a LIST metadata chunk between fmt and data — spec-valid
+    container padding that changes the BYTES but not the content (the
+    decode walk skips unknown chunks), used to plant
+    container-different/content-identical dedup twins."""
     block_align = channels * 2
     byte_rate = sample_rate * block_align
     if pattern == "ramp":
@@ -405,9 +413,14 @@ def encode_wav(
     else:
         data = b"\x00" * (n_samples * block_align)
     fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, block_align, 16)
+    mid = b""
+    if extra_chunk is not None:
+        payload = extra_chunk + (b"\x00" if len(extra_chunk) % 2 else b"")
+        mid = b"LIST" + struct.pack("<I", len(payload)) + payload
     riff_payload = (
         b"WAVE"
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + mid
         + b"data" + struct.pack("<I", len(data)) + data
     )
     return b"RIFF" + struct.pack("<I", len(riff_payload)) + riff_payload
@@ -1223,6 +1236,93 @@ def image_ahash(media: DataFrame, grid: int = 8) -> DataFrame:
             )
 
     return media.select("media_id", "blob").mapInPandas(run, schema=AHASH_SCHEMA)
+
+
+def audio_from_ids(
+    ids: DataFrame, id_col: str = "media_id", extra_chunk_fn=None
+) -> DataFrame:
+    """Deterministic ramp-WAV table keyed off an id column, encoded
+    distributed.  Closed-form per id i: rate = 8000 + (i%4)*4000,
+    n_samples = (i%5 + 1) * rate // 10 — so CONTENT depends only on
+    i mod 20, and ``extra_chunk_fn(i)`` can plant container-padded
+    byte-different twins of the same content (see
+    audio_content_neardup)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for i in pdf[id_col]:
+                i = int(i)
+                rate = 8000 + (i % 4) * 4000
+                n = (i % 5 + 1) * rate // 10
+                extra = None if extra_chunk_fn is None else extra_chunk_fn(i)
+                blobs.append(
+                    encode_wav(rate, n, pattern="ramp", extra_chunk=extra)
+                )
+            yield pd.DataFrame({"media_id": pdf[id_col], "blob": blobs})
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("blob", T.BinaryType(), True),
+        ]
+    )
+    return ids.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        run, schema=out_schema
+    )
+
+
+AUDIO_SIG_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("content_sig", T.StringType(), True),
+        T.StructField("blob_md5", T.StringType(), True),
+    ]
+)
+
+
+def audio_content_signature(media: DataFrame) -> DataFrame:
+    """Per-clip CONTENT hash from REAL decode: md5 over (rate,
+    channels, raw PCM sample bytes) — what the clip SOUNDS like,
+    invariant to container metadata chunks that byte-level hashing is
+    hostage to.  ``blob_md5`` rides along as the byte-level control.
+    Arrow-batched; blobs never leave their partition."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _s
+
+        for pdf in batches:
+            out = {"n_samples": [], "content_sig": [], "blob_md5": []}
+            for b in pdf["blob"]:
+                dec = decode_wav_samples(b) if b is not None else None
+                if dec is None:
+                    out["n_samples"].append(None)
+                    out["content_sig"].append(None)
+                    out["blob_md5"].append(
+                        None if b is None else hashlib.md5(bytes(b)).hexdigest()
+                    )
+                    continue
+                rate, ch, samples = dec
+                h = hashlib.md5(
+                    _s.pack("<II", rate, ch) + samples.tobytes()
+                ).hexdigest()
+                out["n_samples"].append(int(samples.shape[0]))
+                out["content_sig"].append(h)
+                out["blob_md5"].append(hashlib.md5(bytes(b)).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_samples": pd.array(out["n_samples"], dtype="Int64"),
+                    "content_sig": out["content_sig"],
+                    "blob_md5": out["blob_md5"],
+                }
+            )
+
+    return media.select("media_id", "blob").mapInPandas(
+        run, schema=AUDIO_SIG_SCHEMA
+    )
 
 
 VIDEO_SIG_SCHEMA = T.StructType(

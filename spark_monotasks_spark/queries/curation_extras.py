@@ -813,3 +813,66 @@ def video_content_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_md5_a") == F.col("_md5_b")).alias("same_bytes"),
         )
     )
+
+
+@register(
+    "audio_content_neardup",
+    oracle="""
+    WITH ids AS (
+      SELECT doc_id AS id FROM documents
+      WHERE doc_id % 3 = 2 AND doc_id < 300
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST((a.id % 5 + 1) * (8000 + (a.id % 4) * 4000) // 10
+                AS BIGINT) AS n_samples,
+           ((a.id < 150) = (b.id < 150)) AS same_bytes
+    FROM ids a JOIN ids b ON a.id < b.id AND a.id % 20 = b.id % 20
+    """,
+)
+def audio_content_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio CONTENT dedup through REAL decode
+    (multimodal.audio_content_signature): synthesized clips repeat
+    their PCM content on id mod 20 while ids >= 150 carry an extra
+    LIST metadata chunk — spec-valid container padding the RIFF walk
+    skips — so the corpus holds byte-identical duplicates AND
+    container-different/content-identical twins.  The decoded-content
+    hash (md5 over rate, channels, raw samples) must recover EXACTLY
+    the mod-20 pairs (closed-form oracle — the video_content_neardup
+    pattern, completing content-vs-bytes dedup across image, audio,
+    and video), and ``same_bytes`` shows which pairs byte hashing
+    would have missed (every cross-padding pair).  Blobs never leave
+    their partition; the join ships one 32-char hash per clip."""
+    from spark_monotasks_spark.pipeline import multimodal
+
+    t = _t(spark, sf_dir)
+    ids = t["documents"].filter(
+        (F.col("doc_id") % 3 == 2) & (F.col("doc_id") < 300)
+    ).select(F.col("doc_id").alias("media_id"))
+    media = multimodal.audio_from_ids(
+        ids,
+        extra_chunk_fn=lambda i: (b"INFOpad-" + bytes(str(i % 20), "ascii"))
+        if i >= 150
+        else None,
+    )
+    sig = multimodal.audio_content_signature(media)
+    a = sig.select(
+        F.col("media_id").alias("id_a"),
+        F.col("n_samples").alias("n_samples"),
+        F.col("content_sig").alias("_sig"),
+        F.col("blob_md5").alias("_md5_a"),
+    )
+    b = sig.select(
+        F.col("media_id").alias("id_b"),
+        F.col("content_sig").alias("_sig"),
+        F.col("blob_md5").alias("_md5_b"),
+    )
+    return (
+        a.join(b, on="_sig")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            "n_samples",
+            (F.col("_md5_a") == F.col("_md5_b")).alias("same_bytes"),
+        )
+    )

@@ -733,6 +733,7 @@ def test_no_row_python_udfs_across_catalog(spark):
         "image_ahash_neardup",    # PNG encode + decode + aHash (codec)
         "audio_band_fingerprint", # WAV encode + PCM decode (codec)
         "video_content_neardup",  # AVI encode + frame decode (codec)
+        "audio_content_neardup",  # WAV encode + PCM decode (codec)
     }
     arrow_markers = (
         "ArrowEvalPython", "MapInPandas", "PythonMapInArrow", "MapInArrow",

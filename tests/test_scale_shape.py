@@ -165,6 +165,7 @@ LINEAR = [
     ("langid_confusion_eval", 8.0, "O(n) scorer + bounded groupBy"),
     ("event_value_percentiles", 8.0, "O(n) bounded-key rank exchange"),
     ("video_content_neardup", 8.0, "O(videos) partition-local decode"),
+    ("audio_content_neardup", 8.0, "O(clips) partition-local decode"),
 ]
 
 #: super-linear entries: bounded above by documented exponents, still
