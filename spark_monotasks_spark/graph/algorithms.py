@@ -375,6 +375,10 @@ def connected_components_star(
             .select("u", F.least("u", "_mn").alias("m"))
         )
 
+    # eager barriers: r7 measured the lazy (eager=False) variant 3x
+    # SLOWER end-to-end — deferred localCheckpoint materialization
+    # races AQE's per-stage jobs into recomputing the un-cached state
+    # repeatedly, where the dedicated eager job pays once
     e = barrier(
         _canon(edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))),
         reliable,

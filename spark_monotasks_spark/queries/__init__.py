@@ -46,9 +46,10 @@ from spark_monotasks_spark.queries import lakehouse_extras  # noqa: E402,F401
 #: representative of each.  Remaining entries follow in module order.
 _PRIORITY = (
     # scans / filter / project / predicates / DSL (§2.1-2.2;
-    # between_like rotated just outside in r4 — predicate_ops/case_when
-    # keep the predicate family in-window)
-    "scan_filter_project", "predicate_ops", "case_when",
+    # between_like rotated just outside in r4; case_when rotated just
+    # outside in r7 — predicate_ops keeps the predicate/conditional
+    # family in-window and case_when stays oracle-green locally)
+    "scan_filter_project", "predicate_ops",
     # aggregation families (§2.4; percentile_ops and cube_agg moved just
     # outside in r3, first_last_agg just outside in r5 — udaf/distinct
     # keep advanced aggs in-window, and cms_heavy_hitters below adds
@@ -79,8 +80,10 @@ _PRIORITY = (
     # in-window)
     "tpch_q21_waiting",
     # sort / top-k / distribute (§2.6; order_by_multi rotated just
-    # outside in r4 — topk_orders keeps the sort/limit family in-window)
-    "topk_orders",
+    # outside in r4; topk_orders rotated just outside in r7 — the
+    # sort/limit family stays in-window via kmv_distinct_setops'
+    # 3× TakeOrdered and tpch_q3's top-k, and topk_orders stays
+    # oracle-green locally)
     # set ops (§2.7; union_all_op rotated just outside in r5 — except
     # keeps the reference-hybrid set-op semantics in-window)
     "except_reference_op",
@@ -121,7 +124,11 @@ _PRIORITY = (
     # gate exercises the newest operator surfaces: SQL session_window
     # (gap-sessionization in the parser path), funnel analytics over
     # events, and the mergeable histogram-quantile sketch rollup
-    "session_window_sql", "funnel_conversion", "histogram_quantile_rollup",
+    # (session_window_sql + histogram_quantile_rollup rotated just
+    # outside in r7 — gap-sessionization stays in-window via
+    # session_concurrency_peak's sessionize stage, the mergeable-sketch
+    # family via exact_quantiles_prefix + kmv_distinct_setops below)
+    "funnel_conversion",
     # r4-new families rotated INTO the window in r5 (displacing
     # join_inner/first_last_agg/union_all_op, whose families stay
     # represented): chi-square independence (statistics path),
@@ -215,6 +222,17 @@ _PRIORITY = (
     # interval join
     "bucketed_smb_join", "eval_auc_score",
     "entity_resolution_cluster", "stream_interval_join",
+    # r7 rotation (r6 verdict ask #3, displacing case_when/topk_orders/
+    # histogram_quantile_rollup/session_window_sql, whose families stay
+    # represented as noted above): the four newest oracle-machinery
+    # heavies — the data-dependent-rounds k-core peel (fixed-unroll
+    # idempotent-peel oracle), exact distributed quantiles on the
+    # two-pass prefix sum, real multi-micro-batch
+    # applyInPandasWithState vs the batch GROUP BY, and the KMV
+    # bottom-k sketch set-ops (union/intersection distinct estimates
+    # replayed register-level by the oracle)
+    "graph_kcore", "exact_quantiles_prefix",
+    "stream_running_state", "kmv_distinct_setops",
 )
 
 
