@@ -254,3 +254,98 @@ def read_box_skipping(
     if not files:
         return base.filter(F.lit(False))
     return spark.read.schema(base.schema).parquet(*files).filter(flt)
+
+
+# ---------------------------------------------------------------------------
+# bucket-digest corpus integrity (Merkle-leaf comparison)
+# ---------------------------------------------------------------------------
+
+def bucket_digests(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_cols: tuple[str, ...] = ("text",),
+    n_buckets: int = 512,
+) -> DataFrame:
+    """One md5 digest per id-bucket: rows hash to ``id % n_buckets``,
+    each bucket's digest is md5 over its members' per-row content
+    hashes concatenated in id order — the Merkle-LEAF layer of corpus
+    integrity checking.
+
+    Comparing two 100 TB replicas (or two snapshot versions) row-by-row
+    means moving 100 TB; comparing their bucket digests moves
+    ``n_buckets`` 32-byte rows.  A digest mismatch names the bucket to
+    drill into (re-hash ~corpus/n_buckets rows), so verification cost
+    is proportional to CHURN, not corpus size — the same
+    containment-by-digest idea as rsync/Merkle trees, flattened to one
+    level because Spark aggregates all buckets in one pass anyway.
+
+    Scale shape: per-row md5 map-side; the single shuffle carries
+    (bucket, id, 16-byte hash) — never content; the digest aggregate
+    sorts WITHIN a bounded bucket array.  Deterministic: bucket
+    membership and concatenation order are pure functions of ids, so
+    two independently-computed digest tables are comparable across
+    engines and clusters.
+
+    Reference analogy: none — beyond-reference brief item (corpus
+    integrity audit for the lakehouse layer)."""
+    row_h = F.md5(
+        F.concat_ws(
+            "", *[F.col(c).cast("string") for c in content_cols]
+        ).cast("binary")
+    )
+    per_row = df.select(
+        (F.col(id_col) % n_buckets).alias("bucket"),
+        F.col(id_col).alias("_id"),
+        row_h.alias("_h"),
+    )
+    return (
+        per_row.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("_id", "_h"))),
+                        lambda s: s["_h"],
+                    ),
+                ).cast("binary")
+            ).alias("digest"),
+        )
+    )
+
+
+def digest_diff(v0: DataFrame, v1: DataFrame) -> DataFrame:
+    """Full-outer join of two :func:`bucket_digests` tables, keeping
+    only buckets whose digest (or existence) differs.  Output is
+    churn-proportional: ``(bucket, n_rows_v0, n_rows_v1, status)``
+    with status ``changed`` / ``only_v0`` / ``only_v1``."""
+    a = v0.select(
+        "bucket",
+        F.col("n_rows").alias("n_rows_v0"),
+        F.col("digest").alias("_d0"),
+    )
+    b = v1.select(
+        "bucket",
+        F.col("n_rows").alias("n_rows_v1"),
+        F.col("digest").alias("_d1"),
+    )
+    j = a.join(b, on="bucket", how="full_outer")
+    status = (
+        F.when(F.col("_d0").isNull(), F.lit("only_v1"))
+        .when(F.col("_d1").isNull(), F.lit("only_v0"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        j.filter(
+            F.col("_d0").isNull()
+            | F.col("_d1").isNull()
+            | (F.col("_d0") != F.col("_d1"))
+        )
+        .select(
+            "bucket",
+            F.coalesce("n_rows_v0", F.lit(0)).alias("n_rows_v0"),
+            F.coalesce("n_rows_v1", F.lit(0)).alias("n_rows_v1"),
+            status.alias("status"),
+        )
+    )

@@ -1409,6 +1409,55 @@ def clean_text(col: Column | str, collapse_whitespace: bool = True) -> Column:
     return c
 
 
+#: PII patterns — deliberately lookaround-free and backref-free so
+#: java.util.regex (Spark codegen) and RE2 (DuckDB oracles) agree
+#: token-for-token.  These are the high-precision "structured PII"
+#: detectors every public curation pipeline ships (C4 removed pages on
+#: blocklists; Dolma/FineWeb redact emails+IPs+phones in place —
+#: redaction keeps the document, which preserves corpus statistics).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def pii_scrub(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Structured-PII detection + in-place redaction: emails, E.164-ish
+    phone numbers, and IPv4 literals are counted and replaced by typed
+    placeholder tokens (``[EMAIL]``/``[PHONE]``/``[IP]``) — the
+    Dolma/FineWeb-style redaction pass that sanitizes a training corpus
+    without dropping documents.
+
+    Returns ``(id, n_emails, n_phones, n_ips, redacted)``.  Scale
+    shape: three ``regexp_extract_all`` counts + three chained
+    ``regexp_replace`` in ONE codegen projection — fuses into the scan
+    at 100 TB, no shuffle, no Python.  Redaction order (phone → email
+    → ip) is fixed so placeholder text can never be re-matched by a
+    later pattern; the patterns share no overlap on well-formed input,
+    making the order immaterial there, but fixing it keeps the output
+    a pure function of the text.
+
+    Reference analogy: none — beyond-reference brief item (the privacy
+    pass of the training-data pipeline layer)."""
+    c = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL_RE), 0))
+    n_phones = F.size(F.regexp_extract_all(c, F.lit(PII_PHONE_RE), 0))
+    n_ips = F.size(F.regexp_extract_all(c, F.lit(PII_IPV4_RE), 0))
+    red = F.regexp_replace(c, PII_PHONE_RE, "[PHONE]")
+    red = F.regexp_replace(red, PII_EMAIL_RE, "[EMAIL]")
+    red = F.regexp_replace(red, PII_IPV4_RE, "[IP]")
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        n_ips.alias("n_ips"),
+        red.alias("redacted"),
+    )
+
+
 #: scheme://… up to whitespace or common HTML delimiters; identical
 #: semantics in java.util.regex and RE2 (no lookaround, no backrefs).
 URL_RE = r"""https?://[^\s<>"']+"""

@@ -876,3 +876,97 @@ def audio_content_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_md5_a") == F.col("_md5_b")).alias("same_bytes"),
         )
     )
+
+
+@register(
+    "pii_redact_stats",
+    oracle="""
+    WITH planted AS (
+      SELECT doc_id,
+             concat(text,
+                    ' contact user', CAST(doc_id AS VARCHAR),
+                    '@mail-', source, '.org',
+                    CASE WHEN doc_id % 2 = 0
+                         THEN concat(' call +1-555-',
+                                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 1),
+                                     '23-4567')
+                         ELSE '' END,
+                    CASE WHEN doc_id % 5 = 0
+                         THEN concat(' from 10.0.', CAST(doc_id % 256 AS VARCHAR),
+                                     '.', CAST(doc_id % 254 + 1 AS VARCHAR))
+                         ELSE '' END) AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}'))
+             AS n_emails,
+           len(regexp_extract_all(text,
+               '\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phones,
+           len(regexp_extract_all(text,
+               '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))
+             AS n_ips,
+           substr(md5(
+             regexp_replace(regexp_replace(regexp_replace(text,
+               '\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
+               '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}',
+               '[EMAIL]', 'g'),
+               '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+               '[IP]', 'g')), 1, 16) AS redacted_fp
+    FROM planted
+    """,
+)
+def pii_redact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-PII detection + redaction (pipeline.text.pii_scrub —
+    the Dolma/FineWeb privacy pass: count and replace emails, phone
+    numbers, and IPv4 literals in place, keeping the document).  The
+    corpus is synthetic and PII-free, so the entry weaves deterministic
+    PII into every document IN BOTH dialects (an email per doc, a
+    +1-555 phone on evens, an RFC-1918 IP on multiples of 5 — one
+    hex digit of md5(doc_id) inside the phone keeps the planted
+    numbers non-uniform) and value-checks the per-type counts plus an
+    md5 fingerprint of the redacted text, which proves the replacement
+    byte-for-byte.  The patterns are lookaround-free so java.util.regex
+    and RE2 agree exactly; one codegen projection, no shuffle — at
+    100 TB this fuses into the scan."""
+    from spark_monotasks_spark.pipeline import text as text_ops
+
+    t = _t(spark, sf_dir)
+    planted = t["documents"].select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail-"),
+            F.col("source"),
+            F.lit(".org"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit(" call +1-555-"),
+                    F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1),
+                    F.lit("23-4567"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit("."),
+                    (F.col("doc_id") % 254 + 1).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = text_ops.pii_scrub(planted, id_col="doc_id", text_col="text")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_emails",
+        "n_phones",
+        "n_ips",
+        F.substring(F.md5(F.col("redacted").cast("binary")), 1, 16).alias(
+            "redacted_fp"
+        ),
+    )

@@ -1763,7 +1763,11 @@ def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes distinct-count dashboards tractable at 100 TB (a raw
     count_distinct cannot be re-aggregated from finer grains).
     Successor of the reference's ApproxCountDistinct (HyperLogLogUDT,
-    udaf collection) with mergeable state as a first-class column."""
+    udaf collection) with mergeable state as a first-class column.
+    TERMINALLY rows-only (CATALOG.md dispositions): Datasketches
+    bytes are engine-private; :func:`hll_register_rollup` is the
+    oracle-backed portable twin that value-audits the identical
+    build → merge → estimate lifecycle."""
     t = _t(spark, sf_dir)
     fine = t["orders"].groupBy("o_orderstatus", "o_orderpriority").agg(
         F.hll_sketch_agg("o_custkey").alias("sk")
@@ -1777,6 +1781,107 @@ def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "hll_register_rollup",
+    oracle="""
+    WITH h AS (
+      SELECT o_orderstatus, o_orderpriority,
+             CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 12))
+                  AS BIGINT) AS hv
+      FROM orders
+    ), r AS (
+      SELECT o_orderstatus, o_orderpriority,
+             hv % 16 AS bucket,
+             45 - length(bin(hv // 16)) AS rho
+      FROM h
+    ), fine AS (
+      SELECT o_orderstatus, o_orderpriority, bucket, max(rho) AS reg
+      FROM r GROUP BY 1, 2, 3
+    ), merged AS (
+      SELECT o_orderstatus, bucket, max(reg) AS reg FROM fine GROUP BY 1, 2
+    ), stats AS (
+      SELECT o_orderstatus, max(reg) AS rmax, count(*) AS npres
+      FROM merged GROUP BY 1
+    ), s AS (
+      SELECT m.o_orderstatus,
+             CAST(sum(CAST(1 AS BIGINT) << (st.rmax - m.reg))
+                  + (16 - max(st.npres))
+                    * max(CAST(1 AS BIGINT) << st.rmax) AS BIGINT) AS ssum,
+             max(st.rmax) AS rmax
+      FROM merged m JOIN stats st USING (o_orderstatus)
+      GROUP BY 1
+    )
+    SELECT o_orderstatus,
+           round(CAST(CAST(1 AS BIGINT) << (rmax + 8) AS DOUBLE)
+                 / CAST(ssum AS DOUBLE), 4) AS est_distinct_cust
+    FROM s ORDER BY o_orderstatus
+    """,
+)
+def hll_register_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketch with VALUE-AUDITED registers —
+    the engine-portable twin of :func:`hll_sketch_rollup` (r6 verdict
+    ask #4: the native Datasketches entry stays terminally rows-only
+    because its sketch bytes are engine-specific; this twin replays
+    the whole register lifecycle in DuckDB).  Same rollup shape:
+    per-(status, priority) HLL registers built from the fact table
+    ONCE, merged to per-status by register-wise MAX — the mergeability
+    property that makes distinct-count dashboards tractable at 100 TB
+    — then estimated.  Portability kit: hash = first 12 hex of
+    md5(custkey) (48-bit int), m = 16 buckets (h mod 16), rho = 45 -
+    length(bin(h div 16)) (MSB position in exact integer arithmetic —
+    no floor(log2) ulp hazard), raw estimate = m^2 / sum(2^-reg)
+    computed as the single IEEE-exact divide 2^(rmax+8) / S with
+    S = sum(2^(rmax-reg)) an exact BIGINT (numerator a pure power of
+    two because m^2 = 2^8, so every intermediate is exactly
+    representable).  No alpha bias correction — the entry audits the
+    mergeable-register machinery, not the calibration constant."""
+    t = _t(spark, sf_dir)
+    h = t["orders"].select(
+        "o_orderstatus",
+        "o_orderpriority",
+        F.conv(
+            F.substring(F.md5(F.col("o_custkey").cast("string").cast("binary")), 1, 12),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("hv"),
+    )
+    r = h.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        (F.col("hv") % 16).alias("bucket"),
+        (F.lit(45) - F.length(F.bin(F.expr("shiftright(hv, 4)")))).alias("rho"),
+    )
+    fine = r.groupBy("o_orderstatus", "o_orderpriority", "bucket").agg(
+        F.max("rho").alias("reg")
+    )
+    merged = fine.groupBy("o_orderstatus", "bucket").agg(F.max("reg").alias("reg"))
+    stats = merged.groupBy("o_orderstatus").agg(
+        F.max("reg").alias("rmax"), F.count("*").alias("npres")
+    )
+    s = (
+        merged.join(stats, "o_orderstatus")
+        .groupBy("o_orderstatus")
+        .agg(
+            (
+                F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), rmax - reg)"))
+                + (F.lit(16) - F.max("npres"))
+                * F.max(F.expr("shiftleft(CAST(1 AS BIGINT), rmax)"))
+            ).alias("ssum"),
+            F.max("rmax").alias("rmax"),
+        )
+    )
+    return s.select(
+        "o_orderstatus",
+        F.round(
+            F.expr("CAST(shiftleft(CAST(1 AS BIGINT), rmax + 8) AS DOUBLE)")
+            / F.col("ssum").cast("double"),
+            4,
+        ).alias("est_distinct_cust"),
+    ).orderBy("o_orderstatus")
 
 
 @register(

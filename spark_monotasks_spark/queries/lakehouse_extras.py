@@ -438,3 +438,64 @@ def stream_pq_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         return V.read_version(spark, table).localCheckpoint()
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+@register(
+    "corpus_digest_diff",
+    oracle="""
+    WITH v0 AS (
+      SELECT doc_id, text FROM documents
+    ), v1 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 97 = 0 THEN text || ' [edited]'
+                  ELSE text END AS text
+      FROM documents WHERE doc_id % 113 <> 0
+    ), d0 AS (
+      SELECT doc_id % 64 AS bucket, count(*) AS n_rows,
+             md5(string_agg(md5(text), '' ORDER BY doc_id)) AS digest
+      FROM v0 GROUP BY 1
+    ), d1 AS (
+      SELECT doc_id % 64 AS bucket, count(*) AS n_rows,
+             md5(string_agg(md5(text), '' ORDER BY doc_id)) AS digest
+      FROM v1 GROUP BY 1
+    )
+    SELECT bucket,
+           CAST(coalesce(d0.n_rows, 0) AS BIGINT) AS n_rows_v0,
+           CAST(coalesce(d1.n_rows, 0) AS BIGINT) AS n_rows_v1,
+           CASE WHEN d0.digest IS NULL THEN 'only_v1'
+                WHEN d1.digest IS NULL THEN 'only_v0'
+                ELSE 'changed' END AS status
+    FROM d0 FULL JOIN d1 USING (bucket)
+    WHERE d0.digest IS NULL OR d1.digest IS NULL OR d0.digest <> d1.digest
+    """,
+)
+def corpus_digest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn-proportional corpus integrity diff (operators.layout.
+    bucket_digests + digest_diff — Merkle-leaf comparison): two corpus
+    versions reduce to one md5 digest per id-bucket (per-row hashes
+    concatenated in id order), and comparing versions joins the two
+    bucket-digest tables instead of the corpora — at 100 TB that's
+    n_buckets 32-byte rows moved, not the text, with drill-down cost
+    proportional to churn.  The entry builds a deterministic v1 twin
+    in BOTH dialects (every 97th doc edited, every 113th deleted) and
+    value-checks the changed-bucket report exactly — digest equality
+    across engines proves the whole hash/order/concat lifecycle."""
+    from spark_monotasks_spark.operators import layout
+
+    docs = _t(spark, sf_dir)["documents"]
+    v0 = docs.select("doc_id", "text")
+    v1 = (
+        docs.filter(F.col("doc_id") % 113 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 97 == 0,
+                F.concat(F.col("text"), F.lit(" [edited]")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    d0 = layout.bucket_digests(v0, n_buckets=64)
+    d1 = layout.bucket_digests(v1, n_buckets=64)
+    return layout.digest_diff(d0, d1).orderBy("bucket")

@@ -338,12 +338,15 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_assign_ctes(cents: list) -> str:
+def _ivf_assign_ctes(cents: list, extra_cols: tuple = ()) -> str:
     """Shared oracle fragment: CTEs ``d`` (squared L2 to each literal
     centroid) and ``assigned`` (argmin cell, smallest id on ties) over
     the embeddings table — exact in both engines because centroids are
-    dyadic and embeddings are floats (hence dyadic rationals)."""
+    dyadic and embeddings are floats (hence dyadic rationals).
+    ``extra_cols`` carries metadata columns (e.g. label) through for
+    filtered-search oracles."""
     n_lists = len(cents)
+    extra = "".join(f", {c}" for c in extra_cols)
     d_exprs = []
     for cid, vec in cents:
         lits = "CAST([" + ",".join(repr(x) for x in vec) + "] AS DOUBLE[])"
@@ -359,9 +362,9 @@ def _ivf_assign_ctes(cents: list) -> str:
         whens.append(f"WHEN d_{c} <= {cmp} THEN {c}")
     cell_expr = "CASE " + " ".join(whens) + f" ELSE {n_lists - 1} END AS cell"
     return (
-        f"d AS (SELECT vec_id, embedding, {', '.join(d_exprs)}"
+        f"d AS (SELECT vec_id, embedding{extra}, {', '.join(d_exprs)}"
         " FROM embeddings),\n"
-        f"    assigned AS (SELECT vec_id, embedding, {cell_expr} FROM d)"
+        f"    assigned AS (SELECT vec_id, embedding{extra}, {cell_expr} FROM d)"
     )
 
 
@@ -431,6 +434,74 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(*[F.lit(x) for x in qv]).alias("qvec")
     )
     return similarity.ivf_topk(assigned, cents, query, k=20, n_probe=3)
+
+
+def _ivf_filtered_oracle_sql(
+    dim: int = 64, n_lists: int = 8, seed: int = 5, qseed: int = 99,
+    n_probe: int = 3, k: int = 20, label: int = 1,
+) -> str:
+    """ann_filtered_topk oracle: the ann_ivf_topk replay with the
+    metadata predicate applied INSIDE the probed-candidate scan."""
+    from spark_monotasks_spark.pipeline.similarity import (
+        ivf_literal_centroids, pq_query_vector,
+    )
+
+    import math
+
+    cents = ivf_literal_centroids(dim, n_lists, seed)
+    qv = pq_query_vector(dim, qseed)
+
+    def cos(c):
+        num = sum(a * b for a, b in zip(qv, c))
+        na = math.sqrt(sum(a * a for a in qv))
+        nb = math.sqrt(sum(b * b for b in c))
+        return num / (na * nb) if na and nb else 0.0
+
+    probe = [cell for cell, _ in sorted(cents, key=lambda t: -cos(t[1]))[:n_probe]]
+    qlits = "CAST([" + ",".join(repr(x) for x in qv) + "] AS DOUBLE[])"
+    return f"""
+    WITH {_ivf_assign_ctes(cents, extra_cols=("label",))},
+    cand AS (SELECT vec_id, embedding FROM assigned
+             WHERE cell IN ({', '.join(str(c) for c in probe)})
+               AND label = {label})
+    SELECT vec_id,
+           round(
+             list_sum(list_transform(list_zip(embedding, {qlits}),
+                      p -> CAST(p[1] AS DOUBLE) * p[2]))
+             / (sqrt(list_sum(list_transform(embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform({qlits},
+                      x -> x * x)))), 4) AS sim
+    FROM cand ORDER BY sim DESC, vec_id LIMIT {k}
+    """
+
+
+@register("ann_filtered_topk", oracle=_ivf_filtered_oracle_sql())
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search (the production serving pattern modern
+    vector stores call metadata filtering): top-k cosine restricted to
+    vectors whose metadata satisfies a predicate (label = 1), with the
+    filter applied to the PROBED CANDIDATES — pre-filtering, not
+    post-filtering the top-k (post-filter under-fills k whenever the
+    unfiltered leaders fail the predicate; pre-filter guarantees k
+    qualified results if the probed cells hold them).  Built on the
+    same value-audited IVF path as ann_ivf_topk: the index (cell
+    assignment) is built ONCE over the full corpus, the per-query
+    predicate prunes the candidate scan at probe time — at 100 TB the
+    assigned table is partitioned by cell, so a probe reads n_probe/
+    n_lists of the index and the label filter pushes into that
+    parquet scan (r7; r6 verdict's serving-layer direction)."""
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    cents = similarity.ivf_literal_centroids(64, 8, seed=5)
+    assigned = similarity.ivf_assign(emb, cents)
+    qv = similarity.pq_query_vector(64, 99)
+    query = spark.range(1).select(
+        F.array(*[F.lit(x) for x in qv]).alias("qvec")
+    )
+    return similarity.ivf_topk(
+        assigned.filter(F.col("label") == 1), cents, query, k=20, n_probe=3
+    )
 
 
 def _semantic_dedup_oracle_sql(threshold: float = 0.35) -> str:
@@ -812,8 +883,12 @@ def train_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clustering (pipeline.dedup.near_duplicate_clusters):
     MinHash pairs -> connected components -> (id, cluster) with cluster =
-    min doc id in the component.  Rows-only (xxhash-based MinHash is
-    engine-specific); chain-collapse invariants are asserted in
+    min doc id in the component.  TERMINALLY rows-only (CATALOG.md
+    dispositions): the xxhash64 LSH banding config (64 hashes / 16
+    bands) is the recall-tuned scale estimator and engine-private by
+    construction; near_dup_clusters_portable (8-hash ≥4-vote) carries
+    the full recursive-CTE closure oracle for the same clustering
+    pipeline, and chain-collapse invariants are asserted in
     tests/test_pipeline.py with planted duplicate chains."""
     t = _t(spark, sf_dir)
     return dedup.near_duplicate_clusters(t["documents"]).orderBy("id")

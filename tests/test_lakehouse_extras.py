@@ -280,3 +280,51 @@ def test_snapshot_compact_single_table(spark, tmp_path):
     removed = V.snapshot_vacuum(base, keep_snapshots=1)
     assert len(removed) == 3  # a's three pre-compaction dirs
     assert _counts(spark, base, "a") == {"x": 3, "y": 3}
+
+
+# --- bucket-digest corpus integrity (operators.layout, r7) -----------------
+
+def test_bucket_digests_deterministic_and_order_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from spark_monotasks_spark.operators import layout
+
+    rows = [(i, f"text {i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # a shuffled twin must produce identical digests (bucket membership
+    # and concat order are pure functions of ids, not input order)
+    shuffled = spark.createDataFrame(list(reversed(rows)),
+                                     "doc_id long, text string").repartition(7)
+    d1 = {r.bucket: (r.n_rows, r.digest)
+          for r in layout.bucket_digests(df, n_buckets=8).collect()}
+    d2 = {r.bucket: (r.n_rows, r.digest)
+          for r in layout.bucket_digests(shuffled, n_buckets=8).collect()}
+    assert d1 == d2
+    assert sum(n for n, _ in d1.values()) == 40
+
+
+def test_digest_diff_statuses(spark):
+    from pyspark.sql import functions as F
+
+    from spark_monotasks_spark.operators import layout
+
+    v0 = spark.createDataFrame(
+        [(0, "a"), (8, "b"),      # bucket 0: unchanged
+         (1, "c"),                # bucket 1: will change
+         (2, "d")],               # bucket 2: deleted entirely in v1
+        "doc_id long, text string")
+    v1 = spark.createDataFrame(
+        [(0, "a"), (8, "b"),
+         (1, "c EDITED"),
+         (3, "new")],             # bucket 3: only in v1
+        "doc_id long, text string")
+    d = layout.digest_diff(
+        layout.bucket_digests(v0, n_buckets=8),
+        layout.bucket_digests(v1, n_buckets=8),
+    )
+    got = {r.bucket: (r.n_rows_v0, r.n_rows_v1, r.status) for r in d.collect()}
+    assert got == {
+        1: (1, 1, "changed"),
+        2: (1, 0, "only_v0"),
+        3: (0, 1, "only_v1"),
+    }

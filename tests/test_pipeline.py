@@ -2420,3 +2420,25 @@ def test_leakage_safe_split_neardup_twins_share_split(spark):
     rows = per_cluster.collect()
     assert all(r.n == 1 for r in rows)
     assert any(r.sz > 1 for r in rows)  # real multi-doc clusters exercised
+
+
+# --- structured-PII scrub (pipeline.text.pii_scrub, r7) --------------------
+
+def test_pii_scrub_counts_and_redacts(spark):
+    from spark_monotasks_spark.pipeline import text as text_ops
+
+    df = spark.createDataFrame(
+        [(1, "mail me at bob.smith+x@corp.example.org or call +1-555-123-4567"),
+         (2, "server at 10.0.3.17 and 192.168.1.1 no other pii"),
+         (3, "clean document with nothing sensitive"),
+         (4, "two mails a@b.io c.d@e-f.net one ip 8.8.8.8")],
+        "doc_id long, text string")
+    out = {r.id: r for r in text_ops.pii_scrub(df).collect()}
+    assert (out[1].n_emails, out[1].n_phones, out[1].n_ips) == (1, 1, 0)
+    assert (out[2].n_emails, out[2].n_phones, out[2].n_ips) == (0, 0, 2)
+    assert (out[3].n_emails, out[3].n_phones, out[3].n_ips) == (0, 0, 0)
+    assert (out[4].n_emails, out[4].n_phones, out[4].n_ips) == (2, 0, 1)
+    assert out[1].redacted == "mail me at [EMAIL] or call [PHONE]"
+    assert out[2].redacted == "server at [IP] and [IP] no other pii"
+    assert out[3].redacted == "clean document with nothing sensitive"
+    assert out[4].redacted == "two mails [EMAIL] [EMAIL] one ip [IP]"

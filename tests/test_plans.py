@@ -622,6 +622,9 @@ def test_no_hidden_cartesians_across_catalog(spark):
         # 1-row broadcast side (scalar aggregate / single query vector):
         # BNLJ with a single-row build is a broadcast scalar, not O(n^2)
         "ann_cosine_topk", "ann_ivf_topk", "ann_ivf_kmeans_topk",
+        # filtered ANN shares ann_ivf_topk's 1-row query-vector
+        # broadcast; the label predicate only shrinks the probe side
+        "ann_filtered_topk",
         "unigram_logprob_score", "tfidf_exact_scores", "bm25_rank_query",
         # perplexity bucketing composes the unigram scorer, inheriting
         # its 1-row corpus-total broadcast cross

@@ -252,3 +252,30 @@ def test_audio_band_fingerprint_planted(spark):
     # only the band-4 > band-3 transition sets a bit: 1 << 3
     assert got[3]["fp"] == 1 << 3
     assert got[3]["e0"] == 0 and got[3]["n_samples"] == 64
+
+
+# --- filtered vector search (r7) -------------------------------------------
+
+def test_ann_filtered_topk_prefilter_semantics(spark):
+    """Every hit satisfies the predicate, k is filled from QUALIFIED
+    candidates (pre-filter), and the result is NOT merely the
+    unfiltered top-k with losers dropped (post-filter) — the exact
+    failure mode metadata-filtered vector search exists to avoid."""
+    from tests.conftest import SF_TEST_DIR
+
+    from spark_monotasks_spark.queries import QUERY_REGISTRY
+    from spark_monotasks_spark.tables import load_tables
+
+    hits = QUERY_REGISTRY["ann_filtered_topk"](spark, SF_TEST_DIR).collect()
+    assert len(hits) == 20
+    labels = {
+        r.vec_id: r.label
+        for r in load_tables(spark, SF_TEST_DIR)["embeddings"]
+        .select("vec_id", "label").collect()
+    }
+    assert all(labels[r.vec_id] == 1 for r in hits)
+    unfiltered = QUERY_REGISTRY["ann_ivf_topk"](spark, SF_TEST_DIR).collect()
+    post = [r.vec_id for r in unfiltered if labels[r.vec_id] == 1]
+    # the unfiltered top-20 holds fewer than 20 label-1 vectors, so a
+    # post-filter would under-fill; pre-filter returns a full page
+    assert len(post) < 20
