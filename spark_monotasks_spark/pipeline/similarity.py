@@ -342,12 +342,13 @@ def semantic_dedup(
         connected_components_star,
     )
 
-    assigned = barrier(
-        ivf_assign(embeddings, centroids, id_col, vec_col).select(
-            F.col(id_col).alias("id"), F.col(vec_col).alias("_v"), "cell"
-        ),
-        reliable,
+    # pinned for its 3 consumers (both self-join sides + the survivor
+    # anti-join); persist on the non-reliable path per the r7
+    # measurement (cold cost ~2x under localCheckpoint, AQE preserved)
+    _assigned = ivf_assign(embeddings, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("_v"), "cell"
     )
+    assigned = barrier(_assigned, reliable) if reliable else _assigned.persist()
     a = assigned.select(
         F.col("id").alias("id_a"), F.col("_v").alias("_va"), "cell"
     )

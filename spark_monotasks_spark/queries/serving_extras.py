@@ -340,3 +340,72 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_codes",
         "avg_abs_err",
     )
+
+
+def _maxsim_oracle_sql(n_q: int = 3, group: int = 4, k: int = 15) -> str:
+    """ann_maxsim_topk oracle: the same literal query vectors, the same
+    vec_id//group document grouping, max-per-query-vector then sum —
+    every dot product is the identical left-to-right fold in both
+    dialects, the sum of maxima is <= n_q adds, rounded to 4."""
+    from spark_monotasks_spark.pipeline.similarity import pq_query_vector
+
+    qs = [pq_query_vector(64, 1000 + i) for i in range(n_q)]
+    dots = []
+    for i, q in enumerate(qs):
+        lit = "CAST([" + ",".join(repr(x) for x in q) + "] AS DOUBLE[])"
+        dots.append(
+            f"max(list_sum(list_transform(list_zip(embedding, {lit}),"
+            f" p -> CAST(p[1] AS DOUBLE) * p[2]))) AS m{i}"
+        )
+    total = " + ".join(f"m{i}" for i in range(n_q))
+    return f"""
+    WITH g AS (
+      SELECT vec_id // {group} AS doc_id, {", ".join(dots)}
+      FROM embeddings GROUP BY 1
+    )
+    SELECT doc_id, round({total}, 4) AS score
+    FROM g ORDER BY score DESC, doc_id LIMIT {k}
+    """
+
+
+@register("ann_maxsim_topk", oracle=_maxsim_oracle_sql())
+def ann_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction (ColBERT-style MaxSim) retrieval: documents are
+    MULTI-VECTOR (here: vec_id//4 groups 4 vectors per pseudo-doc —
+    the per-token embedding layout), and a multi-vector query scores a
+    doc as sum over query vectors of the max dot product against any
+    doc vector.  The serving shape 100 TB cares about: NO join and NO
+    vector-pair explosion — each query vector is a dyadic LITERAL
+    folded into the scan projection (3 dot products per row), and the
+    whole MaxSim collapses in ONE hash aggregate (max per query vector,
+    summed), then a bounded TakeOrdered top-k.  Per-dot folds run in
+    identical left-to-right order in both dialects (the dyadic-literal
+    playbook), so the oracle replays scores value-for-value."""
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    qs = [similarity.pq_query_vector(64, 1000 + i) for i in range(3)]
+
+    def dot(q):
+        return F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.array(*[F.lit(x) for x in q]),
+                lambda a, b: a.cast("double") * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    scored = emb.select(
+        (F.col("vec_id") / 4).cast("long").alias("doc_id"),
+        *[dot(q).alias(f"d{i}") for i, q in enumerate(qs)],
+    )
+    g = scored.groupBy("doc_id").agg(
+        *[F.max(f"d{i}").alias(f"m{i}") for i in range(3)]
+    )
+    score = F.round(F.col("m0") + F.col("m1") + F.col("m2"), 4)
+    return (
+        g.select("doc_id", score.alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(15)
+    )
