@@ -210,6 +210,17 @@ HEADLINE = [
     # data-dependent-rounds graph loop, fixpoint-guarded)
     "ann_batch_queries",
     "graph_kcore",
+    # r7 (third batch): the privacy pass (three-pattern regex
+    # detect+redact fused into the scan projection), the Merkle-leaf
+    # corpus integrity diff (per-bucket digests; churn-proportional
+    # compare), late-interaction MaxSim retrieval (literal-folded dot
+    # products + one hash aggregate — no join, no pair explosion), and
+    # the portable register-level HLL rollup (mergeable distinct
+    # counts via exact integer MSB arithmetic)
+    "pii_redact_stats",
+    "corpus_digest_diff",
+    "ann_maxsim_topk",
+    "hll_register_rollup",
 ]
 
 

@@ -1458,6 +1458,62 @@ def pii_scrub(
     )
 
 
+def compression_ratio(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document gzip compression ratio — the Gopher/Dolma quality
+    signal that catches machine-generated and highly repetitive text
+    (boilerplate compresses far below natural prose; the rule fires
+    where token-level repetition stats miss long-range structure).
+
+    Returns ``(id, n_bytes, n_compressed, ratio)`` with ratio =
+    compressed/raw rounded to 4 (empty text → ratio NULL).
+    Deterministic: zlib with a fixed level is a canonical encoder, so
+    the column is stable across runs and machines — but no SQL engine
+    re-states a DEFLATE stream, so catalog exposure is terminally
+    rows-only with planted-structure invariant tests (CATALOG.md
+    dispositions).
+
+    Scale shape: ONE Arrow-batched ``mapInPandas`` pass (zlib is
+    C-speed per batch, stdlib — no extra dependency), no shuffle; at
+    100 TB this pipelines with the scan exactly like the multimodal
+    codec operators.  A row-at-a-time Python UDF would be the gated
+    anti-pattern; the batch form amortizes the Python round trip.
+
+    Reference analogy: none — beyond-reference brief item (quality
+    scoring family of the training-data pipeline layer)."""
+    import pandas as pd
+
+    out_schema = "id long, n_bytes long, n_compressed long, ratio double"
+
+    def batches(it):
+        import zlib
+
+        for pdf in it:
+            texts = pdf[text_col]
+            raw = [
+                t.encode("utf-8") if isinstance(t, str) else b""
+                for t in texts
+            ]
+            comp = [len(zlib.compress(b, level)) if b else None for b in raw]
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "n_bytes": [len(b) for b in raw],
+                    "n_compressed": comp,
+                    "ratio": [
+                        round(c / len(b), 4) if c is not None else None
+                        for c, b in zip(comp, raw)
+                    ],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(batches, out_schema)
+
+
 #: scheme://… up to whitespace or common HTML delimiters; identical
 #: semantics in java.util.regex and RE2 (no lookaround, no backrefs).
 URL_RE = r"""https?://[^\s<>"']+"""

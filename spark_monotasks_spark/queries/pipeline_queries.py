@@ -3636,3 +3636,30 @@ def leakage_safe_split_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("id", "doc_id")
     joined = t["documents"].select("doc_id", "text").join(clusters, "doc_id")
     return text.leakage_safe_split(joined, cluster_col="cluster")
+
+
+@register("compression_ratio_quality")  # DEFLATE stream: no SQL engine
+# restates it -> terminally rows-only (CATALOG.md dispositions);
+# deterministic given the fixed zlib level, invariants planted in
+# tests/test_pipeline.py
+def compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gzip compression-ratio quality screen (pipeline.text.
+    compression_ratio — the Gopher/Dolma signal for machine-generated /
+    boilerplate text): one Arrow-batched mapInPandas pass computing
+    per-document DEFLATE ratio, then the per-source summary a curation
+    run thresholds on.  Repetitive docs compress harder; natural prose
+    sits in a narrow band."""
+    t = _t(spark, sf_dir)
+    r = text.compression_ratio(t["documents"])
+    docs = t["documents"].select(F.col("doc_id").alias("id"), "source")
+    return (
+        r.join(docs, on="id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("ratio"), 4).alias("avg_ratio"),
+            F.round(F.min("ratio"), 4).alias("min_ratio"),
+            F.round(F.max("ratio"), 4).alias("max_ratio"),
+        )
+        .orderBy("source")
+    )

@@ -2442,3 +2442,23 @@ def test_pii_scrub_counts_and_redacts(spark):
     assert out[2].redacted == "server at [IP] and [IP] no other pii"
     assert out[3].redacted == "clean document with nothing sensitive"
     assert out[4].redacted == "two mails [EMAIL] [EMAIL] one ip [IP]"
+
+
+def test_compression_ratio_invariants(spark):
+    """Planted-structure invariants for the DEFLATE quality signal:
+    a highly repetitive document compresses materially harder than
+    varied prose, ratios are in (0, ~1.1], and empty text is NULL."""
+    from spark_monotasks_spark.pipeline import text as text_ops
+
+    rep = "spam " * 400
+    varied = " ".join(f"w{i}x{i*7%97}" for i in range(400))
+    df = spark.createDataFrame(
+        [(1, rep), (2, varied), (3, "")],
+        "doc_id long, text string")
+    out = {r.id: r for r in text_ops.compression_ratio(df).collect()}
+    assert out[1].ratio < out[2].ratio * 0.5
+    assert 0 < out[1].ratio and out[2].ratio <= 1.1
+    assert out[3].ratio is None and out[3].n_bytes == 0
+    # determinism: identical input -> identical ratio
+    again = {r.id: r for r in text_ops.compression_ratio(df).collect()}
+    assert out[1].ratio == again[1].ratio

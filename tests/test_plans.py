@@ -737,6 +737,8 @@ def test_no_row_python_udfs_across_catalog(spark):
         "audio_band_fingerprint", # WAV encode + PCM decode (codec)
         "video_content_neardup",  # AVI encode + frame decode (codec)
         "audio_content_neardup",  # WAV encode + PCM decode (codec)
+        "compression_ratio_quality",  # DEFLATE encode (codec — the
+                                      # gzip quality signal)
     }
     arrow_markers = (
         "ArrowEvalPython", "MapInPandas", "PythonMapInArrow", "MapInArrow",
