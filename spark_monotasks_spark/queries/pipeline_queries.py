@@ -3663,3 +3663,82 @@ def compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "html_text_extract",
+    oracle="""
+    WITH pages AS (
+      SELECT doc_id,
+             concat('<html><head><title> ', source,
+                    ' docs &amp; notes </title>',
+                    '<style>p { margin: 0 }</style>',
+                    '<script>if (1 < 2) { x = "a&b"; }</script></head>',
+                    '<body><!-- boilerplate nav --><h1>', lang, '</h1>',
+                    '<p class="main">', text,
+                    '</p><table><tr><td>alpha</td><td>beta</td></tr></table>',
+                    '<p>Tom &amp; Jerry &lt;tag&gt; &quot;q&quot;',
+                    '&nbsp;&#39;s</p></body></html>') AS page
+      FROM documents
+    ), ex AS (
+      SELECT doc_id, page,
+        trim(regexp_replace(
+          replace(replace(replace(replace(replace(replace(
+            regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+              page,
+              '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+              '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+              '(?s)<!--.*?-->', ' ', 'g'),
+              '<[^>]*>', ' ', 'g'),
+            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+            '&nbsp;', ' '), '&amp;', '&'),
+          '\\s+', ' ', 'g')) AS extracted,
+        trim(regexp_replace(
+          replace(replace(replace(replace(replace(replace(
+            regexp_extract(page, '(?is)<title[^>]*>(.*?)</title>', 1),
+            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+            '&nbsp;', ' '), '&amp;', '&'),
+          '\\s+', ' ', 'g')) AS title
+      FROM pages
+    )
+    SELECT doc_id, title, extracted,
+           length(page) - length(extracted) AS n_dropped
+    FROM ex
+    """,
+)
+def html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> visible-text extraction (pipeline.text.html_extract_text
+    + html_extract_title): drop script/style content and comments,
+    strip tags as word boundaries, decode the common named entities,
+    collapse whitespace -- the trafilatura/resiliparse ingestion step
+    every CommonCrawl-derived corpus runs before quality filtering and
+    dedup.  The corpus is plain text, so the entry wraps every document
+    in a deterministic HTML page IN BOTH dialects (title with entities,
+    a script whose body contains a bare '<', a comment, table cells
+    that must not merge, and all six common entities) and value-checks
+    extracted text, decoded title, and the dropped-character count.
+    Scale shape: one codegen projection fused into the scan -- no
+    Python, no shuffle; identical regex semantics in java.util.regex
+    and RE2 (lookaround-free, non-greedy with inline flags)."""
+    t = _t(spark, sf_dir)
+    page = F.concat(
+        F.lit("<html><head><title> "),
+        F.col("source"),
+        F.lit(" docs &amp; notes </title>"),
+        F.lit("<style>p { margin: 0 }</style>"),
+        F.lit('<script>if (1 < 2) { x = "a&b"; }</script></head>'),
+        F.lit("<body><!-- boilerplate nav --><h1>"),
+        F.col("lang"),
+        F.lit('</h1><p class="main">'),
+        F.col("text"),
+        F.lit("</p><table><tr><td>alpha</td><td>beta</td></tr></table>"),
+        F.lit('<p>Tom &amp; Jerry &lt;tag&gt; &quot;q&quot;'),
+        F.lit("&nbsp;&#39;s</p></body></html>"),
+    )
+    extracted = text.html_extract_text(page)
+    return t["documents"].select(
+        "doc_id",
+        text.html_extract_title(page).alias("title"),
+        extracted.alias("extracted"),
+        (F.length(page) - F.length(extracted)).alias("n_dropped"),
+    )

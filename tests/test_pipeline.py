@@ -2462,3 +2462,40 @@ def test_compression_ratio_invariants(spark):
     # determinism: identical input -> identical ratio
     again = {r.id: r for r in text_ops.compression_ratio(df).collect()}
     assert out[1].ratio == again[1].ratio
+
+
+def test_html_extract_text_planted(spark):
+    """Planted-page checks for the HTML extractor: script bodies with a
+    bare '<' vanish whole, comments and style content vanish, tags act
+    as word boundaries (table cells don't merge), entities decode with
+    &amp; last (so '&amp;lt;' yields a literal '&lt;'), and the title
+    helper pulls only the first <title>."""
+    from spark_monotasks_spark.pipeline import text as text_ops
+
+    pages = [
+        (1, '<p>a</p><script>if (1 < 2) { b = "x&y"; }</script><p>c</p>'),
+        (2, "<table><tr><td>alpha</td><td>beta</td></tr></table>"),
+        (3, "<!-- hidden -->visible<style>p {color: red}</style> tail"),
+        (4, "Tom &amp; Jerry &lt;tag&gt; &quot;q&quot;&nbsp;&#39;s"),
+        (5, "literal &amp;lt; stays"),
+        (6, "<title> First &amp; Only </title><title>second</title>x"),
+        (7, "no markup at all"),
+    ]
+    df = spark.createDataFrame(pages, "id long, page string")
+    out = {
+        r.id: r
+        for r in df.select(
+            "id",
+            text_ops.html_extract_text("page").alias("ex"),
+            text_ops.html_extract_title("page").alias("ti"),
+        ).collect()
+    }
+    assert out[1].ex == "a c"
+    assert out[2].ex == "alpha beta"
+    assert out[3].ex == "visible tail"
+    assert out[4].ex == 'Tom & Jerry <tag> "q" \'s'
+    assert out[5].ex == "literal &lt; stays"
+    assert out[6].ex == "First & Only second x"
+    assert out[6].ti == "First & Only"
+    assert out[7].ex == "no markup at all"
+    assert out[7].ti == ""
