@@ -409,3 +409,105 @@ def ann_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "doc_id")
         .limit(15)
     )
+
+
+def _bitext_queries(n_q: int = 4, dim: int = 64) -> list[tuple[int, list[float]]]:
+    """Deterministic dyadic 'source-language' query batch (seeds 2000..)
+    for margin-based mining: at 100 TB these are the encoded source
+    sentences of one mining shard."""
+    return [
+        (i, similarity.pq_query_vector(dim, seed=2000 + i))
+        for i in range(n_q)
+    ]
+
+
+def _bitext_margin_oracle_sql(k: int = 4, thresh: str = "1.10") -> str:
+    qs = _bitext_queries()
+    q_rows = " UNION ALL ".join(
+        f"SELECT {qid} AS qid, {_lit_arr(qv)} AS qv" for qid, qv in qs
+    )
+    cos = (
+        "list_sum(list_transform(list_zip(embedding, qv),"
+        " p -> CAST(p[1] AS DOUBLE) * p[2]))"
+        " / (sqrt(list_sum(list_transform(embedding,"
+        " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        " * sqrt(list_sum(list_transform(qv, x -> x * x))))"
+    )
+    return f"""
+    WITH q AS ({q_rows}),
+    s AS (SELECT qid, vec_id, round({cos}, 4) AS sim FROM embeddings, q),
+    r AS (SELECT qid, vec_id, sim,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY sim DESC, vec_id) AS rk
+          FROM s),
+    p AS (SELECT qid,
+                 max(CASE WHEN rk = 1 THEN vec_id END) AS best_vec_id,
+                 max(CASE WHEN rk = 1 THEN sim END) AS m1,
+                 max(CASE WHEN rk = 2 THEN sim END) AS m2,
+                 max(CASE WHEN rk = 3 THEN sim END) AS m3,
+                 max(CASE WHEN rk = 4 THEN sim END) AS m4
+          FROM r WHERE rk <= {k} GROUP BY qid)
+    SELECT qid, best_vec_id, m1 AS best_sim,
+           round(m1 * 3 / ((m2 + m3) + m4), 6) AS margin,
+           m1 * 3 / ((m2 + m3) + m4) >= {thresh} AS accepted
+    FROM p
+    """
+
+
+@register("bitext_margin_mine", oracle=_bitext_margin_oracle_sql())
+def bitext_margin_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based candidate mining (Artetxe & Schwenk 2019, the
+    CCMatrix/LASER bitext-mining criterion): a batch of source-side
+    query vectors scores the target corpus in ONE scan; each query's
+    best hit is accepted only when its cosine clears the RATIO margin
+    over the query's own neighborhood (best / mean of ranks 2..4) — the
+    filter that separates a true translation pair from a merely-dense
+    embedding region, and the step that turns ANN search into corpus
+    ALIGNMENT.  Scale shape: identical to ann_batch_queries (bounded
+    literal query broadcast + WindowGroupLimit per-qid heaps, so rank
+    <= 4 never materializes a full sort), then the top-4 PIVOT to
+    columns via conditional aggregation so the margin divides sums
+    folded in the same literal order in both dialects — margin and the
+    accept decision are value-replayed exactly by the oracle.
+    Reference analogy: none — beyond-reference brief item (similarity
+    search / multilingual curation family)."""
+    from pyspark.sql import Window
+
+    t = _t(spark, sf_dir)
+    qs = _bitext_queries()
+    q_frames = [
+        spark.range(1).select(
+            F.lit(qid).cast("int").alias("qid"),
+            F.array(*[F.lit(x) for x in qv]).alias("qv"),
+        )
+        for qid, qv in qs
+    ]
+    q = q_frames[0]
+    for f in q_frames[1:]:
+        q = q.unionByName(f)
+    scored = t["embeddings"].crossJoin(F.broadcast(q)).select(
+        "qid",
+        "vec_id",
+        F.round(similarity.cosine(F.col("embedding"), F.col("qv")), 4).alias(
+            "sim"
+        ),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), "vec_id")
+    ranked = scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= 4
+    )
+    p = ranked.groupBy("qid").agg(
+        F.max(F.when(F.col("rk") == 1, F.col("vec_id"))).alias("best_vec_id"),
+        F.max(F.when(F.col("rk") == 1, F.col("sim"))).alias("m1"),
+        F.max(F.when(F.col("rk") == 2, F.col("sim"))).alias("m2"),
+        F.max(F.when(F.col("rk") == 3, F.col("sim"))).alias("m3"),
+        F.max(F.when(F.col("rk") == 4, F.col("sim"))).alias("m4"),
+    )
+    margin = F.col("m1") * 3 / ((F.col("m2") + F.col("m3")) + F.col("m4"))
+    return p.select(
+        "qid",
+        "best_vec_id",
+        F.col("m1").alias("best_sim"),
+        F.round(margin, 6).alias("margin"),
+        (margin >= 1.10).alias("accepted"),
+    )

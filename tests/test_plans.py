@@ -693,6 +693,9 @@ def test_no_hidden_cartesians_across_catalog(spark):
         # bounded broadcast (the whole point: one scan amortized over
         # the batch), never O(n^2)
         "ann_batch_queries",
+        # margin mining crossJoins the 4-row LITERAL query batch — the
+        # same bounded broadcast as ann_batch_queries, never O(n^2)
+        "bitext_margin_mine",
         # banding P/R eval crossJoins three 1-row count aggregates
         "lsh_banding_pr_eval",
         # threshold sweep crossJoins the 1-row truth-count aggregate
