@@ -279,3 +279,59 @@ def test_ann_filtered_topk_prefilter_semantics(spark):
     # the unfiltered top-20 holds fewer than 20 label-1 vectors, so a
     # post-filter would under-fill; pre-filter returns a full page
     assert len(post) < 20
+
+
+def test_bitext_margin_planted(spark):
+    """Planted margin semantics: a corpus with ONE strong match for q0
+    (margin well over threshold) and a dense near-tie region for q1
+    (margin ~1) must accept q0's pair and reject q1's — the criterion
+    that distinguishes a translation pair from a generically dense
+    embedding neighborhood."""
+    import math
+
+    from spark_monotasks_spark.queries.serving_extras import (
+        _bitext_queries,
+        bitext_margin_mine,
+    )
+    from spark_monotasks_spark.tables import load_tables
+
+    qs = dict(_bitext_queries())
+    q0, q1 = qs[0], qs[1]
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    # corpus: vec 10 == q0's direction (cos 1.0); vecs 20-23 are four
+    # small perturbations of q1's direction (near-identical sims);
+    # everything else orthogonal-ish noise for rank-4 padding.
+    rows = [(10, unit(q0))]
+    for j, eps in enumerate((0.0, 1e-3, 2e-3, 3e-3)):
+        v = [x + (eps if i == 0 else 0.0) for i, x in enumerate(q1)]
+        rows.append((20 + j, unit(v)))
+    # fillers: q0's direction blended with a distinct basis vector, so
+    # q0's ranks 2-4 sit at a moderate POSITIVE sim (the ratio margin
+    # presumes a positively-correlated neighborhood, as real encoder
+    # embeddings have) while staying far below the true pair's 1.0.
+    dim = len(q0)
+    q0u = unit(q0)
+    for j in range(4):
+        v = list(q0u)
+        v[(7 * (j + 1)) % dim] += 2.0
+        rows.append((30 + j, unit(v)))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<double>",
+    )
+
+    import tempfile, os, shutil
+    d = tempfile.mkdtemp()
+    try:
+        df.write.parquet(os.path.join(d, "embeddings.parquet"))
+        out = {r.qid: r for r in bitext_margin_mine(spark, d).collect()}
+        assert out[0].best_vec_id == 10 and out[0].accepted
+        assert out[0].margin > 1.3
+        assert 20 <= out[1].best_vec_id <= 23 and not out[1].accepted
+        assert out[1].margin < 1.02
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
