@@ -970,3 +970,115 @@ def pii_redact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "redacted_fp"
         ),
     )
+
+
+@register(
+    "sft_turns_audit",
+    oracle="""
+    WITH convs AS (
+      SELECT doc_id,
+             concat('[{"role":"',
+                    CASE WHEN doc_id % 5 = 0 THEN 'assistant' ELSE 'user' END,
+                    '","content":"', substr(text, 1, 12), '"},',
+                    '{"role":"',
+                    CASE WHEN doc_id % 5 = 0 THEN 'user' ELSE 'assistant' END,
+                    '","content":"reply one"}',
+                    CASE WHEN doc_id % 3 >= 1
+                         THEN ',{"role":"user","content":"follow up"}'
+                         ELSE '' END,
+                    CASE WHEN doc_id % 3 = 2
+                         THEN ',{"role":"assistant","content":"reply two"}'
+                         ELSE '' END,
+                    ']') AS conv
+      FROM documents
+    ), turns AS (
+      SELECT doc_id,
+             CAST(u.i AS BIGINT) AS pos,
+             json_extract_string(conv, '$[' || u.i || '].role') AS role,
+             json_extract_string(conv, '$[' || u.i || '].content') AS content
+      FROM convs,
+           UNNEST(range(CAST(json_array_length(CAST(conv AS JSON)) AS BIGINT)))
+             AS u(i)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           bool_and(role = CASE WHEN pos % 2 = 0
+                                THEN 'user' ELSE 'assistant' END) AS roles_ok,
+           CAST(coalesce(sum(CASE WHEN role = 'user'
+                                  THEN length(content) END), 0) AS BIGINT)
+             AS user_chars,
+           CAST(coalesce(sum(CASE WHEN role = 'assistant'
+                                  THEN length(content) END), 0) AS BIGINT)
+             AS assistant_chars
+    FROM turns GROUP BY doc_id
+    """,
+)
+def sft_turns_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instruction-data (SFT/chat) structural audit: conversations
+    arrive as JSONL role/content turn arrays; the pipeline must parse
+    them, validate STRICT role alternation (user first, then
+    assistant, ...) and account characters per role before packing —
+    malformed transcripts (assistant-first, doubled roles) are the #1
+    data bug in instruction-tuning corpora.  The corpus is plain text,
+    so the entry assembles a deterministic JSON conversation per
+    document IN BOTH dialects (2-4 turns by doc_id%3; every 5th doc is
+    deliberately assistant-first so roles_ok exercises both outcomes),
+    parses with the ENGINE's JSON machinery (from_json to a typed
+    array<struct> + posexplode in Spark; json_extract_string over a
+    range lateral in DuckDB), and audits per doc.  Scale shape: parse +
+    explode + one hash aggregate keyed by doc_id — no shuffle beyond
+    the aggregate, JSON never leaves the JVM."""
+    t = _t(spark, sf_dir)
+    conv = F.concat(
+        F.lit('[{"role":"'),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("assistant")).otherwise(
+            F.lit("user")
+        ),
+        F.lit('","content":"'),
+        F.substring("text", 1, 12),
+        F.lit('"},{"role":"'),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("user")).otherwise(
+            F.lit("assistant")
+        ),
+        F.lit('","content":"reply one"}'),
+        F.when(
+            F.col("doc_id") % 3 >= 1,
+            F.lit(',{"role":"user","content":"follow up"}'),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 2,
+            F.lit(',{"role":"assistant","content":"reply two"}'),
+        ).otherwise(F.lit("")),
+        F.lit("]"),
+    )
+    parsed = t["documents"].select(
+        "doc_id",
+        F.from_json(
+            conv, "array<struct<role:string,content:string>>"
+        ).alias("turns"),
+    )
+    turns = parsed.select(
+        "doc_id", F.posexplode("turns").alias("pos", "turn")
+    ).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("turn.role").alias("role"),
+        F.col("turn.content").alias("content"),
+    )
+    expected = F.when(F.col("pos") % 2 == 0, F.lit("user")).otherwise(
+        F.lit("assistant")
+    )
+    return turns.groupBy("doc_id").agg(
+        F.count("*").alias("n_turns"),
+        F.bool_and(F.col("role") == expected).alias("roles_ok"),
+        F.coalesce(
+            F.sum(F.when(F.col("role") == "user", F.length("content"))),
+            F.lit(0),
+        ).alias("user_chars"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("role") == "assistant", F.length("content"))
+            ),
+            F.lit(0),
+        ).alias("assistant_chars"),
+    )
