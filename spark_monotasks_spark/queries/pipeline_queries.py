@@ -3742,3 +3742,99 @@ def html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         extracted.alias("extracted"),
         (F.length(page) - F.length(extracted)).alias("n_dropped"),
     )
+
+
+@register(
+    "fim_transform_roundtrip",
+    oracle="""
+    WITH cuts AS (
+      SELECT doc_id, text, length(text) AS L,
+             1 + (CAST('0x' || substr(md5('fim1:' || CAST(doc_id AS VARCHAR)),
+                       1, 10) AS BIGINT) % (length(text) - 1)) AS a,
+             CAST('0x' || substr(md5('fim2:' || CAST(doc_id AS VARCHAR)),
+                  1, 10) AS BIGINT) AS h2
+      FROM documents WHERE length(text) >= 4
+    ), spans AS (
+      SELECT doc_id, text, L, a, h2 % (L - a) AS mid_len FROM cuts
+    ), parts AS (
+      SELECT doc_id, text, L, a, mid_len,
+             substr(text, 1, CAST(a AS INT)) AS prefix,
+             substr(text, CAST(a + 1 AS INT), CAST(mid_len AS INT)) AS middle,
+             substr(text, CAST(a + 1 + mid_len AS INT)) AS suffix
+      FROM spans
+    )
+    SELECT doc_id, a AS prefix_len, mid_len,
+           CAST(length(concat('<PRE>', prefix, '<SUF>', suffix,
+                              '<MID>', middle)) AS BIGINT) AS psm_len,
+           concat(prefix, middle, suffix) = text AS round_trip_ok
+    FROM parts
+    """,
+)
+def fim_transform_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle (FIM) pretraining transform (Bavarian et al.
+    2022; the StarCoder/code-model data op): split each document at two
+    deterministic cut points into prefix/middle/suffix, emit the PSM
+    re-ordering '<PRE>p<SUF>s<MID>m', and validate the round trip
+    (prefix||middle||suffix == original) — the reconstruction check a
+    pipeline runs before committing a FIM'd corpus.  Cut points are
+    portable md5 integer draws (the seed-pinned playbook), so both
+    engines pick identical spans: prefix_len in [1, L-1], middle may be
+    empty, suffix never empty.  Scale shape: one codegen projection —
+    substring arithmetic only, no Python, no shuffle, no data movement
+    beyond the scan."""
+    t = _t(spark, sf_dir)
+
+    def h(tag):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(tag), F.col("doc_id").cast("string")).cast(
+                        "binary"
+                    )
+                ),
+                1,
+                10,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    d = (
+        t["documents"]
+        .filter(F.length("text") >= 4)
+        .select(
+            "doc_id",
+            "text",
+            F.length("text").cast("long").alias("L"),
+            (F.lit(1) + h("fim1:") % (F.length("text") - 1)).alias("a"),
+            h("fim2:").alias("h2"),
+        )
+        .withColumn("mid_len", F.col("h2") % (F.col("L") - F.col("a")))
+    )
+    parts = d.select(
+        "doc_id",
+        "text",
+        "a",
+        "mid_len",
+        F.expr("substring(text, 1, int(a))").alias("prefix"),
+        F.expr("substring(text, int(a + 1), int(mid_len))").alias("middle"),
+        F.expr("substring(text, int(a + 1 + mid_len))").alias("suffix"),
+    )
+    psm = F.concat(
+        F.lit("<PRE>"),
+        F.col("prefix"),
+        F.lit("<SUF>"),
+        F.col("suffix"),
+        F.lit("<MID>"),
+        F.col("middle"),
+    )
+    return parts.select(
+        "doc_id",
+        F.col("a").alias("prefix_len"),
+        "mid_len",
+        F.length(psm).cast("long").alias("psm_len"),
+        (
+            F.concat(F.col("prefix"), F.col("middle"), F.col("suffix"))
+            == F.col("text")
+        ).alias("round_trip_ok"),
+    )
