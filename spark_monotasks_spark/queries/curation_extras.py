@@ -1082,3 +1082,117 @@ def sft_turns_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ).alias("assistant_chars"),
     )
+
+
+@register(
+    "sft_loss_mask_spans",
+    oracle="""
+    WITH convs AS (
+      SELECT doc_id,
+             concat('[{"role":"',
+                    CASE WHEN doc_id % 5 = 0 THEN 'assistant' ELSE 'user' END,
+                    '","content":"', substr(text, 1, 12), '"},',
+                    '{"role":"',
+                    CASE WHEN doc_id % 5 = 0 THEN 'user' ELSE 'assistant' END,
+                    '","content":"reply one"}',
+                    CASE WHEN doc_id % 3 >= 1
+                         THEN ',{"role":"user","content":"follow up"}'
+                         ELSE '' END,
+                    CASE WHEN doc_id % 3 = 2
+                         THEN ',{"role":"assistant","content":"reply two"}'
+                         ELSE '' END,
+                    ']') AS conv
+      FROM documents
+    ), turns AS (
+      SELECT doc_id,
+             CAST(u.i AS BIGINT) AS pos,
+             json_extract_string(conv, '$[' || u.i || '].role') AS role,
+             json_extract_string(conv, '$[' || u.i || '].content') AS content
+      FROM convs,
+           UNNEST(range(CAST(json_array_length(CAST(conv AS JSON)) AS BIGINT)))
+             AS u(i)
+    ), offs AS (
+      SELECT doc_id, pos, role,
+             CAST(coalesce(sum(length(content) + 1) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS span_start,
+             CAST(length(content) AS BIGINT) AS clen
+      FROM turns
+    )
+    SELECT doc_id, pos, span_start, span_start + clen AS span_end
+    FROM offs WHERE role = 'assistant'
+    """,
+)
+def sft_loss_mask_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loss-mask span computation for SFT training: after flattening a
+    role/content conversation into one training string (turns joined by
+    a single separator char), the trainer masks loss to ASSISTANT spans
+    only — this entry emits each assistant turn's [start, end) character
+    offsets in the flattened string, the mask every instruction-tuning
+    run materializes alongside the packed tokens.  Same deterministic
+    conversations as sft_turns_audit (2-4 turns, every 5th doc
+    assistant-first); offsets are a per-conversation running sum of
+    (turn length + separator) over the turn index — a window
+    partitioned by doc_id, whose partitions are conversation-sized
+    (bounded), never corpus-sized.  Parsing stays engine-native JSON in
+    both dialects."""
+    t = _t(spark, sf_dir)
+    conv = F.concat(
+        F.lit('[{"role":"'),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("assistant")).otherwise(
+            F.lit("user")
+        ),
+        F.lit('","content":"'),
+        F.substring("text", 1, 12),
+        F.lit('"},{"role":"'),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("user")).otherwise(
+            F.lit("assistant")
+        ),
+        F.lit('","content":"reply one"}'),
+        F.when(
+            F.col("doc_id") % 3 >= 1,
+            F.lit(',{"role":"user","content":"follow up"}'),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 2,
+            F.lit(',{"role":"assistant","content":"reply two"}'),
+        ).otherwise(F.lit("")),
+        F.lit("]"),
+    )
+    turns = (
+        t["documents"]
+        .select(
+            "doc_id",
+            F.from_json(
+                conv, "array<struct<role:string,content:string>>"
+            ).alias("turns"),
+        )
+        .select("doc_id", F.posexplode("turns").alias("pos", "turn"))
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.col("turn.role").alias("role"),
+            F.length("turn.content").cast("long").alias("clen"),
+        )
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = turns.select(
+        "doc_id",
+        "pos",
+        "role",
+        F.coalesce(F.sum(F.col("clen") + 1).over(w), F.lit(0)).alias(
+            "span_start"
+        ),
+        "clen",
+    )
+    return offs.filter(F.col("role") == "assistant").select(
+        "doc_id",
+        "pos",
+        "span_start",
+        (F.col("span_start") + F.col("clen")).alias("span_end"),
+    )
