@@ -1196,3 +1196,97 @@ def sft_loss_mask_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "span_start",
         (F.col("span_start") + F.col("clen")).alias("span_end"),
     )
+
+
+@register(
+    "dpo_pairs_audit",
+    oracle="""
+    WITH pairs AS (
+      SELECT doc_id, source,
+             substr(text, 1, 12) AS prompt,
+             concat('answer ', CAST(doc_id % 7 AS VARCHAR),
+                    repeat(' more detail', CAST(doc_id % 3 AS INT)))
+               AS chosen,
+             CASE WHEN doc_id % 9 = 0 THEN ''
+                  WHEN doc_id % 6 = 0
+                  THEN concat('answer ', CAST(doc_id % 7 AS VARCHAR),
+                              repeat(' more detail', CAST(doc_id % 3 AS INT)))
+                  ELSE concat('weak reply ', CAST(doc_id % 5 AS VARCHAR))
+             END AS rejected
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT prompt) AS BIGINT) AS n_distinct_prompts,
+           CAST(sum(CASE WHEN chosen = rejected THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_degenerate,
+           CAST(sum(CASE WHEN length(rejected) = 0 OR length(chosen) = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_side,
+           round(sum(CASE WHEN chosen <> rejected AND length(rejected) > 0
+                          AND length(chosen) > length(rejected)
+                          THEN 1 ELSE 0 END) * 1.0
+                 / sum(CASE WHEN chosen <> rejected AND length(rejected) > 0
+                            THEN 1 ELSE 0 END), 6) AS chosen_longer_frac
+    FROM pairs GROUP BY source
+    """,
+)
+def dpo_pairs_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair (DPO/RLHF) dataset audit: before training on
+    (prompt, chosen, rejected) triples a pipeline screens for the three
+    standard defects — DEGENERATE pairs (chosen == rejected, zero
+    gradient), EMPTY sides, and LENGTH BIAS (the fraction of valid
+    pairs whose chosen response is longer — when far from 0.5 the
+    reward signal is confounded with verbosity and the tuned model
+    inflates output length).  Prompt-diversity (distinct prompts vs
+    pairs) catches over-sampled prompts.  The corpus has no preference
+    data, so the entry assembles deterministic triples IN BOTH dialects
+    (every 6th doc degenerate, every 9th empty-rejected, response
+    lengths varied by doc_id so the bias fraction is non-trivial) and
+    audits per source.  Scale shape: one codegen projection + one hash
+    aggregate — no shuffle beyond the group-by."""
+    t = _t(spark, sf_dir)
+    chosen = F.concat(
+        F.lit("answer "),
+        (F.col("doc_id") % 7).cast("string"),
+        F.repeat(F.lit(" more detail"), (F.col("doc_id") % 3).cast("int")),
+    )
+    rejected = (
+        F.when(F.col("doc_id") % 9 == 0, F.lit(""))
+        .when(F.col("doc_id") % 6 == 0, chosen)
+        .otherwise(
+            F.concat(
+                F.lit("weak reply "), (F.col("doc_id") % 5).cast("string")
+            )
+        )
+    )
+    pairs = t["documents"].select(
+        "source",
+        F.substring("text", 1, 12).alias("prompt"),
+        chosen.alias("chosen"),
+        rejected.alias("rejected"),
+    )
+    valid = (F.col("chosen") != F.col("rejected")) & (
+        F.length("rejected") > 0
+    )
+    return pairs.groupBy("source").agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("prompt").alias("n_distinct_prompts"),
+        F.sum(
+            F.when(F.col("chosen") == F.col("rejected"), 1).otherwise(0)
+        ).alias("n_degenerate"),
+        F.sum(
+            F.when(
+                (F.length("rejected") == 0) | (F.length("chosen") == 0), 1
+            ).otherwise(0)
+        ).alias("n_empty_side"),
+        F.round(
+            F.sum(
+                F.when(
+                    valid & (F.length("chosen") > F.length("rejected")), 1
+                ).otherwise(0)
+            )
+            * 1.0
+            / F.sum(F.when(valid, 1).otherwise(0)),
+            6,
+        ).alias("chosen_longer_frac"),
+    )
