@@ -2281,7 +2281,10 @@ def graph_cc_star_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nxt").cast("long").alias("dst"),
         )
     )
-    comps = connected_components_star(chain)
+    # threshold forced OFF: this entry exists to EXERCISE the
+    # distributed star rounds (the r7 small-graph fast path would
+    # otherwise union-find these chains on the driver at sf<=0.01)
+    comps = connected_components_star(chain, small_graph_threshold=0)
     # single-order customers produce no edge: they are their own
     # component, recovered by the left join + coalesce
     return (

@@ -45,6 +45,16 @@ def test_star_cc_equals_min_label_cc(spark, pairs):
         for r in connected_components_star(edges).collect()
     }
     assert a == b
+    # the small-graph fast path (driver union-find) covers every graph
+    # hypothesis draws here, so ALSO pin the distributed star rounds by
+    # forcing the threshold off — both paths must agree with min-label
+    c = {
+        r.id: r.component
+        for r in connected_components_star(
+            edges, small_graph_threshold=0
+        ).collect()
+    }
+    assert a == c
 
 
 @given(
