@@ -732,6 +732,7 @@ def k_core(
     k: int = 2,
     max_rounds: int = 12,
     reliable: bool = False,
+    sym_dedup: bool = True,
 ) -> DataFrame:
     """k-core decomposition by iterative peeling (Seidman 1983; the
     GraphX ecosystem ships it as a Pregel example — beyond the
@@ -752,15 +753,18 @@ def k_core(
     idempotent at fixpoint, so an oracle unrolling >= the actual round
     count matches, and a graph needing more rounds fails loudly
     instead of silently diverging."""
-    sym = (
-        edges.select("src", "dst")
-        .union(
-            edges.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst")
-            )
-        )
-        .distinct()
+    sym = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+    # sym_dedup=False is a caller PRECONDITION claim: the input is
+    # already distinct AND no edge's reverse is present (e.g. a
+    # bipartite graph whose two id domains are disjoint by
+    # construction) — then the swapped union is distinct for free and
+    # the full-width dedup shuffle is skipped.  Degree counts would be
+    # silently wrong if the precondition is violated, so callers must
+    # justify it structurally, not empirically.
+    if sym_dedup:
+        sym = sym.distinct()
     # round pinning (r7): on the non-reliable path the per-round state
     # is persist()ed and materialized by the convergence count — ONE
     # job per round where the eager localCheckpoint paid two, measured

@@ -490,4 +490,8 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return k_core(edges, k=30)
+    # sym_dedup=False: src ids are offset into a disjoint domain
+    # (+1e12) and the edge list is .distinct()ed above, so no reverse
+    # duplicates can exist — the symmetrize-dedup shuffle is skipped
+    # (k_core docstring precondition; equality pinned in test_graph)
+    return k_core(edges, k=30, sym_dedup=False)

@@ -568,3 +568,22 @@ def test_k_core_degree_counts_distinct_neighbors(spark):
     )
     # degrees: 1->1 (only neighbor 2), 2->2, 3->1 ; k=2 empties it
     assert k_core(edges, k=2).count() == 0
+
+
+def test_k_core_sym_dedup_skip_bipartite_equal(spark):
+    """sym_dedup=False (the graph_kcore entry's disjoint-domain
+    precondition) must return exactly the dedup'ed result on a
+    distinct bipartite edge list — same cores, same degrees."""
+    from spark_monotasks_spark.graph.algorithms import k_core
+
+    # bipartite: left ids 1-4, right ids 101-104, distinct edges only
+    pairs = [
+        (l, r)
+        for l in range(1, 5)
+        for r in range(101, 105)
+        if (l + r) % 7 != 0
+    ]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    a = sorted(map(tuple, k_core(edges, k=2).collect()))
+    b = sorted(map(tuple, k_core(edges, k=2, sym_dedup=False).collect()))
+    assert a == b and len(a) > 0
