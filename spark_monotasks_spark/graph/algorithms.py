@@ -741,18 +741,21 @@ def k_core(
     vertex with its within-core degree — the standard dense-subgraph /
     influence screen.
 
-    Distributed shape: the edge set symmetrizes once (distinct), then
+    Distributed shape: the edge set symmetrizes once (distinct unless
+    the caller's structure makes it redundant — ``sym_dedup``), then
     each round is one degree aggregate + two semi-join prunes with a
-    ``barrier()`` lineage cut — the star-CC posture; rounds are
+    pinned lineage cut — the star-CC posture; rounds are
     data-dependent but bounded by the longest peeling chain (real
-    graphs converge in a handful).  Convergence is detected by edge
-    count (one scalar action per round, the same driver-side
-    convergence check the SCC loop runs); exceeding ``max_rounds``
-    raises rather than returning a non-fixpoint — which is what lets a
-    FIXED-unroll external oracle replay the result exactly: peeling is
-    idempotent at fixpoint, so an oracle unrolling >= the actual round
-    count matches, and a graph needing more rounds fails loudly
-    instead of silently diverging."""
+    graphs converge in a handful).  Convergence is detected on the
+    degree table itself (r7): the state is a k-core iff no vertex has
+    degree < k — one vertex-sized limit(1) probe per round, and the
+    converged round's degree table IS the returned ``core_deg``, so no
+    confirm round and no separate final aggregate.  Exceeding
+    ``max_rounds`` raises rather than returning a non-fixpoint — which
+    is what lets a FIXED-unroll external oracle replay the result
+    exactly: peeling is idempotent at fixpoint, so an oracle unrolling
+    >= the actual round count matches, and a graph needing more rounds
+    fails loudly instead of silently diverging."""
     sym = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -777,30 +780,38 @@ def k_core(
     def _pin(df: DataFrame) -> DataFrame:
         return barrier(df, reliable) if reliable else df.persist()
 
+    # Convergence is detected on the DEGREE AGGREGATE itself (r7): the
+    # state is a k-core iff no vertex has degree < k, which one
+    # limit(1) probe over the per-round degree table answers — the old
+    # edge-count comparison paid a full extra prune round just to
+    # observe that nothing changed, plus a separate final aggregate to
+    # emit core_deg.  Here the converged round's degree table IS the
+    # result, so the loop runs exactly as many prunes as the peel
+    # needs and one vertex-sized probe per round.
     cur = _pin(sym)
-    n_edges = cur.count()
-    for _ in range(max_rounds):
-        keep = (
-            cur.groupBy("src")
-            .agg(F.count(F.lit(1)).alias("deg"))
-            .filter(F.col("deg") >= k)
-            .select("src")
+    prev_state = prev_deg = None
+    for _ in range(max_rounds + 1):
+        deg = (
+            cur.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
         )
+        # this action materializes deg AND (transitively) cur; only now
+        # are the superseded previous round's caches safe to release
+        converged = deg.filter(F.col("deg") < k).limit(1).count() == 0
+        if not reliable and prev_state is not None:
+            prev_state.unpersist()
+        if prev_deg is not None:
+            prev_deg.unpersist()
+        if converged:
+            return deg.select(
+                F.col("src").alias("id"), F.col("deg").alias("core_deg")
+            )
+        keep = deg.filter(F.col("deg") >= k).select("src")
         nxt = _pin(
             cur.join(keep, on="src", how="left_semi").join(
                 keep.withColumnRenamed("src", "dst"), on="dst", how="left_semi"
             )
         )
-        n_next = nxt.count()
-        if n_next == n_edges:
-            if not reliable:
-                nxt.unpersist()
-            return cur.groupBy(F.col("src").alias("id")).agg(
-                F.count(F.lit(1)).alias("core_deg")
-            )
-        if not reliable:
-            cur.unpersist()
-        cur, n_edges = nxt, n_next
+        prev_state, prev_deg, cur = cur, deg, nxt
     raise RuntimeError(
         f"k_core did not reach a fixpoint within {max_rounds} rounds — "
         "raise max_rounds (each round removes at least one vertex)"
