@@ -388,39 +388,51 @@ def connected_components_star(
             .select("u", F.least("u", "_mn").alias("m"))
         )
 
-    # eager barriers: r7 measured the lazy (eager=False) variant 3x
-    # SLOWER end-to-end — deferred localCheckpoint materialization
-    # races AQE's per-stage jobs into recomputing the un-cached state
-    # repeatedly, where the dedicated eager job pays once
-    e = barrier(
-        _canon(edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))),
-        reliable,
+    e_plan = _canon(
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     )
-    # One count over the just-materialized barrier state (same price as
-    # the former limit(1) empty-probe: a cached-block scan) drives a
-    # runtime strategy switch, exactly like AQE's broadcast threshold:
-    n_edges = e.count()
-    if n_edges == 0:
-        # no non-loop edges: every vertex is its own component
-        return verts.select("id", F.col("id").alias("component"))
-    if n_edges <= small_graph_threshold:
-        # SMALL-GRAPH FAST PATH (r7, measured): a vote-thresholded
-        # candidate graph is usually tiny relative to its corpus (69
-        # edges at sf0.1 near-dup ingest), yet every distributed star
-        # round still pays fixed job+shuffle latency (~0.75 s/round →
-        # ~1.9 s per closure).  A HARD-BOUNDED edge list (≤100k edges
-        # ≈ a few MB — the same order as a broadcast-join build side)
-        # is instead collected once from the checkpointed state and
-        # closed with driver union-find in microseconds; the result is
-        # re-broadcast as the (id, component) mapping.  Identical
-        # min-id labels by construction; property-tested equal to the
-        # distributed rounds.  Graphs over the bound take the
-        # distributed path below automatically — at 100 TB the switch
-        # is per-CALL, so a giant closure is never driver-sized, while
-        # the millions of tiny closures a dedup pipeline runs never
-        # pay distributed fixed costs.  This mirrors the adjudicated
-        # bounded-driver posture of the lakehouse manifest pruning.
-        pairs = e.collect()
+    # SMALL-GRAPH FAST PATH (r7, measured): a vote-thresholded
+    # candidate graph is usually tiny relative to its corpus (69
+    # edges at sf0.1 near-dup ingest), yet every distributed star
+    # round still pays fixed job+shuffle latency (~0.75 s/round →
+    # ~1.9 s per closure).  A HARD-BOUNDED edge list (≤100k edges
+    # ≈ a few MB — the same order as a broadcast-join build side)
+    # is instead collected once and closed with driver union-find in
+    # microseconds; the result is re-broadcast as the (id, component)
+    # mapping.  The probe is a limit(threshold+1) collect — bounded
+    # driver memory by construction, and ONE job where a
+    # barrier+count+collect sequence pays three; if the limit
+    # truncates (a big graph) the persisted canon state feeds the
+    # distributed rounds below instead, so a giant closure is never
+    # driver-sized while the millions of tiny closures a dedup
+    # pipeline runs never pay distributed fixed costs.  Identical
+    # min-id labels on either path (property-tested); this mirrors
+    # the AQE broadcast threshold and the adjudicated bounded-driver
+    # posture of the lakehouse manifest pruning.  The durable
+    # (reliable=True) path keeps its checkpoint-first shape — the
+    # fast path's driver result doesn't depend on executor survival.
+    pairs = None
+    if not reliable and small_graph_threshold > 0:
+        e_cached = e_plan.persist()
+        probe = e_cached.limit(small_graph_threshold + 1).collect()
+        if len(probe) <= small_graph_threshold:
+            pairs = probe
+            e = e_cached  # schema carrier for the mapping types
+        else:
+            # big graph: cut lineage for the iterative rounds (eager
+            # barrier — r7 measured the lazy variant 3x slower: AQE's
+            # per-stage jobs recompute un-cached state repeatedly)
+            e = barrier(e_cached, reliable)
+            e_cached.unpersist()
+    else:
+        e = barrier(e_plan, reliable)
+        n_edges = e.count()
+        if n_edges <= small_graph_threshold:
+            pairs = e.collect()
+    if pairs is not None:
+        if len(pairs) == 0:
+            # no non-loop edges: every vertex is its own component
+            return verts.select("id", F.col("id").alias("component"))
         parent: dict = {}
 
         def find(x):
@@ -440,6 +452,10 @@ def connected_components_star(
         mapping = [(x, find(x)) for x in set(parent)]
         spark = edges.sparkSession
         utype = e.schema["u"].dataType
+        if not reliable and small_graph_threshold > 0:
+            # the edge list now lives on the driver; the cached canon
+            # state has no further consumer
+            e.unpersist()
         mp_schema = T.StructType(
             [
                 T.StructField("id", utype, False),
