@@ -193,8 +193,15 @@ def minhash_near_duplicates(
     num_bands: int = 16,
     jaccard_threshold: float = 0.5,
     reliable: bool = False,
+    candidate_broadcast_limit: int = 1_000_000,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
+
+    ``candidate_broadcast_limit``: broadcast the candidate-id prune set
+    only when the candidate-pair count (bounded probe) is at most this
+    many rows; 0 disables the hint entirely.  ≤1M pairs ⇒ ≤2M distinct
+    ids ≈ 16 MB of longs — driver-safe; beyond that the prune runs as a
+    shuffle semi join.
 
     Plan shape: linear signature pass → explode bands (|docs|×bands
     rows, SMALL — ids + two longs only, never the shingle arrays) →
@@ -251,17 +258,32 @@ def minhash_near_duplicates(
     # pin above)
     cand = barrier(cand, reliable) if reliable else cand.persist()
     # shingle sets are computed ONLY for docs that appear in a candidate
-    # pair (broadcast semi-join prune): at 100 TB the corpus is scanned
-    # once with a broadcast id filter instead of shingling every doc —
-    # candidate sets are small by construction (banding keeps the
-    # collision rate down), so the broadcast is bounded
+    # pair (semi-join prune): at 100 TB the corpus is scanned once with
+    # an id filter instead of shingling every doc.  The broadcast hint
+    # is GATED on a bounded candidate count (r7 verdict ask #4): healthy
+    # banding keeps candidates tiny, but a degenerate corpus (near-
+    # identical boilerplate at scale) makes most docs candidates and an
+    # unconditional F.broadcast would OOM the driver.  The probe is a
+    # limit(T+1) count on the already-persisted candidate frame — one
+    # bounded job, same pattern as star-CC's small-graph probe
+    # (graph/algorithms.py) — and over-threshold corpora degrade to a
+    # shuffle semi join (AQE may still pick broadcast from real stats).
     need = (
         cand.select(F.col("id_a").alias("id"))
         .unionAll(cand.select(F.col("id_b").alias("id")))
         .distinct()
     )
+    hint_bc = (
+        candidate_broadcast_limit > 0
+        and cand.limit(candidate_broadcast_limit + 1).count()
+        <= candidate_broadcast_limit
+    )
     shs = (
-        df.join(F.broadcast(need), F.col(id_col) == F.col("id"), "left_semi")
+        df.join(
+            F.broadcast(need) if hint_bc else need,
+            F.col(id_col) == F.col("id"),
+            "left_semi",
+        )
         .select(
             F.col(id_col).alias("id"),
             shingles(F.col(text_col), k=shingle_k).alias("sh"),

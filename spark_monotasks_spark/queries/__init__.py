@@ -120,28 +120,13 @@ _PRIORITY = (
     # peak below adds the interval-analytics shape on the distributed
     # prefix sum)
     "session_concurrency_peak",
-    # r3-new families rotated INTO the window in r4 so the external
-    # gate exercises the newest operator surfaces: SQL session_window
-    # (gap-sessionization in the parser path), funnel analytics over
-    # events, and the mergeable histogram-quantile sketch rollup
-    # (session_window_sql + histogram_quantile_rollup rotated just
-    # outside in r7 — gap-sessionization stays in-window via
-    # session_concurrency_peak's sessionize stage, the mergeable-sketch
-    # family via exact_quantiles_prefix + kmv_distinct_setops below)
-    "funnel_conversion",
-    # r4-new families rotated INTO the window in r5 (displacing
-    # join_inner/first_last_agg/union_all_op, whose families stay
-    # represented): chi-square independence (statistics path),
-    # sequence-gapfill interpolation (time-series path), and
-    # schema-evolution merge (heterogeneous-scan path)
-    # (stat_chisq_independence and schema_evolution_merge rotated just
-    # outside in r7 — the stats/profiling family stays in-window via
-    # data_profile_constraints, scans via scan_filter_project +
-    # orc_partitioned_roundtrip)
-    # (timeseries_gapfill rotated just outside in r8 — the time-series
-    # family is now gated through the stronger r8 pair: CUSUM
-    # changepoint detection and the integer-exact TWAP)
-    "cusum_changepoint", "twap_event_value",
+    # (funnel_conversion rotated just outside in r8 — funnel/event
+    # analytics stays in-window via session_concurrency_peak and the
+    # streaming rows; cusum_changepoint + twap_event_value rotated
+    # just outside in r8 — the time-series family stays oracle-green
+    # locally and in-window via session_concurrency_peak's sweep-line
+    # prefix sum.  Displaced by the r7-r9 machinery below per the r7
+    # verdict ask #3.)
     # df utilities / scripts / UDTF (§2.9, §2.11)
     # (na_fill_drop rotated just outside in r6 late batch — null
     # handling stays in-window via predicate_ops/cast_matrix;
@@ -171,9 +156,21 @@ _PRIORITY = (
     # family stays in-window via ann_pq_topk)
     # (contamination_check rotated just outside in r9 — the
     # decontamination family is now gated through the stronger
-    # span-level scrub below, which subsumes the whole-doc check)
-    "dedup_exact_groups", "token_stats",
+    # span-level scrub below, which subsumes the whole-doc check;
+    # token_stats rotated just outside in r8 — the token-accounting
+    # family stays in-window via pack_sequences + bpe_encode_tokens)
+    "dedup_exact_groups",
     "pack_sequences", "contamination_span_scrub",
+    # r7-r9-new families rotated INTO the window in r8 (r7 verdict ask
+    # #3, displacing funnel_conversion/cusum_changepoint/
+    # twap_event_value/token_stats, whose families stay represented as
+    # noted above): batched multi-query ANN serving (one corpus scan +
+    # WindowGroupLimit heaps), Z-order 2-D data skipping through a real
+    # write→read roundtrip, the manifest-committed atomic multi-table
+    # snapshot, and the band-energy audio fingerprint (real PCM16
+    # decode path)
+    "ann_batch_queries", "zorder_box_scan",
+    "atomic_multi_table_snapshot", "audio_band_fingerprint",
     # r5-new families rotated INTO the window (displacing agg_distinct/
     # arithmetic_ops/string_funcs, whose families stay represented):
     # steady-state near-dup ingest vs the persistent signature store,

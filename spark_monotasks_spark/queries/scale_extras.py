@@ -130,6 +130,139 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ZIPF_ORACLE = """
+    WITH fact AS (
+      SELECT 1000 // ((l_orderkey % 1000) + 1) AS key,
+             l_extendedprice AS v
+      FROM lineitem
+    ), dim AS (
+      SELECT CAST(i AS BIGINT) AS key, 'g' || CAST(i % 7 AS VARCHAR) AS label
+      FROM range(1, 1001) AS t(i)
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM fact JOIN dim USING (key)
+    GROUP BY label
+    """
+
+
+def _zipf_sides(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic Zipf-skewed join inputs (r7 verdict ask #6: the
+    bench corpus is uniform, so the salting/skew machinery was never
+    exercised against real skew).  key = 1000 div (u+1) with u =
+    l_orderkey mod 1000 uniform gives p(key=k) ≈ 1/(k(k+1)) ∝ k^-2 —
+    a genuine heavy tail where the hot key 1 carries ~50% of ALL fact
+    rows, key 2 ~17%, and ~500 cold keys share the rest.  Exactly
+    replayable in DuckDB (integer division).
+
+    The fact side is round-robin repartitioned to 16 map tasks before
+    the join: AQE splits a skewed REDUCER partition at MAPPER
+    granularity (PartialReducerPartitionSpec groups mapper outputs),
+    so a single-file local scan — ONE mapper — makes the hot partition
+    unsplittable by construction, a test-SF artifact no 100 TB scan
+    has (thousands of mappers).  Measured: without it, skew=true never
+    appears at any threshold; with 16 mappers the DEFAULT-shaped
+    thresholds split the hot partition.  Both twins share the
+    topology so they differ only in the mitigation."""
+    t = _t(spark, sf_dir)
+    fact = t["lineitem"].select(
+        F.expr("1000 div (pmod(l_orderkey, 1000) + 1)").alias("key"),
+        F.col("l_extendedprice").alias("v"),
+    ).repartition(16)
+    dim = spark.range(1, 1001).select(
+        F.col("id").alias("key"),
+        F.concat(F.lit("g"), (F.col("id") % 7).cast("string")).alias("label"),
+    )
+    return fact, dim
+
+
+def _zipf_agg(joined: DataFrame) -> DataFrame:
+    # integer-cents sum: double*100 is one IEEE op and round-half-away
+    # agrees cross-engine for positives, so the aggregate is EXACT in
+    # both dialects regardless of fp summation order
+    return joined.groupBy("label").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.round(F.col("v") * 100).cast("long")).alias("sum_cents"),
+    )
+
+
+@register("skew_zipf_join_aqe", oracle=_ZIPF_ORACLE)
+def skew_zipf_join_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key join under REAL Zipf skew, mitigated by AQE skew-join
+    (the production-default path; reference contrast: HashPartitioner
+    routes the hot key to ONE reducer with no recourse,
+    Partitioner.scala).  Broadcast is disabled for the demonstration
+    (the dim is tiny at test SF; at 100 TB a skewed fact-fact join has
+    no broadcastable side) so the join MUST shuffle on the skewed key,
+    and the skew thresholds are lowered proportionally to the test SF
+    — at production scale the DEFAULT 256 MB
+    skewedPartitionThresholdInBytes triggers the same split without
+    any tuning.  AQE splits the hot partition into advisory-sized
+    sub-partitions and replicates the matching dim rows
+    (OptimizeSkewedJoin), so the straggler task disappears while the
+    result stays EXACTLY the plain join (oracle = unsalted SQL).
+    Executed inside the entry (localCheckpoint) so the conf scope
+    can be restored; the skew=true plan shape is gated in
+    tests/test_plans.py::test_aqe_skew_join_splits_hot_partition."""
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "256k",
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64k")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        fact, dim = _zipf_sides(spark, sf_dir)
+        out = _zipf_agg(fact.join(dim, on="key")).localCheckpoint()
+        return out
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+
+
+@register("skew_zipf_join_salted", oracle=_ZIPF_ORACLE)
+def skew_zipf_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same Zipf-skewed hot-key join routed through the explicit
+    salt (operators/joins.salted_join, 16 buckets) — the manual lever
+    for the single-pathological-key tier AQE's byte-threshold split
+    may not catch (e.g. a hot key whose rows are few but explode
+    downstream).  Broadcast disabled exactly as in the AQE twin so the
+    two entries time the same shuffle topology and differ ONLY in the
+    mitigation; the salt never reaches the output, so both share one
+    oracle (losslessness proved value-for-value).  Measured against
+    the unmitigated straggler form in SCALE.md ("Skew resilience")."""
+    conf = spark.conf
+    saved = conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        from spark_monotasks_spark.operators.joins import salted_join
+
+        fact, dim = _zipf_sides(spark, sf_dir)
+        joined = salted_join(fact, dim, on="key", salt_buckets=16)
+        return _zipf_agg(joined).localCheckpoint()
+    finally:
+        if saved is None:
+            conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
 # ---------------------------------------------------------------------------
 # Stream-stream interval join (click → purchase attribution)
 # ---------------------------------------------------------------------------

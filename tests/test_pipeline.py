@@ -508,6 +508,37 @@ def test_ivf_probe_bounds_scan(spark, tables):
     assert all(r.sim <= exact.sim for r in got)
 
 
+def test_minhash_candidate_broadcast_gate(spark, docs_with_dups):
+    """r7 verdict ask #4: the candidate-id prune broadcast is gated on a
+    bounded candidate count.  Healthy case (candidates under the limit)
+    keeps the broadcast hint in the physical plan; a degenerate corpus
+    (modeled by limit=0) degrades to a shuffle semi join instead of a
+    forced driver-sized broadcast — and both paths return the same
+    pairs."""
+    hinted = dedup.minhash_near_duplicates(docs_with_dups, shingle_k=2)
+    plan = hinted._jdf.queryExecution().executedPlan().toString()
+    assert any(
+        "BroadcastHashJoin" in ln and "LeftSemi" in ln
+        for ln in plan.splitlines()
+    ), plan
+    assert "ResolvedHint" in hinted._jdf.queryExecution().analyzed().toString()
+    # limit=0 models the degenerate over-threshold corpus: the FORCED
+    # hint must be gone (no ResolvedHint in the analyzed plan).  The
+    # planner may still broadcast from real stats — that's the point:
+    # the decision is size-based, not unconditional.
+    unhinted = dedup.minhash_near_duplicates(
+        docs_with_dups, shingle_k=2, candidate_broadcast_limit=0
+    )
+    assert (
+        "ResolvedHint"
+        not in unhinted._jdf.queryExecution().analyzed().toString()
+    )
+    rows = lambda df: sorted(
+        (r.id_a, r.id_b, r.jaccard) for r in df.collect()
+    )
+    assert rows(hinted) == rows(unhinted)
+
+
 def test_dedup_param_guards(spark, docs_with_dups):
     with pytest.raises(ValueError, match="positive multiple"):
         dedup.minhash_near_duplicates(docs_with_dups, num_hashes=16, num_bands=32)

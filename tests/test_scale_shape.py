@@ -166,6 +166,12 @@ LINEAR = [
     ("event_value_percentiles", 8.0, "O(n) bounded-key rank exchange"),
     ("video_content_neardup", 8.0, "O(videos) partition-local decode"),
     ("audio_content_neardup", 8.0, "O(clips) partition-local decode"),
+    # r8: the Zipf-skew pair must stay linear in the fact side — the
+    # AQE split and the x16 salt both bound the hot partition's task
+    # size, so 10x data is 10x work spread over more tasks, never a
+    # quadratic blowup or a single 10x-longer straggler
+    ("skew_zipf_join_aqe", 8.0, "O(n) skewed shuffle, AQE-split"),
+    ("skew_zipf_join_salted", 8.0, "O(n) salted shuffle, dim x16"),
 ]
 
 #: super-linear entries: bounded above by documented exponents, still
