@@ -868,6 +868,80 @@ def bigram_logprob_score(
     )
 
 
+def dsir_importance_weights(
+    df: DataFrame,
+    target_source: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    num_buckets: int = 4096,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    doc by how much its HASHED-n-gram profile looks like a target
+    domain rather than the raw pool, so a general crawl can be
+    resampled toward a high-quality target without training a
+    classifier.
+
+    Features are md5-hashed bigram buckets (``split_bucket`` — the
+    engine-portable hash, bounded feature space of ``num_buckets``);
+    both the target distribution p_t and the raw distribution p_r are
+    add-``alpha``-smoothed bucket unigram models, and the per-doc
+    weight is the MEAN over the doc's bigram instances of
+    ln p_t(b) − ln p_r(b) (length-normalized log importance — the
+    per-feature-count sum of the paper divided by doc gram count, so
+    long docs don't dominate selection).  Docs with <2 tokens have no
+    features and are not scored (NULL-free output by omission), same
+    contract as :func:`bigram_logprob_score`.
+
+    Scale shape: one explode pass over the corpus; both count tables
+    collapse to ≤ ``num_buckets`` rows (bounded by the hash space, not
+    corpus bytes), so the λ table broadcasts back onto the gram stream
+    and the weight is a partial-final average — no corpus-sized
+    shuffle beyond the single bucket groupBy.  round(4) absorbs ln()
+    and summation-order ulps (the established scorer contract)."""
+    toks = F.filter(tokens(F.col(text_col)), lambda x: x != "")
+    grams = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.explode(ngram_fold(toks, 2)).alias("g"),
+    )
+    b = grams.select(
+        id_col, source_col, split_bucket(F.col("g"), num_buckets)
+    )
+    raw = b.groupBy("bucket").agg(F.count("*").alias("cr"))
+    tgt = (
+        b.filter(F.col(source_col) == target_source)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("ct"))
+    )
+    tot = b.agg(
+        F.count("*").alias("nr"),
+        F.count(F.when(F.col(source_col) == target_source, 1)).alias("nt"),
+    )
+    denom = F.lit(alpha) * F.lit(float(num_buckets))
+    lam_tbl = (
+        raw.join(tgt, on="bucket", how="left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce("ct", F.lit(0)) + F.lit(alpha))
+                    / (F.col("nt") + denom)
+                )
+                - F.log((F.col("cr") + F.lit(alpha)) / (F.col("nr") + denom))
+            ).alias("lam"),
+        )
+    )
+    return (
+        b.join(F.broadcast(lam_tbl), on="bucket")
+        .groupBy(id_col, source_col)
+        .agg(F.round(F.avg("lam"), 4).alias("weight"))
+    )
+
+
 def stratified_sample_k(
     df: DataFrame,
     k: int,

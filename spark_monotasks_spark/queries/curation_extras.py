@@ -1290,3 +1290,78 @@ def dpo_pairs_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("chosen_longer_frac"),
     )
+
+
+@register(
+    "dsir_importance_select",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(string_split(text, ' '), x -> x != '') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, source,
+             unnest(CASE WHEN len(t) >= 2
+               THEN list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i + 1])
+               ELSE [] END) AS g
+      FROM toks
+    ), b AS (
+      SELECT doc_id, source,
+             CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 4096 AS bucket
+      FROM grams
+    ), raw AS (
+      SELECT bucket, count(*) AS cr FROM b GROUP BY bucket
+    ), tgt AS (
+      SELECT bucket, count(*) AS ct FROM b WHERE source = 'src7'
+      GROUP BY bucket
+    ), tot AS (
+      SELECT count(*) AS nr,
+             count(*) FILTER (WHERE source = 'src7') AS nt
+      FROM b
+    ), lam AS (
+      SELECT bucket,
+             ln((coalesce(ct, 0) + 0.5) / (nt + 0.5 * 4096))
+           - ln((cr + 0.5) / (nr + 0.5 * 4096)) AS lam
+      FROM raw LEFT JOIN tgt USING (bucket) CROSS JOIN tot
+    ), w AS (
+      SELECT doc_id, source, round(avg(lam), 4) AS weight
+      FROM b JOIN lam USING (bucket)
+      GROUP BY doc_id, source
+    ), r AS (
+      SELECT doc_id, source, weight,
+             row_number() OVER (ORDER BY weight DESC, doc_id) AS rk,
+             count(*) OVER () AS n_scored
+      FROM w
+    )
+    SELECT doc_id, source, weight FROM r
+    WHERE rk <= ceil(n_scored * 0.25)
+    """,
+)
+def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (pipeline.text.
+    dsir_importance_weights; Xie et al. 2023): treat source 'src7' as
+    the high-quality target domain, score every document's md5-hashed
+    bigram profile by mean ln p_target(b) − ln p_raw(b) (add-0.5
+    smoothing over 4096 buckets), and keep the top 25% by weight —
+    the classifier-free domain-targeting selection pass.  Fully
+    value-audited: the oracle rebuilds the hashed buckets, both
+    smoothed bucket models, the per-doc mean log-ratio (round(4)
+    absorbing ln/order ulps — the scorer contract), and the ranked
+    cut with doc_id tiebreak.  The λ table is bucket-bounded (≤4096
+    rows) so the only corpus-scale operations are one gram explode
+    and one bucket groupBy — the plan a 100 TB resampling pass needs."""
+    t = _t(spark, sf_dir)
+    from spark_monotasks_spark.pipeline import text as textmod
+
+    w = textmod.dsir_importance_weights(t["documents"], target_source="src7")
+    ranked = w.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.col("weight").desc(), F.col("doc_id")))
+        .alias("rk"),
+        F.count("*").over(Window.partitionBy()).alias("n_scored"),
+    )
+    return ranked.filter(
+        F.col("rk") <= F.ceil(F.col("n_scored") * 0.25)
+    ).select("doc_id", "source", "weight")

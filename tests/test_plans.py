@@ -728,6 +728,10 @@ def test_no_hidden_cartesians_across_catalog(spark):
         # k-center: each greedy round crossJoins the 1-row newest
         # center (broadcast scalar) — k bounded rounds, never O(n^2)
         "kcenter_coreset",
+        # DSIR: crossJoin(broadcast(1-row (nr, nt) totals aggregate))
+        # onto the bucket-bounded (<=4096-row) lambda relation — a
+        # broadcast scalar onto a bounded table, never O(n^2)
+        "dsir_importance_select",
         # keyword scoring crossJoins the 1-row corpus-count aggregate
         "doc_keywords_topk",
         # 3x scalar count subqueries unioned (1-row aggregates)

@@ -172,6 +172,10 @@ LINEAR = [
     # quadratic blowup or a single 10x-longer straggler
     ("skew_zipf_join_aqe", 8.0, "O(n) skewed shuffle, AQE-split"),
     ("skew_zipf_join_salted", 8.0, "O(n) salted shuffle, dim x16"),
+    # DSIR: one gram explode + one bucket groupBy (<=4096 buckets);
+    # the lambda table broadcasts back, the rank runs on the doc-
+    # bounded weight relation
+    ("dsir_importance_select", 8.0, "O(grams) explode + bounded buckets"),
 ]
 
 #: super-linear entries: bounded above by documented exponents, still
