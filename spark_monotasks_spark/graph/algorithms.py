@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from spark_monotasks_spark.barrier import barrier
+from spark_monotasks_spark.operators.localdata import local_rows_df
 
 
 def degrees(edges: DataFrame) -> DataFrame:
@@ -143,8 +144,10 @@ def shortest_paths(
     verts = sym.select(F.col("src").alias("id")).distinct()
     dist = verts.join(
         F.broadcast(
-            edges.sparkSession.createDataFrame(
-                [(lm,) for lm in landmarks], "landmark long"
+            local_rows_df(
+                edges.sparkSession,
+                [(lm,) for lm in landmarks],
+                "landmark long",
             )
         ),
         on=F.col("id") == F.col("landmark"),
@@ -462,7 +465,10 @@ def connected_components_star(
                 T.StructField("component", utype, False),
             ]
         )
-        mp = spark.createDataFrame(mapping, mp_schema)
+        # local_rows_df: ≤1024 components inline as a VALUES
+        # LocalRelation (no Python-worker tasks, broadcast without a
+        # job); bigger maps fall back to a row-count-sized parallelize
+        mp = local_rows_df(spark, mapping, mp_schema)
         return (
             verts.join(F.broadcast(mp), on="id", how="left")
             .select(
@@ -695,8 +701,8 @@ def personalized_pagerank(
     edges = edges.select("src", "dst")
     src_ids = [int(s) for s in sources]
     spark = edges.sparkSession
-    seed_rows = spark.createDataFrame(
-        [(s,) for s in src_ids], "id long"
+    seed_rows = local_rows_df(
+        spark, [(s,) for s in src_ids], "id long"
     ).select(F.col("id").cast(edges.schema["src"].dataType))
     verts = (
         edges.select(F.col("src").alias("id"))

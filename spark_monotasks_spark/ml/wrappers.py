@@ -689,6 +689,10 @@ def chi_square_test_ml(
             zip(res.statistics, res.degreesOfFreedom, res.pValues)
         )
     ]
-    return df.sparkSession.createDataFrame(
-        rows, "feature_idx int, statistic double, dof int, p_value double"
+    from spark_monotasks_spark.operators.localdata import local_rows_df
+
+    return local_rows_df(
+        df.sparkSession,
+        rows,
+        "feature_idx int, statistic double, dof int, p_value double",
     )

@@ -24,6 +24,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spark_monotasks_spark.operators.localdata import local_rows_df
 from spark_monotasks_spark.queries.registry import register
 from spark_monotasks_spark.tables import load_tables
 
@@ -1193,8 +1194,10 @@ def exact_quantiles_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cum = running_total(g, "n", ["v"], total_col="cum")
     tot = cum.agg(F.max("cum").cast("long").alias("nt"))
-    qs = spark.createDataFrame(
-        [(0.25,), (0.5,), (0.75,), (0.99,)], "q double"
+    # local_rows_df → inline-VALUES LocalRelation: the 4-row quantile
+    # grid must not cost 32 Python-worker tasks (r8, guide §4)
+    qs = local_rows_df(
+        spark, [(0.25,), (0.5,), (0.75,), (0.99,)], "q double"
     )
     joined = cum.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(qs))
     return (
@@ -1453,7 +1456,7 @@ def weighted_quantiles_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cum = running_total(g, "w", ["v"], total_col="cum")
     tot = cum.agg(F.max("cum").cast("long").alias("wt"))
-    qs = spark.createDataFrame([(0.25,), (0.5,), (0.75,)], "q double")
+    qs = local_rows_df(spark, [(0.25,), (0.5,), (0.75,)], "q double")
     joined = cum.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(qs))
     return (
         joined.groupBy(
@@ -1591,7 +1594,7 @@ def compaction_execute_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             return _identity_agg(
                 t["orders"].select("o_orderkey", "o_totalprice")
             )
-        fdf = spark.createDataFrame(files, "path string, bytes long")
+        fdf = local_rows_df(spark, files, "path string, bytes long")
         total = sum(b for _, b in files)
         plan = compaction_bins(
             fdf, target_bytes=max(1, total // 4), order_col="path"
@@ -1604,8 +1607,8 @@ def compaction_execute_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "_file",
             F.regexp_replace(F.input_file_name(), "^file:/+", "/"),
         )
-        mapping = spark.createDataFrame(
-            [(k, v) for k, v in bin_map.items()], "_file string, bin long"
+        mapping = local_rows_df(
+            spark, [(k, v) for k, v in bin_map.items()], "_file string, bin long"
         )
         routed = data.join(F.broadcast(mapping), on="_file").drop("_file")
         (
