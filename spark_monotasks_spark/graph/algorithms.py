@@ -755,6 +755,7 @@ def k_core(
     max_rounds: int = 12,
     reliable: bool = False,
     sym_dedup: bool = True,
+    small_graph_threshold: int = 100_000,
 ) -> DataFrame:
     """k-core decomposition by iterative peeling (Seidman 1983; the
     GraphX ecosystem ships it as a Pregel example — beyond the
@@ -811,6 +812,58 @@ def k_core(
     # result, so the loop runs exactly as many prunes as the peel
     # needs and one vertex-sized probe per round.
     cur = _pin(sym)
+    # SMALL-GRAPH FAST PATH (r8; the star-CC pattern at :418 with the
+    # same probe discipline and the same 100k bound — ~1.6 MB of long
+    # pairs): ≤ small_graph_threshold symmetrized edge rows are peeled
+    # vectorized on the driver in one bounded toPandas of the
+    # ALREADY-persisted state, replacing rounds × (degree agg + probe
+    # + two semi joins) distributed jobs.  The numpy loop removes the
+    # same vertex set per round as the distributed loop (simultaneous
+    # deletion of deg<k), so rounds, fixpoint, and the max_rounds
+    # raise are semantically identical; bigger graphs fail the bounded
+    # probe and take the distributed rounds automatically (measured at
+    # sf0.1, 1.18M symmetrized rows: collect+peel is ~1.7s SLOWER than
+    # the 2-3 distributed rounds — the threshold is a small-graph
+    # escape hatch, not the bench path).
+    if small_graph_threshold > 0:
+        pdf = cur.limit(small_graph_threshold + 1).toPandas()
+        if len(pdf) <= small_graph_threshold:
+            import numpy as np
+
+            cat = np.concatenate(
+                [pdf["src"].to_numpy(), pdf["dst"].to_numpy()]
+            )
+            ids, inv = np.unique(cat, return_inverse=True)
+            s, d = inv[: len(pdf)], inv[len(pdf):]
+            alive = np.ones(len(s), dtype=bool)
+            deg = np.bincount(s, minlength=len(ids))
+            converged = False
+            for _ in range(max_rounds + 1):
+                bad = (deg > 0) & (deg < k)
+                if not bad.any():
+                    converged = True
+                    break
+                kill = alive & (bad[s] | bad[d])
+                deg -= np.bincount(s[kill], minlength=len(ids))
+                alive &= ~kill
+            if not converged:
+                raise RuntimeError(
+                    f"k_core did not reach a fixpoint within {max_rounds} "
+                    "rounds — raise max_rounds (each round removes at "
+                    "least one vertex)"
+                )
+            if not reliable:
+                cur.unpersist()
+            utype = sym.schema["src"].dataType
+            out_schema = T.StructType(
+                [
+                    T.StructField("id", utype, True),
+                    T.StructField("core_deg", T.LongType(), True),
+                ]
+            )
+            keep = np.flatnonzero(deg >= max(k, 1))
+            rows = [(int(ids[v]), int(deg[v])) for v in keep]
+            return local_rows_df(edges.sparkSession, rows, out_schema)
     prev_state = prev_deg = None
     for _ in range(max_rounds + 1):
         deg = (

@@ -493,5 +493,9 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sym_dedup=False: src ids are offset into a disjoint domain
     # (+1e12) and the edge list is .distinct()ed above, so no reverse
     # duplicates can exist — the symmetrize-dedup shuffle is skipped
-    # (k_core docstring precondition; equality pinned in test_graph)
-    return k_core(edges, k=30, sym_dedup=False)
+    # (k_core docstring precondition; equality pinned in test_graph).
+    # small_graph_threshold=0: the shipment graph is corpus-sized by
+    # construction (~1.2M symmetrized rows at sf0.1, growing with the
+    # corpus), so k_core's bounded small-graph probe could never fire
+    # here — opting out skips its limit-collect job (r8).
+    return k_core(edges, k=30, sym_dedup=False, small_graph_threshold=0)

@@ -587,3 +587,38 @@ def test_k_core_sym_dedup_skip_bipartite_equal(spark):
     a = sorted(map(tuple, k_core(edges, k=2).collect()))
     b = sorted(map(tuple, k_core(edges, k=2, sym_dedup=False).collect()))
     assert a == b and len(a) > 0
+
+
+def test_k_core_small_graph_fast_path_equals_distributed(spark):
+    """The r8 driver fast path (bounded toPandas + vectorized peel)
+    must return exactly the distributed loop's result — same ids, same
+    within-core degrees, same schema — on a shape that needs multiple
+    peel rounds (clique + chain) plus isolated extra components."""
+    from spark_monotasks_spark.graph.algorithms import k_core
+
+    clique = [(a, b) for a in range(5) for b in range(5) if a < b]
+    path = [(4, 10), (10, 11), (11, 12)]
+    tri = [(20, 21), (21, 22), (20, 22)]
+    edges = spark.createDataFrame(clique + path + tri, "src long, dst long")
+
+    fast = k_core(edges, k=3)
+    slow = k_core(edges, k=3, small_graph_threshold=0)
+    assert sorted(map(tuple, fast.collect())) == sorted(
+        map(tuple, slow.collect())
+    )
+    assert [f.dataType for f in fast.schema.fields] == [
+        f.dataType for f in slow.schema.fields
+    ]
+    assert fast.columns == slow.columns
+
+    # max_rounds raise parity: a 13-vertex chain with k=1... chains
+    # peel fully in one round under simultaneous deletion; instead use
+    # a long path with k=2, which peels one vertex per end per round
+    long_path = [(i, i + 1) for i in range(30)]
+    e2 = spark.createDataFrame(long_path, "src long, dst long")
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="fixpoint"):
+        k_core(e2, k=2, max_rounds=3)
+    with _pytest.raises(RuntimeError, match="fixpoint"):
+        k_core(e2, k=2, max_rounds=3, small_graph_threshold=0)
