@@ -787,7 +787,10 @@ def jaccard_join_prefix(
     # scale, and the blocks are reaped by the ContextCleaner as soon as
     # the caller drops the returned plan — the cache dies with the
     # query, no explicit unpersist needed.
-    toks = df.select(
+    # _spread: the shingle build (split + slice + distinct per doc) is
+    # the CPU-heavy front of all three consumers — never leave it on a
+    # one-split local scan (r8; no-op on wide scans)
+    toks = _spread(df).select(
         F.col(id_col).alias("id"), F.array_distinct(units).alias("s")
     ).persist()
     occ = toks.select("id", F.explode("s").alias("tok"))
@@ -881,7 +884,13 @@ def _gram_occurrences(
         F.sequence(F.lit(0), (n - k).cast("int")),
         lambda i: F.concat_ws(sep, F.slice(toks, i + 1, k)),
     )
-    occ = df.filter(n >= k).select(
+    # _spread (r8): the gram posexplode multiplies each doc into
+    # ~|tokens| rows and hashes every one — with a single-file local
+    # scan (one split) the whole pass pins to ONE task.  One cheap
+    # round-robin shuffle of the compact source rows unlocks full
+    # parallelism; no-op when the scan is already wide (the 100 TB
+    # case).
+    occ = _spread(df.filter(n >= k)).select(
         F.col(id_col).alias("id"),
         F.posexplode(grams).alias("pos", "gram"),
     )
@@ -1432,8 +1441,12 @@ def melted_minhash_signatures(
     if family == "md5mod":
         sh = shingles(F.col(text_col), k=shingle_k)
         # explode_outer: a NULL-text doc keeps its (fam, NULL) rows,
-        # matching the wide families' array_min(NULL) = NULL semantics
-        rows = df.select(F.col(id_col).alias("id"), F.explode_outer(sh).alias("_s"))
+        # matching the wide families' array_min(NULL) = NULL semantics;
+        # _spread: see _gram_occurrences — md5 of every (shingle, fam)
+        # must not run on a one-split scan
+        rows = _spread(df).select(
+            F.col(id_col).alias("id"), F.explode_outer(sh).alias("_s")
+        )
         d = F.md5(F.col("_s").cast("binary"))
         hs = rows.select(
             "id",

@@ -126,9 +126,17 @@ def session_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run = running_total(ev, "chg", ["ts", "neg_delta"], "active")
     d = run.select(F.date_trunc("day", "ts").alias("day"), "ts", "active")
-    pk = d.groupBy("day").agg(F.max("active").alias("mx"))
+    # per-day max via a DAY-partitioned window, then filter + min(ts):
+    # the r7 form computed pk = groupBy(day).max and self-joined d
+    # against it, which consumed the whole prefix-sum chain TWICE
+    # (running_total's checkpoint pins the layout, not the downstream
+    # offsets join + _pid window) and paid an extra aggregate + join.
+    # One exchange on day now serves the window AND the final groupBy
+    # (same partitioning).  Identical result: max per day, earliest
+    # instant achieving it.
+    wday = Window.partitionBy("day")
     return (
-        d.join(pk, on="day")
+        d.withColumn("mx", F.max("active").over(wday))
         .filter(F.col("active") == F.col("mx"))
         .groupBy("day", "mx")
         .agg(F.min("ts").alias("peak_ts"))

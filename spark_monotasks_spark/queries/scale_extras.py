@@ -1193,7 +1193,11 @@ def exact_quantiles_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
     )
     cum = running_total(g, "n", ["v"], total_col="cum")
-    tot = cum.agg(F.max("cum").cast("long").alias("nt"))
+    # nt == max(cum) == the plain row count; computing it as ONE
+    # narrow count aggregate over the source scan is a metadata-cheap
+    # job, where max(cum) re-ran the whole post-checkpoint prefix-sum
+    # chain (offsets join + _pid window) a second time (r8)
+    tot = t["lineitem"].agg(F.count("*").cast("long").alias("nt"))
     # local_rows_df → inline-VALUES LocalRelation: the 4-row quantile
     # grid must not cost 32 Python-worker tasks (r8, guide §4)
     qs = local_rows_df(
@@ -1455,7 +1459,10 @@ def weighted_quantiles_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n_chars").cast("long").alias("w"))
     )
     cum = running_total(g, "w", ["v"], total_col="cum")
-    tot = cum.agg(F.max("cum").cast("long").alias("wt"))
+    # wt == max(cum) == sum(n_chars) over the corpus: one narrow scan
+    # aggregate instead of a second pass through the post-checkpoint
+    # prefix-sum chain (same r8 rewrite as exact_quantiles_prefix)
+    tot = t["documents"].agg(F.sum("n_chars").cast("long").alias("wt"))
     qs = local_rows_df(spark, [(0.25,), (0.5,), (0.75,)], "q double")
     joined = cum.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(qs))
     return (
