@@ -12,6 +12,14 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from spark_monotasks_spark.partitioning import spread_to_cluster as _spread
+
+# NOTE (r8): the corpus-pass operators below _spread their input
+# before gram/token explodes — per-row work (slice, hash, digest)
+# dominates IO there, and a single-file local scan (one split) would
+# otherwise pin the whole pass to ONE task.  No-op when the scan is
+# already wide, i.e. at production scale.
+
 #: tiny per-language stopword lists for the n-gram/stopword language
 #: heuristic.  Deliberately small — the point is the Spark-side shape
 #: (broadcast map + array intersection), not lexicography.
@@ -476,7 +484,7 @@ def contamination_check(
     # benchmark grams in-stream, and a single aggregate produces both
     # the gram count (word_ngrams is distinct per doc, so the exploded
     # row count IS n_grams) and the hit count.
-    exploded = df.select(
+    exploded = _spread(df).select(
         F.col(id_col).alias("id"), F.explode_outer(grams).alias("g")
     ).join(F.broadcast(bench_grams), on="g", how="left")
     n_hits = F.coalesce(F.sum("_hit"), F.lit(0)).cast("long")
@@ -594,7 +602,7 @@ def repetition_stats(
         # groupBy's map-side partial agg still means only (id, int64)
         # rows reach the shuffle.
         n_grams = F.greatest(F.size(toks) - n + 1, F.lit(0))
-        sliced = df.select(
+        sliced = _spread(df).select(
             F.col(id_col),
             dup_line_frac.alias("_dlf"),
             *[
@@ -624,7 +632,7 @@ def repetition_stats(
             .alias("_gram"),
         )
     else:
-        rows = df.select(
+        rows = _spread(df).select(
             F.col(id_col),
             dup_line_frac.alias("_dlf"),
             F.explode_outer(ngram_fold(toks, n)).alias("_gram"),
@@ -669,7 +677,7 @@ def build_vocab(
     single-partition sort is over a small frame, not the corpus.
     """
     counts = (
-        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        _spread(df).select(F.explode(tokens(F.col(text_col))).alias("token"))
         .filter(F.col("token") != "")
         .groupBy("token")
         .agg(F.count("*").alias("n"))
@@ -696,7 +704,7 @@ def encode_tokens(
     tokens map to ``unk_id``.  The vocab broadcasts (it is bounded, see
     build_vocab); the corpus side is one explode + one map-side join +
     one per-doc reassembly groupBy on posexploded order."""
-    pos = df.select(
+    pos = _spread(df).select(
         F.col(id_col),
         F.posexplode(tokens(F.col(text_col))).alias("pos", "token"),
     )
@@ -792,7 +800,7 @@ def unigram_logprob_score(
     (bounded by vocabulary size, not corpus bytes); it broadcasts back
     onto the exploded stream, and the per-doc mean is a partial-final
     aggregate.  No Python, no per-row UDFs."""
-    toks = df.select(
+    toks = _spread(df).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
     ).filter(F.col("token") != "")
     counts = toks.groupBy("token").agg(F.count("*").alias("n"))
@@ -843,6 +851,7 @@ def bigram_logprob_score(
     broadcast.  ln() differs across engines by ulps; round(4) of the
     mean absorbs it (same contract as the unigram scorer)."""
     toks = F.filter(tokens(F.col(text_col)), lambda x: x != "")
+    df = _spread(df)
     grams = df.select(F.col(id_col), F.explode(ngram_fold(toks, 2)).alias("g"))
     bg = grams.groupBy("g").agg(F.count("*").alias("nb"))
     c1 = bg.groupBy(F.substring_index("g", " ", 1).alias("_w1")).agg(
@@ -902,7 +911,7 @@ def dsir_importance_weights(
     shuffle beyond the single bucket groupBy.  round(4) absorbs ln()
     and summation-order ulps (the established scorer contract)."""
     toks = F.filter(tokens(F.col(text_col)), lambda x: x != "")
-    grams = df.select(
+    grams = _spread(df).select(
         F.col(id_col),
         F.col(source_col),
         F.explode(ngram_fold(toks, 2)).alias("g"),
@@ -1166,7 +1175,7 @@ def ngram_novelty(
     the reference gram set is small, shuffle-hash at scale)."""
     from spark_monotasks_spark.pipeline.dedup import shingles
 
-    cand = df.select(
+    cand = _spread(df).select(
         F.col(id_col).alias("id"),
         F.explode(shingles(F.col(text_col), k, sep)).alias("g"),
     )
@@ -1921,7 +1930,7 @@ def _line_occurrences(
     whitespace never distinguishes boilerplate); line text itself is
     dropped before anything shuffles."""
     gcols = [group_col] if group_col else []
-    occ = df.select(
+    occ = _spread(df).select(
         F.col(id_col).alias("id"),
         *gcols,
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "_line"),
