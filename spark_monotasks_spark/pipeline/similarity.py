@@ -99,19 +99,53 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
-def signature_col(vec_col: Column, planes: list[list[float]]) -> Column:
-    """Bit-pack sign(v·p) over the hyperplanes into a bigint bucket id."""
+def _dlit(x: float) -> str:
+    """Shortest-roundtrip double literal for SQL-string expression
+    building — ``repr`` is exact for binary64, the D suffix keeps the
+    parser from reading the token as DECIMAL."""
+    return repr(float(x)) + "D"
+
+
+def _arrlit(vals: list[float]) -> str:
+    return "array(" + ", ".join(_dlit(x) for x in vals) + ")"
+
+
+def _dot_sql(vec_sql: str, vals: list[float]) -> str:
+    """SQL text of :func:`dot` against a literal vector (same zip_with +
+    left-to-right aggregate fold, so values are bit-identical)."""
+    return (
+        f"aggregate(zip_with({vec_sql}, {_arrlit(vals)}, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def _sq_dist_sql(vec_sql: str, cent: list[float]) -> str:
+    """SQL text of Σ (xᵢ-cᵢ)² against a literal centroid — the same
+    zip_with + left-to-right fold the Column builder used, emitted as
+    text so a literal-heavy plan costs ONE Py4J call instead of one
+    per tree node (the JVM↔Python boundary tax applies to plan
+    CONSTRUCTION on the driver, not just row execution: the Column
+    form of the PQ/IVF builders spent 2.8-4.3 s per query in Py4J
+    round-trips before the first job launched)."""
+    return (
+        f"aggregate(zip_with({vec_sql}, {_arrlit(cent)}, "
+        "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        "0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def signature_col(vec_col: str, planes: list[list[float]]) -> Column:
+    """Bit-pack sign(v·p) over the hyperplanes into a bigint bucket id.
+    Takes the vector COLUMN NAME: the expression is assembled as one
+    SQL string (n_planes × dim literal tree — per-node Column building
+    pays a Py4J round-trip per node)."""
     bits = [
-        F.when(
-            dot(vec_col, F.array(*[F.lit(x) for x in plane])) >= 0,
-            F.shiftleft(F.lit(1).cast("bigint"), i),
-        ).otherwise(F.lit(0).cast("bigint"))
+        f"(CASE WHEN {_dot_sql(f'`{vec_col}`', plane)} >= 0 "
+        f"THEN shiftleft(CAST(1 AS BIGINT), {i}) ELSE CAST(0 AS BIGINT) END)"
         for i, plane in enumerate(planes)
     ]
-    out = bits[0]
-    for b in bits[1:]:
-        out = out.bitwiseOR(b)
-    return out
+    return F.expr(" | ".join(bits))
 
 
 def with_lsh_signature(
@@ -124,7 +158,7 @@ def with_lsh_signature(
     """Attach the LSH bucket id.  At scale: persist/bucket the output by
     ``lsh_bucket`` so queries touch one bucket's files only."""
     planes = _hyperplanes(dim, n_planes, seed)
-    return embeddings.withColumn("lsh_bucket", signature_col(F.col(vec_col), planes))
+    return embeddings.withColumn("lsh_bucket", signature_col(vec_col, planes))
 
 
 def lsh_bucket_topk(
@@ -147,7 +181,7 @@ def lsh_bucket_topk(
     planes = _hyperplanes(dim, n_planes, seed)
     corpus = with_lsh_signature(embeddings, dim, n_planes, seed, vec_col)
     q = query.select(
-        F.col("qvec"), signature_col(F.col("qvec"), planes).alias("qbucket")
+        F.col("qvec"), signature_col("qvec", planes).alias("qbucket")
     )
     probes = [F.col("qbucket")]
     for r in range(1, multiprobe_bits + 1):
@@ -289,19 +323,14 @@ def ivf_assign(
     literal-centroid counterpart of ivf_index's ``model.transform``.
     One linear projection; with dyadic centroids every distance is a
     sum of exactly-representable doubles, so an external engine
-    reproduces the assignment bit-for-bit."""
-    pairs = F.array(
-        *[
-            F.struct(
-                _sq_dist(F.col(vec_col), vec).alias("d"),
-                F.lit(int(cid)).alias("c"),
-            )
-            for cid, vec in centroids
-        ]
-    )
-    return df.withColumn(
-        "cell", F.array_sort(pairs).getItem(0).getField("c")
-    )
+    reproduces the assignment bit-for-bit.  The n_lists × dim literal
+    tree is assembled as ONE SQL string (see :func:`_sq_dist_sql`)."""
+    pairs = "array(" + ", ".join(
+        f"named_struct('d', {_sq_dist_sql(f'`{vec_col}`', vec)}, "
+        f"'c', {int(cid)})"
+        for cid, vec in centroids
+    ) + ")"
+    return df.withColumn("cell", F.expr(f"array_sort({pairs})[0].c"))
 
 
 def semantic_dedup(
@@ -530,21 +559,6 @@ def pq_query_vector(dim: int, seed: int = 99) -> list[float]:
     return vec
 
 
-def _sq_dist(sub_col: Column, cent: list[float]) -> Column:
-    """Σ (xᵢ-cᵢ)² against a literal centroid — left-to-right double
-    fold, same shape as ``dot`` so DuckDB's list_sum matches it."""
-    arr = F.array(*[F.lit(x) for x in cent])
-    return F.aggregate(
-        F.zip_with(
-            sub_col,
-            arr,
-            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-
 def pq_encode(
     df: DataFrame,
     dim: int,
@@ -564,16 +578,12 @@ def pq_encode(
     sub_dim = dim // n_sub
     cols = [F.col(id_col)]
     for m, cents in enumerate(book):
-        sub = F.slice(F.col(vec_col), m * sub_dim + 1, sub_dim)
-        pairs = F.array(
-            *[
-                F.struct(_sq_dist(sub, cent).alias("d"), F.lit(c).alias("c"))
-                for c, cent in enumerate(cents)
-            ]
-        )
-        cols.append(
-            F.array_sort(pairs).getItem(0).getField("c").alias(f"code_{m}")
-        )
+        sub = f"slice(`{vec_col}`, {m * sub_dim + 1}, {sub_dim})"
+        pairs = "array(" + ", ".join(
+            f"named_struct('d', {_sq_dist_sql(sub, cent)}, 'c', {c})"
+            for c, cent in enumerate(cents)
+        ) + ")"
+        cols.append(F.expr(f"array_sort({pairs})[0].c").alias(f"code_{m}"))
     return df.select(*cols)
 
 
@@ -618,13 +628,10 @@ def pq_adc_topk(
     the code columns (4 bytes/vector), never the raw embeddings."""
     table = pq_adc_table(query, dim, n_sub, n_cent, seed)
     codes = pq_encode(embeddings, dim, n_sub, n_cent, seed, id_col, vec_col)
-    est = None
-    for m in range(n_sub):
-        term = F.element_at(
-            F.array(*[F.lit(t) for t in table[m]]), F.col(f"code_{m}") + 1
-        )
-        est = term if est is None else est + term
-    ranked = codes.withColumn("_est", est)
+    est_sql = " + ".join(
+        f"element_at({_arrlit(table[m])}, code_{m} + 1)" for m in range(n_sub)
+    )
+    ranked = codes.withColumn("_est", F.expr(est_sql))
     return (
         ranked.orderBy("_est", id_col)
         .limit(k)
@@ -840,16 +847,17 @@ def ivfpq_topk(
     cand = assigned.filter(F.col("cell").isin(probe))
 
     # residual against the row's own cell centroid (probe cells only,
-    # so the when-chain is n_probe arms with the last as the default)
-    cent_arr = F.array(*[F.lit(x) for x in cent_map[probe[-1]]])
-    for cid in reversed(probe[:-1]):
-        cent_arr = F.when(
-            F.col("cell") == cid, F.array(*[F.lit(x) for x in cent_map[cid]])
-        ).otherwise(cent_arr)
+    # so the CASE has n_probe arms with the last as the default)
+    branches = " ".join(
+        f"WHEN cell = {cid} THEN {_arrlit(cent_map[cid])}"
+        for cid in probe[:-1]
+    )
+    case_cent = f"CASE {branches} ELSE {_arrlit(cent_map[probe[-1]])} END"
     res = cand.withColumn(
         "_res",
-        F.zip_with(
-            F.col(vec_col), cent_arr, lambda x, y: x.cast("double") - y
+        F.expr(
+            f"zip_with(`{vec_col}`, {case_cent}, "
+            "(x, y) -> CAST(x AS DOUBLE) - y)"
         ),
     )
 
@@ -857,15 +865,13 @@ def ivfpq_topk(
     # the shared codebook (smallest code on ties via struct ordering)
     code_cols = []
     for m, cents_m in enumerate(book):
-        sub = F.slice(F.col("_res"), m * sub_dim + 1, sub_dim)
-        pairs = F.array(
-            *[
-                F.struct(_sq_dist(sub, cent).alias("d"), F.lit(c).alias("c"))
-                for c, cent in enumerate(cents_m)
-            ]
-        )
+        sub = f"slice(_res, {m * sub_dim + 1}, {sub_dim})"
+        pairs = "array(" + ", ".join(
+            f"named_struct('d', {_sq_dist_sql(sub, cent)}, 'c', {c})"
+            for c, cent in enumerate(cents_m)
+        ) + ")"
         code_cols.append(
-            F.array_sort(pairs).getItem(0).getField("c").alias(f"code_{m}")
+            F.expr(f"array_sort({pairs})[0].c").alias(f"code_{m}")
         )
     coded = res.select(F.col(id_col), F.col("cell"), *code_cols)
 
@@ -876,20 +882,19 @@ def ivfpq_topk(
         qres = [q - x for q, x in zip(query, cent_map[cid])]
         tables[cid] = pq_adc_table(qres, dim, n_sub, n_cent, book_seed)
 
-    def lookup(cid: int):
-        est = None
-        for m in range(n_sub):
-            term = F.element_at(
-                F.array(*[F.lit(t) for t in tables[cid][m]]),
-                F.col(f"code_{m}") + 1,
-            )
-            est = term if est is None else est + term
-        return est
+    def lookup(cid: int) -> str:
+        return " + ".join(
+            f"element_at({_arrlit(tables[cid][m])}, code_{m} + 1)"
+            for m in range(n_sub)
+        )
 
-    est = lookup(probe[-1])
-    for cid in reversed(probe[:-1]):
-        est = F.when(F.col("cell") == cid, lookup(cid)).otherwise(est)
-    ranked = coded.withColumn("_est", est)
+    est_branches = " ".join(
+        f"WHEN cell = {cid} THEN {lookup(cid)}" for cid in probe[:-1]
+    )
+    ranked = coded.withColumn(
+        "_est",
+        F.expr(f"CASE {est_branches} ELSE {lookup(probe[-1])} END"),
+    )
     return (
         ranked.orderBy("_est", id_col)
         .limit(k)
