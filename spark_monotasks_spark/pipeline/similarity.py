@@ -445,8 +445,17 @@ def embedding_near_duplicates(
     """Embedding-cosine near-dup pairs via LSH blocking: pairs share a
     bucket (high-cosine pairs almost surely do at small n_planes), then
     exact cosine verification.  Returns (id_a, id_b, sim)."""
+    # Per-row norms are precomputed BEFORE the bucket join: inside the
+    # cosine they would be re-folded (interpreted 64-dim lambda) once per
+    # CANDIDATE PAIR per plan occurrence — the join condition and the
+    # output project each evaluate the expression, so every row's norm
+    # was folded O(bucket-mates) times.  Hoisting them is bit-identical
+    # (same SQRT(aggregate(...)) value, same divide order in `sim`).
     corpus = with_lsh_signature(embeddings, dim, n_planes, seed, vec_col).select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), "lsh_bucket"
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        norm(F.col(vec_col)).alias("nrm"),
+        "lsh_bucket",
     )
     a = corpus.alias("a")
     b = corpus.alias("b")
@@ -455,7 +464,7 @@ def embedding_near_duplicates(
         on=(F.col("a.lsh_bucket") == F.col("b.lsh_bucket"))
         & (F.col("a.id") < F.col("b.id")),
     )
-    sim = cosine(F.col("a.vec"), F.col("b.vec"))
+    sim = dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         pairs.select(
             F.col("a.id").alias("id_a"),

@@ -676,8 +676,11 @@ def build_vocab(
     (~10^5-10^6 for natural language regardless of corpus bytes), so the
     single-partition sort is over a small frame, not the corpus.
     """
+    # r8: NOT _spread — tokenize+count is too light to amortize the
+    # round-robin text shuffle (bench median 0.47s unspread vs 0.77s
+    # spread at sf0.1); the heavy corpus passes below do spread.
     counts = (
-        _spread(df).select(F.explode(tokens(F.col(text_col))).alias("token"))
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
         .filter(F.col("token") != "")
         .groupBy("token")
         .agg(F.count("*").alias("n"))
@@ -851,7 +854,14 @@ def bigram_logprob_score(
     broadcast.  ln() differs across engines by ulps; round(4) of the
     mean absorbs it (same contract as the unigram scorer)."""
     toks = F.filter(tokens(F.col(text_col)), lambda x: x != "")
-    df = _spread(df)
+    # r8: NOT _spread — three consumers re-execute the spread's text
+    # shuffle, which outweighs the explode parallelism here (full-bench
+    # medians 1.66s unspread vs 1.87s spread at sf0.1).  Two heavier
+    # rewrites were measured and rejected: per-(doc,gram) pre-counts
+    # (column pruning specializes the subtree per consumer, so the
+    # explode still ran 3x — 1.95s) and a localCheckpoint barrier on
+    # the counts (2.09s; materialization beats nothing here because
+    # the wall is AQE job scheduling, not the explode).
     grams = df.select(F.col(id_col), F.explode(ngram_fold(toks, 2)).alias("g"))
     bg = grams.groupBy("g").agg(F.count("*").alias("nb"))
     c1 = bg.groupBy(F.substring_index("g", " ", 1).alias("_w1")).agg(

@@ -1508,17 +1508,23 @@ def item_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the basket key plus the pair aggregate, never an all-items cross.
     A pathological mega-basket (one order with 10^5 items) is the skew
     case: cap basket size upstream or salt, same as any hot key.
-    Top-50 by count with full key tiebreak (TakeOrdered)."""
+    Top-50 by count with full key tiebreak (TakeOrdered).
+
+    r8: the self-join form shuffled lineitem TWICE (one exchange per
+    side) and sorted both for the merge join.  Collecting each basket's
+    items (one exchange of two long columns) and expanding the ordered
+    pairs with two chained explodes produces the identical pair multiset
+    — each (row_a, row_b) with p_a < p_b, duplicates preserved — in one
+    lineitem exchange plus the (small) pair aggregate's."""
     t = _t(spark, sf_dir)
     li = t["lineitem"].select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(
-        F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.collect_list("l_partkey").alias("items")
+    )
+    pairs = (
+        baskets.select(F.explode("items").alias("p1"), "items")
+        .select("p1", F.explode("items").alias("p2"))
+        .filter(F.col("p1") < F.col("p2"))
     )
     return (
         pairs.groupBy("p1", "p2")
