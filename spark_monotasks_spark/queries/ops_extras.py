@@ -107,22 +107,37 @@ def session_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans = sess.groupBy("user_id", "session_no").agg(
         F.min("ts").alias("st"), F.max("ts").alias("en")
     )
-    starts = (
-        spans.groupBy(F.col("st").alias("ts"))
+    # r8: melt each span to its two endpoint rows with ONE explode and
+    # group once on (ts, neg_delta) — the start/end pair of groupBys
+    # consumed `spans` twice, which re-executed the sessionize window
+    # stage per consumer (the exchange below it is reused, the window
+    # compute is not; measured 2x ~1.2s single-task window stages).
+    # Identical rows: a ts that is both a start and an end still groups
+    # apart on neg_delta.
+    endpoints = spans.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("st").alias("ts"), F.lit(-1).alias("neg_delta")
+                ),
+                F.struct(
+                    F.col("en").alias("ts"), F.lit(1).alias("neg_delta")
+                ),
+            )
+        ).alias("e")
+    ).select("e.ts", "e.neg_delta")
+    ev = (
+        endpoints.groupBy("ts", "neg_delta")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("neg_delta", F.lit(-1))
-    )
-    ends = (
-        spans.groupBy(F.col("en").alias("ts"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("neg_delta", F.lit(1))
-    )
-    ev = starts.unionByName(ends).select(
-        "ts",
-        "neg_delta",
-        (F.when(F.col("neg_delta") == -1, F.col("cnt")).otherwise(-F.col("cnt"))).alias(
-            "chg"
-        ),
+        .select(
+            "ts",
+            "neg_delta",
+            (
+                F.when(F.col("neg_delta") == -1, F.col("cnt")).otherwise(
+                    -F.col("cnt")
+                )
+            ).alias("chg"),
+        )
     )
     run = running_total(ev, "chg", ["ts", "neg_delta"], "active")
     d = run.select(F.date_trunc("day", "ts").alias("day"), "ts", "active")

@@ -68,13 +68,24 @@ def bucketed_smb_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     t_orders = f"r7_bkt_orders_{tag}"
     t_cust = f"r7_bkt_customer_{tag}"
     try:
+        # r8: pre-partition each side on its bucket key (same
+        # HashPartitioning family bucketBy uses) — the 1-split local
+        # scan otherwise writes all 8 buckets from ONE task; this way
+        # the encode runs 8-way and each task emits exactly its one
+        # bucket file.  At scale the write is already wide and the
+        # extra exchange replaces the implicit one a bucketed sink
+        # needs anyway.
         sio.save_as_table(
-            t["orders"].select("o_orderkey", "o_custkey", "o_orderstatus",
-                               "o_totalprice"),
+            t["orders"]
+            .select("o_orderkey", "o_custkey", "o_orderstatus",
+                    "o_totalprice")
+            .repartition(8, F.col("o_custkey")),
             t_orders, mode="overwrite", bucket_by=(8, ["o_custkey"]),
         )
         sio.save_as_table(
-            t["customer"].select("c_custkey", "c_mktsegment"),
+            t["customer"]
+            .select("c_custkey", "c_mktsegment")
+            .repartition(8, F.col("c_custkey")),
             t_cust, mode="overwrite", bucket_by=(8, ["c_custkey"]),
         )
         o = spark.table(t_orders)

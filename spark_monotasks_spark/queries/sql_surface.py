@@ -296,8 +296,15 @@ def orc_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linestatus", "l_returnflag",
     )
     try:
+        # r8: spread before the sink — the narrow local scan gave the
+        # ORC encode 3 tasks (1.5s of the entry's 2.0s stage time);
+        # round-robin width parallelizes the encode and is a no-op on
+        # the wide scans a production-sized write already has.
+        from spark_monotasks_spark.partitioning import spread_to_cluster
+
         src_io.write_orc(
-            li, base, mode="overwrite", partition_by=["l_returnflag"]
+            spread_to_cluster(li, 8), base, mode="overwrite",
+            partition_by=["l_returnflag"],
         )
         # explicit schema: a zero-row corpus writes no ORC data files,
         # and unlike parquet there is then nothing to infer from
