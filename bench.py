@@ -271,9 +271,13 @@ def run_pass(
     timings: dict[str, float] = {}
     for name in (names if names is not None else HEADLINE):
         fn = QUERY_REGISTRY[name]
+        # guide §1.5: label every job so event logs / the UI attribute
+        # stages to the query that ran them
+        spark.sparkContext.setJobDescription(f"bench:{name}")
         start = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 3)
+        spark.sparkContext.setJobDescription(None)
         print(f"# rep{rep} {name}: {timings[name]}s", file=sys.stderr)
         # between queries (outside the timed region): let the
         # ContextCleaner reap dropped localCheckpoints/broadcasts now
