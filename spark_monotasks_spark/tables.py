@@ -23,10 +23,46 @@ query never reads.
 from __future__ import annotations
 
 import os
+import weakref
 from collections.abc import Iterator, Mapping
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+#: Per-session cache of table DataFrame DEFINITIONS (r8, guide §4/§6).
+#: ``spark.read.parquet`` costs a footer read + schema inference + a
+#: chain of Py4J calls (~60-130 ms warm) and the catalog re-ran it for
+#: every query construction — ~2.5 tables × 96 bench entries per pass.
+#: A real deployment reads tables from a catalog whose relations are
+#: resolved once per session, not re-inferred per query; this cache is
+#: that catalog.  It holds ONLY the unresolved scan plan (path +
+#: schema): execution still scans the parquet files every time, so no
+#: result or data is ever reused across runs.  Keyed weakly by session
+#: (a stopped session's entries are dropped with it) and by sf_dir, so
+#: concurrent scale factors in one session stay distinct.  The base
+#: tables are immutable test fixtures; nothing in the repo rewrites a
+#: table path in place within a session (verified — tests only read).
+_DF_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+#: Sessions whose parity confs are already pinned: ensure_parity_confs
+#: paid 4 Py4J conf round-trips per load_table call (~1000 per bench
+#: pass).  All four confs are pinned identically everywhere, so once
+#: per session is enough.
+_PARITY_PINNED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
+
+#: Per-session record of which (sf_dir, name) each table VIEW currently
+#: points at, so repeated Tables instances skip the
+#: createOrReplaceTempView Py4J call (~20 ms) when the registered view
+#: is already ours for the same key — and re-register when the sf_dir
+#: changes mid-session (the oracle-parity suite mixes scale factors).
+#: Catalog view names are namespaced away from user views everywhere in
+#: the repo (``_ins_src_*``, test-local names), so skipping a
+#: re-registration of an identical view is unobservable.
+_VIEW_REG: "weakref.WeakKeyDictionary[SparkSession, dict[str, tuple[str, str]]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 TABLE_NAMES = (
     "region",
@@ -72,7 +108,11 @@ def ensure_parity_confs(spark: SparkSession) -> None:
 
     No-ops when already set (session.get_spark sets the same values at
     build time).  All four confs are runtime-settable on Spark 4.
+    Pinning is remembered per session (weak set) so repeated catalog
+    loads skip the conf round-trips.
     """
+    if spark in _PARITY_PINNED:
+        return
     for key, value in PARITY_CONFS.items():
         try:
             if spark.conf.get(key, None) != value:
@@ -81,6 +121,7 @@ def ensure_parity_confs(spark: SparkSession) -> None:
             # a future Spark making one of these static shouldn't take
             # down every query; the read below will surface a real error
             pass
+    _PARITY_PINNED.add(spark)
 
 
 def table_path(sf_dir: str, name: str) -> str:
@@ -113,12 +154,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     ensure_parity_confs(spark)
+    key = (os.path.realpath(sf_dir), name)
+    per_session = _DF_CACHE.setdefault(spark, {})
+    cached = per_session.get(key)
+    if cached is not None:
+        return cached
     path = table_path(sf_dir, name)
     if not os.path.exists(path):
         raise FileNotFoundError(
             f"table {name!r} not found at {path} — is sf_dir={sf_dir!r} correct?"
         )
-    return _fix_nanos(spark.read.parquet(path))
+    df = _fix_nanos(spark.read.parquet(path))
+    per_session[key] = df
+    return df
 
 
 class Tables(Mapping):
@@ -149,7 +197,11 @@ class Tables(Mapping):
         if name not in self._cache:
             df = load_table(self._spark, self._sf_dir, name)
             if self._register_views:
-                df.createOrReplaceTempView(name)
+                key = (os.path.realpath(self._sf_dir), name)
+                reg = _VIEW_REG.setdefault(self._spark, {})
+                if reg.get(name) != key:
+                    df.createOrReplaceTempView(name)
+                    reg[name] = key
             self._cache[name] = df
         return self._cache[name]
 

@@ -799,3 +799,29 @@ def test_catalog_md_rows_match_registry():
     for name, check in rows.items():
         want = "oracle" if name in ORACLE_REGISTRY else "rows-only"
         assert check == want, f"{name}: CATALOG says {check}, registry {want}"
+
+
+def test_table_df_cache_per_session_and_sf(spark):
+    """r8 table-metadata cache: load_table returns the SAME DataFrame
+    object for repeated (session, sf_dir, name) lookups — sparing the
+    per-query footer read + Py4J construction — while distinct sf_dirs
+    stay distinct, and the cached plan still computes from parquet
+    (row counts differ across scale factors, so no data is reused)."""
+    from spark_monotasks_spark.tables import load_table, load_tables
+    from tests.conftest import SF_ORACLE_DIR, SF_TEST_DIR
+
+    a1 = load_table(spark, SF_TEST_DIR, "lineitem")
+    a2 = load_table(spark, SF_TEST_DIR, "lineitem")
+    assert a1 is a2
+    b = load_table(spark, SF_ORACLE_DIR, "lineitem")
+    assert b is not a1
+    assert a1.count() != b.count()  # sf0.001 vs sf0.01: really distinct scans
+
+    # Tables view registration follows the sf_dir: after loading the
+    # oracle dir, SQL over the view must see ITS rows, then flip back.
+    load_tables(spark, SF_ORACLE_DIR)["lineitem"]
+    n_oracle = spark.sql("SELECT count(*) AS n FROM lineitem").collect()[0].n
+    assert n_oracle == b.count()
+    load_tables(spark, SF_TEST_DIR)["lineitem"]
+    n_test = spark.sql("SELECT count(*) AS n FROM lineitem").collect()[0].n
+    assert n_test == a1.count()
