@@ -782,15 +782,6 @@ def k_core(
     sym = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    # sym_dedup=False is a caller PRECONDITION claim: the input is
-    # already distinct AND no edge's reverse is present (e.g. a
-    # bipartite graph whose two id domains are disjoint by
-    # construction) — then the swapped union is distinct for free and
-    # the full-width dedup shuffle is skipped.  Degree counts would be
-    # silently wrong if the precondition is violated, so callers must
-    # justify it structurally, not empirically.
-    if sym_dedup:
-        sym = sym.distinct()
     # round pinning (r7): on the non-reliable path the per-round state
     # is persist()ed and materialized by the convergence count — ONE
     # job per round where the eager localCheckpoint paid two, measured
@@ -803,6 +794,14 @@ def k_core(
     def _pin(df: DataFrame) -> DataFrame:
         return barrier(df, reliable) if reliable else df.persist()
 
+    # sym_dedup=False is a caller PRECONDITION claim: the input is
+    # already distinct AND no edge's reverse is present (e.g. a
+    # bipartite graph whose two id domains are disjoint by
+    # construction) — then the swapped union is distinct for free and
+    # the full-width dedup shuffle is skipped.  Degree counts would be
+    # silently wrong if the precondition is violated, so callers must
+    # justify it structurally, not empirically.
+    #
     # Convergence is detected on the DEGREE AGGREGATE itself (r7): the
     # state is a k-core iff no vertex has degree < k, which one
     # limit(1) probe over the per-round degree table answers — the old
@@ -811,7 +810,25 @@ def k_core(
     # emit core_deg.  Here the converged round's degree table IS the
     # result, so the loop runs exactly as many prunes as the peel
     # needs and one vertex-sized probe per round.
-    cur = _pin(sym)
+    if sym_dedup:
+        sym = sym.distinct()
+        cur = _pin(sym)
+        pin0 = cur
+    else:
+        # r8: the same precondition means the HALF-SIZE directed edge
+        # list is the minimal round-0 state worth caching — pin IT and
+        # leave the symmetrized view a lazy union over the cache.
+        # Every consumer sees identical rows (a union of two
+        # InMemoryTableScans of one cache — no exchange, no dedup
+        # needed by the precondition), but the cache build encodes |E|
+        # rows instead of 2|E| and the upstream exchange feeding it is
+        # read once, not twice.  (On the sym_dedup path the dedup runs
+        # on the 2|E| union, so its output must be what's pinned.)
+        e = _pin(edges.select("src", "dst"))
+        cur = e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        pin0 = e
     # SMALL-GRAPH FAST PATH (r8; the star-CC pattern at :418 with the
     # same probe discipline and the same 100k bound — ~1.6 MB of long
     # pairs): ≤ small_graph_threshold symmetrized edge rows are peeled
@@ -853,7 +870,7 @@ def k_core(
                     "least one vertex)"
                 )
             if not reliable:
-                cur.unpersist()
+                pin0.unpersist()
             utype = sym.schema["src"].dataType
             out_schema = T.StructType(
                 [
@@ -864,16 +881,20 @@ def k_core(
             keep = np.flatnonzero(deg >= max(k, 1))
             rows = [(int(ids[v]), int(deg[v])) for v in keep]
             return local_rows_df(edges.sparkSession, rows, out_schema)
-    prev_state = prev_deg = None
+    prev_pin = prev_deg = None
+    cur_pin = pin0
     for _ in range(max_rounds + 1):
         deg = (
             cur.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
         )
-        # this action materializes deg AND (transitively) cur; only now
-        # are the superseded previous round's caches safe to release
+        # this action materializes deg AND (transitively) the current
+        # round's pinned state; only now are the superseded previous
+        # round's caches safe to release (the pin HANDLE is tracked
+        # separately from cur because round 0's state can be a lazy
+        # union over the pinned edge list)
         converged = deg.filter(F.col("deg") < k).limit(1).count() == 0
-        if not reliable and prev_state is not None:
-            prev_state.unpersist()
+        if not reliable and prev_pin is not None:
+            prev_pin.unpersist()
         if prev_deg is not None:
             prev_deg.unpersist()
         if converged:
@@ -886,7 +907,7 @@ def k_core(
                 keep.withColumnRenamed("src", "dst"), on="dst", how="left_semi"
             )
         )
-        prev_state, prev_deg, cur = cur, deg, nxt
+        prev_pin, prev_deg, cur, cur_pin = cur_pin, deg, nxt, nxt
     raise RuntimeError(
         f"k_core did not reach a fixpoint within {max_rounds} rounds — "
         "raise max_rounds (each round removes at least one vertex)"
