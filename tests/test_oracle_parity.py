@@ -103,8 +103,11 @@ def test_catalog_schemas_scalar_only(spark):
 
     from spark_monotasks_spark.queries import QUERY_REGISTRY
 
+    from tests.conftest import catalog_sample
+
     offenders = []
-    for name, fn in sorted(QUERY_REGISTRY.items()):
+    for name in catalog_sample(QUERY_REGISTRY):
+        fn = QUERY_REGISTRY[name]
         schema = fn(spark, SF_ORACLE_DIR).schema
         for f in schema.fields:
             if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):

@@ -15,6 +15,8 @@ from pyspark.sql import functions as F
 
 from spark_monotasks_spark.queries import QUERY_REGISTRY
 
+from tests.conftest import catalog_sample
+
 SF = "/root/testdata/sf0.01"
 
 
@@ -755,7 +757,8 @@ def test_no_hidden_cartesians_across_catalog(spark):
         "lsh_threshold_sweep",
     }
     offenders = {}
-    for name, fn in QUERY_REGISTRY.items():
+    for name in catalog_sample(QUERY_REGISTRY):
+        fn = QUERY_REGISTRY[name]
         if name in allow:
             continue
         plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
@@ -801,7 +804,8 @@ def test_no_row_python_udfs_across_catalog(spark):
         "FlatMapGroupsInPandas", "AggregateInPandas", "FlatMapCoGroupsInPandas",
     )
     offenders = {}
-    for name, fn in QUERY_REGISTRY.items():
+    for name in catalog_sample(QUERY_REGISTRY):
+        fn = QUERY_REGISTRY[name]
         plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
         if "BatchEvalPython" in plan:
             offenders[name] = "BatchEvalPython (row-at-a-time!)"
@@ -858,7 +862,8 @@ def test_no_unpartitioned_windows_over_unbounded_inputs(spark):
 
     allow = set()  # no exceptions today; add ONLY with a boundedness proof
     offenders = {}
-    for name, fn in QUERY_REGISTRY.items():
+    for name in catalog_sample(QUERY_REGISTRY):
+        fn = QUERY_REGISTRY[name]
         if name in allow:
             continue
         plan = fn(spark, SF)._jdf.queryExecution().optimizedPlan()
