@@ -17,6 +17,7 @@ from typing import Any, Callable, Iterable
 from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
 
+from spark_monotasks_spark import tables
 from spark_monotasks_spark.functions.registry import resolve_function
 
 
@@ -60,11 +61,17 @@ class SQLContext:
 
     # --- catalog ------------------------------------------------------------
     def register_data_frame_as_table(self, df: DataFrame, name: str) -> None:
-        """SQLContext.scala:797 — temp view registration."""
+        """SQLContext.scala:797 — temp view registration.
+
+        Invalidates the catalog-cache's view record for ``name``: if a
+        user view replaces a catalog table view, a later Tables access
+        must re-register rather than silently skip (ADVICE r8)."""
         df.createOrReplaceTempView(name)
+        tables.invalidate_view_record(self.spark, name)
 
     def drop_temp_table(self, name: str) -> None:
         self.spark.catalog.dropTempView(name)
+        tables.invalidate_view_record(self.spark, name)
 
     def cache_table(self, name: str) -> None:
         """SQLContext.cacheTable (:215) → columnar InMemoryRelation; modern

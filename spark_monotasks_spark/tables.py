@@ -113,6 +113,7 @@ def ensure_parity_confs(spark: SparkSession) -> None:
     """
     if spark in _PARITY_PINNED:
         return
+    all_ok = True
     for key, value in PARITY_CONFS.items():
         try:
             if spark.conf.get(key, None) != value:
@@ -120,12 +121,31 @@ def ensure_parity_confs(spark: SparkSession) -> None:
         except Exception:
             # a future Spark making one of these static shouldn't take
             # down every query; the read below will surface a real error
-            pass
-    _PARITY_PINNED.add(spark)
+            all_ok = False
+    # only remember the session as pinned when every conf was verified
+    # or set without exception — a transiently failed pin is retried on
+    # the next load (ADVICE r8: the pre-cache code re-attempted every
+    # call, and the memo must not weaken that recovery path)
+    if all_ok:
+        _PARITY_PINNED.add(spark)
 
 
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def invalidate_view_record(spark: SparkSession, name: str) -> None:
+    """Forget that a catalog temp view is registered (ADVICE r8).
+
+    The public api surface (``drop_temp_table`` /
+    ``register_data_frame_as_table``) can drop or replace a view named
+    like a catalog table outside Tables' knowledge; without this hook a
+    later Tables access would skip re-registration and SQL would see the
+    replacement (or nothing).  Callers that mutate temp views must
+    invalidate so the next access re-fires createOrReplaceTempView."""
+    reg = _VIEW_REG.get(spark)
+    if reg is not None:
+        reg.pop(name, None)
 
 
 def _fix_nanos(df: DataFrame) -> DataFrame:
@@ -155,15 +175,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     ensure_parity_confs(spark)
     key = (os.path.realpath(sf_dir), name)
-    per_session = _DF_CACHE.setdefault(spark, {})
-    cached = per_session.get(key)
-    if cached is not None:
-        return cached
     path = table_path(sf_dir, name)
+    # existence is re-checked on cache HITS too (ADVICE r8): a table
+    # directory removed mid-session then raises the explicit error here
+    # instead of a less helpful scan-time failure.  One local stat per
+    # call — noise next to the Py4J traffic the cache removes.
     if not os.path.exists(path):
         raise FileNotFoundError(
             f"table {name!r} not found at {path} — is sf_dir={sf_dir!r} correct?"
         )
+    per_session = _DF_CACHE.setdefault(spark, {})
+    cached = per_session.get(key)
+    if cached is not None:
+        return cached
     df = _fix_nanos(spark.read.parquet(path))
     per_session[key] = df
     return df

@@ -587,6 +587,19 @@ def test_k_core_sym_dedup_skip_bipartite_equal(spark):
     a = sorted(map(tuple, k_core(edges, k=2).collect()))
     b = sorted(map(tuple, k_core(edges, k=2, sym_dedup=False).collect()))
     assert a == b and len(a) > 0
+    # ADVICE r8: the small-graph fast path was absorbing this test, so
+    # the distributed half-pin round-0 state (lazy union over one
+    # half-size cache + prev_pin unpersist bookkeeping) had no local
+    # unit coverage — force the distributed loop explicitly
+    c = sorted(
+        map(
+            tuple,
+            k_core(
+                edges, k=2, sym_dedup=False, small_graph_threshold=0
+            ).collect(),
+        )
+    )
+    assert a == c
 
 
 def test_k_core_small_graph_fast_path_equals_distributed(spark):
