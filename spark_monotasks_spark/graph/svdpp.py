@@ -102,18 +102,31 @@ def svdpp_t0(edges: DataFrame, rank: int = 4, seed: int = 42) -> DataFrame:
     oracle-backs the otherwise solver-order-specific SVD++ training
     (catalog entry ``graph_svdpp_t0``).  Empty edges yield an empty
     state (training itself requires rows and raises)."""
+    # r9 (guide §2.1/§2.4): is_user is just "did the id ever appear as
+    # src", so melt each edge into its two tagged endpoint rows with ONE
+    # explode and fold the flag in the SAME aggregate that computes
+    # degree/bias — semantically identical to the old
+    # unionAll + distinct + left-join (coalesce(_isu,false) == max of
+    # the per-row flags) but the caller's edge subtree is evaluated
+    # once instead of three times and the whole state is ONE exchange
+    # (the groupBy) with no join at all.
     incident = edges.select(
-        F.col("src").alias("id"), "rating"
-    ).unionAll(edges.select(F.col("dst").alias("id"), "rating"))
+        F.explode(
+            F.array(
+                F.struct(F.col("src").alias("id"), F.lit(True).alias("_isu")),
+                F.struct(F.col("dst").alias("id"), F.lit(False).alias("_isu")),
+            )
+        ).alias("_e"),
+        "rating",
+    ).select(F.col("_e.id").alias("id"), "rating", F.col("_e._isu").alias("_isu"))
     degrees = incident.groupBy("id").agg(
-        F.count("*").alias("_deg"), F.avg("rating").alias("bias")
+        F.count("*").alias("_deg"),
+        F.avg("rating").alias("bias"),
+        F.max("_isu").alias("_is_user"),
     )
-    users = edges.select(F.col("src").alias("id")).distinct()
-    return degrees.join(
-        users.withColumn("_isu", F.lit(True)), on="id", how="left"
-    ).select(
+    return degrees.select(
         "id",
-        F.coalesce("_isu", F.lit(False)).alias("is_user"),
+        F.col("_is_user").alias("is_user"),
         _hash_unit_vector(F.col("id"), rank, "p", seed).alias("p"),
         _hash_unit_vector(F.col("id"), rank, "y", seed).alias("y"),
         "bias",

@@ -1185,16 +1185,26 @@ def ml_fpgrowth_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # prune to the two join columns BEFORE the join and broadcast the
     # dimension explicitly: measured 4x faster than leaving it to the
     # optimizer here (the unpruned join carried the full lineitem row
-    # through a shuffle join into the collect_set)
+    # through a shuffle join into the collect_set).  r9: the miner works
+    # on INT item codes instead of brand strings — 'Brand#N' ↔ N is a
+    # bijection (p_brand = 'Brand#' || 1..25 in this corpus), so the
+    # mined itemsets decode 1:1 and freq is untouched, while the PFP
+    # tree stages (the measured 49+24 task-second wall) hash/compare
+    # 4-byte ints instead of 7-8 char strings.
     baskets = (
         t["lineitem"]
         .select("l_orderkey", "l_partkey")
         .join(
-            F.broadcast(t["part"].select("p_partkey", "p_brand")),
+            F.broadcast(
+                t["part"].select(
+                    "p_partkey",
+                    F.substring("p_brand", 7, 2).cast("int").alias("brand_code"),
+                )
+            ),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .groupBy("l_orderkey")
-        .agg(F.collect_set("p_brand").alias("items"))
+        .agg(F.collect_set("brand_code").alias("items"))
     )
     # pin the PFP group count to the session's full parallelism: AQE
     # coalesces the tiny basket shuffle to a handful of partitions,
@@ -1206,9 +1216,15 @@ def ml_fpgrowth_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_confidence=0.5,
         num_partitions=spark.sparkContext.defaultParallelism,
     )
+    # decode codes back to brand strings BEFORE the sort so the
+    # serialized itemset is byte-identical to the string-mined form
+    # (sort_array on the decoded strings, exactly as before)
+    decoded = F.transform(
+        "items", lambda x: F.concat(F.lit("Brand#"), x.cast("string"))
+    )
     # itemset serialized sorted+comma-joined: scalar-only catalog contract
     return itemsets.filter(F.size("items") <= 2).select(
-        F.array_join(F.sort_array("items"), ",").alias("items"), "freq"
+        F.array_join(F.sort_array(decoded), ",").alias("items"), "freq"
     )
 
 

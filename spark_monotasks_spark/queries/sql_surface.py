@@ -210,9 +210,17 @@ def sql_insert_overwrite_partitioned(spark: SparkSession, sf_dir: str) -> DataFr
 
         wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
         shutil.rmtree(f"{wh}/{table}", ignore_errors=True)
+    # r9 (guide §6, the bucketed_smb_join precedent): the 1-split local
+    # scan wrote all three status partitions from ONE task; hashing the
+    # source on the partition column runs the encode one-task-per-status
+    # (3-way) with exactly one file per partition dir — at scale a wide
+    # scan already has this parallelism and the extra exchange of three
+    # narrow columns is noise next to the write.
     sio.insert_overwrite_partitioned(
         spark,
-        t["orders"].select("o_orderkey", "o_totalprice", "o_orderstatus"),
+        t["orders"]
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .repartition("o_orderstatus"),
         table,
         ["o_orderstatus"],
     )
