@@ -210,17 +210,16 @@ def sql_insert_overwrite_partitioned(spark: SparkSession, sf_dir: str) -> DataFr
 
         wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
         shutil.rmtree(f"{wh}/{table}", ignore_errors=True)
-    # r9 (guide §6, the bucketed_smb_join precedent): the 1-split local
-    # scan wrote all three status partitions from ONE task; hashing the
-    # source on the partition column runs the encode one-task-per-status
-    # (3-way) with exactly one file per partition dir — at scale a wide
-    # scan already has this parallelism and the extra exchange of three
-    # narrow columns is noise next to the write.
+    # r9: a pre-partitioned sink (repartition on o_orderstatus, the
+    # bucketed_smb_join precedent) was measured and REJECTED — the
+    # 3-value key costs an exchange locally (+15% in a 4-round
+    # load-matched A/B: 1.37 -> 1.67s median) and at scale would hash
+    # the whole table into <=3 reducer partitions, a straggler by
+    # construction.  The dynamic-partition writer already parallelizes
+    # across whatever width the source scan has.
     sio.insert_overwrite_partitioned(
         spark,
-        t["orders"]
-        .select("o_orderkey", "o_totalprice", "o_orderstatus")
-        .repartition("o_orderstatus"),
+        t["orders"].select("o_orderkey", "o_totalprice", "o_orderstatus"),
         table,
         ["o_orderstatus"],
     )
